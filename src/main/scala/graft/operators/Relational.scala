@@ -1,0 +1,660 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** The reference engine's SQL surface (SURVEY.md §2.A) plus the standard
+  * OLAP completion (§2.B), re-expressed as declarative DataFrame plans.
+  *
+  * Reference semantics covered (cited per query):
+  *   - scan/projection: reference src/executor/scan.rs:1, projection.rs:1
+  *   - filter:          reference src/executor/filter.rs:1
+  *   - expressions:     reference src/executor/expression.rs:104 (binary ops),
+  *                      :66 (unary), :249 (Caster)
+  *   - joins:           reference src/executor/nested_join.rs:1 (nested loop;
+  *                      here Catalyst picks broadcast-hash / sort-merge /
+  *                      broadcast-nested-loop instead)
+  *   - aggregates:      reference src/executor/aggregation.rs:168
+  *                      (min/max/sum/count/avg), GROUP BY + HAVING
+  *   - limit:           reference src/executor/limit.rs:1
+  *
+  * Float determinism for the DuckDB oracle (SURVEY.md §7): every SUM/AVG
+  * over doubles is computed in DECIMAL(18,s) (exact, association-order
+  * independent) then cast back to DOUBLE, identically on both sides.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Exact decimal average: decimal sum / count, both deterministic. */
+  private def davg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c))
+
+  private def dec(c: Column, scale: Int = 2): Column =
+    c.cast(DecimalType(18, scale))
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  // ---------------------------------------------------------------------
+  // §2.A — reference surface
+  // ---------------------------------------------------------------------
+
+  /** Column-pruned scan: only 3 of 11 lineitem columns reach the reader. */
+  def qScanProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** WHERE with AND / OR / NOT and comparisons; pushed to parquet. */
+  def qFilter(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .where(
+        (col("o_orderstatus") === "F" || col("o_totalprice") > 400000.0)
+          && !(col("o_orderpriority") === "5-LOW"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  /** Scalar arithmetic: + - * / %, unary minus, nested parens. Plain
+    * IEEE double ops — bit-identical across engines for per-row exprs
+    * (only aggregation order needs the decimal trick). */
+  def qExprArith(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 2 + col("l_tax") - 1).as("v"),
+        (col("l_orderkey") % 7).as("m"),
+        (-col("l_discount")).as("neg"),
+        (col("l_extendedprice") / (col("l_quantity") + 1)).as("unit"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** CAST between int / double / string (reference Caster). */
+  def qExprCast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(IntegerType).as("qi"),
+        col("l_orderkey").cast(DoubleType).as("kd"),
+        col("l_linenumber").cast(StringType).as("ls"),
+        (lit("7").cast(IntegerType) + lit(1)).as("lit_i"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Boolean algebra incl. XOR (reference expression.rs:117). */
+  def qExprBool(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        ((col("o_orderstatus") === "F") =!= (col("o_totalprice") > 200000.0))
+          .as("xor_v"),
+        (!(col("o_orderstatus") === "O")).as("not_v"),
+        ((col("o_totalprice") > 100000.0) && (col("o_orderpriority") === "1-URGENT"))
+          .as("and_v"))
+      .orderBy(col("o_orderkey"))
+
+  /** LIMIT with a total order so results are deterministic. */
+  def qLimit(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Global (ungrouped) min/max/sum/count/avg — partial+final agg. */
+  def qAggGlobal(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      min(col("l_quantity")).as("min_q"),
+      max(col("l_quantity")).as("max_q"),
+      dsum(col("l_quantity")).as("sum_q"),
+      count(lit(1)).as("cnt"),
+      count(col("l_quantity")).as("cnt_q"),
+      davg(col("l_quantity")).as("avg_q"))
+
+  /** Flagship: TPC-H Q1 pricing summary. Map-side combine on 6 groups
+    * means the shuffle carries ~6 rows per partition at any scale. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Arithmetic over aggregate results (reference aggregates.slt). */
+  def qAggExpr(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (max(col("l_quantity")) * 2).as("mx2"),
+        (min(col("l_quantity")) - 1).as("mn1"),
+        (count(lit(1)) + sum(col("l_linenumber").cast(LongType))).as("cnt_plus"))
+      .orderBy(col("l_returnflag"))
+
+  /** GROUP BY + HAVING on an aggregate (reference having.slt). */
+  def qHaving(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_q"))
+      .where(col("cnt") > 550)
+      .orderBy(col("l_suppkey"))
+
+  /** Equi inner join; nation is tiny → broadcast-hash join, no shuffle
+    * of the probe side (reference nested_join.rs does O(n*m)). */
+  def qInnerJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .where(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** Cartesian product of two bounded dims (reference cartesian.slt). */
+  def qCrossJoin(s: SparkSession, d: String): DataFrame =
+    region(s, d).crossJoin(nation(s, d))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Theta join: equi key + inequality residual. Catalyst plans the equi
+    * part as a hash/sort-merge join and keeps `<` as a residual — never
+    * the O(n²) loop the reference runs. */
+  def qNonEquiJoin(s: SparkSession, d: String): DataFrame = {
+    val s1 = supplier(s, d).select(
+      col("s_suppkey").as("k1"), col("s_nationkey").as("nk1"),
+      col("s_acctbal").as("b1"))
+    val s2 = supplier(s, d).select(
+      col("s_suppkey").as("k2"), col("s_nationkey").as("nk2"),
+      col("s_acctbal").as("b2"))
+    s1.join(s2, col("nk1") === col("nk2") && col("b1") < col("b2"))
+      .select(col("k1"), col("k2"), col("nk1"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  /** Self-join on equality plus != (reference join_test.rs movies). */
+  def qSelfJoin(s: SparkSession, d: String): DataFrame = {
+    val p1 = part(s, d).where(col("p_size") <= 5)
+      .select(col("p_partkey").as("k1"), col("p_brand").as("brand"),
+        col("p_size").as("sz1"))
+    val p2 = part(s, d).where(col("p_size") <= 5)
+      .select(col("p_partkey").as("k2"), col("p_brand").as("brand2"),
+        col("p_size").as("sz2"))
+    p1.join(p2, col("brand") === col("brand2")
+        && col("sz1") === col("sz2") && col("k1") =!= col("k2"))
+      .select(col("k1"), col("k2"), col("brand"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  /** 5-way join: two broadcast dims + customer⋈orders shuffle join. */
+  def qMultiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("volume"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  // ---------------------------------------------------------------------
+  // §2.B — OLAP completion
+  // ---------------------------------------------------------------------
+
+  /** ORDER BY + LIMIT → TakeOrderedAndProject: per-partition heap of k,
+    * driver merges k*partitions rows — no global sort at 100 TB. */
+  def qOrderLimit(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact COUNT(DISTINCT) — Spark expands to a two-phase aggregate. */
+  def qCountDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(col("l_partkey")).as("n_part"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+
+  /** HLL++ sketch — the 100 TB path for distinct counts (one pass, no
+    * per-key state explosion). rows-only check; ScalaTest bounds error. */
+  def qApproxCountDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  def qUnion(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast(IntegerType).as("key"))
+      .unionAll(supplier(s, d).select(col("s_nationkey").cast(IntegerType).as("key")))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("key"))
+
+  /** LEFT OUTER join + null-safe aggregation over the optional side. */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = orders(s, d).where(col("o_totalprice") > 450000.0)
+    customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_big"))
+      .where(col("c_custkey") <= 200)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** IN-subquery → left-semi join (no duplication of the left side). */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val big = orders(s, d).where(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey"))
+    customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT EXISTS → left-anti join. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Scalar subquery as a broadcast 1-row cross join — stays lazy and
+    * distributed (no driver collect). */
+  def qSubqueryScalar(s: SparkSession, d: String): DataFrame = {
+    val thr = orders(s, d).agg(davg(col("o_totalprice")).as("avg_price"))
+    orders(s, d).crossJoin(broadcast(thr))
+      .where(col("o_totalprice") > col("avg_price") * 1.9)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def qCaseWhen(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        when(col("o_totalprice") > 300000.0, "big")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("small").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+
+  def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .where(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("un"),
+        lower(col("p_brand")).as("lb"),
+        length(col("p_name")).as("ln"),
+        substring(col("p_type"), 1, 5).as("t5"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("bc"))
+      .orderBy(col("p_partkey"))
+
+  def qDateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        date_trunc("month", col("o_orderdate")).as("mstart"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("vol"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** Window ranking: top-3 orders per customer. */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"))
+      .where(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running sum + lag over an event stream ordered by time. */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .where(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        sum(dec(col("value"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running"),
+        lag(col("value"), 1).over(w).as("prev"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ROLLUP: multi-level aggregates in one shuffle. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_q"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** TPC-H Q3: shipping priority — 3-way join, agg, top-k. */
+  def qTpchQ3(s: SparkSession, d: String): DataFrame =
+    customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5: local supplier volume — 6-way join; dims broadcast,
+    * facts shuffle once on their shared keys. */
+  def qTpchQ5(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00")
+        && col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  // ---------------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> (qScanProject _),
+    "q_filter" -> (qFilter _),
+    "q_expr_arith" -> (qExprArith _),
+    "q_expr_cast" -> (qExprCast _),
+    "q_expr_bool" -> (qExprBool _),
+    "q_limit" -> (qLimit _),
+    "q_agg_global" -> (qAggGlobal _),
+    "q1_agg" -> (q1Agg _),
+    "q_agg_expr" -> (qAggExpr _),
+    "q_having" -> (qHaving _),
+    "q_inner_join" -> (qInnerJoin _),
+    "q_cross_join" -> (qCrossJoin _),
+    "q_non_equi_join" -> (qNonEquiJoin _),
+    "q_self_join" -> (qSelfJoin _),
+    "q_multi_join" -> (qMultiJoin _),
+    "q_order_limit" -> (qOrderLimit _),
+    "q_distinct" -> (qDistinct _),
+    "q_count_distinct" -> (qCountDistinct _),
+    "q_approx_count_distinct" -> (qApproxCountDistinct _),
+    "q_union" -> (qUnion _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_subquery_scalar" -> (qSubqueryScalar _),
+    "q_case_when" -> (qCaseWhen _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q5" -> (qTpchQ5 _)
+  )
+
+  /** DuckDB oracle SQL. Same aliases, same DECIMAL-exact aggregation,
+    * types pinned to Spark's (year() → INT etc.). */
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderstatus = 'F' OR o_totalprice > 400000.0)
+        |  AND NOT (o_orderpriority = '5-LOW')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_expr_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity * 2 + l_tax - 1 AS v,
+        |  l_orderkey % 7 AS m,
+        |  -l_discount AS neg,
+        |  l_extendedprice / (l_quantity + 1) AS unit
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_expr_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INTEGER) AS qi,
+        |  CAST(l_orderkey AS DOUBLE) AS kd,
+        |  CAST(l_linenumber AS VARCHAR) AS ls,
+        |  CAST('7' AS INTEGER) + 1 AS lit_i
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_expr_bool" ->
+      """SELECT o_orderkey,
+        |  (o_orderstatus = 'F') <> (o_totalprice > 200000.0) AS xor_v,
+        |  NOT (o_orderstatus = 'O') AS not_v,
+        |  (o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT') AS and_v
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_agg_global" ->
+      """SELECT min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+        |  count(*) AS cnt, count(l_quantity) AS cnt_q,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(l_quantity) AS avg_q
+        |FROM lineitem""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(l_extendedprice) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_expr" ->
+      """SELECT l_returnflag,
+        |  max(l_quantity) * 2 AS mx2,
+        |  min(l_quantity) - 1 AS mn1,
+        |  count(*) + sum(CAST(l_linenumber AS BIGINT)) AS cnt_plus
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(*) > 550 ORDER BY l_suppkey""".stripMargin,
+
+    "q_inner_join" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 5000.0 ORDER BY c_custkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_non_equi_join" ->
+      """SELECT s1.s_suppkey AS k1, s2.s_suppkey AS k2, s1.s_nationkey AS nk1
+        |FROM supplier s1 JOIN supplier s2
+        |  ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal < s2.s_acctbal
+        |ORDER BY k1, k2""".stripMargin,
+
+    "q_self_join" ->
+      """SELECT p1.p_partkey AS k1, p2.p_partkey AS k2, p1.p_brand AS brand
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_brand = p2.p_brand AND p1.p_size = p2.p_size
+        |  AND p1.p_partkey <> p2.p_partkey
+        |WHERE p1.p_size <= 5 AND p2.p_size <= 5
+        |ORDER BY k1, k2""".stripMargin,
+
+    "q_multi_join" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        |FROM lineitem""".stripMargin,
+
+    "q_union" ->
+      """SELECT key, count(*) AS cnt FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS key FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INTEGER) AS key FROM supplier
+        |) GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big,
+        |  CAST(sum(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_big
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_totalprice > 450000.0
+        |) ON c_custkey = o_custkey
+        |GROUP BY c_custkey HAVING c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) FROM orders) * 1.9
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |  WHEN o_totalprice > 100000.0 THEN 'mid'
+        |  ELSE 'small' END AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS un, lower(p_brand) AS lb,
+        |  CAST(length(p_name) AS INTEGER) AS ln,
+        |  substr(p_type, 1, 5) AS t5,
+        |  p_brand || '-' || p_type AS bc
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vol
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running,
+        |  lag(value, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and compare against the Verify.scala
+parquet dumps (column-name-sorted, row-sorted, value-compared)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(out_dir)):
+    p = f"{out_dir}/{name}"
+    if not os.path.isdir(p):
+        continue
+    files = glob.glob(f"{p}/*.parquet")
+    got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+    if name not in oracle:
+        skips.append(f"{name} (rows={len(got)}, rows-only)")
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append(f"{name}: ORACLE SQL ERROR {e}")
+        continue
+    g = got.reindex(sorted(got.columns), axis=1)
+    e = exp.reindex(sorted(exp.columns), axis=1)
+    if list(g.columns) != list(e.columns):
+        fails.append(f"{name}: COLS spark={list(g.columns)} duck={list(e.columns)}")
+        continue
+    if len(g) != len(e):
+        fails.append(f"{name}: ROWS spark={len(g)} duck={len(e)}")
+        continue
+    gs = g.sort_values(by=list(g.columns), na_position="first").reset_index(drop=True)
+    es = e.sort_values(by=list(e.columns), na_position="first").reset_index(drop=True)
+    ok = True
+    for c in g.columns:
+        a, b = gs[c], es[c]
+        try:
+            pd.testing.assert_series_equal(a, b, check_dtype=False,
+                                           check_exact=True, check_names=False)
+        except AssertionError:
+            ok = False
+            diff = (a != b) & ~(a.isna() & b.isna())
+            i = diff[diff].index[:3].tolist()
+            fails.append(f"{name}: col {c} mismatch at rows {i}: "
+                         f"spark={a.iloc[i[:1]].tolist() if i else '?'} "
+                         f"duck={b.iloc[i[:1]].tolist() if i else '?'} "
+                         f"dtypes {a.dtype}/{b.dtype}")
+            break
+    if ok:
+        passes.append(name)
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+print(f"SKIP {len(skips)}: {' '.join(skips)}")
+print(f"FAIL {len(fails)}:")
+for f in fails:
+    print("  ", f)
+sys.exit(1 if fails else 0)
