@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2.C).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup groups by a 128-bit digest of the text, never the raw
+  *     text — the shuffle carries 16 bytes + ids per row.
+  *   - MinHash-LSH is one scan (signatures via map-side-combining agg),
+  *     one explode to (band, bucket), one self-join keyed on the bucket —
+  *     candidate generation never goes O(n²).
+  *   - exact Jaccard runs as an inverted-index join on distinct shingles
+  *     (pairs sharing ≥1 shingle only), the standard set-similarity-join
+  *     shape; at extreme scale add prefix filtering on rare shingles.
+  */
+object Dedup {
+
+  private val NumPerms = 128
+  private val Bands = 16 // 16 bands x 8 rows: s-curve midpoint ~ (1/16)^(1/8) ≈ 0.71
+  private val Rows = NumPerms / Bands
+
+  /** Exact dedup: md5(text) groups; keep the smallest doc_id.
+    * (md5 used over xxhash64 so the DuckDB oracle computes the same
+    * digest; a pure-Spark pipeline would use xxhash64 twice over
+    * different seeds for 128 collision-safe bits.) */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+
+  /** (doc_id, sig: array<long>) MinHash signatures — one aggregation
+    * pass: explode distinct shingles, take the min of each of the 128
+    * permuted hashes. Map-side combine collapses to one row per doc per
+    * partition before any shuffle. */
+  def minhashSignatures(docs: DataFrame, nGram: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), nGram)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val mins = (0 until NumPerms).map { i =>
+      min(permutedHash(col("h"), i)).as(s"m$i")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH band buckets: (doc_id, band, bucket) — bucket is a hash of the
+    * band's slice of the signature. */
+  def lshBuckets(sigs: DataFrame): DataFrame = {
+    val bands = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(slice(col("sig"), j * Rows + 1, Rows)).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Near-dup candidate pairs via MinHash-LSH (Jaccard ≳ 0.7). */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(documents(s, d)))
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Exact n-gram Jaccard join: inverted index on distinct shingles →
+    * intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = g.select(col("doc_id").as("id1"), col("sh"))
+      .join(g.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c"))).as("jac"))
+      .where(col("jac") >= 0.7)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** 64-bit SimHash over distinct words: bit k of the fingerprint is the
+    * sign of Σ(±1) across word-hash bit k. One explode + one agg. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordHash = docs
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$k")
+    }
+    val assembled = (0 until 64)
+      .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    wordHash.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits for candidates, then
+    * exact Hamming distance ≤ maxHamming via bit_count(xor). */
+  def dedupSimhash(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(documents(s, d))
+    val bands = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bucket"))
+    }
+    val buckets = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("id1"), col("simhash").as("h1"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("id2"), col("simhash").as("h2"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    // Exact Jaccard is SQL-expressible in DuckDB with list lambdas; the
+    // MinHash/SimHash queries are probabilistic candidate generators and
+    // are covered by ScalaTest with planted duplicates instead.
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w) - 2),
+        |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END)) AS sh
+        |  FROM t
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id1
+        |JOIN sz sb ON sb.doc_id = id2
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+        |ORDER BY id1, id2""".stripMargin
+  )
+}

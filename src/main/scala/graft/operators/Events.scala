@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Event-stream analytics, batch form (SURVEY.md §2.C). The Structured
+  * Streaming equivalents (same logical plans under `readStream`) live in
+  * graft.streaming.EventStreams; these batch forms are what the DuckDB
+  * oracle can check.
+  */
+object Events {
+
+  /** Tumbling 1-hour window aggregation — identical to the streaming
+    * groupBy(window($"ts", "1 hour")) plan; partial aggregation makes
+    * the shuffle carry (window × type) rows only. */
+  def streamWindowAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Sessionization: a session breaks after a 30-minute silence per
+    * user. Window-function form — lag + running count of session starts.
+    * One shuffle on user_id; microsecond-exact gap arithmetic. */
+  def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+          1L).otherwise(0L).as("is_new"))
+      .select(col("user_id"), col("ts"), col("value"),
+        sum(col("is_new")).over(wRun).as("sess_id"))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("s_start"),
+        max(col("ts")).as("s_end"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sessionize" -> (streamSessionize _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM y
+        |)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(ts) AS s_start, max(ts) AS s_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM z GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin
+  )
+}

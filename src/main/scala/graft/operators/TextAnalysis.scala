@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for corpus curation (SURVEY.md §2.C):
+  * language ID, quality scoring, token counting. All pure per-row
+  * column expressions (codegen'd, embarrassingly parallel — the ideal
+  * 100 TB shape: map-only over the scan, no shuffle except final aggs).
+  */
+object TextAnalysis {
+
+  private val enStops = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  private val frStops = Seq("le", "la", "les", "et", "est", "un", "une")
+  private val esStops = Seq("el", "los", "las", "y", "es", "un", "una")
+
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  private def stopScore(w: Column, stops: Seq[String]): Column =
+    size(filter(w, x => x.isin(stops.map(lit): _*)))
+
+  /** n-gram/stopword-heuristic language ID, evaluated against the
+    * corpus's `lang` ground truth: output is the (lang, pred) confusion
+    * matrix. CJK codepoints short-circuit to zh; otherwise argmax of
+    * per-language stopword hits with a deterministic tie order. */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val sEn = stopScore(w, enStops)
+    val sDe = stopScore(w, deStops)
+    val sFr = stopScore(w, frStops)
+    val sEs = stopScore(w, esStops)
+    val pred = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(sDe > sEn && sDe >= sFr && sDe >= sEs, "de")
+      .when(sFr > sEn && sFr >= sEs, "fr")
+      .when(sEs > sEn, "es")
+      .otherwise("en")
+    documents(s, d)
+      .select(col("lang"), pred.as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** Per-document quality features + a weighted score: word count,
+    * average word length, stopword ratio, lexical diversity. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(w).as("n_words"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_alpha"),
+        size(array_distinct(w)).as("n_distinct"),
+        stopScore(w, enStops).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_alpha"), col("n_distinct"),
+        (col("n_alpha").cast(DoubleType) / col("n_words")).as("avg_wlen"),
+        (col("n_stop").cast(DoubleType) / col("n_words")).as("stop_ratio"),
+        (col("n_distinct").cast(DoubleType) / col("n_words")).as("distinct_ratio"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_alpha"), col("n_distinct"),
+        col("avg_wlen"), col("stop_ratio"), col("distinct_ratio"),
+        (col("stop_ratio") * 0.4 + col("distinct_ratio") * 0.3
+          + least(col("avg_wlen") / 10.0, lit(1.0)) * 0.3).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenization
+    * (letter runs / digit runs / single punctuation). */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        size(split(lower(col("text")), "\\s+")).as("n_ws"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH t AS (
+        |  SELECT lang, regexp_split_to_array(lower(text), '\\s+') AS w, text
+        |  FROM documents
+        |), sc AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> x IN (${inList(enStops)}))) AS s_en,
+        |    len(list_filter(w, x -> x IN (${inList(deStops)}))) AS s_de,
+        |    len(list_filter(w, x -> x IN (${inList(frStops)}))) AS s_fr,
+        |    len(list_filter(w, x -> x IN (${inList(esStops)}))) AS s_es,
+        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+        |  FROM t
+        |)
+        |SELECT lang,
+        |  CASE WHEN cjk THEN 'zh'
+        |    WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |    WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+        |    WHEN s_es > s_en THEN 'es'
+        |    ELSE 'en' END AS pred,
+        |  count(*) AS cnt
+        |FROM sc GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w, text
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER) AS n_alpha,
+        |    CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+        |    len(list_filter(w, x -> x IN (${inList(enStops)}))) AS n_stop
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, n_words, n_alpha, n_distinct,
+        |    CAST(n_alpha AS DOUBLE) / n_words AS avg_wlen,
+        |    CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+        |    CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio
+        |  FROM f
+        |)
+        |SELECT doc_id, n_words, n_alpha, n_distinct, avg_wlen, stop_ratio,
+        |  distinct_ratio,
+        |  stop_ratio * 0.4 + distinct_ratio * 0.3
+        |    + least(avg_wlen / 10.0, 1.0) * 0.3 AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS INTEGER) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
