@@ -64,8 +64,11 @@ object Dedup {
   }
 
   /** Near-dup candidate pairs via MinHash-LSH (Jaccard ≳ 0.7). */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(documents(s, d)))
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshPairs(documents(s, d))
+
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(docs))
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id1"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("id2"))
     a.join(b, Seq("band", "bucket"))
@@ -77,8 +80,11 @@ object Dedup {
 
   /** Exact n-gram Jaccard join: inverted index on distinct shingles →
     * intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val g = documents(s, d)
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(documents(s, d))
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val g = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = g.select(col("doc_id").as("id1"), col("sh"))
@@ -90,19 +96,24 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         (col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c"))).as("jac"))
-      .where(col("jac") >= 0.7)
+      .where(col("jac") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** 64-bit SimHash over distinct words: bit k of the fingerprint is the
-    * sign of Σ(±1) across word-hash bit k. One explode + one agg. */
+  /** 64-bit SimHash (Charikar 2002), tf-weighted: bit k of the
+    * fingerprint is the sign of Σ(±tf(w)) across word-hash bit k.
+    * Term-frequency weights make the bit sums large relative to a small
+    * edit, so near-dups land within a few bits of Hamming distance —
+    * unweighted distinct-word simhash is far noisier on short docs.
+    * One explode + two aggs, all map-side-combining. */
   def simhash(docs: DataFrame): DataFrame = {
     val wordHash = docs
-      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), xxhash64(col("w")).as("h"))
+      .agg(count(lit(1)).as("tf"))
     val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$k")
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$k")
     }
     val assembled = (0 until 64)
       .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
@@ -114,8 +125,11 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4 bands of 16 bits for candidates, then
     * exact Hamming distance ≤ maxHamming via bit_count(xor). */
-  def dedupSimhash(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(documents(s, d))
+  def dedupSimhash(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
+    simhashPairs(documents(s, d), maxHamming)
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(docs)
     val bands = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bucket"))

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Multimodal-column pipeline plumbing (SURVEY.md §2.C).
+  *
+  * Media blobs are opaque `binary` columns travelling next to typed
+  * metadata; decode / feature-extraction runs per-partition in batches
+  * (the JVM analogue of `mapInPandas` batch shape). The image/audio
+  * codecs aren't available in this environment, so `StubDecoder` is a
+  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
+  * batch iteration, partitioning, output contract) is real and tested.
+  *
+  * Scale notes: decode is map-only over the scan — no shuffle; blobs
+  * never shuffle at all (features are orders of magnitude smaller, and
+  * only they flow downstream). Batch iteration amortizes per-record
+  * overhead exactly like Arrow batches do for pandas UDFs.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** STUB: stands in for a real image/audio decoder (libjpeg, ffmpeg…).
+    * Deterministic: "decodes" a blob into (format, width, height) pulled
+    * from a fake header plus an 8-bin byte histogram as the feature
+    * vector. Swap this object for a real codec binding in production. */
+  object StubDecoder {
+    def decode(blob: Array[Byte]): (String, Int, Int, Array[Float]) = {
+      val fmt = if (blob.isEmpty) "empty" else (blob(0) & 3) match {
+        case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"; case _ => "tiff"
+      }
+      val w = 64 + (if (blob.length > 1) (blob(1) & 0x7f) else 0)
+      val h = 64 + (if (blob.length > 2) (blob(2) & 0x7f) else 0)
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < blob.length) { hist((blob(i) & 0xff) >> 5) += 1f; i += 1 }
+      if (blob.nonEmpty) { var j = 0; while (j < 8) { hist(j) /= blob.length; j += 1 } }
+      (fmt, w, h, hist)
+    }
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Attach a synthetic binary "media" column (the corpus has no real
+    * blobs; utf-8 bytes of the text stand in) — in production this is a
+    * `binary` parquet column read straight off the scan. */
+  def withBlobs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+
+  /** Batched per-partition decode: binary blob → typed metadata +
+    * feature vector. mapPartitions + grouped iterator = the JVM shape of
+    * a batched pandas UDF; rows stream through in BatchSize chunks. */
+  def decodeFeatures(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    blobs.select(col("doc_id").cast(LongType), col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val blob = r.getAs[Array[Byte]](1)
+            val (fmt, w, h, feat) = StubDecoder.decode(blob)
+            Row(id, fmt, w, h, blob.length, feat.toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  /** End-to-end pipeline: blobs → batched decode → per-format stats
+    * joined back against document metadata. */
+  def mmPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val feats = decodeFeatures(s, withBlobs(docs))
+    feats
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("format"), col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("width")), 4).as("avg_w"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+      .orderBy(col("format"), col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pipeline" -> (mmPipeline _)
+  )
+
+  // Decode semantics live in the JVM stub — not SQL-expressible; covered
+  // by ScalaTest (schema, determinism, batch shape) instead of an oracle.
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.C).
+  *
+  * Scale design:
+  *   - brute-force is the correctness baseline: the (small) query set is
+  *     broadcast, scoring is map-only over the corpus scan, and only the
+  *     scored rows shuffle once on q_id for the per-query top-k. At 100 TB
+  *     the LSH path below replaces the full scan.
+  *   - LSH ANN: L independent random-hyperplane tables of b bits each;
+  *     a vector lands in L buckets (map-only signature computation), the
+  *     query's buckets are joined (broadcast — the query side is tiny),
+  *     and exact rescoring touches only in-bucket candidates. Work scales
+  *     with bucket occupancy, not corpus size.
+  *
+  * Parameter note: the synthetic corpus is near-isotropic (top-10
+  * neighbors at cosine ≈ 0.3, background ≈ 0), the hardest regime for
+  * LSH — defaults (L=12, b=4) are tuned for ≥0.6 recall there. Real
+  * embedding corpora cluster much more tightly; raise b (finer buckets,
+  * smaller candidate sets) as the neighbor/background gap widens.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NumQueries = 10
+
+  /** Deterministic random hyperplanes: L tables × b bits × dim coords. */
+  private def planes(L: Int, b: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(L, b, dim)(rng.nextGaussian())
+  }
+
+  /** (table, bucket) signature pairs for one embedding column: bit j of a
+    * table's bucket is the sign of the projection onto hyperplane j. */
+  private def buckets(v: Column, L: Int, b: Int, dim: Int): Column = {
+    val ps = planes(L, b, dim)
+    val entries = (0 until L).map { t =>
+      val bits = (0 until b).map { j =>
+        when(dot(v, typedLit(ps(t)(j).toSeq)) > 0, 1L << j).otherwise(0L)
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+    }
+    array(entries: _*)
+  }
+
+  private def queriesSet(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact cosine top-k per query vector: broadcast queries, map-side
+    * scoring, one shuffle on q_id for the ranking window. */
+  def simTopkBruteforce(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val scored = emb.crossJoin(broadcast(queriesSet(emb)))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ANN top-k via random-hyperplane LSH: candidates are vectors sharing
+    * ≥1 (table, bucket) with the query; exact cosine rescoring on the
+    * candidate set only. */
+  def simAnnLsh(s: SparkSession, d: String,
+                L: Int = 12, b: Int = 4, dim: Int = 64): DataFrame = {
+    val emb = embeddings(s, d)
+    val corpus = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(buckets(col("embedding"), L, b, dim)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        col("bb.table").as("table"), col("bb.bucket").as("bucket"))
+    val qs = queriesSet(emb)
+      .select(col("q_id"), col("q_emb"),
+        explode(buckets(col("q_emb"), L, b, dim)).as("bb"))
+      .select(col("q_id"), col("q_emb"),
+        col("bb.table").as("table"), col("bb.bucket").as("bucket"))
+    val candidates = corpus.join(broadcast(qs), Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
+    candidates
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Bit-stable vs Spark: both sides accumulate the dot product
+    // left-to-right in IEEE double (floats widen exactly), so the raw
+    // doubles hash-match without rounding.
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id < $NumQueries
+        |), s AS (
+        |  SELECT q_id, e.vec_id,
+        |    list_dot_product(qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+        |      / (sqrt(list_dot_product(qe, qe))
+        |         * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))))) AS score
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score
+        |FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+    // sim_ann_lsh is probabilistic — covered by the recall-vs-bruteforce
+    // ScalaTest instead of a SQL oracle.
+  )
+}

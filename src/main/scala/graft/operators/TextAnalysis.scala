@@ -81,10 +81,23 @@ object TextAnalysis {
           .as("n_bpe"))
       .orderBy(col("doc_id"))
 
+  /** Winnowed Rabin-Karp rolling-hash fingerprints (native Catalyst
+    * expression, see graft.functions.RollingHash) — per doc: the
+    * fingerprint count plus a stable 64-bit digest of the set. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashFunctions.rollingFingerprint
+    documents(s, d)
+      .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        xxhash64(to_json(struct(col("fp")))).as("fp_digest"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
-    "text_tokens" -> (textTokens _)
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _)
   )
 
   val oracles: Map[String, String] = Map(

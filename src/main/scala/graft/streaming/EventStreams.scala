@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event analytics (SURVEY.md §2.C).
+  * Same logical plans as the batch forms in graft.operators.Events, run
+  * under `readStream` — watermarks bound state so a 100 TB/day stream
+  * holds only the open windows/sessions in the state store.
+  */
+object EventStreams {
+
+  /** Streaming source over the events parquet directory (schema must be
+    * supplied for readStream). `ts` arrives as nanos (TIMESTAMP(NANOS)
+    * is read as long under the legacy flag) and converts exactly. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark:
+    * late events beyond the watermark drop, closed windows evict from
+    * the state store (bounded state at any input rate). */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("cnt"), col("sum_v"))
+
+  /** Session windows with a 30-minute gap, built on the native
+    * session_window operator — state holds only open sessions. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_v"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("sum_v"))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Planted near-duplicates must surface as candidate pairs; unrelated
+  * docs must not flood the result. */
+class DedupSpec extends SparkSpec {
+
+  /** sf0.001 docs + planted near-dups: clone doc_id<5 with a small tail
+    * edit, cloned ids offset by +100000. */
+  private lazy val planted = {
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val clones = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tiny appended tail")).as("text"))
+    docs.unionByName(clones)
+  }
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val pairs = Dedup.minhashLshPairs(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { id =>
+      assert(pairs.contains((id, id + 100000)),
+        s"planted pair ($id, ${id + 100000}) missing from LSH candidates")
+    }
+  }
+
+  test("simhash finds planted near-duplicates within hamming 6") {
+    // single-word edits: simhash is a small-edit detector — a one-word
+    // change shifts each tf-weighted bit sum by at most 1
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val clones = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" addendum")).as("text"))
+    val pairs = Dedup.simhashPairs(docs.unionByName(clones))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 5L).count(id => pairs.contains((id, id + 100000)))
+    assert(found >= 4, s"only $found/5 planted pairs within hamming<=6")
+  }
+
+  test("ngram jaccard scores planted pairs above 0.7 and exact") {
+    val rows = Dedup.ngramJaccardPairs(planted).collect()
+    val planted5 = rows.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(planted5.length == 5)
+    planted5.foreach(r => assert(r.getDouble(2) > 0.7 && r.getDouble(2) <= 1.0))
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val docs = Tables.documents(spark, Sf)
+    val distinctTexts = docs.select(col("text")).distinct().count()
+    assert(Dedup.dedupExact(spark, Sf).count() == distinctTexts)
+  }
+}
