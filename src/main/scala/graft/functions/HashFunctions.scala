@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.GraftInternals
@@ -106,10 +106,196 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** One-pass signature kernels for the dedup operators. Static methods so
+  * whole-stage codegen can call them directly (no UDF boxing, no
+  * serialization); arithmetic wraps in plain JVM semantics so ANSI-mode
+  * overflow checking never fires. */
+object SignatureKernels {
+
+  /** Seeded odd multipliers + offsets for the universal-hash permutation
+    * family π_i(h) = a_i·h + b_i (mod 2^64). */
+  private def genPerms(n: Int): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(0x5eed)
+    (Array.fill(n)(rng.nextLong() | 1L), Array.fill(n)(rng.nextLong()))
+  }
+  private val NumPerms = 128
+  private val (permA, permB) = genPerms(NumPerms)
+
+  /** MinHash signature of a shingle array: one pass, one xxhash64 per
+    * shingle plus 128 wrapping mul-adds — map-only per document. */
+  def minhashSignature(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](NumPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(shingles.getUTF8String(i), 42L)
+      var j = 0
+      while (j < NumPerms) {
+        val v = permA(j) * h + permB(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** MinHash band buckets straight from raw text: lowercase + tokenize
+    * on whitespace byte-level, hash each word, fold word-hash windows of
+    * `n` into shingle hashes (no shingle strings ever materialize —
+    * duplicates are harmless because min() is idempotent), update the
+    * 128 permutations, then collapse each band of 8 signature slots to
+    * its bucket hash. One allocation-light pass per document; the
+    * downstream plan sees only 16 (band, bucket) longs. */
+  def minhashBuckets(text: UTF8String, n: Int, bands: Int): ArrayData = {
+    val rows = NumPerms / bands
+    val bytes = text.getBytes
+    val sig = new Array[Long](NumPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val window = new Array[Long](n)
+    var nWords = 0
+    var i = 0
+    val len = bytes.length
+
+    def pushWord(start: Int, end: Int): Unit = {
+      // polynomial-accumulate the word bytes (A-Z folded to lowercase),
+      // one xxhash finalizer per word
+      var acc = 0L
+      var j = start
+      while (j < end) {
+        val b = bytes(j)
+        val lb = if (b >= 'A' && b <= 'Z') (b | 0x20).toByte else b
+        acc = acc * 31L + (lb & 0xffL)
+        j += 1
+      }
+      window(nWords % n) = XXH64.hashLong(acc, 42L)
+      nWords += 1
+      if (nWords >= n) {
+        // fold the last n word-hashes (oldest→newest) into a gram hash
+        var g = 42L
+        var k = nWords - n
+        while (k < nWords) { g = XXH64.hashLong(window(k % n), g); k += 1 }
+        var p = 0
+        while (p < NumPerms) {
+          val v = permA(p) * g + permB(p)
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+      }
+    }
+
+    while (i < len) {
+      while (i < len && (bytes(i) & 0xff) <= ' ') i += 1
+      val start = i
+      while (i < len && (bytes(i) & 0xff) > ' ') i += 1
+      if (i > start) pushWord(start, i)
+    }
+    if (nWords > 0 && nWords < n) {
+      // short doc: one gram over all its words
+      var g = 42L
+      var k = 0
+      while (k < nWords) { g = XXH64.hashLong(window(k % n), g); k += 1 }
+      var p = 0
+      while (p < NumPerms) {
+        val v = permA(p) * g + permB(p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 7L
+      var r = 0
+      while (r < rows) { h = XXH64.hashLong(sig(b * rows + r), h); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** tf-weighted 64-bit SimHash (Charikar 2002) of a word array: each
+    * occurrence contributes ±1 to its hash's bit sums, so term frequency
+    * weights fall out of iterating occurrences directly. */
+  def simhash64(words: ArrayData): Long = {
+    val n = words.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(words.getUTF8String(i), 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) sums(k) += 1 else sums(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (sums(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+}
+
+/** `minhash_signature(array<string>)` → 128-long MinHash signature. */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.minhashSignature(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SignatureKernels.minhashSignature($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `minhash_buckets(text)` → the `bands` LSH bucket hashes of the
+  * document's 128-perm MinHash signature, straight from raw text. */
+case class MinHashBuckets(child: Expression, n: Int, bands: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.minhashBuckets(input.asInstanceOf[UTF8String], n, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SignatureKernels.minhashBuckets($c, $n, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBuckets =
+    copy(child = newChild)
+}
+
+/** `simhash64(array<string>)` → tf-weighted 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column wrapper: winnowed rolling-hash fingerprints (k-byte windows,
     * winnow width w). */
   def rollingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftInternals.column(
       RollingFingerprint(GraftInternals.expression(text), k, w))
+
+  /** Column wrapper: 128-perm MinHash signature of a shingle array. */
+  def minhashSignature(shingles: Column): Column =
+    GraftInternals.column(
+      MinHashSignature(GraftInternals.expression(shingles)))
+
+  /** Column wrapper: LSH band buckets straight from raw text. */
+  def minhashBuckets(text: Column, n: Int = 3, bands: Int = 16): Column =
+    GraftInternals.column(
+      MinHashBuckets(GraftInternals.expression(text), n, bands))
+
+  /** Column wrapper: tf-weighted 64-bit SimHash of a word array. */
+  def simhash64(words: Column): Column =
+    GraftInternals.column(SimHash64(GraftInternals.expression(words)))
 }

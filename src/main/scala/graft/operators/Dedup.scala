@@ -6,15 +6,25 @@ import org.apache.spark.sql.types._
 
 import graft.Tables._
 import graft.functions.TextFunctions._
+import graft.functions.HashFunctions.{minhashBuckets, minhashSignature, simhash64}
 
 /** Deduplication operators for a training-data pipeline (SURVEY.md §2.C).
   *
   * Scale design (the part that matters at 100 TB):
   *   - exact dedup groups by a 128-bit digest of the text, never the raw
   *     text — the shuffle carries 16 bytes + ids per row.
-  *   - MinHash-LSH is one scan (signatures via map-side-combining agg),
-  *     one explode to (band, bucket), one self-join keyed on the bucket —
-  *     candidate generation never goes O(n²).
+  *   - MinHash / SimHash signatures are native scalar expressions
+  *     (graft.functions.SignatureKernels): one codegen'd pass per
+  *     document during the scan, no explode, no wide aggregate — the
+  *     only shuffle is the (band, bucket, id) tuples, ~16 small rows
+  *     per document.
+  *   - candidate pairs come from grouping by bucket and expanding
+  *     in-bucket combinations — never a self-join (which would read and
+  *     hash the corpus twice) and never O(n²) across buckets.
+  *   - degenerate buckets (boilerplate/empty docs collapse to one
+  *     signature) are capped: a bucket with >MaxBucket members is
+  *     non-discriminative and skew-bombs the expansion, so it's dropped,
+  *     matching standard LSH practice.
   *   - exact Jaccard runs as an inverted-index join on distinct shingles
   *     (pairs sharing ≥1 shingle only), the standard set-similarity-join
   *     shape; at extreme scale add prefix filtering on rare shingles.
@@ -24,6 +34,7 @@ object Dedup {
   private val NumPerms = 128
   private val Bands = 16 // 16 bands x 8 rows: s-curve midpoint ~ (1/16)^(1/8) ≈ 0.71
   private val Rows = NumPerms / Bands
+  private val MaxBucket = 1000
 
   /** Exact dedup: md5(text) groups; keep the smallest doc_id.
     * (md5 used over xxhash64 so the DuckDB oracle computes the same
@@ -35,22 +46,12 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("keeper"))
 
-  /** (doc_id, sig: array<long>) MinHash signatures — one aggregation
-    * pass: explode distinct shingles, take the min of each of the 128
-    * permuted hashes. Map-side combine collapses to one row per doc per
-    * partition before any shuffle. */
-  def minhashSignatures(docs: DataFrame, nGram: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), nGram)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val mins = (0 until NumPerms).map { i =>
-      min(permutedHash(col("h"), i)).as(s"m$i")
-    }
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  /** (doc_id, sig: array<long>) MinHash signatures — map-only: the
+    * native kernel folds all shingles into the 128-slot signature in one
+    * pass inside whole-stage codegen. */
+  def minhashSignatures(docs: DataFrame, nGram: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), nGram)).as("sig"))
 
   /** LSH band buckets: (doc_id, band, bucket) — bucket is a hash of the
     * band's slice of the signature. */
@@ -63,20 +64,31 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** All ordered in-bucket pairs of a sorted array: (xs[i], xs[j]) i<j,
+    * via higher-order functions — stays inside codegen, work is exactly
+    * the number of emitted candidate pairs. */
+  private def pairCombos(sorted: Column): Column =
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), greatest(size(sorted) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Near-dup candidate pairs via MinHash-LSH (Jaccard ≳ 0.7). */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(documents(s, d))
 
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(docs))
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("id1"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("id2"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+  def minhashLshPairs(docs: DataFrame): DataFrame =
+    docs
+      // one codegen'd pass: text → 16 band-bucket hashes, nothing else
+      // materializes; posexplode tags each bucket with its band index
+      .select(col("doc_id"),
+        posexplode(minhashBuckets(col("text"), 3, Bands)).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, MaxBucket))
+      .select(explode(pairCombos(array_sort(col("ids")))).as("p"))
+      .select(col("p.a").as("id1"), col("p.b").as("id2"))
       .distinct()
       .orderBy(col("id1"), col("id2"))
-  }
 
   /** Exact n-gram Jaccard join: inverted index on distinct shingles →
     * intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. */
@@ -100,28 +112,9 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** 64-bit SimHash (Charikar 2002), tf-weighted: bit k of the
-    * fingerprint is the sign of Σ(±tf(w)) across word-hash bit k.
-    * Term-frequency weights make the bit sums large relative to a small
-    * edit, so near-dups land within a few bits of Hamming distance —
-    * unweighted distinct-word simhash is far noisier on short docs.
-    * One explode + two aggs, all map-side-combining. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val wordHash = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy(col("doc_id"), xxhash64(col("w")).as("h"))
-      .agg(count(lit(1)).as("tf"))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$k")
-    }
-    val assembled = (0 until 64)
-      .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    wordHash.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), assembled.as("simhash"))
-  }
+  /** (doc_id, simhash) — map-only via the native tf-weighted kernel. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash64(words(col("text"))).as("simhash"))
 
   /** SimHash near-dup pairs: 4 bands of 16 bits for candidates, then
     * exact Hamming distance ≤ maxHamming via bit_count(xor). */
@@ -134,18 +127,14 @@ object Dedup {
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bucket"))
     }
-    val buckets = sh.select(col("doc_id"), col("simhash"),
-        explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("id1"), col("simhash").as("h1"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("id2"), col("simhash").as("h2"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+    sh.select(explode(array(bands: _*)).as("bb"),
+        struct(col("doc_id"), col("simhash")).as("e"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(collect_list(col("e")).as("es"))
+      .where(size(col("es")).between(2, MaxBucket))
+      .select(explode(pairCombos(array_sort(col("es")))).as("p"))
+      .select(col("p.a.doc_id").as("id1"), col("p.b.doc_id").as("id2"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy(col("id1"), col("id2"))
