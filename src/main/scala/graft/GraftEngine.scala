@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL front-end with reference-dialect compatibility
+  * (cite: reference src/parser, and the .slt suites in
+  * tests/resources/sql).
+  *
+  * The reference engine accepts `SELECT … FROM 'path.parquet' AS t`.
+  * Spark SQL covers the entire query surface natively; this shim only
+  * rewrites the dialect differences so a reference user can run their
+  * existing queries verbatim:
+  *
+  *   - `'path.parquet'` table refs → Spark's ``parquet.`path` `` scans
+  *     (relative paths resolve against `baseDir`);
+  *   - `x != NULL` / `x = NULL` → `IS [NOT] NULL` — the reference
+  *     evaluates null comparisons as null *tests* (aggregates3.slt
+  *     expects `where score1 != NULL` to filter null scores) instead of
+  *     ANSI 3-valued logic;
+  *   - boolean `XOR` → `!=` (equivalent on booleans; Spark's parser has
+  *     no XOR operator — expression.rs:139 supports it natively).
+  *
+  * Everything downstream is stock Spark SQL: Catalyst optimizes the
+  * parsed plan (pushdown, pruning, join selection) exactly as if the
+  * query had been written against the DataFrame API.
+  */
+object GraftEngine {
+
+  /** Run a reference-dialect SQL query. */
+  def sql(spark: SparkSession, query: String, baseDir: String = ""): DataFrame =
+    spark.sql(rewrite(query, baseDir))
+
+  /** Dialect rewrite only — no planning, no optimization (Catalyst owns
+    * that); pure text-level shims, exposed for tests. */
+  def rewrite(query: String, baseDir: String = ""): String = {
+    var s = query
+    s = "'([^']+\\.parquet)'".r.replaceAllIn(s, m => {
+      val p = m.group(1)
+      val full = if (p.startsWith("/") || baseDir.isEmpty) p else s"$baseDir/$p"
+      java.util.regex.Matcher.quoteReplacement(s"parquet.`$full`")
+    })
+    s = "(?i)!=\\s*null\\b".r.replaceAllIn(s, " IS NOT NULL")
+    s = "(?i)(?<![!<>=])=\\s*null\\b".r.replaceAllIn(s, " IS NULL")
+    s = "(?i)\\bxor\\b".r.replaceAllIn(s, "!=")
+    s
+  }
+
+  /** Driver-gate sample: the flagship aggregation written in the
+    * reference dialect, run through the front-end. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_frontend" -> ((s: SparkSession, d: String) =>
+      sql(s,
+        s"""select l_returnflag, sum(l_quantity) as sum_qty,
+           |  count(*) as n, max(l_extendedprice) as max_price
+           |from '$d/lineitem.parquet'
+           |where l_quantity < 30 and not l_returnflag = 'X'
+           |group by l_returnflag""".stripMargin)
+        .orderBy("l_returnflag"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_frontend" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n, max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_quantity < 30 AND NOT l_returnflag = 'X'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

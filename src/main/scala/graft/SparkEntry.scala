@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Events.queries ++ Similarity.queries ++ Multimodal.queries
+      Events.queries ++ Similarity.queries ++ Multimodal.queries ++
+      GraftEngine.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Events.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Events.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      GraftEngine.oracles
 }
