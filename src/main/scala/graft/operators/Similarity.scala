@@ -102,9 +102,41 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (same hyperplane tables as ANN) + exact cosine
+    * rescoring ≥ threshold. The strict-threshold variant of similarity
+    * search — near-identical vectors agree on nearly all hyperplane
+    * signs, so b can run finer than the ANN default and candidates stay
+    * sparse at corpus scale. */
+  def dedupEmbedCosine(s: SparkSession, d: String, threshold: Double = 0.9,
+                       L: Int = 8, b: Int = 8, dim: Int = 64): DataFrame =
+    embedCosinePairs(embeddings(s, d), threshold, L, b, dim)
+
+  def embedCosinePairs(emb: DataFrame, threshold: Double = 0.9,
+                       L: Int = 8, b: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(buckets(col("embedding"), L, b, dim)).as("bb"))
+      .select(struct(col("vec_id"), col("embedding")).as("e"),
+        col("bb.table").as("table"), col("bb.bucket").as("bucket"))
+    bucketed
+      .groupBy(col("table"), col("bucket"))
+      .agg(collect_list(col("e")).as("es"))
+      .where(size(col("es")) > 1)
+      .select(explode(col("es")).as("a"), col("es"))
+      .select(col("a"), explode(col("es")).as("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .where(col("cos") >= threshold)
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
-    "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d))
+    "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
+    "dedup_embed_cosine" -> ((s: SparkSession, d: String) => dedupEmbedCosine(s, d))
   )
 
   val oracles: Map[String, String] = Map(

@@ -31,6 +31,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding-cosine dedup finds planted near-identical vectors") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    // clones: slightly scaled + tiny per-coord jitter → cosine ≈ 0.9999
+    val clones = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.01f) + lit(0.001f)).cast("float")).as("embedding"))
+    val pairs = graft.operators.Similarity
+      .embedCosinePairs(emb.unionByName(clones))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { id =>
+      assert(pairs.contains((id, id + 100000)),
+        s"planted near-identical pair ($id, ${id + 100000}) not found")
+    }
+  }
+
   test("LSH ANN recalls >= 60% of brute-force top-k") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
     val ann = topkSets(Similarity.simAnnLsh(spark, Sf).collect())
