@@ -378,6 +378,44 @@ object Relational {
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** INTERSECT (set semantics): nations that have both customers and
+    * suppliers. Catalyst plans it as a distinct + semi join. */
+  def qIntersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast(IntegerType).as("key"))
+      .intersect(supplier(s, d).select(col("s_nationkey").cast(IntegerType).as("key")))
+      .orderBy(col("key"))
+
+  /** EXCEPT (set semantics): order-date days with no high-priority order. */
+  def qExcept(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderdate").as("day"))
+      .except(orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderdate").as("day")))
+      .orderBy(col("day"))
+
+  /** PIVOT: return-flag columns per line status. Explicit pivot values
+    * keep the plan one-pass (no distinct-values pre-query). */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+
+  /** FULL OUTER join of per-nation customer and supplier counts —
+    * null-safe key coalescing on both sides. */
+  def qFullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey").cast(IntegerType).as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = supplier(s, d).where(col("s_acctbal") > 5000.0)
+      .groupBy(col("s_nationkey").cast(IntegerType).as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("key"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("key"))
+  }
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -414,7 +452,11 @@ object Relational {
     "q_window_running" -> (qWindowRunning _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_tpch_q3" -> (qTpchQ3 _),
-    "q_tpch_q5" -> (qTpchQ5 _)
+    "q_tpch_q5" -> (qTpchQ5 _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_pivot" -> (qPivot _),
+    "q_full_outer_join" -> (qFullOuterJoin _)
   )
 
   /** DuckDB oracle SQL. Same aliases, same DECIMAL-exact aggregation,
@@ -655,6 +697,40 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS key FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INTEGER) AS key FROM supplier
+        |ORDER BY key""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_orderdate AS day FROM orders
+        |EXCEPT
+        |SELECT o_orderdate AS day FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY day""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_full_outer_join" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS ck, count(*) AS n_cust
+        |  FROM customer GROUP BY 1
+        |), su AS (
+        |  SELECT CAST(s_nationkey AS INTEGER) AS sk, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1
+        |)
+        |SELECT coalesce(ck, sk) AS key,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN su ON ck = sk ORDER BY key""".stripMargin
   )
 }
