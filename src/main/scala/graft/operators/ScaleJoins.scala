@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join shapes for hostile data distributions at cluster scale
+  * (SURVEY.md §5). AQE's skew-join splitting (on in GraftSession)
+  * handles most skew transparently; these are the explicit tools for
+  * the cases AQE can't fix:
+  *
+  *   - saltedJoin: a shuffle join where one side has pathological hot
+  *     keys AND the other side is too big to broadcast. The hot side's
+  *     rows scatter across `nSalts` sub-keys; the other side replicates
+  *     each row `nSalts` times. Hot partitions shrink by nSalts at the
+  *     cost of an nSalts-times-larger small side — the classic trade.
+  *   - bucketed tables (see ScaleJoinsSpec): co-located fact-fact joins
+  *     with zero shuffle, for keys joined repeatedly across a pipeline.
+  */
+object ScaleJoins {
+
+  /** Equi-join `skewed ⋈ other` on `key`, salting the skewed side.
+    * Salt is derived from a hash of the skewed row's full struct —
+    * deterministic under retries and partition reshuffles (rand() is
+    * neither). Join type must be inner or left-outer w.r.t. the skewed
+    * side: each skewed row lands in exactly one salt bucket, so row
+    * multiplicity is preserved. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salting preserves semantics for inner/left joins only, got $joinType")
+    val salted = skewed.withColumn("_salt",
+      pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(nSalts)))
+    val replicated = other
+      .withColumn("_salt", explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated,
+        salted(key) === replicated(key) && salted("_salt") === replicated("_salt"),
+        joinType)
+      .drop("_salt")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleJoins
+
+/** Salted joins must agree with plain joins; bucketed tables must join
+  * without a shuffle on the join key. */
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // one pathologically hot key (90% of rows) + a long tail
+    val skewed = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val dim = (1 to 2000).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    val plain = skewed.join(dim, "k").agg(count(lit(1)), sum("payload"))
+      .collect()(0)
+    val salted = ScaleJoins.saltedJoin(skewed, dim, "k", nSalts = 8)
+      .agg(count(lit(1)), sum("payload")).collect()(0)
+    assert(salted == plain)
+  }
+
+  test("salted left join preserves unmatched skewed rows") {
+    import spark.implicits._
+    val skewed = Seq((1L, "a"), (1L, "b"), (99L, "c")).toDF("k", "v")
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    val out = ScaleJoins.saltedJoin(skewed, dim, "k", 4, "left")
+      .orderBy("v").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    assert(out(2).isNullAt(3)) // unmatched key 99 keeps a null dim side
+  }
+
+  test("bucketed tables join with no shuffle on the join key") {
+    val orders = Tables.orders(spark, Sf)
+    val lineitem = Tables.lineitem(spark, Sf)
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: the join itself must not re-shuffle either side
+    val joinSection = plan.substring(0, plan.length)
+    assert(!"Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+      .findFirstIn(joinSection).isDefined,
+      s"bucketed join still shuffles on the join key:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
