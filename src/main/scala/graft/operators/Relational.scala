@@ -378,6 +378,18 @@ object Relational {
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Exact interpolated percentiles (median, p90) per order priority.
+    * At 100 TB use approx_percentile (one-pass t-digest style sketch);
+    * exact percentile is the oracle-checkable correctness baseline. */
+  def qPercentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** INTERSECT (set semantics): nations that have both customers and
     * suppliers. Catalyst plans it as a distinct + semi join. */
   def qIntersect(s: SparkSession, d: String): DataFrame =
@@ -453,6 +465,7 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_percentile" -> (qPercentile _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_pivot" -> (qPivot _),
@@ -698,6 +711,13 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_intersect" ->
       """SELECT CAST(c_nationkey AS INTEGER) AS key FROM customer

@@ -9,6 +9,11 @@ import org.apache.spark.sql.types._
   * under `readStream` — watermarks bound state so a 100 TB/day stream
   * holds only the open windows/sessions in the state store.
   */
+/** flatMapGroupsWithState state + output rows for runningSpend. */
+case class SpendState(n: Long, total: Double)
+case class SpendUpdate(user_id: Long, n_purchases: Long, total_spend: Double,
+                       large: Boolean)
+
 object EventStreams {
 
   /** Streaming source over the events parquet directory (schema must be
@@ -36,6 +41,37 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("cnt"), col("sum_v"))
+
+  /** Custom arbitrary-state operator: per-user running spend with a
+    * large-purchase alert stream, via flatMapGroupsWithState — the
+    * escape hatch when no built-in stateful operator fits. State is one
+    * (count, total) pair per user in the state store; timeouts would
+    * evict idle users in production. */
+  def runningSpend(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val enc = Encoders.product[SpendUpdate]
+    val stateEnc = Encoders.product[SpendState]
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(events.schema)
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    events
+      .filter(col("event_type") === "purchase")
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Row], state: GroupState[SpendState]) => {
+          var st = state.getOption.getOrElse(SpendState(0L, 0.0))
+          val out = rows.map { r =>
+            val v = r.getAs[Double]("value")
+            st = SpendState(st.n + 1, st.total + v)
+            SpendUpdate(user, st.n, st.total, v > 100.0)
+          }.toVector
+          state.update(st)
+          out.iterator
+        })(stateEnc, enc)
+      .toDF()
+  }
 
   /** Session windows with a 30-minute gap, built on the native
     * session_window operator — state holds only open sessions. */

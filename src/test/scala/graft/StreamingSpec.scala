@@ -21,6 +21,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState running spend matches batch totals") {
+    val q = EventStreams.runningSpend(EventStreams.eventStream(spark, Sf))
+      .writeStream.format("memory").queryName("spend")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val finalPerUser = spark.table("spend")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_purchases")).as("n"), max(col("total_spend")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Tables.events(spark, Sf)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(finalPerUser.keySet == batch.keySet)
+    finalPerUser.foreach { case (u, (n, total)) =>
+      assert(n == batch(u)._1, s"user $u purchase count")
+      assert(math.abs(total - batch(u)._2) < 1e-6, s"user $u total spend")
+    }
+  }
+
   test("streaming sessionization produces bounded sane sessions") {
     val q = EventStreams.sessionize(EventStreams.eventStream(spark, Sf))
       .writeStream.format("memory").queryName("sessions")
