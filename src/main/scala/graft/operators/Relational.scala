@@ -378,6 +378,20 @@ object Relational {
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Window frames beyond running totals: centered 7-row moving average,
+    * ntile quartiles, percent_rank — one shuffle on the partition key. */
+  def qWindowFrames(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .where(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(avg(col("o_totalprice"))
+          .over(w.rowsBetween(-3, 3)), 4).as("mavg"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Exact interpolated percentiles (median, p90) per order priority.
     * At 100 TB use approx_percentile (one-pass t-digest style sketch);
     * exact percentile is the oracle-checkable correctness baseline. */
@@ -465,6 +479,7 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_window_frames" -> (qWindowFrames _),
     "q_percentile" -> (qPercentile _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
@@ -711,6 +726,18 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS mavg,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 6) AS prank
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderpriority,
