@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: replicate the sf0.1 tables N× in-flight (ids re-keyed per
+  * copy so join fan-outs stay realistic) and run the headline queries —
+  * evidence that plan shapes hold an order of magnitude past the bench
+  * scale without OOM or shuffle explosion.
+  * `sbt "runMain graft.tools.ScaleStress [factor]"`. */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sf = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.build(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def rep(df: DataFrame, keyCols: Seq[String], shift: Long): DataFrame = {
+      val copies = spark.range(factor).select(col("id").as("_copy"))
+      keyCols.foldLeft(df.crossJoin(copies)) { (d, k) =>
+        d.withColumn(k, col(k) + col("_copy") * shift)
+      }.drop("_copy")
+    }
+
+    val shift = 100000000L
+    // materialize replicas to parquet first: timings must measure the
+    // query, not the replication lineage
+    val base = java.nio.file.Files.createTempDirectory("graft_stress").toString
+    def mat(name: String, df: DataFrame): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$base/$name")
+      spark.read.parquet(s"$base/$name")
+    }
+    val lineitem = mat("lineitem",
+      rep(graft.Tables.lineitem(spark, sf), Seq("l_orderkey"), shift))
+    val orders = mat("orders",
+      rep(graft.Tables.orders(spark, sf), Seq("o_orderkey"), shift))
+    // perturb cloned doc text: otherwise every clone set is mutual
+    // near-dups and candidate pairs grow quadratically by construction
+    val docs = mat("documents",
+      rep(graft.Tables.documents(spark, sf), Seq("doc_id"), shift)
+        .withColumn("text", concat(col("text"), lit(" salt"), col("doc_id"))))
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    println(s"stress factor=$factor: lineitem=${lineitem.count()}, docs=${docs.count()}")
+    time("q1-style agg")(
+      lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), avg(col("l_extendedprice")), count(lit(1))))
+    time("orders⋈lineitem agg")(
+      orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")), count(lit(1))))
+    time("minhash dedup")(graft.operators.Dedup.minhashLshPairs(docs))
+    time("exact dedup")(
+      docs.groupBy(md5(col("text"))).agg(min(col("doc_id")), count(lit(1))))
+    spark.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Hostile inputs the 100 TB corpus will certainly contain: empty
+  * documents, whitespace-only, single-word, CJK (no whitespace at all),
+  * and byte-identical boilerplate. Nothing may throw; semantics must
+  * stay sane. */
+class EdgeCaseSpec extends SparkSpec {
+
+  private lazy val hostile = {
+    import spark.implicits._
+    Seq(
+      (1L, ""), (2L, "   "), (3L, "word"),
+      (4L, "数据处理引擎没有空格的文本"),
+      (5L, "exact duplicate boilerplate text"),
+      (6L, "exact duplicate boilerplate text"),
+      (7L, "a\tb\nc  d")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash pipeline survives hostile docs and pairs the boilerplate") {
+    val pairs = Dedup.minhashLshPairs(hostile)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 6L)), "identical docs must share all buckets")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L),
+      s"unrelated docs paired: $pairs")
+  }
+
+  test("simhash + jaccard survive hostile docs") {
+    val sh = Dedup.simhash(hostile).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(5L) == sh(6L))
+    val jac = Dedup.ngramJaccardPairs(hostile).collect()
+    assert(jac.exists(r => r.getLong(0) == 5L && r.getLong(1) == 6L
+      && r.getDouble(2) == 1.0))
+  }
+
+  test("rolling fingerprints survive hostile docs") {
+    import graft.functions.HashFunctions.rollingFingerprint
+    val fps = hostile.select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).isEmpty)          // empty doc → empty fingerprint
+    assert(fps(5L) == fps(6L))       // identical docs → identical prints
+    assert(fps(4L).nonEmpty)         // CJK bytes fingerprint fine
+  }
+
+  test("text quality ratios stay finite or null, never crash") {
+    // empty/whitespace docs divide by a zero-ish word count — the
+    // operator must produce rows for every doc without throwing
+    val out = TextAnalysis.textQuality(spark, Sf)
+    assert(out.count() == Tables.documents(spark, Sf).count())
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native functions must be reachable from plain SQL. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("registered native functions run from spark.sql") {
+    GraftExtensions.registerNativeFunctions(spark)
+    val row = spark.sql(
+      """SELECT simhash64(split(lower('Spark native SQL function'), '\\s+')) AS sh,
+        |  size(minhash_buckets('one two three four five six')) AS nb,
+        |  size(minhash_buckets('one two three four five six', 3, 8)) AS nb8,
+        |  size(rolling_fingerprint('a longer text for fingerprints')) AS nf
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) != 0L)
+    assert(row.getInt(1) == 16)
+    assert(row.getInt(2) == 8)
+    assert(row.getInt(3) >= 1)
+  }
+
+  test("SQL and column APIs agree") {
+    GraftExtensions.registerNativeFunctions(spark)
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, Sf).limit(20)
+    val viaSql = df.selectExpr("doc_id", "minhash_buckets(text) AS b")
+    val viaCol = df.select(col("doc_id"),
+      graft.functions.HashFunctions.minhashBuckets(col("text")).as("b"))
+    assert(viaSql.collect().map(_.toString).toSeq ==
+      viaCol.collect().map(_.toString).toSeq)
+  }
+
+  test("session-construction injection wires without error") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // builder table itself is exercised above
+  }
+}
