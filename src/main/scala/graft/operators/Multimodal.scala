@@ -76,6 +76,48 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize: downsample the 8-bin feature histogram to `bins` by
+    * summing adjacent bins — stands in for image resampling; the real
+    * thing swaps the arithmetic, not the plumbing. */
+  def resizeFeatures(feats: DataFrame, bins: Int): DataFrame = {
+    require(8 % bins == 0, s"bins must divide 8, got $bins")
+    val g = 8 / bins
+    feats.withColumn("features",
+      expr(s"transform(sequence(0, ${bins - 1}), i -> " +
+        s"aggregate(slice(features, i * $g + 1, $g), 0F, (a, x) -> a + x))"))
+  }
+
+  /** STUB frame sampling: treat the blob as a container and decode
+    * every `stride`-th fixed-size chunk as a "frame" — the plumbing
+    * (explode to frame rows, per-frame features, frame_idx key) is the
+    * real video shape; only the chunking rule is fake. */
+  def sampleFrames(spark: SparkSession, blobs: DataFrame,
+                   frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    blobs.select(col("doc_id").cast(LongType), col("blob"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          val nFrames = math.max(blob.length / frameBytes, 1)
+          (0 until nFrames by stride).iterator.map { f =>
+            val from = math.min(f * frameBytes, math.max(blob.length - 1, 0))
+            val until = math.min(from + frameBytes, blob.length)
+            val (fmt, _, _, feat) = StubDecoder.decode(blob.slice(from, until))
+            Row(id, f, fmt, feat.toSeq)
+          }
+        }
+      }(enc)
+  }
+
   /** End-to-end pipeline: blobs → batched decode → per-format stats
     * joined back against document metadata. */
   def mmPipeline(s: SparkSession, d: String): DataFrame = {

@@ -25,6 +25,29 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feat1.sum - 1.0f) < 1e-3)
   }
 
+  test("feature resize halves bins and preserves mass") {
+    val docs = Tables.documents(spark, Sf).limit(50)
+    val feats = Multimodal.decodeFeatures(spark, Multimodal.withBlobs(docs))
+    val resized = Multimodal.resizeFeatures(feats, 4)
+      .select(col("doc_id"), col("features"))
+    resized.collect().foreach { r =>
+      val f = r.getSeq[Float](1)
+      assert(f.length == 4)
+      assert(math.abs(f.sum - 1.0f) < 1e-3, "histogram mass must survive resize")
+    }
+  }
+
+  test("frame sampling yields strided frame rows with features") {
+    val docs = Tables.documents(spark, Sf).limit(20)
+    val frames = Multimodal.sampleFrames(spark, Multimodal.withBlobs(docs))
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "format", "features"))
+    val idx = frames.select("frame_idx").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(idx.headOption.contains(0))
+    assert(idx.forall(_ % 4 == 0), "stride must be respected")
+    assert(frames.count() >= docs.count(), "every doc yields >= 1 frame")
+  }
+
   test("mm_pipeline aggregates stay consistent with the corpus") {
     val out = Multimodal.mmPipeline(spark, Sf)
     val total = out.agg(sum("n")).collect()(0).getLong(0)
