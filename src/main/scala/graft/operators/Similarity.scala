@@ -87,13 +87,17 @@ object Similarity {
         explode(buckets(col("q_emb"), L, b, dim)).as("bb"))
       .select(col("q_id"), col("q_emb"),
         col("bb.table").as("table"), col("bb.bucket").as("bucket"))
-    val candidates = corpus.join(broadcast(qs), Seq("table", "bucket"))
+    // score first, dedupe after: the (q_id, vec_id) aggregate then
+    // carries one double — a codegen'd HashAggregate — instead of
+    // dragging embedding arrays through a SortAggregate-forcing
+    // dropDuplicates. A vector hit by k tables rescans its cosine k≤L
+    // times, which is cheaper than per-partition sorts of wide rows.
+    corpus.join(broadcast(qs), Seq("table", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .dropDuplicates("q_id", "vec_id")
-    candidates
       .select(col("q_id"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("score"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("score")).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("score").desc, col("vec_id"))))
