@@ -137,9 +137,95 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** ANN top-k via IVF (inverted-file index): k-means coarse quantizer
+    * assigns every vector to a cell (one MLlib fit + one map-only
+    * transform); each query probes its `nProbe` nearest cells and
+    * rescores exactly only inside them. At corpus scale the fit runs on
+    * a sample, assignments persist with the data, and query cost is
+    * corpus/k × nProbe instead of a full scan. Centroids are tiny
+    * (k × dim) and ride along as literals — no shuffle to probe. */
+  def simAnnIvf(s: SparkSession, d: String,
+                k: Int = 32, nProbe: Int = 8): DataFrame = {
+    val emb = embeddings(s, d)
+    // coarse quantizer fit on a bounded driver-side sample — the honest
+    // pattern at corpus scale too (k-means converges on a sample; only
+    // the assignment pass touches all data). Plain Lloyd's keeps the
+    // engine free of serialization-fragile deps on the query path.
+    val sample = emb.select(col("embedding")).limit(4096).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = lloyds(sample, k, iters = 10, seed = 42).map(_.toSeq).toSeq
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nearestCell(col("embedding"), centroids).as("cell"))
+
+    // per-query probe list: L2 distance to every centroid (computed as a
+    // column expression over the literal centroid matrix), keep nProbe
+    def probeCells(v: Column): Column =
+      transform(slice(array_sort(array(cellDistances(v, centroids): _*)),
+        1, nProbe), s => s.getField("cell"))
+
+    val qs = queriesSet(emb)
+      .select(col("q_id"), col("q_emb"),
+        explode(probeCells(col("q_emb"))).as("cell"))
+    assigned.join(broadcast(qs), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** (d², cell) structs for every centroid — shared by probe-list and
+    * nearest-cell assignment so both stay inside codegen. */
+  private def cellDistances(v: Column, centroids: Seq[Seq[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(zip_with(v, typedLit(c),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, e) => acc + e).as("d2"),
+        lit(j).as("cell"))
+    }
+
+  private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(array(cellDistances(v, centroids): _*)).getField("cell")
+
+  /** Plain Lloyd's iterations on an in-memory sample, deterministic. */
+  private[operators] def lloyds(points: Array[Array[Double]], k: Int,
+                                iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty sample")
+    val dim = points.head.length
+    val rng = new scala.util.Random(seed)
+    val centers = Array.tabulate(k)(i => points(
+      if (points.length >= k) (rng.nextInt(points.length) + i) % points.length
+      else i % points.length).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val e = a(i) - b(i); s += e * e; i += 1 }
+      s
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) { val dd = d2(p, centers(j)); if (dd < bd) { bd = dd; best = j }; j += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      for (j <- 0 until k if counts(j) > 0; i <- 0 until dim)
+        centers(j)(i) = sums(j)(i) / counts(j)
+    }
+    centers
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
+    "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
     "dedup_embed_cosine" -> ((s: SparkSession, d: String) => dedupEmbedCosine(s, d))
   )
 

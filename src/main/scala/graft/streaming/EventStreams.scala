@@ -27,7 +27,13 @@ object EventStreams {
       StructField("event_type", StringType),
       StructField("ts", LongType),
       StructField("value", DoubleType)))
-    spark.readStream.schema(schema).parquet(dir)
+    // glob-filter to the events file specifically: a bare directory
+    // stream would sweep in sibling tables as all-null rows (event-time
+    // filters hide them in windowed aggs, but a dedup keeps one
+    // null-key row)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -41,6 +47,14 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("cnt"), col("sum_v"))
+
+  /** Streaming exact dedup on event_id: state holds only ids younger
+    * than the watermark, so an at-least-once upstream (Kafka replays,
+    * task retries) dedupes with bounded memory at any input rate. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom arbitrary-state operator: per-user running spend with a
     * large-purchase alert stream, via flatMapGroupsWithState — the

@@ -48,6 +48,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recalls >= 50% of brute-force top-k probing 8/32 cells") {
+    val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
+    val ivf = topkSets(Similarity.simAnnIvf(spark, Sf).collect())
+    val recalls = exact.map { case (q, tk) =>
+      ivf.getOrElse(q, Set.empty).intersect(tk).size.toDouble / tk.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"mean IVF recall $mean%.2f < 0.5 (near-isotropic corpus)")
+  }
+
   test("LSH ANN recalls >= 60% of brute-force top-k") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
     val ann = topkSets(Similarity.simAnnLsh(spark, Sf).collect())

@@ -42,6 +42,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup collapses duplicated events") {
+    // duplicate every row inside the stream (same batch): a watermark
+    // dedup must always collapse these; cross-batch late duplicates are
+    // allowed through by the watermark contract and aren't asserted
+    val doubled = EventStreams.eventStream(spark, Sf)
+      .withColumn("_copy", explode(array(lit(1), lit(2))))
+      .drop("_copy")
+    val q = EventStreams.dedupStream(doubled)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_stream").count()
+    assert(got == Tables.events(spark, Sf).count(),
+      "every event must survive exactly once")
+  }
+
   test("streaming sessionization produces bounded sane sessions") {
     val q = EventStreams.sessionize(EventStreams.eventStream(spark, Sf))
       .writeStream.format("memory").queryName("sessions")
