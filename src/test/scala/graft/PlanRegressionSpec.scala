@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Plan-shape invariants encoded as tests so they cannot silently
+  * regress: pushdown, pruning, broadcast choice, partial top-k. */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(o_totalprice".r
+      .findFirstIn(p).isDefined || p.contains("Or(EqualTo(o_orderstatus"),
+      s"o_totalprice/o_orderstatus filters not pushed:\n$p")
+  }
+
+  test("projection prunes the scan to selected columns (ReadSchema)") {
+    val p = plan("q_scan_project")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, p)
+    val cols = read.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_extendedprice"),
+      s"scan reads more than the projection: $cols")
+  }
+
+  test("dimension joins broadcast; top-k avoids global sort") {
+    val q3 = plan("q_tpch_q3")
+    assert(q3.contains("BroadcastHashJoin"), q3)
+    assert(q3.contains("TakeOrderedAndProject"), q3)
+    assert(!q3.contains("SortMergeJoin"), "dims must broadcast at this scale")
+  }
+
+  test("brute-force top-k pushes partial limits below the shuffle") {
+    val p = plan("sim_topk_bruteforce")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"partial top-k missing — shuffle carries all scored rows:\n$p")
+  }
+
+  test("aggregations are partial+final pairs (map-side combine)") {
+    val p = plan("q1_agg")
+    assert("partial_sum|partial_count".r.findFirstIn(p).isDefined,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("partitioned writes prune partitions on read (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.sources.Sources.write(
+      Tables.orders(spark, Sf), s"$dir/orders_p.parquet",
+      partitionBy = Seq("o_orderpriority"))
+    val back = spark.read.parquet(s"$dir/orders_p.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val p = back.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,
+      s"partition filter not pruning directories:\n$p")
+    assert(back.count() > 0)
+  }
+}
