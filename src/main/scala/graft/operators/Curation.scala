@@ -18,10 +18,10 @@ import graft.functions.TextFunctions._
   * bucket kernel. Survivor selection keeps the smallest doc_id of each
   * duplicate cluster — deterministic under any execution order.
   *
-  * Near-dup clusters are collapsed via the pair list's connected
-  * components, approximated by min-id propagation over one join round:
-  * at near-dup densities seen in practice (pairs ≪ docs) one round
-  * collapses almost all chains; production would iterate to fixpoint.
+  * Near-dup clusters are collapsed via the pair list's true connected
+  * components (Components.connectedComponents — iterated min-label
+  * propagation with pointer jumping), so transitive chains
+  * (A≈B, B≈C, A̸≈C) still collapse to a single survivor.
   */
 object Curation {
 
@@ -39,9 +39,12 @@ object Curation {
       .join(keeperPerDigest, Seq("h"))
       .where(col("doc_id") === col("keep_id"))
       .drop("h", "keep_id")
-    // near-dup removal: drop the larger id of every candidate pair
-    val losers = Dedup.minhashLshPairs(exactKept)
-      .select(col("id2").as("doc_id")).distinct()
+    // near-dup removal: keep only the min doc_id of each duplicate
+    // cluster (connected component of the candidate-pair graph)
+    val losers = Components
+      .connectedComponents(Dedup.minhashLshPairs(exactKept))
+      .where(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
     exactKept.join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -140,12 +140,49 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Duplicate clusters: connected components over the exact-Jaccard
+    * pair graph — (doc_id, comp) with comp = min doc_id of the cluster.
+    * Oracle-checked: DuckDB reproduces the components via a recursive-CTE
+    * transitive closure over the same (deterministic) pair list. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Components.connectedComponents(ngramJaccardPairs(documents(s, d)))
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d))
+    "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "dedup_clusters" -> (dedupClusters _)
   )
+
+  /** Shared CTE text: the exact-Jaccard pair list (DuckDB dialect),
+    * reused by the pair oracle and the cluster oracle. */
+  private val jaccardPairsCtes: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w) - 2),
+      |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
+      |    ELSE [array_to_string(w, ' ')] END)) AS sh
+      |  FROM t
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id1, id2,
+      |    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      |  FROM inter
+      |  JOIN sz sa ON sa.doc_id = id1
+      |  JOIN sz sb ON sb.doc_id = id2
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -156,28 +193,26 @@ object Dedup {
     // MinHash/SimHash queries are probabilistic candidate generators and
     // are covered by ScalaTest with planted duplicates instead.
     "dedup_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(generate_series(1, len(w) - 2),
-        |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
-        |    ELSE [array_to_string(w, ' ')] END)) AS sh
-        |  FROM t
-        |), sz AS (
-        |  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
-        |), inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        |  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
+      s"""WITH $jaccardPairsCtes
+        |SELECT id1, id2, jac FROM pairs
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Connected components as a recursive transitive closure: UNION
+    // (not UNION ALL) dedups rows each step, so the recursion reaches a
+    // fixpoint once every reachable (a, b) has been seen.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION
+        |  SELECT id2 AS a, id1 AS b FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
         |)
-        |SELECT id1, id2,
-        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
-        |FROM inter
-        |JOIN sz sa ON sa.doc_id = id1
-        |JOIN sz sb ON sb.doc_id = id2
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
-        |ORDER BY id1, id2""".stripMargin
+        |SELECT a AS doc_id, least(a, min(b)) AS comp
+        |FROM reach GROUP BY a
+        |ORDER BY doc_id""".stripMargin
   )
 }

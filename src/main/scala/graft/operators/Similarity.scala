@@ -137,6 +137,23 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Exact embedding near-dup pairs — the correctness baseline twin of
+    * [[dedupEmbedCosine]]: all-pairs exact cosine at a threshold low
+    * enough to exercise real rows on the synthetic corpus, DuckDB
+    * oracle-checked bit-exact. The all-pairs join (an intentional
+    * broadcast nested-loop at test scale) exists to pin the semantics;
+    * at corpus scale the LSH-bucketed variant IS the plan. */
+  def dedupEmbedExact(s: SparkSession, d: String,
+                      threshold: Double = 0.45): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** ANN top-k via IVF (inverted-file index): k-means coarse quantizer
     * assigns every vector to a cell (one MLlib fit + one map-only
     * transform); each query probes its `nProbe` nearest cells and
@@ -226,7 +243,8 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
-    "dedup_embed_cosine" -> ((s: SparkSession, d: String) => dedupEmbedCosine(s, d))
+    "dedup_embed_cosine" -> ((s: SparkSession, d: String) => dedupEmbedCosine(s, d)),
+    "dedup_embed_exact" -> ((s: SparkSession, d: String) => dedupEmbedExact(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -251,8 +269,24 @@ object Similarity {
         |  FROM s
         |)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score
-        |FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+        |FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     // sim_ann_lsh is probabilistic — covered by the recall-vs-bruteforce
     // ScalaTest instead of a SQL oracle.
+
+    "dedup_embed_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        |ORDER BY id1, id2""".stripMargin
   )
 }

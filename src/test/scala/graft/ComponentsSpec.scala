@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Components
+
+/** Connected components must equal the classic union-find answer —
+  * including transitive chains a one-round min-propagation would miss. */
+class ComponentsSpec extends SparkSpec {
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference union-find with min-id representatives. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val m = math.min(ra, rb); parent(ra) = m; parent(rb) = m }
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("a 50-node chain collapses to one component (transitivity)") {
+    val m = comps((0L until 49L).map(i => (i, i + 1)))
+    assert(m.size == 50)
+    assert(m.values.toSet == Set(0L), s"chain not fully collapsed: $m")
+  }
+
+  test("disjoint cliques keep distinct min-id labels") {
+    val k1 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val k2 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val m = comps(k1 ++ k2)
+    assert((0L to 3L).forall(m(_) == 0L))
+    assert((10L to 13L).forall(m(_) == 10L))
+  }
+
+  test("star with a high-id hub labels by the min leaf") {
+    // hub 100 connects leaves 1..9 — comp must be 1, not the hub
+    val m = comps((1L to 9L).map(l => (100L, l)))
+    assert(m.values.toSet == Set(1L))
+    assert(m.size == 10)
+  }
+
+  test("empty and self-loop-only inputs yield no components") {
+    assert(comps(Seq.empty).isEmpty)
+    assert(comps(Seq((5L, 5L))).isEmpty)
+  }
+
+  test("random graphs match union-find exactly") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      val n = 40 + rnd.nextInt(40)
+      val nEdges = 10 + rnd.nextInt(50)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(comps(edges) == unionFind(edges))
+    }
+  }
+}
