@@ -87,6 +87,24 @@ object EventStreams {
       .toDF()
   }
 
+  /** foreachBatch sink: the escape hatch for targets without a native
+    * streaming sink (JDBC upserts, multi-table fan-out, partitioned
+    * lakehouse layouts). Exactly-once comes from idempotence, not the
+    * sink: each micro-batch overwrites its own batchId-keyed directory,
+    * so a replayed batch after failure rewrites the same files instead
+    * of appending duplicates. Returns the started query. */
+  def foreachBatchSink(deduped: DataFrame, outDir: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Session windows with a 30-minute gap, built on the native
     * session_window operator — state holds only open sessions. */
   def sessionize(events: DataFrame): DataFrame =

@@ -58,6 +58,23 @@ class StreamingSpec extends SparkSpec {
       "every event must survive exactly once")
   }
 
+  test("foreachBatch sink lands every event exactly once, idempotently") {
+    val base = java.nio.file.Files.createTempDirectory("graft_febs").toString
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val dedup = EventStreams.dedupStream(EventStreams.eventStream(spark, Sf))
+    val q = EventStreams.foreachBatchSink(dedup, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$out/batch_id=*")
+    assert(landed.count() == Tables.events(spark, Sf).count())
+    // restart from the same checkpoint with no new input: no batch
+    // replays, nothing duplicates — the committed offsets hold
+    val q2 = EventStreams.foreachBatchSink(
+      EventStreams.dedupStream(EventStreams.eventStream(spark, Sf)), out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$out/batch_id=*").count() ==
+      Tables.events(spark, Sf).count(), "restart duplicated rows")
+  }
+
   test("streaming sessionization produces bounded sane sessions") {
     val q = EventStreams.sessionize(EventStreams.eventStream(spark, Sf))
       .writeStream.format("memory").queryName("sessions")
