@@ -442,6 +442,55 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** CUBE: all grouping-set combinations in one shuffle (Expand feeds a
+    * single partial+final aggregate — no per-set re-scan). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_q"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Correlated EXISTS with a predicate inside the subquery: priorities
+    * of orders that have at least one high-quantity line. Planned as a
+    * left-semi join on the filtered fact — the filter shrinks the build
+    * side before any shuffle. */
+  def qExistsCorrelated(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d).where(col("l_quantity") > 45.0),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("vol"))
+      .orderBy(col("o_orderpriority"))
+
+  /** NULL semantics end-to-end: nullif-generated nulls, null-safe
+    * equality (<=> / IS NOT DISTINCT FROM), coalesce, and count(col)
+    * skipping nulls vs count(*) not. */
+  def qNullHandling(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        nullif(col("o_orderpriority"), lit("5-LOW")).as("pr"))
+      .select(col("st"),
+        (col("st") <=> col("pr")).as("nse"),
+        coalesce(col("st"), lit("open")).as("st_filled"))
+      .groupBy(col("st"), col("nse"), col("st_filled"))
+      .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_st"))
+      .orderBy(col("st").asc_nulls_first, col("nse"), col("st_filled"))
+
+  /** RANGE frame with an interval bound: per-customer trailing-30-day
+    * spend. The frame is value-based (all peers inside the interval),
+    * so ties on o_orderdate cannot make the result order-dependent. */
+  def qWindowRangeInterval(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .where(col("o_custkey") < 500)
+      .selectExpr("o_custkey", "o_orderkey", "o_orderdate",
+        """CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |  PARTITION BY o_custkey ORDER BY o_orderdate
+          |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+          |AS DOUBLE) AS trailing_30d""".stripMargin)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -484,7 +533,11 @@ object Relational {
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_pivot" -> (qPivot _),
-    "q_full_outer_join" -> (qFullOuterJoin _)
+    "q_full_outer_join" -> (qFullOuterJoin _),
+    "q_cube" -> (qCube _),
+    "q_exists_correlated" -> (qExistsCorrelated _),
+    "q_null_handling" -> (qNullHandling _),
+    "q_window_range_interval" -> (qWindowRangeInterval _)
   )
 
   /** DuckDB oracle SQL. Same aliases, same DECIMAL-exact aggregation,
@@ -778,6 +831,42 @@ object Relational {
         |)
         |SELECT coalesce(ck, sk) AS key,
         |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
-        |FROM c FULL OUTER JOIN su ON ck = sk ORDER BY key""".stripMargin
+        |FROM c FULL OUTER JOIN su ON ck = sk ORDER BY key""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_exists_correlated" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vol
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_null_handling" ->
+      """WITH t AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS st,
+        |    nullif(o_orderpriority, '5-LOW') AS pr
+        |  FROM orders
+        |)
+        |SELECT st, st IS NOT DISTINCT FROM pr AS nse,
+        |  coalesce(st, 'open') AS st_filled,
+        |  count(*) AS n_rows, count(st) AS n_st
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY st NULLS FIRST, nse, st_filled""".stripMargin,
+
+    "q_window_range_interval" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS trailing_30d
+        |FROM orders WHERE o_custkey < 500
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
