@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Training-shard assembly operators (SURVEY.md §2.C): the step after
+  * curation where a corpus becomes fixed-size training shards and
+  * per-source mixtures.
+  *
+  * Scale shape:
+  *   - token-budget packing is one shuffle (window over the stratum key)
+  *     + a map-only shard assignment from the running token total. If a
+  *     single stratum dominates at 100 TB, pre-split it into range
+  *     buckets (lang, doc_id DIV B) and offset shard ids by a per-bucket
+  *     base — the classic two-pass distributed prefix sum — instead of
+  *     funnelling one partition through one task.
+  *   - stratified sampling is map-only: sampleBy filters rows with a
+  *     per-stratum Bernoulli draw; nothing shuffles.
+  */
+object Sharding {
+
+  val TokenBudget = 4096L
+
+  /** Greedy sequential token-budget packing: docs fill shards in
+    * (lang, doc_id) order; a shard's id is its starting token offset
+    * divided by the budget, so shards are contiguous doc runs holding
+    * ~budget tokens (± one straddling doc) and the assignment is a pure
+    * function of the prefix sum — deterministic under any execution. */
+  def shardByTokenBudget(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget.toDouble).as("shard"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  def pipelineShard(s: SparkSession, d: String): DataFrame =
+    shardByTokenBudget(documents(s, d))
+
+  /** Stratified sample: per-language keep fractions via one Bernoulli
+    * draw per row (map-only, no shuffle). The correctness contract is
+    * statistical (proportions), checked in ShardingSpec. */
+  def sampleStratified(docs: DataFrame,
+                       fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame =
+    docs.stat.sampleBy("lang", fractions, seed)
+
+  def pipelineSample(s: SparkSession, d: String): DataFrame =
+    sampleStratified(documents(s, d),
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shard" -> (pipelineShard _),
+    "pipeline_sample_stratified" -> (pipelineSample _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // pipeline_sample_stratified is seeded-random — proportions are
+    // asserted in ShardingSpec instead of a SQL oracle.
+    "pipeline_shard" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum - n_tokens) / $TokenBudget.0) AS BIGINT) AS shard
+        |FROM c ORDER BY lang, doc_id""".stripMargin
+  )
+}

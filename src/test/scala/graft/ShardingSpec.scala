@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sharding
+
+/** Shard packing must produce contiguous, budget-bounded shards;
+  * stratified sampling must hit its per-stratum fractions. */
+class ShardingSpec extends SparkSpec {
+
+  test("every shard stays within budget plus one straddling doc") {
+    val shards = Sharding.shardByTokenBudget(Tables.documents(spark, Sf))
+    val maxDoc = shards.agg(max(col("n_tokens"))).collect()(0).getLong(0)
+    val perShard = shards.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("total")).collect()
+    perShard.foreach { r =>
+      assert(r.getLong(2) <= Sharding.TokenBudget + maxDoc,
+        s"shard ${r.get(0)}/${r.get(1)} overflows: ${r.getLong(2)}")
+    }
+    // shards fill in doc_id order: within a (lang, shard) the doc ids
+    // are a contiguous run of that language's docs
+    val rows = shards.collect().map(r =>
+      (r.getString(1), r.getLong(3), r.getLong(0)))
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((lang, _), gs) =>
+      val ids = gs.map(_._3).sorted
+      val langIds = rows.filter(_._1 == lang).map(_._3)
+        .filter(i => i >= ids.head && i <= ids.last).sorted
+      assert(ids.sameElements(langIds), s"non-contiguous shard in $lang")
+    }
+  }
+
+  test("stratified sample approximates its fractions and is seeded") {
+    val docs = Tables.documents(spark, Sf)
+    val fr = Map("en" -> 0.5, "de" -> 0.2)
+    val a = Sharding.sampleStratified(docs, fr, seed = 7)
+    val b = Sharding.sampleStratified(docs, fr, seed = 7)
+    assert(a.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      b.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "same seed must give the same sample")
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fr.foreach { case (lang, f) =>
+      val n = base.getOrElse(lang, 0L)
+      if (n >= 50) { // only assert where the law of large numbers applies
+        val ratio = got.getOrElse(lang, 0L).toDouble / n
+        assert(math.abs(ratio - f) < 0.15, s"$lang: got $ratio want ~$f")
+      }
+    }
+    assert(got.keySet.subsetOf(fr.keySet), "unsampled strata must drop out")
+  }
+}
