@@ -47,16 +47,21 @@ object TextAnalysis {
   }
 
   /** Per-document quality features + a weighted score: word count,
-    * average word length, stopword ratio, lexical diversity. */
+    * average word length, stopword ratio, lexical diversity. All four
+    * raw counts come from the single-pass native TextStats kernel (one
+    * codegen'd call per row) instead of materializing the word array
+    * three times; the kernel is byte-equivalent to the
+    * split/array_distinct/filter composition (PropertySpec). */
   def textQuality(s: SparkSession, d: String): DataFrame = {
-    val w = words(col("text"))
+    import graft.functions.TextStats.textStats
     documents(s, d)
+      .select(col("doc_id"), textStats(col("text")).as("st"))
       .select(
         col("doc_id"),
-        size(w).as("n_words"),
-        length(regexp_replace(col("text"), "\\s+", "")).as("n_alpha"),
-        size(array_distinct(w)).as("n_distinct"),
-        stopScore(w, enStops).as("n_stop"))
+        col("st.n_words").as("n_words"),
+        col("st.n_alpha").as("n_alpha"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.n_stop").as("n_stop"))
       .select(
         col("doc_id"), col("n_words"), col("n_alpha"), col("n_distinct"),
         (col("n_alpha").cast(DoubleType) / col("n_words")).as("avg_wlen"),

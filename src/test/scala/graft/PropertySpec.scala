@@ -57,6 +57,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TextStats kernel is byte-equivalent to the split composition") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextStats.textStats
+    import spark.implicits._
+    val hostile = Seq("", "   ", "word", " lead", "trail ", "\t\n", "a\tb\nc  d",
+      "数据处理引擎没有空格的文本", "the the THE tHe", "a a a", "é Ü ß é",
+      "the quick brown fox", "isvtab", "mixé 中文 and english")
+    val rnd = new scala.util.Random(3)
+    val randoms = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(30))(
+        rnd.nextInt(4) match {
+          case 0 => " " * (1 + rnd.nextInt(3))
+          case 1 => "\t"
+          case 2 => Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString
+          case 3 => Seq("the", "a", "of", "données", "日本")(rnd.nextInt(5))
+        }).mkString)
+    val df = (hostile ++ randoms).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val w = split(lower(col("text")), "\\s+")
+    val stops = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+    val oldWay = df.select(col("id"),
+        size(w).as("n_words"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_alpha"),
+        size(array_distinct(w)).as("n_distinct"),
+        size(filter(w, x => x.isin(stops.map(lit): _*))).as("n_stop"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val newWay = df.select(col("id"), textStats(col("text")).as("st"))
+      .select(col("id"), col("st.n_words"), col("st.n_alpha"),
+        col("st.n_distinct"), col("st.n_stop"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    oldWay.keys.foreach { id =>
+      assert(oldWay(id) == newWay(id),
+        s"kernel diverges on '${texts(id)}': old=${oldWay(id)} new=${newWay(id)}")
+    }
+  }
+
   test("fingerprint count is bounded by text length") {
     samples(texts).foreach { t =>
       val n = RollingHash.fingerprint(UTF8String.fromString(t), 8, 4)
