@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   *     reliable storage for fault tolerance across executor loss).
   *   - dup-graph diameters are small in practice (clusters are
   *     near-cliques); maxIter bounds adversarial chains — with jumping,
-  *     20 rounds covers path lengths ≫ any realistic dup chain.
+  *     30 rounds covers ~2^29-length paths, ≫ any realistic dup chain
+  *     (ScaleStress exercises a 200k-node pure chain).
   */
 object Components {
 
@@ -37,7 +38,7 @@ object Components {
     * Returns (id, comp) for every node appearing in at least one pair,
     * where comp = min node id of the node's component. */
   def connectedComponents(pairs: DataFrame, src: String = "id1",
-      dst: String = "id2", maxIter: Int = 20): DataFrame = {
+      dst: String = "id2", maxIter: Int = 30): DataFrame = {
     val s = col(src).cast("long")
     val t = col(dst).cast("long")
     val edges = pairs.select(s.as("a"), t.as("b"))

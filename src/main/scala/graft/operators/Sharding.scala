@@ -32,8 +32,12 @@ object Sharding {
   def shardByTokenBudget(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     docs
+      // n_words from the native single-pass kernel — byte-equivalent to
+      // size(split(lower(text), "\s+")) (PropertySpec) without
+      // materializing the word array per row
       .select(col("doc_id"), col("lang"),
-        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        graft.functions.TextStats.textStats(col("text"))
+          .getField("n_words").cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget.toDouble).as("shard"))

@@ -59,6 +59,24 @@ object ScaleStress {
     time("minhash dedup")(graft.operators.Dedup.minhashLshPairs(docs))
     time("exact dedup")(
       docs.groupBy(md5(col("text"))).agg(min(col("doc_id")), count(lit(1))))
+
+    // connected components on an adversarial graph: 200k-node chains
+    // (worst-case diameter for label propagation — pointer jumping must
+    // converge in O(log n) rounds, not 200k) + dense clique noise
+    val chainN = 200000L * factor / 10
+    val chain = spark.range(chainN - 1)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val cliques = spark.range(chainN, chainN + 10000)
+      .select(col("id").as("id1"),
+        (col("id") - (col("id") % 100)).as("id2")) // 100-node stars
+    time(s"connected comps ${chainN / 1000}k-chain") {
+      val c = graft.operators.Components
+        .connectedComponents(chain.union(cliques))
+      // fold to one row so noop write doesn't skip the iteration work
+      c.groupBy(lit(1)).agg(countDistinct(col("comp")), count(lit(1)))
+    }
+    time("token-budget sharding")(
+      graft.operators.Sharding.shardByTokenBudget(docs))
     spark.stop()
   }
 }
