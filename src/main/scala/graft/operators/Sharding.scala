@@ -61,9 +61,50 @@ object Sharding {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("lang"))
 
+  /** Corpus mixture sampling: downsample each source (here: language)
+    * so the output's TOKEN shares hit the target weights — the standard
+    * training-mixture step (Pile/Dolma style), where shares are set in
+    * tokens, not documents.
+    *
+    * The achievable budget without upsampling is
+    * min_s(tokens_s / w_s); each source then keeps fraction
+    * w_s · B / tokens_s ≤ 1 of its tokens via one seeded Bernoulli draw
+    * per doc. Cost: one small agg (per-source token totals — collected
+    * to the driver, #sources rows) + a map-only filter. No shuffle of
+    * the corpus itself. */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Double],
+                seed: Long = 42L): DataFrame = {
+    val withTokens = docs.withColumn("n_tokens",
+      graft.functions.TextStats.textStats(col("text"))
+        .getField("n_words").cast("long"))
+    val totals = withTokens.where(col("lang").isin(weights.keys.toSeq.map(lit): _*))
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wSum = weights.values.sum
+    val norm = weights.map { case (k, v) => k -> v / wSum }
+    val present = norm.filter { case (k, _) => totals.getOrElse(k, 0L) > 0L }
+    require(present.nonEmpty, "no weighted source present in the corpus")
+    val budget = present.map { case (k, w) => totals(k) / w }.min
+    val fracs = present.map { case (k, w) => k -> math.min(w * budget / totals(k), 1.0) }
+    val fracCol = fracs.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col("lang") === k, lit(f)).otherwise(acc)
+    }
+    withTokens
+      .where(col("lang").isin(present.keys.toSeq.map(lit): _*))
+      .where(rand(seed) < fracCol)
+  }
+
+  def pipelineMixture(s: SparkSession, d: String): DataFrame =
+    mixCorpus(documents(s, d),
+      Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shard" -> (pipelineShard _),
-    "pipeline_sample_stratified" -> (pipelineSample _)
+    "pipeline_sample_stratified" -> (pipelineSample _),
+    "pipeline_mixture" -> (pipelineMixture _)
   )
 
   val oracles: Map[String, String] = Map(

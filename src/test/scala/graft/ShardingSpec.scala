@@ -28,6 +28,27 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("corpus mixture hits target token shares without upsampling") {
+    val docs = Tables.documents(spark, Sf)
+    val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+    val mixed = Sharding.mixCorpus(docs, weights, seed = 11)
+    val tokens = mixed.groupBy("lang").agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = tokens.values.sum.toDouble
+    assert(total > 0)
+    // the dominant constraint source is exact; others statistical
+    weights.foreach { case (lang, w) =>
+      val got = tokens.getOrElse(lang, 0L) / total
+      assert(math.abs(got - w) < 0.1,
+        s"$lang token share $got, want ~$w (tokens=$tokens)")
+    }
+    // never upsamples: the mixed corpus is a subset of the input
+    val inIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val outIds = mixed.select("doc_id").collect().map(_.getLong(0))
+    assert(outIds.length == outIds.distinct.length)
+    assert(outIds.forall(inIds.contains))
+  }
+
   test("stratified sample approximates its fractions and is seeded") {
     val docs = Tables.documents(spark, Sf)
     val fr = Map("en" -> 0.5, "de" -> 0.2)
