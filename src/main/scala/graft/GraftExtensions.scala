@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.GraftInternals
 
-import graft.functions.{MinHashBuckets, MinHashSignature, RollingFingerprint, SimHash64}
+import graft.functions.{MinHashBuckets, MinHashSignature, RollingFingerprint, SimHash64, TextStats}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -51,7 +51,8 @@ object GraftExtensions {
         RollingFingerprint(text, intArg(k, "k"), intArg(w, "w"))
       case _ => throw new IllegalArgumentException(
         "rolling_fingerprint(text[, k, w])")
-    })
+    },
+    "text_stats" -> { args => TextStats(args.head) })
 
   /** Idempotently register the native functions on a live session. */
   def registerNativeFunctions(spark: SparkSession): Unit =

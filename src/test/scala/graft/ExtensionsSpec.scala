@@ -11,12 +11,16 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT simhash64(split(lower('Spark native SQL function'), '\\s+')) AS sh,
         |  size(minhash_buckets('one two three four five six')) AS nb,
         |  size(minhash_buckets('one two three four five six', 3, 8)) AS nb8,
-        |  size(rolling_fingerprint('a longer text for fingerprints')) AS nf
+        |  size(rolling_fingerprint('a longer text for fingerprints')) AS nf,
+        |  text_stats('the quick brown fox the end').n_words AS nw,
+        |  text_stats('the quick brown fox the end').n_distinct AS nd,
+        |  text_stats('the quick brown fox the end').n_stop AS ns
         |""".stripMargin).collect()(0)
     assert(row.getLong(0) != 0L)
     assert(row.getInt(1) == 16)
     assert(row.getInt(2) == 8)
     assert(row.getInt(3) >= 1)
+    assert(row.getInt(4) == 6 && row.getInt(5) == 5 && row.getInt(6) == 2)
   }
 
   test("SQL and column APIs agree") {
