@@ -58,6 +58,9 @@ object Components {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("b"), col("comp")), "b")
         .select(col("a").as("id"), col("comp"))
+      // not checkpointed: the pointer-jump self-join reuses the
+      // aggregate's exchange (ReusedExchange), so materializing here
+      // measured slower at the 200k-chain stress
       val stepped = viaNeighbors.union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
       // pointer jump: comp := comp(comp) — labels are node ids, so the
