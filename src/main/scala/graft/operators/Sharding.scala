@@ -71,7 +71,12 @@ object Sharding {
     * w_s · B / tokens_s ≤ 1 of its tokens via one seeded Bernoulli draw
     * per doc. Cost: one small agg (per-source token totals — collected
     * to the driver, #sources rows) + a map-only filter. No shuffle of
-    * the corpus itself. */
+    * the corpus itself.
+    *
+    * The draw hashes (doc_id, seed) rather than using rand(): the
+    * sample is then a pure function of the data — identical across
+    * partitionings, task retries, and cluster sizes, which rand() is
+    * not. */
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
                 seed: Long = 42L): DataFrame = {
     val withTokens = docs.withColumn("n_tokens",
@@ -89,9 +94,11 @@ object Sharding {
     val fracCol = fracs.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
       when(col("lang") === k, lit(f)).otherwise(acc)
     }
+    val draw = pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000L))
+      .cast("double") / 1000000.0
     withTokens
       .where(col("lang").isin(present.keys.toSeq.map(lit): _*))
-      .where(rand(seed) < fracCol)
+      .where(draw < fracCol)
   }
 
   def pipelineMixture(s: SparkSession, d: String): DataFrame =

@@ -47,6 +47,10 @@ class ShardingSpec extends SparkSpec {
     val outIds = mixed.select("doc_id").collect().map(_.getLong(0))
     assert(outIds.length == outIds.distinct.length)
     assert(outIds.forall(inIds.contains))
+    // hash-based draw: identical sample under a different partitioning
+    val repart = Sharding.mixCorpus(docs.repartition(7), weights, seed = 11)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == outIds.toSet, "sample must not depend on partitioning")
   }
 
   test("stratified sample approximates its fractions and is seeded") {
