@@ -87,6 +87,25 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming near-duplicate dedup: key = ONE MinHash band bucket of
+    * the text (8 signature rows via the native kernel), deduped within
+    * the watermark. A single band fires with probability J^8 — ~0.66 at
+    * Jaccard 0.95, ~1 for boilerplate/near-exact repeats — which is the
+    * realistic streaming trade: high-similarity repeats (the dominant
+    * stream pathology) collapse with bounded state and zero shuffle
+    * amplification, while borderline pairs defer to the batch LSH pass.
+    * Multi-band streaming recall would need doc-level vote state across
+    * 16 keyed streams (a flatMapGroupsWithState pair) — not worth the
+    * state-store size at ingest time. */
+  def nearDedupStream(docs: DataFrame, tsCol: String = "ts",
+                      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("_b0",
+        element_at(graft.functions.HashFunctions.minhashBuckets(col(textCol)), 1))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("_b0")
+      .drop("_b0")
+
   /** foreachBatch sink: the escape hatch for targets without a native
     * streaming sink (JDBC upserts, multi-table fan-out, partitioned
     * lakehouse layouts). Exactly-once comes from idempotence, not the

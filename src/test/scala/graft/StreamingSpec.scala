@@ -58,6 +58,33 @@ class StreamingSpec extends SparkSpec {
       "every event must survive exactly once")
   }
 
+  test("streaming near-dedup collapses near-exact repeats, keeps distinct docs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_nds").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // doc 2 is doc 1 under case + whitespace noise — same MinHash
+    // signature by the kernel's normalization (PropertySpec), so the
+    // single-band collapse is deterministic; higher-Jaccard-but-
+    // shingle-changing edits fire with probability J^8 instead
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "The  quick BROWN fox jumps  over the lazy  dog again and AGAIN"),
+      (3L, "a completely different document about distributed query engines"),
+      (4L, "numbers and tables and joins are the heart of analytics work")
+    ).toDF("doc_id", "text").withColumn("ts", lit(ts))
+    docs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/in")
+    val q = EventStreams.nearDedupStream(stream)
+      .writeStream.format("memory").queryName("near_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("near_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 2L)).size == 1,
+      s"near-exact pair must collapse to one survivor, kept=$kept")
+    assert(kept.contains(3L) && kept.contains(4L), s"distinct docs dropped: $kept")
+  }
+
   test("foreachBatch sink lands every event exactly once, idempotently") {
     val base = java.nio.file.Files.createTempDirectory("graft_febs").toString
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
