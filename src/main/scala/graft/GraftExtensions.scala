@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.GraftInternals
 
-import graft.functions.{MinHashBuckets, MinHashSignature, RollingFingerprint, SimHash64, TextStats}
+import graft.functions.{MinHashBuckets, MinHashSignature, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -52,7 +52,10 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "rolling_fingerprint(text[, k, w])")
     },
-    "text_stats" -> { args => TextStats(args.head) })
+    "text_stats" -> { args => TextStats(args.head) },
+    "vec_dot" -> { args => VecDot(args(0), args(1)) },
+    "vec_cosine" -> { args => VecCosine(args(0), args(1)) },
+    "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) })
 
   /** Idempotently register the native functions on a live session. */
   def registerNativeFunctions(spark: SparkSession): Unit =

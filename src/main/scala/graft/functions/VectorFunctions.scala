@@ -37,6 +37,20 @@ object VectorKernels {
     acc
   }
 
+  /** Σ (aᵢ−bᵢ)², left-to-right from 0.0. Null on length mismatch. */
+  def l2sq(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, aFloat, i) - get(b, bFloat, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** dot(a,b) / (‖a‖·‖b‖), all three accumulators left-to-right — the
     * per-accumulator FP sequences match the three separate HOF loops
     * exactly, so fusing them into one pass is bit-safe. */
@@ -77,13 +91,14 @@ private[functions] trait VectorBinary extends BinaryExpression {
   protected def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullable: Boolean = true
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    if (kernel == "dot")
-      VectorKernels.dot(a.asInstanceOf[ArrayData], isFloat(left),
-        b.asInstanceOf[ArrayData], isFloat(right))
-    else
-      VectorKernels.cosine(a.asInstanceOf[ArrayData], isFloat(left),
-        b.asInstanceOf[ArrayData], isFloat(right))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    kernel match {
+      case "dot" => VectorKernels.dot(aa, isFloat(left), bb, isFloat(right))
+      case "l2sq" => VectorKernels.l2sq(aa, isFloat(left), bb, isFloat(right))
+      case _ => VectorKernels.cosine(aa, isFloat(left), bb, isFloat(right))
+    }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("vkres")
@@ -101,6 +116,15 @@ case class VecDot(left: Expression, right: Expression) extends VectorBinary {
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_l2sq(a, b)` — squared L2 distance in double precision. */
+case class VecL2Sq(left: Expression, right: Expression) extends VectorBinary {
+  override protected def kernel: String = "l2sq"
+  override def prettyName: String = "vec_l2sq"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
     copy(left = newLeft, right = newRight)
 }
 
@@ -129,4 +153,9 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     GraftInternals.column(
       VecCosine(GraftInternals.expression(a), GraftInternals.expression(b)))
+
+  /** Squared L2 distance in double precision (native, codegen'd). */
+  def l2sq(a: Column, b: Column): Column =
+    GraftInternals.column(
+      VecL2Sq(GraftInternals.expression(a), GraftInternals.expression(b)))
 }

@@ -196,14 +196,11 @@ object Similarity {
   }
 
   /** (d², cell) structs for every centroid — shared by probe-list and
-    * nearest-cell assignment so both stay inside codegen. */
+    * nearest-cell assignment; d² is the native vec_l2sq kernel (one
+    * codegen'd loop per centroid, no interpreted HOF lambdas). */
   private def cellDistances(v: Column, centroids: Seq[Seq[Double]]): Seq[Column] =
     centroids.zipWithIndex.map { case (c, j) =>
-      struct(
-        aggregate(zip_with(v, typedLit(c),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, e) => acc + e).as("d2"),
-        lit(j).as("cell"))
+      struct(l2sq(v, typedLit(c)).as("d2"), lit(j).as("cell"))
     }
 
   private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =

@@ -14,13 +14,18 @@ class ExtensionsSpec extends SparkSpec {
         |  size(rolling_fingerprint('a longer text for fingerprints')) AS nf,
         |  text_stats('the quick brown fox the end').n_words AS nw,
         |  text_stats('the quick brown fox the end').n_distinct AS nd,
-        |  text_stats('the quick brown fox the end').n_stop AS ns
+        |  text_stats('the quick brown fox the end').n_stop AS ns,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
+        |  vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS vc,
+        |  vec_l2sq(array(0.0D, 3.0D), array(4.0D, 0.0D)) AS vl
         |""".stripMargin).collect()(0)
     assert(row.getLong(0) != 0L)
     assert(row.getInt(1) == 16)
     assert(row.getInt(2) == 8)
     assert(row.getInt(3) >= 1)
     assert(row.getInt(4) == 6 && row.getInt(5) == 5 && row.getInt(6) == 2)
+    assert(row.getDouble(7) == 11.0 && row.getDouble(8) == 1.0 &&
+      row.getDouble(9) == 25.0)
   }
 
   test("SQL and column APIs agree") {
