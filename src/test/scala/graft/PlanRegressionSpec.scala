@@ -47,6 +47,23 @@ class PlanRegressionSpec extends SparkSpec {
       s"no partial aggregation:\n$p")
   }
 
+  test("range-clustered writes skip files via parquet min/max stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clus").toString
+    val orders = Tables.orders(spark, Sf)
+    graft.sources.Sources.writeClustered(
+      orders, s"$dir/orders_c.parquet", Seq("o_orderkey"), nFiles = 8)
+    val total = orders.count()
+    // selective point-range scan: only the one file owning this key
+    // range should produce rows; the other 7 prune on min/max stats
+    val scan = spark.read.parquet(s"$dir/orders_c.parquet")
+      .where(col("o_orderkey").between(0, 50))
+    scan.collect()
+    val scanned = scan.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value
+    assert(scanned < total / 4,
+      s"expected file/row-group skipping: scanned $scanned of $total rows")
+  }
+
   test("partitioned writes prune partitions on read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Sources.write(
