@@ -491,6 +491,25 @@ object Relational {
           |AS DOUBLE) AS trailing_30d""".stripMargin)
       .orderBy(col("o_custkey"), col("o_orderkey"))
 
+  /** UNPIVOT: wide per-nation counts back to (nation, metric, value)
+    * rows via stack — the Generate-based inverse of q_pivot, map-only
+    * after one aggregate. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    qFullOuterJoin(s, d) // (key, n_cust, n_supp) — reuse the audited agg
+      .select(col("key"),
+        expr("stack(2, 'n_cust', n_cust, 'n_supp', n_supp) AS (metric, value)"))
+      .orderBy(col("key"), col("metric"))
+
+  /** Lateral explode: split each part name into words, one output row
+    * per (part, position, word) — Generate (flatMap shape) during the
+    * scan, no shuffle until the final sort. */
+  def qExplode(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .where(col("p_partkey") < 200)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+      .orderBy(col("p_partkey"), col("pos"))
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -537,7 +556,9 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_exists_correlated" -> (qExistsCorrelated _),
     "q_null_handling" -> (qNullHandling _),
-    "q_window_range_interval" -> (qWindowRangeInterval _)
+    "q_window_range_interval" -> (qWindowRangeInterval _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_explode" -> (qExplode _)
   )
 
   /** DuckDB oracle SQL. Same aliases, same DECIMAL-exact aggregation,
@@ -867,6 +888,36 @@ object Relational {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         |  AS DOUBLE) AS trailing_30d
         |FROM orders WHERE o_custkey < 500
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS ck, count(*) AS n_cust
+        |  FROM customer GROUP BY 1
+        |), su AS (
+        |  SELECT CAST(s_nationkey AS INTEGER) AS sk, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1
+        |), base AS (
+        |  SELECT coalesce(ck, sk) AS key,
+        |    coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |  FROM c FULL OUTER JOIN su ON ck = sk
+        |)
+        |SELECT key, 'n_cust' AS metric, n_cust AS value FROM base
+        |UNION ALL
+        |SELECT key, 'n_supp' AS metric, n_supp AS value FROM base
+        |ORDER BY key, metric""".stripMargin,
+
+    "q_explode" ->
+      """WITH t AS (
+        |  SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS w
+        |  FROM part WHERE p_partkey < 200
+        |), e AS (
+        |  SELECT p_partkey,
+        |    unnest(list_transform(generate_series(1, len(w)),
+        |      i -> {'pos': i - 1, 'word': w[i]})) AS u
+        |  FROM t
+        |)
+        |SELECT p_partkey, CAST(u.pos AS INTEGER) AS pos, u.word AS word
+        |FROM e ORDER BY p_partkey, pos""".stripMargin
   )
 }
