@@ -491,6 +491,33 @@ object Relational {
           |AS DOUBLE) AS trailing_30d""".stripMargin)
       .orderBy(col("o_custkey"), col("o_orderkey"))
 
+  /** Latest row per key — the CDC/upsert compaction shape: one window
+    * shuffle on the key, per-partition top-1 (WindowGroupLimit pushes
+    * the limit below the shuffle, so only candidate rows move). The
+    * raw ts stays out of the output (ns-vs-µs dtype noise against the
+    * oracle); event_id pins row identity. */
+  def qLatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Ordered string aggregation per group: sort-then-join over a
+    * collected list so the result is deterministic under any execution
+    * order (bare collect_list/listagg is not). */
+  def qStringAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .where(col("c_custkey") < 100)
+      .groupBy(col("c_nationkey").cast(IntegerType).as("key"))
+      .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("key"))
+
   /** UNPIVOT: wide per-nation counts back to (nation, metric, value)
     * rows via stack — the Generate-based inverse of q_pivot, map-only
     * after one aggregate. */
@@ -558,7 +585,9 @@ object Relational {
     "q_null_handling" -> (qNullHandling _),
     "q_window_range_interval" -> (qWindowRangeInterval _),
     "q_unpivot" -> (qUnpivot _),
-    "q_explode" -> (qExplode _)
+    "q_explode" -> (qExplode _),
+    "q_latest_per_key" -> (qLatestPerKey _),
+    "q_string_agg" -> (qStringAgg _)
   )
 
   /** DuckDB oracle SQL. Same aliases, same DECIMAL-exact aggregation,
@@ -918,6 +947,24 @@ object Relational {
         |  FROM t
         |)
         |SELECT p_partkey, CAST(u.pos AS INTEGER) AS pos, u.word AS word
-        |FROM e ORDER BY p_partkey, pos""".stripMargin
+        |FROM e ORDER BY p_partkey, pos""".stripMargin,
+
+    // events.parquet carries TIMESTAMP(NANOS); Spark reads it truncated
+    // to micros, so the oracle's window orders by the same truncation
+    // (epoch_ns // 1000) to keep sub-µs neighbors tie-breaking alike
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS key,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  count(*) AS n
+        |FROM customer WHERE c_custkey < 100
+        |GROUP BY 1 ORDER BY key""".stripMargin
   )
 }
