@@ -47,6 +47,27 @@ class PlanRegressionSpec extends SparkSpec {
       s"no partial aggregation:\n$p")
   }
 
+  test("native kernels execute inside WholeStageCodegen spans") {
+    // the '*(n)' prefix marks codegen'd operators in the FINAL adaptive
+    // plan (visible only after execution); the kernel-bearing Project
+    // must carry it — a CodegenFallback kernel would strip it
+    Seq("text_quality" -> "text_stats",
+        "sim_topk_bruteforce" -> "vec_cosine",
+        "dedup_minhash_lsh" -> "minhash_buckets")
+      .foreach { case (q, kernel) =>
+        val df = SparkEntry.queries(q)(spark, Sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("*("), s"$q has no codegen span:\n$p")
+        // the final (post-AQE) plan section lists the kernel call on a
+        // starred operator; the unstarred duplicates below it are the
+        // echoed Initial Plan, not what executed
+        val kernelLines = p.split("\n").filter(_.contains(s"$kernel("))
+        assert(kernelLines.exists(_.contains("*(")),
+          s"$q: $kernel runs outside codegen:\n${kernelLines.mkString("\n")}")
+      }
+  }
+
   test("range-clustered writes skip files via parquet min/max stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_clus").toString
     val orders = Tables.orders(spark, Sf)
