@@ -127,6 +127,118 @@ object TextStatsKernel {
   }
 }
 
+/** Single-pass language-ID statistics: per-language stopword hit
+  * counts (en/de/fr/es) plus a CJK-codepoint flag, one loop over the
+  * document — replaces four interpreted HOF `filter(isin)` passes and
+  * an rlike. Tokenization is identical to [[TextStatsKernel]]
+  * (Pattern.split(-1) over the lowercased bytes); the CJK flag scans
+  * ORIGINAL text codepoints for U+4E00..U+9FFF exactly like
+  * rlike("[\x{4e00}-\x{9fff}]"). The text_langid DuckDB oracle
+  * validates parity end-to-end. */
+object LangStatsKernel {
+
+  val enStops = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+  val deStops = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val frStops = Seq("le", "la", "les", "et", "est", "un", "une")
+  val esStops = Seq("el", "los", "las", "y", "es", "un", "una")
+
+  private val lists: Array[Array[Array[Byte]]] =
+    Array(enStops, deStops, frStops, esStops)
+      .map(_.map(_.getBytes("UTF-8")).toArray)
+
+  private def isWs(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def stats(text: UTF8String): InternalRow = {
+    // CJK flag over original codepoints (3-byte UTF-8 E4..E9 range)
+    val orig = text.getBytes
+    var cjk = false
+    var i = 0
+    while (!cjk && i < orig.length) {
+      val b = orig(i) & 0xff
+      if ((b & 0xf0) == 0xe0 && i + 2 < orig.length) {
+        val cp = ((b & 0x0f) << 12) |
+          ((orig(i + 1) & 0x3f) << 6) | (orig(i + 2) & 0x3f)
+        if (cp >= 0x4e00 && cp <= 0x9fff) cjk = true
+        i += 3
+      } else if (b < 0x80) i += 1
+      else if ((b & 0xe0) == 0xc0) i += 2
+      else if ((b & 0xf8) == 0xf0) i += 4
+      else i += 1
+    }
+    // one tokenize pass over lowered bytes, 4 stop-list counters
+    val low = text.toLowerCase.getBytes
+    val n = low.length
+    val counts = new Array[Int](4)
+    def countToken(s: Int, e: Int): Unit = {
+      val len = e - s
+      var l = 0
+      while (l < 4) {
+        val ws = lists(l)
+        var wi = 0
+        var hit = false
+        while (!hit && wi < ws.length) {
+          val w = ws(wi)
+          if (w.length == len) {
+            var k = 0
+            while (k < len && low(s + k) == w(k)) k += 1
+            hit = k == len
+          }
+          wi += 1
+        }
+        if (hit) counts(l) += 1
+        l += 1
+      }
+    }
+    if (n > 0) {
+      var pos = 0
+      var j = 0
+      while (j < n) {
+        if (isWs(low(j) & 0xff)) {
+          val s = j
+          while (j < n && isWs(low(j) & 0xff)) j += 1
+          countToken(pos, s)
+          pos = j
+        } else j += 1
+      }
+      countToken(pos, n)
+    }
+    new GenericInternalRow(
+      Array[Any](counts(0), counts(1), counts(2), counts(3), cjk))
+  }
+}
+
+/** `lang_stats(text)` → struct<s_en, s_de, s_fr, s_es, cjk>. */
+case class LangStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lang_stats needs a string input, got ${child.dataType}")
+  override def dataType: DataType = LangStats.schema
+  override def prettyName: String = "lang_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    LangStatsKernel.stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangStatsKernel.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangStats =
+    copy(child = newChild)
+}
+
+object LangStats {
+  val schema: StructType = StructType(Seq(
+    StructField("s_en", IntegerType, nullable = false),
+    StructField("s_de", IntegerType, nullable = false),
+    StructField("s_fr", IntegerType, nullable = false),
+    StructField("s_es", IntegerType, nullable = false),
+    StructField("cjk", BooleanType, nullable = false)))
+
+  /** Column wrapper. */
+  def langStats(text: Column): Column =
+    GraftInternals.column(LangStats(GraftInternals.expression(text)))
+}
+
 /** `text_stats(text)` → struct<n_words, n_alpha, n_distinct, n_stop>. */
 case class TextStats(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -14,10 +14,11 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  private val enStops = Seq("the", "a", "an", "of", "and", "to", "in", "is")
-  private val deStops = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
-  private val frStops = Seq("le", "la", "les", "et", "est", "un", "une")
-  private val esStops = Seq("el", "los", "las", "y", "es", "un", "una")
+  // single source of truth for the stop lists: the native kernel
+  private val enStops = graft.functions.LangStatsKernel.enStops
+  private val deStops = graft.functions.LangStatsKernel.deStops
+  private val frStops = graft.functions.LangStatsKernel.frStops
+  private val esStops = graft.functions.LangStatsKernel.esStops
 
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
@@ -27,14 +28,16 @@ object TextAnalysis {
   /** n-gram/stopword-heuristic language ID, evaluated against the
     * corpus's `lang` ground truth: output is the (lang, pred) confusion
     * matrix. CJK codepoints short-circuit to zh; otherwise argmax of
-    * per-language stopword hits with a deterministic tie order. */
+    * per-language stopword hits with a deterministic tie order. All
+    * scores come from the single-pass native LangStats kernel (was: 4
+    * interpreted HOF filter passes + an rlike per row); the DuckDB
+    * oracle pins parity with the original composition. */
   def textLangid(s: SparkSession, d: String): DataFrame = {
-    val w = words(col("text"))
-    val sEn = stopScore(w, enStops)
-    val sDe = stopScore(w, deStops)
-    val sFr = stopScore(w, frStops)
-    val sEs = stopScore(w, esStops)
-    val pred = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+    import graft.functions.LangStats.langStats
+    val st = langStats(col("text"))
+    val (sEn, sDe, sFr, sEs) = (st.getField("s_en"), st.getField("s_de"),
+      st.getField("s_fr"), st.getField("s_es"))
+    val pred = when(st.getField("cjk"), "zh")
       .when(sDe > sEn && sDe >= sFr && sDe >= sEs, "de")
       .when(sFr > sEn && sFr >= sEs, "fr")
       .when(sEs > sEn, "es")

@@ -96,6 +96,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LangStats kernel matches the filter/rlike composition") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.LangStats.langStats
+    import graft.functions.LangStatsKernel._
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val vocab = enStops ++ deStops ++ frStops ++ esStops ++
+      Seq("word", "données", "日本語", "中文文本", "xyz", "", " ")
+    val cases = Seq("", "   ", "数据处理", "the und le el",
+      "no stopwords here at all???") ++
+      Seq.fill(300)(Seq.fill(rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val w = split(lower(col("text")), "\\s+")
+    def score(stops: Seq[String]) =
+      size(filter(w, x => x.isin(stops.map(lit): _*)))
+    val oldWay = df.select(col("id"), score(enStops), score(deStops),
+        score(frStops), score(esStops),
+        col("text").rlike("[\\x{4e00}-\\x{9fff}]"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    val newWay = df.select(col("id"), langStats(col("text")).as("st"))
+      .select(col("id"), col("st.s_en"), col("st.s_de"), col("st.s_fr"),
+        col("st.s_es"), col("st.cjk"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    val texts = cases.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+    oldWay.keys.foreach { id =>
+      assert(oldWay(id) == newWay(id),
+        s"lang kernel diverges on '${texts(id)}': old=${oldWay(id)} new=${newWay(id)}")
+    }
+  }
+
   test("fingerprint count is bounded by text length") {
     samples(texts).foreach { t =>
       val n = RollingHash.fingerprint(UTF8String.fromString(t), 8, 4)
