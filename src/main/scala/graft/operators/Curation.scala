@@ -28,8 +28,10 @@ object Curation {
   /** Curate a document corpus; returns the surviving docs. */
   def curate(docs: DataFrame, minWords: Int = 5,
              minStopRatio: Double = 0.0): DataFrame = {
-    val w = words(col("text"))
-    val gated = docs.where(size(w) >= minWords)
+    // word count from the native kernel — byte-equivalent to
+    // size(words(text)) without materializing the word array
+    val gated = docs.where(graft.functions.TextStats.textStats(col("text"))
+      .getField("n_words") >= minWords)
     // exact dedup: keep the smallest doc_id per digest
     val keeperPerDigest = gated
       .groupBy(md5(col("text")).as("h"))

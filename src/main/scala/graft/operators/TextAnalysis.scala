@@ -22,9 +22,6 @@ object TextAnalysis {
 
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
-  private def stopScore(w: Column, stops: Seq[String]): Column =
-    size(filter(w, x => x.isin(stops.map(lit): _*)))
-
   /** n-gram/stopword-heuristic language ID, evaluated against the
     * corpus's `lang` ground truth: output is the (lang, pred) confusion
     * matrix. CJK codepoints short-circuit to zh; otherwise argmax of
