@@ -404,6 +404,20 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** Sketch percentiles — the 100 TB path q_percentile's doc promises:
+    * approx_percentile keeps a bounded t-digest-style summary per group
+    * (mergeable partial aggregate, no per-group sort/materialization).
+    * accuracy=10000 bounds rank error at 1/10000; ApproxSpec checks the
+    * estimates against the exact query. */
+  def qApproxPercentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** INTERSECT (set semantics): nations that have both customers and
     * suppliers. Catalyst plans it as a distinct + semi join. */
   def qIntersect(s: SparkSession, d: String): DataFrame =
@@ -587,7 +601,8 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q_explode" -> (qExplode _),
     "q_latest_per_key" -> (qLatestPerKey _),
-    "q_string_agg" -> (qStringAgg _)
+    "q_string_agg" -> (qStringAgg _),
+    "q_approx_percentile" -> (qApproxPercentile _)
   )
 
   /** DuckDB oracle SQL. Same aliases, same DECIMAL-exact aggregation,

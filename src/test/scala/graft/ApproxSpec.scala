@@ -20,4 +20,16 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approxOrders - exactOrders) / exactOrders < 0.05,
       s"orders: approx $approxOrders vs exact $exactOrders")
   }
+
+  test("approx_percentile within 2% of exact per group at accuracy=10000") {
+    val approx = Relational.qApproxPercentile(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.qPercentile(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, (p50, p90)) =>
+      assert(math.abs(approx(g)._1 - p50) / p50 < 0.02, s"$g p50")
+      assert(math.abs(approx(g)._2 - p90) / p90 < 0.02, s"$g p90")
+    }
+  }
 }
