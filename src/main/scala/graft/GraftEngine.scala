@@ -26,9 +26,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftEngine {
 
-  /** Run a reference-dialect SQL query. */
-  def sql(spark: SparkSession, query: String, baseDir: String = ""): DataFrame =
+  /** Run a reference-dialect SQL query. Graft's native functions
+    * (minhash_buckets, text_stats, vec_cosine, …) are registered
+    * idempotently so they're callable from SQL regardless of how the
+    * session was built. */
+  def sql(spark: SparkSession, query: String, baseDir: String = ""): DataFrame = {
+    GraftExtensions.registerNativeFunctions(spark)
     spark.sql(rewrite(query, baseDir))
+  }
 
   /** Dialect rewrite only — no planning, no optimization (Catalyst owns
     * that); pure text-level shims, exposed for tests. */
