@@ -27,7 +27,11 @@ import graft.functions.HashFunctions.{minhashBuckets, minhashSignature, simhash6
   *     matching standard LSH practice.
   *   - exact Jaccard runs as an inverted-index join on distinct shingles
   *     (pairs sharing ≥1 shingle only), the standard set-similarity-join
-  *     shape; at extreme scale add prefix filtering on rare shingles.
+  *     shape, with a postings cap: a shingle present in more than
+  *     MaxPostings documents (boilerplate) would emit O(df²) intermediate
+  *     pairs while carrying no discriminative signal, so it is dropped
+  *     before the self-join — the same rationale as MaxBucket, mirrored
+  *     in the DuckDB oracle.
   */
 object Dedup {
 
@@ -35,6 +39,7 @@ object Dedup {
   private val Bands = 16 // 16 bands x 8 rows: s-curve midpoint ~ (1/16)^(1/8) ≈ 0.71
   private val Rows = NumPerms / Bands
   private val MaxBucket = 1000
+  val MaxPostings = 256L
 
   /** Exact dedup: md5(text) groups; keep the smallest doc_id.
     * (md5 used over xxhash64 so the DuckDB oracle computes the same
@@ -95,9 +100,17 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(documents(s, d))
 
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val g = docs
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.7,
+                        maxDf: Long = MaxPostings): DataFrame = {
+    val g0 = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    // postings cap: blocked = boilerplate shingles (df > maxDf). The df
+    // agg is partial+final (skewed shingles combine map-side); blocked is
+    // small by construction, and the anti-join shuffles on the same key
+    // the inverted-index join needs, so the exchange is reused.
+    val blocked = g0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("sh"))
+    val g = g0.join(blocked, Seq("sh"), "left_anti")
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = g.select(col("doc_id").as("id1"), col("sh"))
       .join(g.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
@@ -160,15 +173,19 @@ object Dedup {
   /** Shared CTE text: the exact-Jaccard pair list (DuckDB dialect),
     * reused by the pair oracle and the cluster oracle. */
   private val jaccardPairsCtes: String =
-    """t AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+    s"""t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
       |  FROM documents
-      |), g AS (
+      |), g0 AS (
       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
       |    THEN list_transform(generate_series(1, len(w) - 2),
       |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
       |    ELSE [array_to_string(w, ' ')] END)) AS sh
       |  FROM t
+      |), g AS (  -- postings cap mirrored from ngramJaccardPairs
+      |  SELECT doc_id, sh FROM g0
+      |  WHERE sh NOT IN (
+      |    SELECT sh FROM g0 GROUP BY sh HAVING count(*) > $MaxPostings)
       |), sz AS (
       |  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
       |), inter AS (

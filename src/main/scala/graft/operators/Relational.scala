@@ -679,7 +679,7 @@ object Relational {
       """SELECT l_returnflag,
         |  max(l_quantity) * 2 AS mx2,
         |  min(l_quantity) - 1 AS mn1,
-        |  count(*) + sum(CAST(l_linenumber AS BIGINT)) AS cnt_plus
+        |  CAST(count(*) + sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS cnt_plus
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_having" ->

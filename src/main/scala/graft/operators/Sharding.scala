@@ -11,12 +11,16 @@ import graft.Tables._
   * per-source mixtures.
   *
   * Scale shape:
-  *   - token-budget packing is one shuffle (window over the stratum key)
-  *     + a map-only shard assignment from the running token total. If a
-  *     single stratum dominates at 100 TB, pre-split it into range
-  *     buckets (lang, doc_id DIV B) and offset shard ids by a per-bucket
-  *     base — the classic two-pass distributed prefix sum — instead of
-  *     funnelling one partition through one task.
+  *   - token-budget packing is a two-pass distributed prefix sum: docs
+  *     are range-bucketed by (lang, doc_id DIV B); pass 1 aggregates one
+  *     token subtotal per bucket (partial+final HashAggregate — tiny);
+  *     the sequential dependency (cumulative base per bucket) runs as a
+  *     window over the SUBTOTALS frame only (#buckets rows, ~6 orders of
+  *     magnitude smaller than the corpus); pass 2 broadcast-joins the
+  *     bases back and computes the intra-bucket running sum with a
+  *     window partitioned by (lang, bucket) — so a 100 TB English
+  *     stratum spreads across #buckets tasks instead of funnelling
+  *     through one.
   *   - stratified sampling is map-only: sampleBy filters rows with a
   *     per-stratum Bernoulli draw; nothing shuffles.
   */
@@ -29,16 +33,37 @@ object Sharding {
     * divided by the budget, so shards are contiguous doc runs holding
     * ~budget tokens (± one straddling doc) and the assignment is a pure
     * function of the prefix sum — deterministic under any execution. */
-  def shardByTokenBudget(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    docs
+  /** Docs per range bucket. floor(doc_id / width) is monotone in doc_id,
+    * so per-bucket prefix sums compose into the exact sequential prefix
+    * sum; the default keeps buckets well under executor memory while the
+    * subtotal frame stays driver-trivial (100 TB ≈ 25 B docs → ~400k
+    * bucket rows through the tiny base window). */
+  val BucketWidth = 65536L
+
+  def shardByTokenBudget(docs: DataFrame, budget: Long = TokenBudget,
+                         bucketWidth: Long = BucketWidth): DataFrame = {
+    val withTok = docs
       // n_words from the native single-pass kernel — byte-equivalent to
       // size(split(lower(text), "\s+")) (PropertySpec) without
       // materializing the word array per row
       .select(col("doc_id"), col("lang"),
         graft.functions.TextStats.textStats(col("text"))
-          .getField("n_words").cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+          .getField("n_words").cast("long").as("n_tokens"),
+        // integer DIV, not double floor: exact for the full int64 id range
+        expr(s"doc_id DIV $bucketWidth").as("bkt"))
+    // pass 1: one subtotal per (lang, bucket) — partial+final agg
+    val subtotals = withTok.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+    // the only sequential scan runs over #buckets rows, not the corpus
+    val wBase = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = subtotals.select(col("lang"), col("bkt"),
+      coalesce(sum(col("bkt_tokens")).over(wBase), lit(0L)).as("base"))
+    // pass 2: intra-bucket running sum (parallel across buckets) + base
+    val wIn = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+    withTok
+      .join(broadcast(bases), Seq("lang", "bkt"))
+      .withColumn("cum", col("base") + sum(col("n_tokens")).over(wIn))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget.toDouble).as("shard"))
       .orderBy(col("lang"), col("doc_id"))

@@ -94,7 +94,7 @@ object TextAnalysis {
     documents(s, d)
       .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
-        xxhash64(to_json(struct(col("fp")))).as("fp_digest"), col("fp"))
+        xxhash64(to_json(struct(col("fp")))).as("fp_digest"))
       .orderBy(col("doc_id"))
   }
 

@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpec {
     planted5.foreach(r => assert(r.getDouble(2) > 0.7 && r.getDouble(2) <= 1.0))
   }
 
+  test("postings cap neutralizes a planted boilerplate shingle") {
+    import spark.implicits._
+    // 300 docs share one boilerplate sentence (df=300 ≫ cap): uncapped,
+    // its shingles alone emit ~300²/2 intermediate pairs; capped, the
+    // blocked shingles vanish and only the planted near-dup pair (its
+    // own unique shingles, df=2) survives.
+    val boiler = "terms of service apply to all content herein"
+    val filler = (0L until 300L).map(i =>
+      (i, s"$boiler unique$i alpha$i bravo$i charlie$i delta$i echo$i"))
+    val dupText = "quebec whiskey tango xray yankee zulu oscar papa romeo sierra"
+    val docs = (filler :+ (1000L, dupText) :+ (1001L, dupText + " end"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, maxDf = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1000L, 1001L)),
+      s"expected only the planted pair, got ${pairs.mkString(", ")}")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val docs = Tables.documents(spark, Sf)
     val distinctTexts = docs.select(col("text")).distinct().count()

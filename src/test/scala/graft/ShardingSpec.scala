@@ -28,6 +28,21 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed prefix sum equals the sequential prefix sum across strata") {
+    val docs = Tables.documents(spark, Sf)
+    // one bucket per language = the plain sequential window
+    val seq = Sharding.shardByTokenBudget(docs, bucketWidth = Long.MaxValue)
+      .collect().toSeq
+    // tiny width → many buckets per language, so >1 task per stratum
+    val bucketed = Sharding.shardByTokenBudget(docs, bucketWidth = 16L)
+    val nBuckets = docs.selectExpr("lang", "doc_id DIV 16 AS bkt")
+      .distinct().groupBy("lang").count().collect()
+    assert(nBuckets.forall(_.getLong(1) > 1L),
+      "stress width must split every language into multiple buckets")
+    assert(bucketed.collect().toSeq == seq,
+      "distributed prefix sum must be bit-identical to the sequential one")
+  }
+
   test("corpus mixture hits target token shares without upsampling") {
     val docs = Tables.documents(spark, Sf)
     val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
