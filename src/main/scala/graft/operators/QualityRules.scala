@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Rule-based corpus curation beyond scoring (SURVEY.md §2.C): PII
+  * redaction, heuristic quality gates in the style of the Gopher rules
+  * (Rae et al. 2021, arXiv:2112.11446 table A1), C4-style boilerplate
+  * paragraph detection (Raffel et al. 2020, arXiv:1910.10683 §2.2), and
+  * benchmark-contamination screening by n-gram overlap (GPT-3 appendix C
+  * shape). These are the filters an LLM training pipeline runs between
+  * raw crawl and tokenization.
+  *
+  * Scale shape: PII redaction and the quality gate are pure per-row
+  * column expressions — map-only over the scan, the ideal 100 TB shape.
+  * Paragraph boilerplate is one shuffle of 16-byte digests (never raw
+  * paragraphs; same rationale as exact dedup). Contamination is an
+  * inverted-index join on 8-gram hashes: the eval side is tiny by
+  * construction (benchmarks are ~1e5 docs, broadcast-able), so the join
+  * is a broadcast semi-match at any corpus size; a postings cap
+  * (Dedup.MaxPostings) applies if an eval set ever carries boilerplate
+  * n-grams.
+  */
+object QualityRules {
+
+  // Regex patterns shared verbatim by Spark (Java regex) and the DuckDB
+  // oracle (RE2) — restricted to the common dialect: no lookaround, no
+  // backrefs, ASCII word boundaries only.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val LongNumPat = "\\b\\d{9,}\\b"
+
+  /** PII redaction: emails, IPv4 addresses, and ≥9-digit runs (SSN /
+    * phone-shaped) replaced by typed placeholder tokens, applied in
+    * fixed order (email first — emails contain digits). Output keeps
+    * per-type match counts (counted on the raw text, so the numbers are
+    * auditable independent of replacement order) and a digest of the
+    * redacted text rather than the text itself — the gate compares
+    * 16 bytes/row, and at corpus scale the redacted text would be
+    * written to the curated output, not shuffled. */
+  /** The redaction expression itself, for reuse in pipelines that keep
+    * the text (the gate query ships a digest instead). */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPat, "[EMAIL]"),
+        Ipv4Pat, "[IP]"),
+      LongNumPat, "[NUM]")
+
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val redacted = redactPii(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPat)).as("n_email"),
+      regexp_count(col("text"), lit(Ipv4Pat)).as("n_ip"),
+      regexp_count(col("text"), lit(LongNumPat)).as("n_num"),
+      md5(redacted).as("red_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style heuristic quality gate: per-doc rule flags plus the
+    * conjunction. Thresholds are scaled to the synthetic corpus (docs
+    * are short) but the rule set is the published one: word-count
+    * bounds, mean-word-length band, numeric-word ceiling, alpha-word
+    * floor, and a common-stopword floor ("has common words"). Ratios
+    * are int/int divisions — bit-identical in Spark and DuckDB, no
+    * rounding needed. */
+  def qualityGopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRules(documents(s, d))
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val w = split(lower(col("text")), "\\s+")
+    val nWords = size(w)
+    val nAlphaW = size(filter(w, x => x.rlike("[a-z]")))
+    val nNumW = size(filter(w, x => x.rlike("^[0-9]+$")))
+    val nStopW = size(filter(w,
+      x => x.isin("the", "and", "of", "to", "in")))
+    val meanWlen = length(regexp_replace(col("text"), "\\s+", ""))
+      .cast(DoubleType) / nWords
+    docs.select(
+      col("doc_id"), nWords.as("n_words"), meanWlen.as("mean_wlen"),
+      (nNumW.cast(DoubleType) / nWords).as("num_ratio"),
+      (nAlphaW.cast(DoubleType) / nWords).as("alpha_ratio"),
+      nStopW.as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(10, 100000) &&
+          col("mean_wlen").between(2.0, 12.0) &&
+          col("num_ratio") < 0.3 &&
+          col("alpha_ratio") > 0.7 &&
+          col("n_stop") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style boilerplate paragraph detection: sentence-split, normalize
+    * (lower + trim), drop short fragments, and surface every span
+    * appearing in ≥2 documents with its document frequency and first
+    * occurrence. Downstream removal is a map-only anti-join against this
+    * (small) list. Only 16-byte digests shuffle — raw spans never do. */
+  def dedupParagraph(s: SparkSession, d: String): DataFrame =
+    boilerplateParagraphs(documents(s, d))
+
+  def boilerplateParagraphs(docs: DataFrame): DataFrame = {
+    val para = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\.\\s+")).as("p"))
+      .select(col("doc_id"), lower(trim(col("p"))).as("p"))
+      .where(length(col("p")) > 20)
+    para
+      .groupBy(md5(col("p")).as("para_digest"))
+      .agg(count(lit(1)).as("df"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("df").desc, col("para_digest"))
+  }
+
+  /** Benchmark-contamination screen: distinct word-8-gram overlap
+    * between each corpus doc and a designated eval set (here: doc_id ≡ 0
+    * mod 97 stands in for the benchmark table). Corpus docs sharing ≥1
+    * 8-gram with any eval doc come back with their overlap count — the
+    * list a pipeline drops or flags before training. The eval side is
+    * distinct-hashed and broadcast; the corpus side is map-only explode
+    * + semi-match, no corpus-side self-join. */
+  def pipelineContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    contaminationScreen(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0))
+  }
+
+  /** Overlap counts of `corpus` docs against the `evalSet` benchmark. */
+  def contaminationScreen(corpus: DataFrame, evalSet: DataFrame): DataFrame = {
+    val evalSide = evalSet
+      .select(explode(shingles(col("text"), 8)).as("ng")).distinct()
+    corpus
+      .select(col("doc_id"), explode(shingles(col("text"), 8)).as("ng"))
+      .join(broadcast(evalSide), Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_contam"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> (textPiiRedact _),
+    "quality_gopher_rules" -> (qualityGopherRules _),
+    "dedup_paragraph" -> (dedupParagraph _),
+    "pipeline_contamination" -> (pipelineContamination _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS INTEGER) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '$LongNumPat')) AS INTEGER) AS n_num,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$EmailPat', '[EMAIL]', 'g'),
+        |    '$Ipv4Pat', '[IP]', 'g'),
+        |    '$LongNumPat', '[NUM]', 'g')) AS red_digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w, text
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(w) AS mean_wlen,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$')))
+        |      AS DOUBLE) / len(w) AS num_ratio,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS DOUBLE) / len(w) AS alpha_ratio,
+        |    CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in')))
+        |      AS INTEGER) AS n_stop
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, mean_wlen, num_ratio, alpha_ratio, n_stop,
+        |  (n_words BETWEEN 10 AND 100000) AND (mean_wlen BETWEEN 2.0 AND 12.0)
+        |    AND num_ratio < 0.3 AND alpha_ratio > 0.7 AND n_stop >= 1 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "dedup_paragraph" ->
+      """WITH p0 AS (
+        |  SELECT doc_id,
+        |    lower(trim(unnest(regexp_split_to_array(text, '\.\s+')))) AS p
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, p FROM p0 WHERE length(p) > 20
+        |)
+        |SELECT md5(p) AS para_digest,
+        |  count(*) AS df,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, para_digest""".stripMargin,
+
+    "pipeline_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 8
+        |    THEN list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' '))
+        |    ELSE [array_to_string(w, ' ')] END)) AS ng
+        |  FROM t
+        |), ev AS (
+        |  SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0
+        |)
+        |SELECT g.doc_id, count(DISTINCT g.ng) AS n_contam
+        |FROM g JOIN ev USING (ng)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  )
+}

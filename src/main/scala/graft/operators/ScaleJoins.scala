@@ -35,6 +35,9 @@ object ScaleJoins {
     salted.join(replicated,
         salted(key) === replicated(key) && salted("_salt") === replicated("_salt"),
         joinType)
+      // single unambiguous key column (the skewed side's), as a
+      // using-column join would produce
+      .drop(replicated(key))
       .drop("_salt")
   }
 }

@@ -71,6 +71,22 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Append per-query recall vs the exact brute-force top-k, so the ANN
+    * quality number is driver-visible in the gate output (not just row
+    * counts). Diagnostic join: the exact twin runs at test scale; at
+    * corpus scale recall is measured the same way but over a sampled
+    * query set, never the full corpus. */
+  private def annWithRecall(s: SparkSession, d: String, ann: DataFrame): DataFrame = {
+    val exact = simTopkBruteforce(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    ann.join(exact, Seq("q_id", "vec_id"), "left")
+      .withColumn("recall",
+        round(sum(coalesce(col("hit"), lit(0)))
+          .over(Window.partitionBy(col("q_id"))) / K.toDouble, 4))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"), col("recall"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** ANN top-k via random-hyperplane LSH: candidates are vectors sharing
     * ≥1 (table, bucket) with the query; exact cosine rescoring on the
     * candidate set only. */
@@ -103,7 +119,7 @@ object Similarity {
           .orderBy(col("score").desc, col("vec_id"))))
       .where(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
-      .orderBy(col("q_id"), col("rank"))
+      .transform(annWithRecall(s, d, _))
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
@@ -192,7 +208,7 @@ object Similarity {
           .orderBy(col("score").desc, col("vec_id"))))
       .where(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
-      .orderBy(col("q_id"), col("rank"))
+      .transform(annWithRecall(s, d, _))
   }
 
   /** (d², cell) structs for every centroid — shared by probe-list and

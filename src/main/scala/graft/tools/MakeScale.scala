@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: materialize an N×-scaled copy of a testdata dir with
+  * referentially-consistent keys (every foreign key shifts by the same
+  * per-copy offset as its primary key), so the full bench suite runs
+  * unmodified at 10× — the empirical "survives a scale-up" check.
+  * Fixed-size dims (region, nation) stay as-is, like TPC-H.
+  * `sbt "runMain graft.tools.MakeScale [factor] [srcDir] [outDir]"`. */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(2).getOrElse("/tmp/sf1")
+    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shift = 100000000L
+    def rep(name: String, keyCols: Seq[String])(extra: DataFrame => DataFrame = identity): Unit = {
+      val df = spark.read.parquet(s"$src/$name.parquet")
+      val copies = spark.range(factor).select(col("id").as("_copy"))
+      val scaled = extra(keyCols.foldLeft(df.crossJoin(copies)) { (d, k) =>
+        d.withColumn(k, col(k) + col("_copy") * shift)
+      }).drop("_copy")
+      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    rep("customer", Seq("c_custkey"))()
+    rep("supplier", Seq("s_suppkey"))()
+    rep("part", Seq("p_partkey"))()
+    rep("orders", Seq("o_orderkey", "o_custkey"))()
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
+    rep("events", Seq("event_id", "user_id"))()
+    // salt cloned text: otherwise each clone set is mutual exact/near
+    // dups and dedup candidate pairs grow quadratically by construction
+    rep("documents", Seq("doc_id"))(d =>
+      d.withColumn("text",
+        when(col("_copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" salt"), col("doc_id")))))
+    rep("embeddings", Seq("vec_id"))()
+    spark.stop()
+  }
+}

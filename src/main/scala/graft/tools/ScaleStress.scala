@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * `sbt "runMain graft.tools.ScaleStress [factor]"`. */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val skewOnly = args.contains("skew")
+    val factor = args.filter(_ != "skew").headOption.map(_.toInt).getOrElse(10)
     val sf = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.build(cpus)
@@ -48,6 +49,7 @@ object ScaleStress {
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
+    if (!skewOnly) {
     println(s"stress factor=$factor: lineitem=${lineitem.count()}, docs=${docs.count()}")
     time("q1-style agg")(
       lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -77,6 +79,27 @@ object ScaleStress {
     }
     time("token-budget sharding")(
       graft.operators.Sharding.shardByTokenBudget(docs))
+    }
+
+    // planted 90%-one-key skew join + groupBy on the join key, against a
+    // side too big to broadcast (the regime saltedJoin exists for: a
+    // broadcast-able dim never skews, and AQE's skew split can't fire
+    // when the join output must keep its hashpartitioning for the
+    // downstream agg). Plain: both sides shuffle on k and one task eats
+    // 90% of the fact. Salted: the hot key scatters across 32 sub-keys;
+    // the mid side replicates 32× but spreads evenly.
+    val skewN = 200000000L * factor / 10
+    val hot = mat("skew_fact", spark.range(skewN).select(
+      when(col("id") % 10 < 9, lit(1L)).otherwise(col("id")).as("k"),
+      (col("id") % 1000).as("payload")))
+    val mid = mat("skew_mid", spark.range(5000000).select(
+      col("id").as("k"), (col("id") * 2).as("w")))
+    time("skew join plain")(
+      hot.join(mid, "k").groupBy("k")
+        .agg(sum(col("payload") + col("w")), count(lit(1))))
+    time("skew join salted x32")(
+      graft.operators.ScaleJoins.saltedJoin(hot, mid, "k", nSalts = 32)
+        .groupBy("k").agg(sum(col("payload") + col("w")), count(lit(1))))
     spark.stop()
   }
 }

@@ -25,6 +25,41 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feat1.sum - 1.0f) < 1e-3)
   }
 
+  /** A genuine PNG rendered in-memory: 48×32, left half black, right
+    * half white — known dimensions and a known luminance split. */
+  private def realPng(w: Int = 48, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG bytes decode to true dimensions and luminance histogram") {
+    val (fmt, w, h, feat) = Multimodal.ImageDecoder.decode(realPng())
+    assert((fmt, w, h) == ("png", 48, 32))
+    assert(feat.length == 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-3)
+    // half black (bin 0), half white (bin 7)
+    assert(math.abs(feat(0) - 0.5f) < 0.05f && math.abs(feat(7) - 0.5f) < 0.05f)
+  }
+
+  test("real PNG decodes through the distributed pipeline; junk falls back to stub") {
+    import spark.implicits._
+    val blobs = Seq((1L, realPng()), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    val out = Multimodal.decodeFeatures(spark, blobs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "png")
+    assert(out(1L).getInt(2) == 48 && out(1L).getInt(3) == 32)
+    // junk blob: sniff fails → deterministic stub, same schema
+    val (sf, sw, sh, _) = Multimodal.StubDecoder.decode("not an image".getBytes("UTF-8"))
+    assert(out(2L).getString(1) == sf)
+    assert(out(2L).getInt(2) == sw && out(2L).getInt(3) == sh)
+  }
+
   test("feature resize halves bins and preserves mass") {
     val docs = Tables.documents(spark, Sf).limit(50)
     val feats = Multimodal.decodeFeatures(spark, Multimodal.withBlobs(docs))

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityRules
+
+/** Planted-data semantics for the rule-based curation operators; the
+  * sf-corpus outputs are oracle-checked by the driver gate. */
+class QualityRulesSpec extends SparkSpec {
+
+  test("PII redaction replaces emails, IPs and long digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at jane.doe+x@example.org or box 123456789012 thanks",
+      "server 10.0.255.7 is fine; short num 1234 stays").toDF("text")
+      .select(QualityRules.redactPii(col("text")).as("r"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) == "mail me at [EMAIL] or box [NUM] thanks")
+    assert(out(1) == "server [IP] is fine; short num 1234 stays")
+  }
+
+  test("gopher rules gate: planted good and bad docs") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs to town"
+    val allNums = "1 2 3 4 5 6 7 8 9 10 11 12"
+    val tooShort = "the end"
+    val docs = Seq((1L, good), (2L, allNums), (3L, tooShort))
+      .toDF("doc_id", "text")
+    val keep = QualityRules.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("boilerplate paragraphs surface cross-doc repeats only") {
+    import spark.implicits._
+    val boiler = "all rights reserved click here to unsubscribe now"
+    val docs = Seq(
+      (1L, s"unique alpha text body one long enough. $boiler"),
+      (2L, s"different beta content body two also long. $boiler"),
+      (3L, "totally original gamma paragraph nothing repeated here"))
+      .toDF("doc_id", "text")
+    val out = QualityRules.boilerplateParagraphs(docs).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L) // df, n_docs
+    assert(out(0).getLong(3) == 1L) // first_doc
+  }
+
+  test("contamination screen counts distinct shared 8-grams") {
+    import spark.implicits._
+    val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val clean = "one two three four five six seven eight nine ten eleven"
+    // contaminated doc embeds 3 words of lead-in + the eval text: shares
+    // the eval doc's 3 8-gram windows (10 words → 3 windows)
+    val contaminated = s"lead in words $evalDoc"
+    val corpus = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val eval_ = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val out = QualityRules.contaminationScreen(corpus, eval_).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    assert(out(0).getLong(1) == 3L, s"expected 3 shared 8-grams, got ${out(0)}")
+  }
+}

@@ -24,11 +24,12 @@ class ScaleJoinsSpec extends SparkSpec {
     import spark.implicits._
     val skewed = Seq((1L, "a"), (1L, "b"), (99L, "c")).toDF("k", "v")
     val dim = Seq((1L, "x")).toDF("k", "name")
-    val out = ScaleJoins.saltedJoin(skewed, dim, "k", 4, "left")
-      .orderBy("v").collect()
+    val df = ScaleJoins.saltedJoin(skewed, dim, "k", 4, "left")
+    assert(df.columns.toSeq == Seq("k", "v", "name"))
+    val out = df.orderBy("v").collect()
     assert(out.length == 3)
     assert(out.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
-    assert(out(2).isNullAt(3)) // unmatched key 99 keeps a null dim side
+    assert(out(2).isNullAt(2)) // unmatched key 99 keeps a null dim side
   }
 
   test("bucketed tables join with no shuffle on the join key") {

@@ -48,23 +48,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** The emitted recall column (driver-visible quality number) must
+    * agree with this suite's independent recall computation. */
+  private def checkEmittedRecall(rows: Array[org.apache.spark.sql.Row],
+                                 exact: Map[Long, Set[Long]]): Unit = {
+    val emitted = rows.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    emitted.foreach { case (q, rec) =>
+      val independent = topkSets(rows)
+        .getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+      assert(math.abs(rec - independent) < 1e-3,
+        s"query $q: emitted recall $rec != computed $independent")
+    }
+  }
+
   test("IVF ANN recalls >= 50% of brute-force top-k probing 8/32 cells") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
-    val ivf = topkSets(Similarity.simAnnIvf(spark, Sf).collect())
+    val rows = Similarity.simAnnIvf(spark, Sf).collect()
+    val ivf = topkSets(rows)
     val recalls = exact.map { case (q, tk) =>
       ivf.getOrElse(q, Set.empty).intersect(tk).size.toDouble / tk.size
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, f"mean IVF recall $mean%.2f < 0.5 (near-isotropic corpus)")
+    checkEmittedRecall(rows, exact)
   }
 
   test("LSH ANN recalls >= 60% of brute-force top-k") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
-    val ann = topkSets(Similarity.simAnnLsh(spark, Sf).collect())
+    val rows = Similarity.simAnnLsh(spark, Sf).collect()
+    val ann = topkSets(rows)
     val recalls = exact.map { case (q, tk) =>
       ann.getOrElse(q, Set.empty).intersect(tk).size.toDouble / tk.size
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, f"mean recall $mean%.2f < 0.6")
+    checkEmittedRecall(rows, exact)
   }
 }
