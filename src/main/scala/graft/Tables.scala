@@ -25,9 +25,13 @@ object Tables {
     * division — a double roundtrip would lose precision past 2^53 ns). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
+    val raw = table(s, d, "events")
+    // derived dirs (MakeScale) already store a true timestamp; only the
+    // driver-generated TIMESTAMP(NANOS) files need the long→micros fix
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
+    else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

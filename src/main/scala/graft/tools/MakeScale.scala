@@ -19,12 +19,20 @@ object MakeScale {
 
     val shift = 100000000L
     def rep(name: String, keyCols: Seq[String])(extra: DataFrame => DataFrame = identity): Unit = {
-      val df = spark.read.parquet(s"$src/$name.parquet")
+      // go through the schema-aware loaders (events needs the
+      // TIMESTAMP(NANOS) fix; the rest are plain reads)
+      val df = if (name == "events") graft.Tables.events(spark, src)
+               else spark.read.parquet(s"$src/$name.parquet")
       val copies = spark.range(factor).select(col("id").as("_copy"))
       val scaled = extra(keyCols.foldLeft(df.crossJoin(copies)) { (d, k) =>
         d.withColumn(k, col(k) + col("_copy") * shift)
       }).drop("_copy")
-      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // the broadcast-NLJ replication collapses to ~1 output partition —
+      // written as one giant row group a scan can't split. Spread across
+      // the cores so scan parallelism at bench time matches a real
+      // multi-file table.
+      scaled.repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 

@@ -68,6 +68,24 @@ class PlanRegressionSpec extends SparkSpec {
       }
   }
 
+  test("contamination screen broadcasts the eval n-gram side") {
+    val p = plan("pipeline_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side must broadcast — a shuffle join would move the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("PII redaction is a map-only scan: no exchange in the plan") {
+    // orderBy is presentation-only for the gate; everything above the
+    // sort must be scan → project (regexes run inside codegen)
+    val df = graft.operators.QualityRules
+      .gopherRules(Tables.documents(spark, Sf)) // same shape as redact
+    val p = df.queryExecution.executedPlan.toString
+    val aboveSort = p.split("\n").dropWhile(!_.contains("Sort"))
+    assert(!aboveSort.exists(_.contains("Exchange hashpartitioning")),
+      s"per-row rule gate must not shuffle on any key:\n$p")
+  }
+
   test("range-clustered writes skip files via parquet min/max stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_clus").toString
     val orders = Tables.orders(spark, Sf)
