@@ -74,4 +74,50 @@ object Sources {
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-ordered parquet layout: bit-interleave rank-bucketed cluster
+    * keys into one Morton key, then range-cluster on it. Unlike
+    * [[writeClustered]] — which prunes only on the leading key — every
+    * z-ordered dimension gets min/max file skipping, because a narrow
+    * filter on ANY key pins that key's high bits and the z-curve keeps
+    * rows sharing high bits inside few files. This is the layout for
+    * fact tables queried along several independent dimensions (time AND
+    * user; key AND price) where no single sort order serves all.
+    *
+    * Each key is normalized by QUANTILE RANK, not linear min/max: a
+    * skewed column (prices, timestamps) under linear scaling piles most
+    * rows into few z-prefixes and the equal-row-count file boundaries
+    * stop aligning with bit boundaries, destroying the skip guarantee.
+    * Rank bucketing (an approx-quantile sketch per key — a bounded
+    * driver collect, the same sampling repartitionByRange itself does)
+    * makes every bit pattern carry ~equal row mass regardless of the
+    * value distribution. The per-row bucket lookup is a codegen'd
+    * filter-count over the boundary array literal; the interleave is
+    * shift/or; then the identical range-partition + sort-within + write
+    * path. The helper `_z` column never reaches the files. */
+  def writeZOrdered(df: DataFrame, path: String, zBy: Seq[String],
+                    nFiles: Int = 8, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zBy.size >= 2, "z-ordering needs >= 2 keys (one key: writeClustered)")
+    val nBuckets = 1 << bits
+    val scaled = zBy.map { c =>
+      val cuts = df.stat.approxQuantile(c,
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+        .distinct.sorted
+      val arr = array(cuts.map(lit(_)): _*)
+      size(filter(arr, b => b <= col(c).cast("double"))).cast("long")
+    }
+    val n = zBy.size
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (c, ci)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, bit).bitwiseAND(lit(1L)),
+          bit * n + ci))
+      }
+    }
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -103,6 +103,52 @@ class PlanRegressionSpec extends SparkSpec {
       s"expected file/row-group skipping: scanned $scanned of $total rows")
   }
 
+  test("z-ordered writes skip files on EVERY clustered dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    // sf0.01 (15k orders): 16 files of ~940 rows — enough mass per file
+    // for the range sampler's boundaries to track the z-bit structure
+    val orders = Tables.orders(spark, "/root/testdata/sf0.01")
+    graft.sources.Sources.writeZOrdered(
+      orders, s"$dir/orders_z.parquet", Seq("o_custkey", "o_totalprice"),
+      nFiles = 16)
+    val total = orders.count()
+    def scanned(filter: org.apache.spark.sql.Column): Long = {
+      val scan = spark.read.parquet(s"$dir/orders_z.parquet").where(filter)
+      scan.collect()
+      scan.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+    }
+    // narrow filters on EACH dimension independently: the z-curve pins
+    // that dimension's high bits, so only a fraction of files match.
+    // 16 files = 2 high bits per dimension → the curve guarantees ~1/4
+    // of files per narrow single-dim filter, plus boundary-straddle
+    // bleed from equal-count partitioning — assert the halfway mark.
+    val byKey = scanned(col("o_custkey").between(0, 40))
+    val byPrice = scanned(col("o_totalprice").between(1000.0, 11000.0))
+    assert(byKey < total / 2, s"custkey dim not skipping: $byKey of $total")
+    assert(byPrice < total / 2, s"price dim not skipping: $byPrice of $total")
+    // control: single-key range clustering prunes the leading key only —
+    // the trailing-dimension query reads ~everything, so z-order must
+    // win off the leading key
+    graft.sources.Sources.writeClustered(
+      orders, s"$dir/orders_c.parquet", Seq("o_custkey"), nFiles = 16)
+    val scanC = spark.read.parquet(s"$dir/orders_c.parquet")
+      .where(col("o_totalprice").between(1000.0, 11000.0))
+    scanC.collect()
+    val cPrice = scanC.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value
+    assert(cPrice > byPrice,
+      s"z-order should beat single-key layout off the leading key: $cPrice vs $byPrice")
+  }
+
+  test("AQE coalesces shuffle partitions at runtime") {
+    val df = SparkEntry.queries("q1_agg")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"AQE must merge the 6-group shuffle's empty partitions at runtime:\n$p")
+  }
+
   test("partitioned writes prune partitions on read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Sources.write(
