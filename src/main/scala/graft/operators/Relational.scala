@@ -465,6 +465,32 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** ROLLUP: hierarchical grouping-set prefixes (priority, status) →
+    * (priority) → () in one Expand + one partial+final aggregate, like
+    * CUBE but without the non-prefix combinations. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("vol"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Navigation window functions in one pass: lag/lead (offset rows),
+    * first_value and nth_value (frame rows) per customer order history.
+    * One shuffle on the partition key serves all four. */
+  def qWindowLeadlag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .where(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first_value(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Correlated EXISTS with a predicate inside the subquery: priorities
     * of orders that have at least one high-quantity line. Planned as a
     * left-semi join on the filtered fact — the filter shrinks the build
@@ -595,6 +621,8 @@ object Relational {
     "q_pivot" -> (qPivot _),
     "q_full_outer_join" -> (qFullOuterJoin _),
     "q_cube" -> (qCube _),
+    "q_rollup" -> (qRollup _),
+    "q_window_leadlag" -> (qWindowLeadlag _),
     "q_exists_correlated" -> (qExistsCorrelated _),
     "q_null_handling" -> (qNullHandling _),
     "q_window_range_interval" -> (qWindowRangeInterval _),
@@ -903,6 +931,22 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vol
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_exists_correlated" ->
       """SELECT o_orderpriority, count(*) AS cnt,

@@ -98,11 +98,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary head: top-100 whitespace tokens by frequency
+    * (ties broken by token). The classic shuffle-heavy vocab build —
+    * partial+final count on the token key, then a global top-k that
+    * Spark plans as TakeOrderedAndProject (per-partition heaps, never a
+    * full sort). */
+  def textTopTokens(s: SparkSession, d: String): DataFrame =
+    topTokens(documents(s, d))
+
+  def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Unigram language-model score per document: mean log probability of
+    * its tokens under the corpus unigram distribution — the classic
+    * cheap fluency/quality signal (high = common fluent text, low =
+    * gibberish or rare-token soup). Two passes: (1) vocabulary build
+    * (partial+final count — the only corpus-wide shuffle), (2) token →
+    * frequency join + per-doc aggregation. Per-token log probs round to
+    * 9 dp and sum as DECIMAL so partial-aggregation order cannot flip
+    * the result (same discipline as dsum). At 100 TB the vocabulary
+    * head (df > ~5) is small enough to broadcast and the tail can be
+    * floored to a smoothing constant without changing ranking. */
+  def textUnigramLogprob(s: SparkSession, d: String): DataFrame =
+    unigramLogprob(documents(s, d))
+
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val total = tok.count().toDouble
+    tok.join(vocab, Seq("w"))
+      .select(col("doc_id"),
+        round(log(col("cf") / lit(total)), 9)
+          .cast(DecimalType(28, 9)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("lp")).cast(DoubleType) / count(lit(1))), 6)
+          .as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
-    "text_fingerprint" -> (textFingerprint _)
+    "text_fingerprint" -> (textFingerprint _),
+    "text_top_tokens" -> (textTopTokens _),
+    "text_unigram_logprob" -> (textUnigramLogprob _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +204,25 @@ object TextAnalysis {
         |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER) AS n_ws,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
         |    AS INTEGER) AS n_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_top_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT w, count(*) AS cf FROM tok GROUP BY w
+        |), total AS (SELECT count(*) AS t FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(round(ln(cf / t), 9) AS DECIMAL(28,9)))
+        |    AS DOUBLE) / count(*), 6) AS mean_logprob
+        |FROM tok JOIN vocab USING (w), total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
