@@ -32,8 +32,11 @@ object Multimodal {
     * vector. Swap this object for a real codec binding in production. */
   object StubDecoder {
     def decode(blob: Array[Byte]): (String, Int, Int, Array[Float]) = {
+      // stub_ prefix: fake formats must never collide with the real
+      // decoder's labels, or gate counts mix the two paths
       val fmt = if (blob.isEmpty) "empty" else (blob(0) & 3) match {
-        case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"; case _ => "tiff"
+        case 0 => "stub_jpeg"; case 1 => "stub_png"
+        case 2 => "stub_webp"; case _ => "stub_tiff"
       }
       val w = 64 + (if (blob.length > 1) (blob(1) & 0x7f) else 0)
       val h = 64 + (if (blob.length > 2) (blob(2) & 0x7f) else 0)
@@ -104,11 +107,35 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** Attach a synthetic binary "media" column (the corpus has no real
-    * blobs; utf-8 bytes of the text stand in) — in production this is a
-    * `binary` parquet column read straight off the scan. */
-  def withBlobs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+  /** Attach a synthetic binary "media" column — in production this is a
+    * `binary` parquet column read straight off the scan. Every 5th doc
+    * gets a GENUINE PNG (rendered deterministically from doc_id, so the
+    * gate output exercises the real javax.imageio decode path); the rest
+    * carry utf-8 text bytes that sniff as non-image and take the stub
+    * fallback — both branches of the decoder run on every gate pass.
+    * (A UDF is fine here: blob synthesis is corpus scaffolding, not an
+    * engine operator.) */
+  def withBlobs(docs: DataFrame): DataFrame = {
+    val renderPng = udf { (id: Long) =>
+      val w = 16 + (id % 16).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = (id % 256).toInt
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, renderPng(col("doc_id")))
+        .otherwise(encode(col("text"), "UTF-8")).as("blob"))
+  }
 
   /** Batched per-partition decode: binary blob → typed metadata +
     * feature vector. mapPartitions + grouped iterator = the JVM shape of

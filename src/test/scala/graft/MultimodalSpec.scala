@@ -87,5 +87,13 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.mmPipeline(spark, Sf)
     val total = out.agg(sum("n")).collect()(0).getLong(0)
     assert(total == Tables.documents(spark, Sf).count())
+    // every 5th doc carries a genuine PNG → the gate output must show
+    // the real javax.imageio decode path ran, not just the stub
+    val byFormat = out.groupBy("format").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFormat.contains("png"), s"no real-decode rows: $byFormat")
+    val expected = Tables.documents(spark, Sf)
+      .where(col("doc_id") % 5 === 0).count()
+    assert(byFormat("png") == expected)
   }
 }
