@@ -51,9 +51,50 @@ object Events {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Semi-structured payloads: extract a typed field out of the JSON
+    * `props` column and aggregate it. get_json_object evaluates inside
+    * codegen on the scan — no parse-to-struct materialization; at 100 TB
+    * prefer `from_json` with an explicit schema once the payload is
+    * stable (single parse, columnar after). */
+  def qJsonFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * at stage n only with an event strictly after their stage-(n-1)
+    * time. Three shuffles on user_id (the natural key); each stage's
+    * frame shrinks before the next join, so the expensive joins run on
+    * the smallest sides. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id")).where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
-    "stream_sessionize" -> (streamSessionize _)
+    "stream_sessionize" -> (streamSessionize _),
+    "q_json_funcs" -> (qJsonFuncs _),
+    "events_funnel" -> (eventsFunnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,6 +125,37 @@ object Events {
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  min(ts) AS s_start, max(ts) AS s_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM z GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin
+        |FROM z GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  -- epoch_us: Spark compares at micros (TIMESTAMP(NANOS) read
+        |  -- via the micros conversion), so the oracle must too, or a
+        |  -- same-microsecond nano tie flips the strict inequality
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > epoch_us(v.t1)
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > epoch_us(c.t2)
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INTEGER) AS stage, count(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER) AS stage, count(*) AS n_users FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER) AS stage, count(*) AS n_users FROM p
+        |ORDER BY stage""".stripMargin
   )
 }
