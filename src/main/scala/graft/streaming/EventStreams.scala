@@ -124,6 +124,27 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-stream inner join: clicks attributed to a view by the same
+    * user within 30 minutes. Both sides carry watermarks and the join
+    * condition bounds event time, so each side's state store holds only
+    * rows younger than watermark + the 30-minute band — the bounded-state
+    * form of stream-to-stream correlation (attribution, funnels,
+    * request/response pairing) at any input rate. */
+  def clickAfterView(events: DataFrame): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value"))
+      .withWatermark("click_ts", "2 hours")
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("value"))
+  }
+
   /** Session windows with a 30-minute gap, built on the native
     * session_window operator — state holds only open sessions. */
   def sessionize(events: DataFrame): DataFrame =

@@ -102,6 +102,30 @@ class StreamingSpec extends SparkSpec {
       Tables.events(spark, Sf).count(), "restart duplicated rows")
   }
 
+  test("stream-stream click-after-view join matches the batch join") {
+    val q = EventStreams.clickAfterView(EventStreams.eventStream(spark, Sf))
+      .writeStream.format("memory").queryName("cav")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cav")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    val e = Tables.events(spark, Sf)
+    val batch = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .join(e.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts")),
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_ts"), col("click_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    assert(streamed == batch,
+      s"stream join must equal batch join: ${streamed.size} vs ${batch.size} pairs")
+    assert(batch.nonEmpty, "corpus must exercise the join")
+  }
+
   test("streaming sessionization produces bounded sane sessions") {
     val q = EventStreams.sessionize(EventStreams.eventStream(spark, Sf))
       .writeStream.format("memory").queryName("sessions")
