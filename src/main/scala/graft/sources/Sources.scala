@@ -105,7 +105,27 @@ object Sources {
         (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
         .distinct.sorted
       val arr = array(cuts.map(lit(_)): _*)
-      size(filter(arr, b => b <= col(c).cast("double"))).cast("long")
+      val m = cuts.length
+      val x = col(c).cast("double")
+      // rank of x among the sorted cut points as a binary search:
+      // log2(m) element_at probes per row instead of a linear
+      // filter-count over the whole array (30× fewer comparisons at
+      // bits=8 — this is the per-row hot loop of the entire write).
+      // Folded via aggregate() so the lambda BINDS the accumulator: a
+      // hand-unrolled when-chain would duplicate the whole subtree per
+      // step and blow the expression tree up exponentially.
+      val steps = {
+        var s = java.lang.Long.highestOneBit(math.max(m, 1).toLong)
+        val b = Seq.newBuilder[Long]
+        while (s >= 1) { b += s; s >>= 1 }
+        array(b.result().map(lit(_)): _*)
+      }
+      aggregate(steps, lit(0L), (acc, st) => {
+        val cand = acc + st
+        when(cand <= lit(m.toLong) &&
+            element_at(arr, least(cand, lit(m.toLong)).cast("int")) <= x,
+          cand).otherwise(acc)
+      })
     }
     val n = zBy.size
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val skewOnly = args.contains("skew")
-    val factor = args.filter(_ != "skew").headOption.map(_.toInt).getOrElse(10)
+    val coreOnly = args.contains("core") // skip the slow skew case
+    val factor = args.filterNot(Set("skew", "core"))
+      .headOption.map(_.toInt).getOrElse(10)
     val sf = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.build(cpus)
@@ -79,7 +81,22 @@ object ScaleStress {
     }
     time("token-budget sharding")(
       graft.operators.Sharding.shardByTokenBudget(docs))
+    time("boilerplate paragraphs")(
+      graft.operators.QualityRules.boilerplateParagraphs(docs))
+    time("contamination screen")(
+      graft.operators.QualityRules.contaminationScreen(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0)))
+    time("unigram logprob")(
+      graft.operators.TextAnalysis.unigramLogprob(docs))
+    time("z-order write") {
+      graft.sources.Sources.writeZOrdered(
+        orders, s"$base/orders_z.parquet",
+        Seq("o_custkey", "o_totalprice"), nFiles = 64)
+      spark.read.parquet(s"$base/orders_z.parquet").limit(1)
     }
+    }
+    if (coreOnly) { spark.stop(); return }
 
     // planted 90%-one-key skew join + groupBy on the join key, against a
     // side too big to broadcast (the regime saltedJoin exists for: a

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, QualityRules, TextAnalysis}
 
 /** Hostile inputs the 100 TB corpus will certainly contain: empty
   * documents, whitespace-only, single-word, CJK (no whitespace at all),
@@ -44,6 +44,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(fps(1L).isEmpty)          // empty doc → empty fingerprint
     assert(fps(5L) == fps(6L))       // identical docs → identical prints
     assert(fps(4L).nonEmpty)         // CJK bytes fingerprint fine
+  }
+
+  test("rule-based curation survives hostile docs") {
+    // gopher gate: a row per doc, hostile docs simply fail the gate
+    val gate = QualityRules.gopherRules(hostile).collect()
+    assert(gate.length == 7)
+    assert(!gate.filter(r => Set(1L, 2L, 3L).contains(r.getLong(0)))
+      .exists(_.getBoolean(6)), "degenerate docs must not pass the gate")
+    // PII redaction: empty and CJK text pass through untouched
+    val red = hostile.select(col("doc_id"),
+      QualityRules.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "" && red(4L) == "数据处理引擎没有空格的文本")
+    // boilerplate spans: the duplicated text surfaces, nothing throws
+    val spans = QualityRules.boilerplateParagraphs(hostile).collect()
+    assert(spans.length == 1 && spans(0).getLong(2) == 2L)
+    // contamination screen against a hostile eval set: no crash, and
+    // the boilerplate doc is flagged against its twin
+    val contam = QualityRules.contaminationScreen(
+      hostile.where(col("doc_id") =!= 6L), hostile.where(col("doc_id") === 6L))
+      .collect().map(_.getLong(0)).toSet
+    assert(contam == Set(5L), s"expected only the twin flagged: $contam")
   }
 
   test("text quality ratios stay finite or null, never crash") {

@@ -53,7 +53,8 @@ class PlanRegressionSpec extends SparkSpec {
     // must carry it — a CodegenFallback kernel would strip it
     Seq("text_quality" -> "text_stats",
         "sim_topk_bruteforce" -> "vec_cosine",
-        "dedup_minhash_lsh" -> "minhash_buckets")
+        "dedup_minhash_lsh" -> "minhash_buckets",
+        "pipeline_contamination" -> "ngram_hashes")
       .foreach { case (q, kernel) =>
         val df = SparkEntry.queries(q)(spark, Sf)
         df.collect()

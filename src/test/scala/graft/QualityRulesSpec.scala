@@ -44,6 +44,31 @@ class QualityRulesSpec extends SparkSpec {
     assert(out(0).getLong(3) == 1L) // first_doc
   }
 
+  test("ngram_hashes kernel is cardinality- and match-equivalent to string shingles") {
+    import graft.functions.HashFunctions.ngramHashes
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.documents(spark, Sf)
+    // per-doc gram-set size must equal the string formulation's
+    val mismatch = docs.select(
+      size(ngramHashes(col("text"), 8)).as("a"),
+      size(shingles(col("text"), 8)).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(mismatch == 0, s"$mismatch docs with diverging gram cardinality")
+    // the screen over hashed grams must flag exactly the docs the
+    // string-gram join flags, with the same overlap counts
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+    val eval_ = docs.where(col("doc_id") % 97 === 0)
+    val viaStrings = corpus
+      .select(col("doc_id"), explode(shingles(col("text"), 8)).as("ng"))
+      .join(eval_.select(explode(shingles(col("text"), 8)).as("ng")).distinct(),
+        Seq("ng"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("ng")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = QualityRules.contaminationScreen(corpus, eval_)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaStrings)
+  }
+
   test("contamination screen counts distinct shared 8-grams") {
     import spark.implicits._
     val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
