@@ -15,7 +15,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_tpch_q3", "q_tpch_q5", "q_multi_join",
     "q_window_running", "dedup_exact", "dedup_minhash_lsh",
-    "sim_topk_bruteforce", "text_quality", "stream_sessionize")
+    "sim_topk_bruteforce", "text_quality", "stream_sessionize",
+    // round 2: the two shuffle-heavy curation additions
+    "pipeline_contamination", "text_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

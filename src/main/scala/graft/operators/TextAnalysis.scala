@@ -128,8 +128,13 @@ object TextAnalysis {
     unigramLogprob(documents(s, d))
 
   def unigramLogprob(docs: DataFrame): DataFrame = {
+    // tokens reduce to 64-bit hashes immediately: the vocab groupBy and
+    // the frequency join both shuffle 8-byte keys instead of raw token
+    // strings (same discipline as exact dedup / ngram_hashes; counts are
+    // collision-safe at 64 bits for any real vocabulary)
     val tok = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("w"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
     val total = tok.count().toDouble
     tok.join(vocab, Seq("w"))
