@@ -222,6 +222,12 @@ object SignatureKernels {
     * leading-empty-token artifact, so gram-set cardinalities and
     * cross-document matches agree with the string formulation (and the
     * DuckDB oracle) 1:1. Output sorted for determinism. */
+  /** Exactly Java/DuckDB `\s`: space, \t, \n, \x0B, \f, \r. A bare
+    * `<= ' '` test would also split on control bytes 0x00–0x08/0x0E–0x1F
+    * that the regex formulations keep inside tokens. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || (b >= '\t' && b <= '\r')
+
   def ngramHashes(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.toLowerCase.getBytes
     val len = bytes.length
@@ -229,12 +235,14 @@ object SignatureKernels {
     var nWords = 0
     val seen = new java.util.HashSet[java.lang.Long]()
 
-    def wordHash(start: Int, end: Int): Long = {
-      var acc = 0L
-      var j = start
-      while (j < end) { acc = acc * 31L + (bytes(j) & 0xffL); j += 1 }
-      XXH64.hashLong(acc, 42L)
-    }
+    // full xxhash64 over the word bytes — a polynomial accumulator
+    // folded through one hashLong has structured collision families
+    // (acc*31 ties e.g. "|!" with "{@"), which would break the 1:1
+    // parity with the string-shingle formulation this kernel promises
+    def wordHash(start: Int, end: Int): Long =
+      XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, 42L)
     def pushGram(): Unit = {
       var g = 42L
       var k = nWords - math.min(nWords, n)
@@ -249,12 +257,12 @@ object SignatureKernels {
 
     // split(lower(text), "\s+") yields a leading "" token when the text
     // starts with whitespace, and [""] for empty/all-whitespace text
-    if (len == 0 || (bytes(0) & 0xff) <= ' ') pushWord(wordHash(0, 0))
+    if (len == 0 || isWs(bytes(0))) pushWord(wordHash(0, 0))
     var i = 0
     while (i < len) {
-      while (i < len && (bytes(i) & 0xff) <= ' ') i += 1
+      while (i < len && isWs(bytes(i))) i += 1
       val start = i
-      while (i < len && (bytes(i) & 0xff) > ' ') i += 1
+      while (i < len && !isWs(bytes(i))) i += 1
       if (i > start) pushWord(wordHash(start, i))
     }
     if (nWords > 0 && nWords < n) pushGram() // short doc: one gram

@@ -65,12 +65,29 @@ object Multimodal {
       else None
     }
 
+    /** Dimension ceiling read from the header BEFORE pixel allocation:
+      * a decompression-bomb blob declaring 40000×40000 would otherwise
+      * make ImageIO allocate gigabytes and throw OutOfMemoryError — an
+      * Error the fallback catch can't (and shouldn't) swallow. 64 M px
+      * ≈ 256 MB ARGB, a sane per-record bound. */
+    val MaxPixels = 64L * 1024 * 1024
+
     def decode(blob: Array[Byte]): (String, Int, Int, Array[Float]) =
       sniff(blob) match {
         case Some(fmt) =>
           try {
-            val img = javax.imageio.ImageIO.read(
+            val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(blob))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) return StubDecoder.decode(blob)
+            val reader = readers.next()
+            val img =
+              try {
+                reader.setInput(iis)
+                val (hw, hh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+                if (hw * hh > MaxPixels) return StubDecoder.decode(blob)
+                reader.read(0)
+              } finally { reader.dispose(); iis.close() }
             if (img == null) StubDecoder.decode(blob)
             else {
               val (w, h) = (img.getWidth, img.getHeight)

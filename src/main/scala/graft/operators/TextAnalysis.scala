@@ -136,10 +136,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("w"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
-    val total = tok.count().toDouble
+    // lazy one-row total broadcast in (the oracle's `total` CTE shape) —
+    // an eager tok.count() here would run a full corpus scan at
+    // DataFrame-CONSTRUCTION time and pay tokenization a third time
+    val total = tok.agg(count(lit(1)).cast("double").as("t"))
     tok.join(vocab, Seq("w"))
+      .crossJoin(broadcast(total))
       .select(col("doc_id"),
-        round(log(col("cf") / lit(total)), 9)
+        round(log(col("cf") / col("t")), 9)
           .cast(DecimalType(28, 9)).as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -35,6 +35,15 @@ object ScaleStress {
       df.write.mode("overwrite").parquet(s"$base/$name")
       spark.read.parquet(s"$base/$name")
     }
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    if (!skewOnly) {
+    // replicas only materialize for the core cases — skew-only runs
+    // would otherwise pay minutes of writes they never read
     val lineitem = mat("lineitem",
       rep(graft.Tables.lineitem(spark, sf), Seq("l_orderkey"), shift))
     val orders = mat("orders",
@@ -44,14 +53,6 @@ object ScaleStress {
     val docs = mat("documents",
       rep(graft.Tables.documents(spark, sf), Seq("doc_id"), shift)
         .withColumn("text", concat(col("text"), lit(" salt"), col("doc_id"))))
-
-    def time(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    }
-
-    if (!skewOnly) {
     println(s"stress factor=$factor: lineitem=${lineitem.count()}, docs=${docs.count()}")
     time("q1-style agg")(
       lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -76,15 +76,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("PII redaction is a map-only scan: no exchange in the plan") {
-    // orderBy is presentation-only for the gate; everything above the
-    // sort must be scan → project (regexes run inside codegen)
-    val df = graft.operators.QualityRules
-      .gopherRules(Tables.documents(spark, Sf)) // same shape as redact
-    val p = df.queryExecution.executedPlan.toString
-    val aboveSort = p.split("\n").dropWhile(!_.contains("Sort"))
-    assert(!aboveSort.exists(_.contains("Exchange hashpartitioning")),
-      s"per-row rule gate must not shuffle on any key:\n$p")
+  test("per-row curation gates are map-only: no hash exchange anywhere") {
+    // the gate queries' only exchange may be the presentation orderBy's
+    // rangepartitioning; a hashpartitioning exchange would mean the
+    // per-row rules acquired a shuffle
+    Seq("text_pii_redact", "quality_gopher_rules").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle on any key:\n$p")
+      assert(p.contains("FileScan"), s"$q lost its scan?\n$p")
+    }
   }
 
   test("range-clustered writes skip files via parquet min/max stats") {

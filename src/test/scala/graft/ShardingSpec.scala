@@ -43,6 +43,22 @@ class ShardingSpec extends SparkSpec {
       "distributed prefix sum must be bit-identical to the sequential one")
   }
 
+  test("null-lang docs keep their shard assignment (no silent join drop)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("en"), "one two three four five"),
+      (2L, None, "alpha beta gamma delta"),
+      (3L, None, "more nullable language text here"),
+      (4L, Some("de"), "eins zwei drei"))
+      .toDF("doc_id", "lang", "text")
+    val out = Sharding.shardByTokenBudget(docs, budget = 10L, bucketWidth = 2L)
+      .collect()
+    assert(out.length == 4, s"every doc must be sharded, got ${out.length}")
+    val nullRows = out.filter(_.isNullAt(1))
+    assert(nullRows.length == 2, "null-lang docs form their own stratum")
+    assert(nullRows.map(_.getLong(3)).forall(_ >= 0L))
+  }
+
   test("corpus mixture hits target token shares without upsampling") {
     val docs = Tables.documents(spark, Sf)
     val weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
