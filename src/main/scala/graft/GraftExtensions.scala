@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.GraftInternals
 
-import graft.functions.{LangStats, MinHashBuckets, MinHashSignature, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{LangStats, MinHashBuckets, MinHashSignature, NgramHashes, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -45,6 +45,11 @@ object GraftExtensions {
     },
     "minhash_signature" -> { args => MinHashSignature(args.head) },
     "simhash64" -> { args => SimHash64(args.head) },
+    "ngram_hashes" -> {
+      case Seq(text) => NgramHashes(text, 8)
+      case Seq(text, n) => NgramHashes(text, intArg(n, "n"))
+      case _ => throw new IllegalArgumentException("ngram_hashes(text[, n])")
+    },
     "rolling_fingerprint" -> {
       case Seq(text) => RollingFingerprint(text, 8, 4)
       case Seq(text, k, w) =>

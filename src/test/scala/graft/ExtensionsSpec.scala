@@ -15,6 +15,8 @@ class ExtensionsSpec extends SparkSpec {
         |  text_stats('the quick brown fox the end').n_words AS nw,
         |  text_stats('the quick brown fox the end').n_distinct AS nd,
         |  text_stats('the quick brown fox the end').n_stop AS ns,
+        |  size(ngram_hashes('one two three four five six seven eight nine')) AS ng,
+        |  size(ngram_hashes('one two three', 2)) AS ng2,
         |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
         |  vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS vc,
         |  vec_l2sq(array(0.0D, 3.0D), array(4.0D, 0.0D)) AS vl
@@ -24,8 +26,10 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getInt(2) == 8)
     assert(row.getInt(3) >= 1)
     assert(row.getInt(4) == 6 && row.getInt(5) == 5 && row.getInt(6) == 2)
-    assert(row.getDouble(7) == 11.0 && row.getDouble(8) == 1.0 &&
-      row.getDouble(9) == 25.0)
+    assert(row.getInt(7) == 2)  // 9 words → 2 distinct 8-grams
+    assert(row.getInt(8) == 2)  // 3 words → 2 distinct 2-grams
+    assert(row.getDouble(9) == 11.0 && row.getDouble(10) == 1.0 &&
+      row.getDouble(11) == 25.0)
   }
 
   test("SQL and column APIs agree") {
