@@ -43,6 +43,22 @@ class ShardingSpec extends SparkSpec {
       "distributed prefix sum must be bit-identical to the sequential one")
   }
 
+  test("sequence packing: offsets bounded by the budget and consistent with shards") {
+    val docs = Tables.documents(spark, Sf)
+    val packed = Sharding.packSequences(docs).collect()
+    assert(packed.length == docs.count())
+    packed.foreach { r =>
+      val off = r.getLong(4)
+      assert(off >= 0L && off < Sharding.TokenBudget,
+        s"offset $off outside [0, ${Sharding.TokenBudget}): $r")
+    }
+    // seq_id must equal the shard id from shardByTokenBudget — packing
+    // is sharding plus the in-window offset
+    val shards = Sharding.shardByTokenBudget(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    packed.foreach(r => assert(r.getLong(3) == shards(r.getLong(0))))
+  }
+
   test("null-lang docs keep their shard assignment (no silent join drop)") {
     import spark.implicits._
     val docs = Seq(
