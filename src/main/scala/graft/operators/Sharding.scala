@@ -103,6 +103,24 @@ object Sharding {
   def pipelinePack(s: SparkSession, d: String): DataFrame =
     packSequences(documents(s, d))
 
+  /** Corpus composition report over (source, lang): doc counts, token
+    * totals, and each cell's share of all tokens — what a curation run
+    * publishes before/after each filter stage. One partial+final agg;
+    * the share window runs over #groups rows, not the corpus. */
+  def pipelineSourceStats(s: SparkSession, d: String): DataFrame = {
+    val grouped = documents(s, d)
+      .select(col("source"), col("lang"),
+        graft.functions.TextStats.textStats(col("text"))
+          .getField("n_words").cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    grouped
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()), 6))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Stratified sample: per-language keep fractions via one Bernoulli
     * draw per row (map-only, no shuffle). The correctness contract is
     * statistical (proportions), checked in ShardingSpec. */
@@ -167,6 +185,7 @@ object Sharding {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shard" -> (pipelineShard _),
     "pipeline_pack_sequences" -> (pipelinePack _),
+    "pipeline_source_stats" -> (pipelineSourceStats _),
     "pipeline_sample_stratified" -> (pipelineSample _),
     "pipeline_mixture" -> (pipelineMixture _)
   )
@@ -206,6 +225,22 @@ object Sharding {
         |)
         |SELECT doc_id, lang, n_tokens, seq_id,
         |  CAST(cum - n_tokens - seq_id * $TokenBudget AS BIGINT) AS tok_offset
-        |FROM s ORDER BY lang, doc_id""".stripMargin
+        |FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    "pipeline_source_stats" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1, 2
+        |)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |    AS token_share
+        |FROM g ORDER BY source, lang""".stripMargin
   )
 }
