@@ -102,8 +102,14 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.7,
                         maxDf: Long = MaxPostings): DataFrame = {
+    // shingles reduce to 64-bit hashes via the one-pass native kernel:
+    // Jaccard only needs equality and counts, which hashes preserve
+    // (collision-free in practice at 64 bits), and every downstream
+    // shuffle — the df cap, the inverted-index self-join — carries
+    // 8-byte keys with no gram strings ever materialized
     val g0 = docs
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashFunctions.ngramHashes(col("text"), 3)).as("sh"))
     // postings cap: blocked = boilerplate shingles (df > maxDf). The df
     // agg is partial+final (skewed shingles combine map-side); blocked is
     // small by construction, and the anti-join shuffles on the same key
