@@ -82,6 +82,8 @@ object ScaleStress {
     }
     time("token-budget sharding")(
       graft.operators.Sharding.shardByTokenBudget(docs))
+    time("exact jaccard pairs")(
+      graft.operators.Dedup.ngramJaccardPairs(docs))
     time("boilerplate paragraphs")(
       graft.operators.QualityRules.boilerplateParagraphs(docs))
     time("contamination screen")(
