@@ -378,6 +378,43 @@ object Relational {
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H Q10: returned-item reporting — revenue lost to returns per
+    * customer in a quarter, top 20. Date filter pushed to the orders
+    * scan; nation broadcasts; the customer⋈orders⋈lineitem chain
+    * shuffles once per shared key and AQE picks broadcast for the
+    * filtered orders side at small SF. */
+  def qTpchQ10(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00")
+        && col("o_orderdate") < ts("1996-04-01 00:00:00"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_returnflag") === "R")
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q18: large-volume customers — orders whose total quantity
+    * exceeds a threshold. The HAVING subquery is a partial+final agg on
+    * l_orderkey; its survivors (~0.1% of orders) semi-join back before
+    * the wide joins, so the expensive chain only carries qualifying
+    * orders. Top-100 via TakeOrderedAndProject, never a global sort. */
+  def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 200.0)
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Window frames beyond running totals: centered 7-row moving average,
     * ntile quartiles, percent_rank — one shuffle on the partition key. */
   def qWindowFrames(s: SparkSession, d: String): DataFrame = {
@@ -614,6 +651,8 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_window_frames" -> (qWindowFrames _),
     "q_percentile" -> (qPercentile _),
     "q_intersect" -> (qIntersect _),
@@ -872,6 +911,36 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    > 200.0
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_window_frames" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

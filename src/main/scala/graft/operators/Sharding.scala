@@ -97,6 +97,99 @@ object Sharding {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum"))
   }
 
+  /** Deterministic global training shuffle: every epoch pipeline needs a
+    * reproducible pseudo-random permutation of the corpus. Each doc's
+    * shuffle key is md5(doc_id ":" seed); its position is the doc's rank
+    * in global key order.
+    *
+    * Scale shape: the rank is NOT a global window (that funnels the
+    * corpus through one task). Docs bucket by the key's hex prefix —
+    * a prefix of the sort key, so (bucket, key) order IS key order —
+    * then the same two-pass prefix sum as sharding: per-bucket counts
+    * (tiny agg), cumulative bases over #buckets rows, and a per-bucket
+    * rank window that parallelizes across 16^prefixLen buckets. With
+    * prefixLen=4 (65536 buckets) a 100 TB corpus spreads ~1.5 GB per
+    * bucket task. md5 rather than xxhash64 so the oracle can replay the
+    * permutation exactly (DuckDB computes the identical digest). */
+  def globalShuffle(docs: DataFrame, seed: Long = 42L,
+                    prefixLen: Int = 2): DataFrame = {
+    val withKey = docs
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + seed))).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, prefixLen))
+    val counts = withKey.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    val wBase = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the only sequential window runs over #buckets rows
+    val bases = counts.select(col("bkt"),
+      coalesce(sum(col("n")).over(wBase), lit(0L)).as("base"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+    withKey
+      .join(broadcast(bases), Seq("bkt"))
+      .select(col("doc_id"),
+        (col("base") + row_number().over(wIn)).as("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
+  def pipelineShuffle(s: SparkSession, d: String): DataFrame =
+    globalShuffle(documents(s, d))
+
+  /** Length-bucketed batching: group docs into power-of-two token-length
+    * buckets (the standard trick for padding-efficient batch assembly —
+    * sequences in a batch pad to the bucket cap, not the global max).
+    * Reports per-bucket doc/token totals and the padding waste a
+    * pad-to-cap batcher would pay. One partial+final agg, map-only
+    * bucket assignment; #buckets rows out. */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val n = graft.functions.TextStats.textStats(col("text"))
+      .getField("n_words").cast("long")
+    docs
+      .select(col("doc_id"), col("lang"), n.as("n_tokens"))
+      // cap = smallest power of two >= n_tokens (n=0 maps with n=1).
+      // Integer bit arithmetic, not pow(2, ceil(log2(n))): libm log2 and
+      // Java's log(x)/log(2) disagree by a ULP at exact powers of two,
+      // which would flip a doc across a bucket boundary engine-to-engine.
+      .withColumn("_m", greatest(col("n_tokens"), lit(1L)))
+      .withColumn("bucket_cap",
+        when(expr("_m & (_m - 1)") === 0L, col("_m"))
+          .otherwise(expr("shiftleft(1L, length(bin(_m)))")))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("bucket_cap") - col("n_tokens")).as("pad_waste"))
+      .withColumn("waste_share",
+        round(col("pad_waste").cast("double") /
+          (col("pad_waste") + col("n_tokens")), 6))
+      .orderBy(col("bucket_cap"))
+  }
+
+  def pipelineLengthBuckets(s: SparkSession, d: String): DataFrame =
+    lengthBuckets(documents(s, d))
+
+  /** Deterministic k-per-stratum sample: the fixed-size per-language
+    * eval/holdout draw. Rank docs inside each stratum by the seeded md5
+    * key and keep the first k — a pure function of the data (retry- and
+    * partitioning-invariant, unlike rand()), and exactly k rows per
+    * stratum unlike Bernoulli sampling. The rank<=k filter compiles to
+    * WindowGroupLimit, so each task keeps a k-row heap per stratum and
+    * partial-limits BEFORE the shuffle — nothing like a full sort of
+    * the corpus ever runs. */
+  def samplePerGroup(docs: DataFrame, k: Int = 20,
+                     seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + seed))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  def pipelineSamplePerGroup(s: SparkSession, d: String): DataFrame =
+    samplePerGroup(documents(s, d))
+
   def pipelineShard(s: SparkSession, d: String): DataFrame =
     shardByTokenBudget(documents(s, d))
 
@@ -183,6 +276,9 @@ object Sharding {
       .orderBy(col("lang"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shuffle" -> (pipelineShuffle _),
+    "pipeline_length_buckets" -> (pipelineLengthBuckets _),
+    "pipeline_sample_per_group" -> (pipelineSamplePerGroup _),
     "pipeline_shard" -> (pipelineShard _),
     "pipeline_pack_sequences" -> (pipelinePack _),
     "pipeline_source_stats" -> (pipelineSourceStats _),
@@ -193,6 +289,52 @@ object Sharding {
   val oracles: Map[String, String] = Map(
     // pipeline_sample_stratified is seeded-random — proportions are
     // asserted in ShardingSpec instead of a SQL oracle.
+    // DuckDB replays the md5 permutation exactly; the oracle's single
+    // global window IS the semantics the bucketed two-pass must equal.
+    "pipeline_shuffle" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+        |    AS shuffle_pos
+        |FROM t ORDER BY shuffle_pos""".stripMargin,
+
+    "pipeline_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, n_tokens, greatest(n_tokens, 1) AS mm FROM t
+        |), b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN (mm & (mm - 1)) = 0 THEN mm
+        |         ELSE CAST(1 AS BIGINT) << len(bin(mm)) END AS bucket_cap
+        |  FROM m
+        |)
+        |SELECT bucket_cap, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bucket_cap - n_tokens) AS BIGINT) AS pad_waste,
+        |  round(CAST(sum(bucket_cap - n_tokens) AS DOUBLE) /
+        |    (sum(bucket_cap - n_tokens) + sum(n_tokens)), 6) AS waste_share
+        |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
+
+    "pipeline_sample_per_group" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS INT) AS rk
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     "pipeline_shard" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang,

@@ -41,6 +41,20 @@ class PlanRegressionSpec extends SparkSpec {
       s"partial top-k missing — shuffle carries all scored rows:\n$p")
   }
 
+  test("per-group sample keeps a k-row heap per task (partial WindowGroupLimit)") {
+    val p = plan("pipeline_sample_per_group")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"rank<=k must partial-limit before the shuffle:\n$p")
+  }
+
+  test("TPC-H Q18 qualifies orders before the wide joins, top-100 without global sort") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the quantity-threshold agg must be partial+final (map-side combine)
+    assert("HashAggregate.*partial_sum".r.findFirstIn(p).isDefined ||
+      p.contains("partial_"), s"qualifying agg not partial+final:\n$p")
+  }
+
   test("aggregations are partial+final pairs (map-side combine)") {
     val p = plan("q1_agg")
     assert("partial_sum|partial_count".r.findFirstIn(p).isDefined,

@@ -121,4 +121,59 @@ class ShardingSpec extends SparkSpec {
     }
     assert(got.keySet.subsetOf(fr.keySet), "unsampled strata must drop out")
   }
+
+  test("global shuffle is a permutation and the bucketed rank equals the global rank") {
+    val docs = Tables.documents(spark, Sf)
+    val out = Sharding.globalShuffle(docs).collect()
+    val n = docs.count()
+    assert(out.length == n)
+    val pos = out.map(_.getLong(1)).sorted
+    assert(pos.sameElements(1L to n), "positions must be exactly 1..n")
+    // the two-pass bucketed rank must equal one global hash-order window
+    val h = md5(concat(col("doc_id").cast("string"), lit(":42")))
+    val global = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shuffle_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("doc_id"))))
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    out.foreach(r => assert(r.getLong(1) == global(r.getLong(0))))
+    // seeded: a different seed is a different permutation
+    val other = Sharding.globalShuffle(docs, seed = 7L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.exists(r => other(r.getLong(0)) != r.getLong(1)))
+  }
+
+  test("per-group sample: exactly min(k, |stratum|) rows, deterministic across partitionings") {
+    val docs = Tables.documents(spark, Sf)
+    val k = 5
+    val out = Sharding.samplePerGroup(docs, k = k).collect()
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val per = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(per.getOrElse(lang, 0) == math.min(k.toLong, n),
+        s"$lang: want min($k, $n)")
+    }
+    val repart = Sharding.samplePerGroup(docs.repartition(7), k = k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(repart == out.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet,
+      "sample must not depend on partitioning")
+  }
+
+  test("length buckets: caps are powers of two covering every doc") {
+    val docs = Tables.documents(spark, Sf)
+    val out = Sharding.lengthBuckets(docs).collect()
+    assert(out.nonEmpty)
+    var totalDocs = 0L
+    out.foreach { r =>
+      val cap = r.getLong(0)
+      assert(cap > 0 && (cap & (cap - 1)) == 0L, s"cap $cap not a power of two")
+      totalDocs += r.getLong(1)
+      assert(r.getLong(3) >= 0L, "padding waste cannot be negative")
+      // every doc in the bucket fits under the cap: waste < n_docs * cap
+      assert(r.getLong(3) + r.getLong(2) == r.getLong(1) * cap,
+        "waste + tokens must equal docs * cap exactly")
+    }
+    assert(totalDocs == docs.count())
+  }
 }
