@@ -51,6 +51,35 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("keeper"))
 
+  /** Incremental-ingest exact dedup — the daily-crawl step: admit only
+    * batch docs whose text is (a) absent from the standing corpus and
+    * (b) first-of-its-kind within the batch (smallest doc_id wins).
+    *
+    * Scale shape: both sides reduce to 16-byte digests BEFORE anything
+    * shuffles — the corpus contributes a digest set (at 100 TB this is
+    * the persisted digest table from prior ingests, ~2% of corpus
+    * bytes; text is never rescanned), the batch pre-aggregates
+    * per-digest map-side, and membership is one left-anti shuffle on
+    * the digest. Spark's runtime row-level bloom filter prunes most
+    * non-duplicate batch rows before that exchange. */
+  def incrementalIngest(corpus: DataFrame, batch: DataFrame): DataFrame =
+    batch
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .join(corpus.select(md5(col("text")).as("h")).distinct(),
+        Seq("h"), "left_anti")
+      .select(col("doc_id"), col("n_in_batch"))
+      .orderBy(col("doc_id"))
+
+  /** Gate entry: deterministic corpus/batch split (doc_id % 10) so the
+    * oracle replays it. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = documents(s, d)
+    incrementalIngest(
+      all.where(col("doc_id") % 10 =!= 0),
+      all.where(col("doc_id") % 10 === 0))
+  }
+
   /** (doc_id, sig: array<long>) MinHash signatures — map-only: the
     * native kernel folds all shingles into the 128-slot signature in one
     * pass inside whole-stage codegen. */
@@ -202,6 +231,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
@@ -243,6 +273,19 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 10 <> 0
+        |), b AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id,
+        |    count(*) AS n_in_batch
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY 1
+        |)
+        |SELECT doc_id, n_in_batch FROM b
+        |WHERE h NOT IN (SELECT h FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact Jaccard is SQL-expressible in DuckDB with list lambdas; the
     // MinHash/SimHash queries are probabilistic candidate generators and

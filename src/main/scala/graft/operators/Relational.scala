@@ -378,6 +378,32 @@ object Relational {
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H Q7: volume shipping between two nations, by year. Two
+    * broadcast copies of nation aliased to the supplier and customer
+    * sides; the nation-pair disjunction filters after both dims attach;
+    * facts shuffle once per shared key. */
+  def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    val n1 = nation(s, d).select(col("n_nationkey").as("n1_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = nation(s, d).select(col("n_nationkey").as("n2_key"),
+      col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00")
+        && col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7")
+        || (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** TPC-H Q10: returned-item reporting — revenue lost to returns per
     * customer in a quarter, top 20. Date filter pushed to the orders
     * scan; nation broadcasts; the customer⋈orders⋈lineitem chain
@@ -651,6 +677,7 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_window_frames" -> (qWindowFrames _),
@@ -911,6 +938,23 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -128,11 +128,12 @@ object Sharding {
       .join(broadcast(bases), Seq("bkt"))
       .select(col("doc_id"),
         (col("base") + row_number().over(wIn)).as("shuffle_pos"))
-      .orderBy(col("shuffle_pos"))
   }
 
+  // the orderBy is presentational (stable gate dump) — the operator
+  // itself never sorts globally
   def pipelineShuffle(s: SparkSession, d: String): DataFrame =
-    globalShuffle(documents(s, d))
+    globalShuffle(documents(s, d)).orderBy(col("shuffle_pos"))
 
   /** Length-bucketed batching: group docs into power-of-two token-length
     * buckets (the standard trick for padding-efficient batch assembly —

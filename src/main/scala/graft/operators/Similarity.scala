@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
 import graft.functions.VectorFunctions._
@@ -252,7 +253,29 @@ object Similarity {
     centers
   }
 
+  /** Per-label centroids — the cluster-summary step of semantic curation
+    * (SemDeDup-style: cluster, then prune within clusters; centroids are
+    * the cluster state that persists between runs).
+    *
+    * Cross-row float sums are order-sensitive, so each coordinate sums
+    * in DECIMAL(18,6) (exact, association-free) and divides as double —
+    * same on the DuckDB side, so the gate hash-matches. Scale shape:
+    * posexplode fans each row ×dim map-side, then one partial+final agg
+    * shuffles only (#labels × dim) group slots — never the vectors. */
+  def centroids(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg((sum(col("e").cast("double").cast(DecimalType(18, 6)))
+        .cast("double") / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
+  def simCentroids(s: SparkSession, d: String): DataFrame =
+    centroids(embeddings(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroids" -> (simCentroids _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
@@ -261,6 +284,19 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_centroids" ->
+      """WITH t AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(dim AS INT) AS dim,
+        |  CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |    AS centroid,
+        |  count(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
     // Bit-stable vs Spark: both sides accumulate the dot product
     // left-to-right in IEEE double (floats widen exactly), so the raw
     // doubles hash-match without rounding.

@@ -82,6 +82,11 @@ object ScaleStress {
     }
     time("token-budget sharding")(
       graft.operators.Sharding.shardByTokenBudget(docs))
+    // prefixLen=3: 4096 buckets so the rank windows stay many-task
+    time("global shuffle")(
+      graft.operators.Sharding.globalShuffle(docs, prefixLen = 3))
+    time("length buckets")(
+      graft.operators.Sharding.lengthBuckets(docs))
     time("exact jaccard pairs")(
       graft.operators.Dedup.ngramJaccardPairs(docs))
     time("boilerplate paragraphs")(

@@ -69,4 +69,18 @@ class DedupSpec extends SparkSpec {
     val distinctTexts = docs.select(col("text")).distinct().count()
     assert(Dedup.dedupExact(spark, Sf).count() == distinctTexts)
   }
+
+  test("incremental ingest admits only first-of-kind batch docs absent from the corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"), // exact dup of corpus → dropped
+      (11L, "gamma"), // new → kept
+      (12L, "gamma"), // within-batch dup → collapsed into 11
+      (13L, "delta")  // new → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalIngest(corpus, batch).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L), out.toString)
+  }
 }

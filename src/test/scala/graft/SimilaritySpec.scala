@@ -84,4 +84,18 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, f"mean recall $mean%.2f < 0.6")
     checkEmittedRecall(rows, exact)
   }
+
+  test("centroids: exact per-label coordinate means, one row per (label, dim)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(10.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map(
+      (0, 1) -> (2.0, 2L), (0, 2) -> (4.0, 2L),
+      (1, 1) -> (10.0, 1L), (1, 2) -> (0.0, 1L)), out.toString)
+  }
 }
