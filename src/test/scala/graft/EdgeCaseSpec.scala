@@ -74,4 +74,27 @@ class EdgeCaseSpec extends SparkSpec {
     val out = TextAnalysis.textQuality(spark, Sf)
     assert(out.count() == Tables.documents(spark, Sf).count())
   }
+
+  test("shuffle/bucket/sample operators survive hostile docs incl. null lang") {
+    import spark.implicits._
+    import graft.operators.Sharding
+    val docs = Seq(
+      (1L, "", Option("en")), (2L, "   ", Option("en")),
+      (3L, "word", None), (4L, "数据处理引擎没有空格的文本", Option("zh")),
+      (5L, "a b c d e", None)
+    ).toDF("doc_id", "text", "lang")
+    val shuf = Sharding.globalShuffle(docs).collect()
+    assert(shuf.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+    val lb = Sharding.lengthBuckets(docs).collect()
+    // empty/whitespace docs land in the cap=1 bucket, never crash
+    assert(lb.map(_.getLong(1)).sum == 5L)
+    assert(lb.forall(r => { val c = r.getLong(0); c > 0 && (c & (c - 1)) == 0L }))
+    val smp = Sharding.samplePerGroup(docs, k = 2).collect()
+    // null lang is its own stratum; every stratum contributes min(k, n)
+    assert(smp.count(_.isNullAt(1)) == 2)
+    assert(smp.length == 2 + 2 + 1)
+    val inc = Dedup.incrementalIngest(
+      docs.where(col("doc_id") <= 2), docs.where(col("doc_id") > 2)).collect()
+    assert(inc.length == 3, "distinct hostile texts all admitted")
+  }
 }
