@@ -90,7 +90,31 @@ object Events {
       .orderBy(col("stage"))
   }
 
+  /** Next-day cohort retention: of the users active on day D, how many
+    * came back on D+1. Distinct (user, day) pairs are one shuffle; the
+    * cohort match is an equi-join on (user_id, day) (the next-day side
+    * re-keys day-1 so no inequality join appears); counts are
+    * partial+final with #days rows out. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    // day-truncated timestamp, not DATE: the driver's pandas compare
+    // sees DATE as dtype object vs DuckDB's datetime64
+    val days = events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val nextDay = days.select(col("user_id"),
+      (col("day") - expr("INTERVAL 1 DAY")).as("day"))
+    val retained = days.join(nextDay, Seq("user_id", "day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_retained"))
+    days.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+      .join(retained, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .withColumn("retention",
+        round(col("n_retained").cast(DoubleType) / col("n_active"), 6))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (eventsRetention _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "q_json_funcs" -> (qJsonFuncs _),
@@ -98,6 +122,22 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), r AS (
+        |  SELECT a.day, count(*) AS n_retained
+        |  FROM d a JOIN d b ON a.user_id = b.user_id
+        |    AND b.day = a.day + INTERVAL 1 DAY
+        |  GROUP BY a.day
+        |)
+        |SELECT d.day, count(*) AS n_active,
+        |  coalesce(any_value(r.n_retained), 0) AS n_retained,
+        |  round(CAST(coalesce(any_value(r.n_retained), 0) AS DOUBLE)
+        |    / count(*), 6) AS retention
+        |FROM d LEFT JOIN r ON d.day = r.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  count(*) AS cnt,

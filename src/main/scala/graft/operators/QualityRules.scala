@@ -151,7 +151,32 @@ object QualityRules {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-level quality gate (RefinedWeb/Dolma style): a document's
+    * admission depends on its whole SOURCE's mean quality, not just its
+    * own — boilerplate farms produce individually-plausible docs. Pass
+    * 1 aggregates one mean-words row per source (partial+final, #sources
+    * rows); pass 2 broadcast-joins the verdicts back — the corpus itself
+    * never shuffles. Mean computed in decimal so partial-agg order
+    * cannot flip a source sitting exactly on the threshold. */
+  def domainGate(docs: DataFrame, minMeanWords: Double = 53.0): DataFrame = {
+    val withW = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextStats.textStats(col("text"))
+        .getField("n_words").cast("long").as("w"))
+    val verdict = withW.groupBy(col("source"))
+      .agg((sum(col("w").cast(DecimalType(18, 2))).cast(DoubleType) /
+        count(lit(1))).as("mean_w"))
+      .where(col("mean_w") >= minMeanWords)
+      .select(col("source"), round(col("mean_w"), 6).as("source_mean_words"))
+    withW.join(broadcast(verdict), Seq("source"))
+      .select(col("doc_id"), col("source"), col("source_mean_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityDomainGate(s: SparkSession, d: String): DataFrame =
+    domainGate(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_domain_gate" -> (qualityDomainGate _),
     "text_pii_redact" -> (textPiiRedact _),
     "quality_gopher_rules" -> (qualityGopherRules _),
     "dedup_paragraph" -> (dedupParagraph _),
@@ -159,6 +184,23 @@ object QualityRules {
   )
 
   val oracles: Map[String, String] = Map(
+    "quality_domain_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS w
+        |  FROM documents
+        |), v AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(w AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |      AS mean_w
+        |  FROM t GROUP BY source
+        |)
+        |SELECT doc_id, t.source,
+        |  round(mean_w, 6) AS source_mean_words
+        |FROM t JOIN v ON t.source = v.source
+        |WHERE mean_w >= 53.0 ORDER BY doc_id""".stripMargin,
+
     "text_pii_redact" ->
       s"""SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS INTEGER) AS n_email,

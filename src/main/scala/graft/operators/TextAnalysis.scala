@@ -152,7 +152,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source document-length distribution — the report a curation
+    * run reads before choosing truncation/packing budgets. Exact p50/p90
+    * (oracle-checkable baseline; q_approx_percentile is the documented
+    * sketch path at 100 TB) + decimal-exact mean over the single-pass
+    * TextStats word count. One partial+final agg; percentile's per-group
+    * state stays on the reducers, #sources rows out. */
+  def textLengthStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"),
+        graft.functions.TextStats.textStats(col("text"))
+          .getField("n_words").cast("long").as("w"))
+      .groupBy(col("source"))
+      .agg(
+        round(expr("percentile(w, 0.5)"), 4).as("p50"),
+        round(expr("percentile(w, 0.9)"), 4).as("p90"),
+        round(sum(col("w").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_words"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_stats" -> (textLengthStats _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -162,6 +183,21 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_length_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS w
+        |  FROM documents
+        |)
+        |SELECT source,
+        |  round(quantile_cont(w, 0.5), 4) AS p50,
+        |  round(quantile_cont(w, 0.9), 4) AS p90,
+        |  round(CAST(sum(CAST(w AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+        |    AS mean_words,
+        |  count(*) AS n_docs
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
     "text_langid" ->
       s"""WITH t AS (
         |  SELECT lang, regexp_split_to_array(lower(text), '\\s+') AS w, text

@@ -82,4 +82,17 @@ class QualityRulesSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(0) == 1L)
     assert(out(0).getLong(1) == 3L, s"expected 3 shared 8-grams, got ${out(0)}")
   }
+
+  test("domain gate drops every doc of a low-mean source, keeps the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six", "good"),   // 6 words
+      (2L, "one two three four five six seven eight", "good"), // 8
+      (3L, "short", "farm"), (4L, "also short", "farm") // mean 1.5
+    ).toDF("doc_id", "text", "source")
+    val kept = QualityRules.domainGate(docs, minMeanWords = 5.0).collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the verdict column carries the source mean, same for both docs
+    assert(kept.forall(_.getDouble(2) == 7.0))
+  }
 }
