@@ -80,6 +80,38 @@ object Dedup {
       all.where(col("doc_id") % 10 === 0))
   }
 
+  /** Snapshot diff — the audit step between two corpus versions (what
+    * did this curation run add/remove/rewrite?). Both snapshots reduce
+    * to (doc_id, 16-byte digest) map-side; one full-outer sort-merge
+    * join on doc_id classifies every id; text never shuffles. Emits
+    * per-doc rows for the changed surface and keeps `unchanged` out of
+    * the output (at 100 TB the unchanged mass is the overwhelming
+    * majority — the report is the delta, not the corpus). */
+  def datasetDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .where(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate entry: deterministic synthetic snapshots — "old" misses ids
+    * ≡0 (mod 7), "new" misses ids ≡0 (mod 5) and rewrites ids ≡0
+    * (mod 3) — so all three statuses appear. */
+  def dedupSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val all = documents(s, d)
+    datasetDiff(
+      all.where(col("doc_id") % 7 =!= 0),
+      all.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" [edited]"))).otherwise(col("text"))))
+  }
+
   /** (doc_id, sig: array<long>) MinHash signatures — map-only: the
     * native kernel folds all shingles into the 128-slot signature in one
     * pass inside whole-stage codegen. */
@@ -232,6 +264,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_snapshot_diff" -> (dedupSnapshotDiff _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
@@ -285,6 +318,28 @@ object Dedup {
         |)
         |SELECT doc_id, n_in_batch FROM b
         |WHERE h NOT IN (SELECT h FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents
+        |  WHERE doc_id % 7 <> 0
+        |), n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [edited]'
+        |        ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN h_old IS NULL THEN 'added'
+        |       WHEN h_new IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE CASE WHEN h_old IS NULL THEN 'added'
+        |       WHEN h_new IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed'
+        |       ELSE 'unchanged' END <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
 
     // Exact Jaccard is SQL-expressible in DuckDB with list lambdas; the

@@ -212,6 +212,37 @@ object Similarity {
       .transform(annWithRecall(s, d, _))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * pairs via cluster-then-compare — k-means cells bound the pair
+    * search to semantic neighborhoods, so the all-pairs comparison runs
+    * per cell, never across the corpus. Same sample-fit quantizer and
+    * map-only assignment as IVF; the in-cell self-join shuffles once on
+    * the cell id and emits pairs above the cosine threshold (keep-rule:
+    * smallest id per pair survives, same as the other dedup paths).
+    * Probabilistic recall (boundary pairs split across cells) — spec
+    * plants near-identical vectors; the exact twin is dedupEmbedExact. */
+  def semanticDedupPairs(emb: DataFrame, k: Int = 32,
+                         threshold: Double = 0.95): DataFrame = {
+    val sample = emb.select(col("embedding")).limit(4096).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = lloyds(sample, k, iters = 10, seed = 42).map(_.toSeq).toSeq
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nearestCell(col("embedding"), centroids).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("embedding").as("e2"))
+    a.join(b, Seq("cell")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    // threshold tuned to the synthetic corpus's near-isotropic geometry
+    // (planted twins sit at cos ≈ 1; background pairs ≈ 0.3)
+    semanticDedupPairs(embeddings(s, d), threshold = 0.45)
+
   /** (d², cell) structs for every centroid — shared by probe-list and
     * nearest-cell assignment; d² is the native vec_l2sq kernel (one
     * codegen'd loop per centroid, no interpreted HOF lambdas). */
@@ -280,6 +311,7 @@ object Similarity {
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
     "dedup_embed_cosine" -> ((s: SparkSession, d: String) => dedupEmbedCosine(s, d)),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_embed_exact" -> ((s: SparkSession, d: String) => dedupEmbedExact(s, d))
   )
 

@@ -85,6 +85,33 @@ class SimilaritySpec extends SparkSpec {
     checkEmittedRecall(rows, exact)
   }
 
+  test("semantic dedup pairs planted twins and only emits true pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat), 0)
+    }
+    // twins: tiny perturbations of three of the base vectors
+    val twins = Seq(0, 50, 100).zipWithIndex.map { case (src, j) =>
+      (1000L + j, base(src)._2.map(x => x + 1e-4f), 0)
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.semanticDedupPairs(emb, k = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0, 50, 100).zipWithIndex.foreach { case (src, j) =>
+      assert(pairs.contains((src.toLong, 1000L + j)),
+        s"planted twin ($src, ${1000 + j}) not found in $pairs")
+    }
+    // every emitted pair really is above threshold (verify vs exact cosine)
+    val byId = (base ++ twins).map(t => t._1 -> t._2.map(_.toDouble)).toMap
+    pairs.foreach { case (a, b) =>
+      val (x, y) = (byId(a), byId(b))
+      val dot = x.zip(y).map(p => p._1 * p._2).sum
+      val cos = dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+      assert(cos >= 0.95 - 1e-9, s"pair ($a,$b) cos $cos below threshold")
+    }
+  }
+
   test("centroids: exact per-label coordinate means, one row per (label, dim)") {
     import spark.implicits._
     val emb = Seq(
