@@ -58,6 +58,27 @@ object Sources {
     }
   }
 
+  /** Small-file compaction — the maintenance pass every long-lived
+    * table needs: streaming and incremental writers leave thousands of
+    * KB-scale files whose per-file open/footer/list cost comes to
+    * dominate scans. File sizes come from the filesystem index (no data
+    * read); the rewrite uses coalesce — a partition-merge with NO
+    * shuffle — sized so output files land near `targetFileBytes`.
+    * Writes to a fresh path (compacting in place while reading is not
+    * atomic on object stores); returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(inPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    df.coalesce(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Range-clustered parquet layout: range-partition on the cluster
     * keys, sort inside each file, write `nFiles` files. Every file then
     * owns a disjoint key range, so parquet min/max statistics prune

@@ -33,4 +33,19 @@ class SourcesSpec extends SparkSpec {
       Sources.read(spark, "/tmp/x.avro")
     }
   }
+
+  test("compaction merges a small-file mess into size-targeted files, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = Tables.documents(spark, Sf)
+    // produce a deliberately fragmented layout
+    docs.repartition(50).write.mode("overwrite").parquet(s"$dir/frag")
+    val fragFiles = spark.read.parquet(s"$dir/frag").inputFiles.length
+    assert(fragFiles >= 50, s"setup: expected >=50 files, got $fragFiles")
+    val n = Sources.compact(spark, s"$dir/frag", s"$dir/tight",
+      targetFileBytes = 512L * 1024)
+    val out = spark.read.parquet(s"$dir/tight")
+    assert(out.count() == docs.count())
+    assert(out.inputFiles.length == n)
+    assert(n < fragFiles / 5, s"compaction barely helped: $fragFiles -> $n")
+  }
 }
