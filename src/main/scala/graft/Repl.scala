@@ -50,6 +50,18 @@ object Repl {
     else table
   }
 
+  /** One REPL step: `explain <query>` → formatted physical plan (beyond
+    * the reference's surface — its optimizer is a no-op; on Spark the
+    * plan IS the performance story), anything else → rendered table. */
+  def eval(spark: org.apache.spark.sql.SparkSession, line: String,
+           baseDir: String): String = {
+    val t = line.trim
+    if (t.toLowerCase.startsWith("explain "))
+      GraftEngine.sql(spark, t.drop(8), baseDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+    else render(GraftEngine.sql(spark, line, baseDir))
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse(System.getProperty("user.dir"))
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -64,7 +76,7 @@ object Repl {
           || line.trim.equalsIgnoreCase("quit")) {
         running = false
       } else if (line.trim.nonEmpty) {
-        try println(render(GraftEngine.sql(spark, line, baseDir)))
+        try println(eval(spark, line, baseDir))
         catch { case e: Exception =>
           println(Option(e.getMessage).getOrElse(e.toString).linesIterator
             .take(3).mkString("\n"))

@@ -25,6 +25,15 @@ class ReplSpec extends SparkSpec {
     assert(out.contains("r_name") && out.contains("AFRICA"))
   }
 
+  test("explain prefix prints the formatted physical plan, not a table") {
+    val out = Repl.eval(spark,
+      s"explain select r_name from '$Sf/region.parquet' where r_regionkey = 0",
+      ".")
+    assert(out.contains("Physical Plan"), out.take(200))
+    assert(out.contains("PushedFilters"), "plan must show parquet pushdown")
+    assert(!out.contains("╭"), "explain must not render a result table")
+  }
+
   test("render truncates past MaxRows and shows nulls as NULL") {
     import spark.implicits._
     val big = spark.range(500).toDF("id")
