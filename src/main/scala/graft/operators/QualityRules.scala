@@ -72,27 +72,48 @@ object QualityRules {
   def qualityGopherRules(s: SparkSession, d: String): DataFrame =
     gopherRules(documents(s, d))
 
-  def gopherRules(docs: DataFrame): DataFrame = {
-    val w = split(lower(col("text")), "\\s+")
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherFlags(docs).orderBy(col("doc_id"))
+
+  /** The five rule statistics as column expressions over `text` —
+    * single source of truth for the batch gate, the flag report, and
+    * the streaming ingest gate. */
+  private def ruleCols(text: org.apache.spark.sql.Column) = {
+    val w = split(lower(text), "\\s+")
     val nWords = size(w)
     val nAlphaW = size(filter(w, x => x.rlike("[a-z]")))
     val nNumW = size(filter(w, x => x.rlike("^[0-9]+$")))
     val nStopW = size(filter(w,
       x => x.isin("the", "and", "of", "to", "in")))
-    val meanWlen = length(regexp_replace(col("text"), "\\s+", ""))
+    val meanWlen = length(regexp_replace(text, "\\s+", ""))
       .cast(DoubleType) / nWords
+    (nWords, meanWlen, nNumW.cast(DoubleType) / nWords,
+      nAlphaW.cast(DoubleType) / nWords, nStopW)
+  }
+
+  /** The admission conjunction as one column expression — for pipelines
+    * that need the verdict inline (e.g. a streaming filter, which can
+    * neither sort nor re-join an unbounded input). */
+  def gopherKeep(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (nWords, meanWlen, numRatio, alphaRatio, nStop) = ruleCols(text)
+    nWords.between(10, 100000) && meanWlen.between(2.0, 12.0) &&
+      numRatio < 0.3 && alphaRatio > 0.7 && nStop >= 1
+  }
+
+  /** The map-only rule columns (no sort) — shared by the batch gate and
+    * the streaming ingest gate, which cannot sort an unbounded input. */
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val (nWords, meanWlen, numRatio, alphaRatio, nStop) = ruleCols(col("text"))
     docs.select(
       col("doc_id"), nWords.as("n_words"), meanWlen.as("mean_wlen"),
-      (nNumW.cast(DoubleType) / nWords).as("num_ratio"),
-      (nAlphaW.cast(DoubleType) / nWords).as("alpha_ratio"),
-      nStopW.as("n_stop"))
+      numRatio.as("num_ratio"), alphaRatio.as("alpha_ratio"),
+      nStop.as("n_stop"))
       .withColumn("keep",
         col("n_words").between(10, 100000) &&
           col("mean_wlen").between(2.0, 12.0) &&
           col("num_ratio") < 0.3 &&
           col("alpha_ratio") > 0.7 &&
           col("n_stop") >= 1)
-      .orderBy(col("doc_id"))
   }
 
   /** C4-style boilerplate paragraph detection: sentence-split, normalize

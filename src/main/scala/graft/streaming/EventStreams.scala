@@ -106,6 +106,27 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_b0")
       .drop("_b0")
 
+  /** Streaming ingest admission — the stateless gates a crawl stream
+    * passes BEFORE any stateful dedup: Gopher-style quality rules plus
+    * a benchmark-contamination check, both pure map-side filters (no
+    * state store, no shuffle, no watermark needed). The eval set's
+    * distinct 8-gram hashes ride as a literal array — eval benchmarks
+    * are bounded by construction (the batch screen broadcasts the same
+    * index), so the driver-side collect is the honest pattern, not a
+    * scale hazard. Admitted docs flow on unchanged, ready for
+    * nearDedupStream. */
+  def ingestGate(docs: DataFrame, evalDocs: DataFrame,
+                 textCol: String = "text"): DataFrame = {
+    import graft.functions.HashFunctions.ngramHashes
+    val evalGrams = evalDocs
+      .select(explode(ngramHashes(col(textCol), 8)).as("ng"))
+      .distinct().collect().map(_.getLong(0))
+    docs
+      .where(graft.operators.QualityRules.gopherKeep(col(textCol)))
+      .where(!arrays_overlap(ngramHashes(col(textCol), 8),
+        lit(evalGrams)))
+  }
+
   /** foreachBatch sink: the escape hatch for targets without a native
     * streaming sink (JDBC upserts, multi-table fan-out, partitioned
     * lakehouse layouts). Exactly-once comes from idempotence, not the

@@ -85,6 +85,29 @@ class StreamingSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L), s"distinct docs dropped: $kept")
   }
 
+  test("streaming ingest gate filters low-quality and contaminated docs statelessly") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val good = "the quick brown fox jumps over the lazy dog and keeps on running to the hills"
+    val evalText = "benchmark question eight gram overlap detection target phrase continues here today"
+    val docs = Seq(
+      (1L, good),                                  // clean → admitted
+      (2L, "1 2 3 4 5 6 7 8 9 10 11 12"),          // numeric junk → dropped
+      (3L, s"lead in words $evalText")             // contaminated → dropped
+    ).toDF("doc_id", "text").withColumn("ts", lit(ts))
+    docs.write.mode("overwrite").parquet(s"$base/in")
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/in")
+    val q = EventStreams.ingestGate(stream, evalDocs)
+      .writeStream.format("memory").queryName("ingest_gate")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("ingest_gate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"expected only the clean doc, kept=$kept")
+  }
+
   test("foreachBatch sink lands every event exactly once, idempotently") {
     val base = java.nio.file.Files.createTempDirectory("graft_febs").toString
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
