@@ -259,14 +259,21 @@ object Sharding {
     require(present.nonEmpty, "no weighted source present in the corpus")
     val budget = present.map { case (k, w) => totals(k) / w }.min
     val fracs = present.map { case (k, w) => k -> math.min(w * budget / totals(k), 1.0) }
-    val fracCol = fracs.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
-      when(col("lang") === k, lit(f)).otherwise(acc)
+    // Draw: the doc's md5(doc_id ":" seed) 6-hex-digit prefix compared
+    // against the fraction's hex threshold — fixed-width lowercase hex
+    // orders exactly like its numeric value, so `prefix < thr` IS
+    // `uniform_draw < frac` at 24-bit resolution, and DuckDB replays
+    // the identical decision (md5 + printf) for the oracle. frac ≥ 1
+    // maps to "g", which every hex string sorts below (keep-all).
+    val thrCol = fracs.foldLeft(lit("0")) { case (acc, (k, f)) =>
+      val thr = if (f >= 1.0) "g" else "%06x".format((f * 0x1000000).toLong)
+      when(col("lang") === k, lit(thr)).otherwise(acc)
     }
-    val draw = pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000L))
-      .cast("double") / 1000000.0
+    val draw = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + seed))), 1, 6)
     withTokens
       .where(col("lang").isin(present.keys.toSeq.map(lit): _*))
-      .where(draw < fracCol)
+      .where(draw < thrCol)
   }
 
   def pipelineMixture(s: SparkSession, d: String): DataFrame =
@@ -290,6 +297,40 @@ object Sharding {
   val oracles: Map[String, String] = Map(
     // pipeline_sample_stratified is seeded-random — proportions are
     // asserted in ShardingSpec instead of a SQL oracle.
+    // DuckDB replays the mixture draw decision-for-decision: same
+    // totals→budget→fraction arithmetic (doubles, same association
+    // order), same md5 hex-prefix threshold compare.
+    "pipeline_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh')
+        |), tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+        |  FROM t GROUP BY lang
+        |), w AS (
+        |  SELECT lang, wt / (0.5 + 0.2 + 0.2 + 0.1) AS nw
+        |  FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.2), ('zh', 0.1))
+        |    AS v(lang, wt)
+        |), b AS (
+        |  SELECT min(CAST(t AS DOUBLE) / nw) AS budget
+        |  FROM tot JOIN w USING (lang)
+        |), f AS (
+        |  SELECT lang, least(nw * budget / t, 1.0) AS frac
+        |  FROM tot JOIN w USING (lang) CROSS JOIN b
+        |), thr AS (
+        |  SELECT lang, CASE WHEN frac >= 1.0 THEN 'g'
+        |    ELSE printf('%06x', CAST(floor(frac * 16777216) AS BIGINT))
+        |    END AS thr
+        |  FROM f
+        |)
+        |SELECT t.lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM t JOIN thr ON t.lang = thr.lang
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 6) < thr.thr
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+
     // DuckDB replays the md5 permutation exactly; the oracle's single
     // global window IS the semantics the bucketed two-pass must equal.
     "pipeline_shuffle" ->

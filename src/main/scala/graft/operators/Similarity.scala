@@ -310,7 +310,12 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
-    "dedup_embed_cosine" -> ((s: SparkSession, d: String) => dedupEmbedCosine(s, d)),
+    // gate entry runs at the exact twin's threshold so the rows-only
+    // check exercises real output on the synthetic corpus (no 0.9-cosine
+    // twins exist there; the 0.9 default is the production near-dup bar,
+    // spec-covered with planted dups)
+    "dedup_embed_cosine" -> ((s: SparkSession, d: String) =>
+      dedupEmbedCosine(s, d, threshold = 0.45)),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_embed_exact" -> ((s: SparkSession, d: String) => dedupEmbedExact(s, d))
   )
