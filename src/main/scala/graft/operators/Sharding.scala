@@ -191,6 +191,34 @@ object Sharding {
   def pipelineSamplePerGroup(s: SparkSession, d: String): DataFrame =
     samplePerGroup(documents(s, d))
 
+  /** Deterministic train/val/test split — the eval-split assignment
+    * every training corpus carries. Same md5 hex-threshold draw as the
+    * mixture sampler (map-only, a pure function of doc_id: stable
+    * across runs, reshards, and task retries — rand() is none of
+    * these), with CUMULATIVE thresholds so the three ranges partition
+    * the hash space exactly. */
+  def assignSplits(docs: DataFrame,
+                   fractions: Seq[(String, Double)] =
+                     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                   seed: Long = 42L): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val draw = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + seed))), 1, 6)
+    val cum = fractions.scanLeft(0.0) { case (a, (_, f)) => a + f }.tail
+    val splitCol = fractions.init.zip(cum.init).foldRight(
+      lit(fractions.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), c), acc) =>
+        when(draw < lit("%06x".format((c * 0x1000000).toLong)), name)
+          .otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), splitCol.as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def pipelineSplit(s: SparkSession, d: String): DataFrame =
+    assignSplits(documents(s, d))
+
   def pipelineShard(s: SparkSession, d: String): DataFrame =
     shardByTokenBudget(documents(s, d))
 
@@ -285,6 +313,7 @@ object Sharding {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shuffle" -> (pipelineShuffle _),
+    "pipeline_split" -> (pipelineSplit _),
     "pipeline_length_buckets" -> (pipelineLengthBuckets _),
     "pipeline_sample_per_group" -> (pipelineSamplePerGroup _),
     "pipeline_shard" -> (pipelineShard _),
@@ -297,6 +326,21 @@ object Sharding {
   val oracles: Map[String, String] = Map(
     // pipeline_sample_stratified is seeded-random — proportions are
     // asserted in ShardingSpec instead of a SQL oracle.
+    // thresholds are literals (0.9/0.95 of the 24-bit space): e66666 =
+    // floor(0.9·2^24), f33333 = floor(0.95·2^24) — same values the
+    // Scala side formats
+    "pipeline_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 6) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN h < 'e66666' THEN 'train'
+        |       WHEN h < 'f33333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     // DuckDB replays the mixture draw decision-for-decision: same
     // totals→budget→fraction arithmetic (doubles, same association
     // order), same md5 hex-prefix threshold compare.

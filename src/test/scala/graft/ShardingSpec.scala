@@ -160,6 +160,20 @@ class ShardingSpec extends SparkSpec {
       "sample must not depend on partitioning")
   }
 
+  test("split assignment partitions every doc, holds fractions, survives repartition") {
+    val docs = Tables.documents(spark, Sf)
+    val out = Sharding.assignSplits(docs).collect()
+    assert(out.length == docs.count())
+    val counts = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val n = out.length.toDouble
+    assert(math.abs(counts("train") / n - 0.9) < 0.06,
+      s"train share ${counts("train") / n} far from 0.9")
+    val repart = Sharding.assignSplits(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach(r => assert(repart(r.getLong(0)) == r.getString(2)))
+  }
+
   test("length buckets: caps are powers of two covering every doc") {
     val docs = Tables.documents(spark, Sf)
     val out = Sharding.lengthBuckets(docs).collect()
