@@ -156,6 +156,36 @@ object Dedup {
       .distinct()
       .orderBy(col("id1"), col("id2"))
 
+  /** Star-edge form of the LSH bucket graph — the clustering-scale
+    * variant of [[minhashLshPairs]]: every bucket contributes (doc →
+    * bucket-min) edges, and a star has the same connected components
+    * as the clique, so downstream cluster collapse is IDENTICAL while
+    * edge volume is LINEAR in bucket size (n−1 edges, not n(n−1)/2
+    * pairs). The degenerate-bucket cap becomes unnecessary on this
+    * path: a boilerplate mega-bucket costs n edges. No bucket ever
+    * materializes as a list — roots come from a partial+final min agg
+    * and edges from a join back on the same (band, bucket) key, so the
+    * exchange is reused. The pairs form remains the
+    * candidate-verification surface; this is the collapse surface. */
+  def minhashLshEdges(docs: DataFrame): DataFrame = {
+    val tagged = docs.select(col("doc_id"),
+      posexplode(minhashBuckets(col("text"), 3, Bands)).as(Seq("band", "bucket")))
+    val roots = tagged.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("root"))
+    tagged.join(roots, Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("id1"), col("root").as("id2"))
+      .distinct()
+  }
+
+  /** Near-dup cluster ids over the star-edge graph — the end-to-end
+    * 100 TB collapse: text → band buckets → star edges → iterative
+    * components. Probabilistic like the pairs path (same buckets). */
+  def dedupMinhashClusters(s: SparkSession, d: String): DataFrame =
+    Components.connectedComponents(minhashLshEdges(documents(s, d)))
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy(col("doc_id"))
+
   /** Exact n-gram Jaccard join: inverted index on distinct shingles →
     * intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -266,6 +296,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_snapshot_diff" -> (dedupSnapshotDiff _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
+    "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_clusters" -> (dedupClusters _)

@@ -62,6 +62,7 @@ object ScaleStress {
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_quantity")), count(lit(1))))
     time("minhash dedup")(graft.operators.Dedup.minhashLshPairs(docs))
+    time("minhash cluster edges")(graft.operators.Dedup.minhashLshEdges(docs))
     time("exact dedup")(
       docs.groupBy(md5(col("text"))).agg(min(col("doc_id")), count(lit(1))))
 

@@ -70,6 +70,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupExact(spark, Sf).count() == distinctTexts)
   }
 
+  test("star-edge bucket graph yields identical clusters to the pair-clique graph") {
+    import graft.operators.Components
+    val docs = Tables.documents(spark, Sf)
+    val viaPairs = Components.connectedComponents(Dedup.minhashLshPairs(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaEdges = Components.connectedComponents(Dedup.minhashLshEdges(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same node set, same min-label per component
+    assert(viaEdges == viaPairs,
+      s"cluster mismatch: ${viaEdges.toSet.diff(viaPairs.toSet).take(5)}")
+    // and the edge volume is linear: a bucket of n contributes n-1 edges
+    val nEdges = Dedup.minhashLshEdges(docs).count()
+    val nPairs = Dedup.minhashLshPairs(docs).count()
+    assert(nEdges <= nPairs || nPairs == 0, s"edges $nEdges > pairs $nPairs")
+  }
+
   test("incremental ingest admits only first-of-kind batch docs absent from the corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
