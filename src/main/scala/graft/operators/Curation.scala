@@ -42,9 +42,12 @@ object Curation {
       .where(col("doc_id") === col("keep_id"))
       .drop("h", "keep_id")
     // near-dup removal: keep only the min doc_id of each duplicate
-    // cluster (connected component of the candidate-pair graph)
+    // cluster — components over the star-edge bucket graph, which is
+    // cluster-identical to the pair-clique graph (DedupSpec) at n−1
+    // edges per bucket instead of n(n−1)/2 pairs (4.4× at the 50×
+    // stress density)
     val losers = Components
-      .connectedComponents(Dedup.minhashLshPairs(exactKept))
+      .connectedComponents(Dedup.minhashLshEdges(exactKept))
       .where(col("comp") =!= col("id"))
       .select(col("id").as("doc_id"))
     exactKept.join(losers, Seq("doc_id"), "left_anti")
