@@ -378,6 +378,45 @@ object Relational {
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H Q4: order-priority checking — orders in a quarter with at
+    * least one late lineitem (EXISTS → left-semi join), counted per
+    * priority. The semi join shuffles once on the shared orderkey; the
+    * count is partial+final over 5 groups. */
+  def qTpchQ4(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00")
+        && col("o_orderdate") < ts("1996-04-01 00:00:00"))
+      .join(lineitem(s, d).where(col("l_shipdate") > ts("1996-06-01 00:00:00"))
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q6: forecasting-revenue change — a pure scan-filter-agg with
+    * every predicate pushed to parquet; the canonical "does the filter
+    * reach the reader" query. */
+  def qTpchQ6(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00")
+        && col("l_shipdate") < ts("1997-01-01 00:00:00")
+        && col("l_discount").between(0.02, 0.04)
+        && col("l_quantity") < 24.0)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+
+  /** TPC-H Q13: customer order-count distribution — left outer join so
+    * zero-order customers count, then a distribution over the per-
+    * customer counts (two partial+final aggs, no window). */
+  def qTpchQ13(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** TPC-H Q7: volume shipping between two nations, by year. Two
     * broadcast copies of nation aliased to the supplier and customer
     * sides; the nation-pair disjunction filters after both dims attach;
@@ -677,7 +716,10 @@ object Relational {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_window_frames" -> (qWindowFrames _),
@@ -938,6 +980,34 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    "q_tpch_q13" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist FROM c
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
