@@ -55,6 +55,19 @@ class PlanRegressionSpec extends SparkSpec {
       p.contains("partial_"), s"qualifying agg not partial+final:\n$p")
   }
 
+  test("domain gate joins verdicts by broadcast; the corpus side never sort-merges") {
+    val p = plan("quality_domain_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"per-source verdicts (#sources rows) must broadcast:\n$p")
+  }
+
+  test("retention cohort match stays an equi-join (day re-key, no nested loop)") {
+    val p = plan("events_retention")
+    assert(!p.contains("NestedLoop"),
+      s"day+1 arithmetic must be pre-keyed, not a join predicate:\n$p")
+  }
+
   test("aggregations are partial+final pairs (map-side combine)") {
     val p = plan("q1_agg")
     assert("partial_sum|partial_count".r.findFirstIn(p).isDefined,
