@@ -116,6 +116,50 @@ object Multimodal {
       }
   }
 
+  /** Real decoder for WAV audio — pure RIFF chunk-walk, no codec needed
+    * (PCM WAV metadata is a fixed little-endian header, and parsing it
+    * ourselves avoids JDK service-loader lookups inside executor
+    * threads). Emits the generic media tuple with the documented audio
+    * mapping: width := sample rate (Hz), height := channels; features =
+    * 8-bin amplitude histogram over a bounded prefix of the data chunk.
+    * Malformed blobs fall back to StubDecoder, same policy as images. */
+  object WavDecoder {
+    private def le16(b: Array[Byte], i: Int) =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int) =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    def sniffs(blob: Array[Byte]): Boolean =
+      blob.length >= 12 && blob(0) == 'R' && blob(1) == 'I' &&
+        blob(2) == 'F' && blob(3) == 'F' && blob(8) == 'W' &&
+        blob(9) == 'A' && blob(10) == 'V' && blob(11) == 'E'
+
+    def decode(blob: Array[Byte]): (String, Int, Int, Array[Float]) = {
+      if (!sniffs(blob)) return StubDecoder.decode(blob)
+      var i = 12
+      var rate = -1; var channels = -1
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= blob.length && (rate < 0 || dataOff < 0)) {
+        val id = new String(blob.slice(i, i + 4), "US-ASCII")
+        val len = le32(blob, i + 4)
+        if (len < 0 || i.toLong + 8 + len > blob.length) return StubDecoder.decode(blob)
+        if (id == "fmt " && len >= 16) {
+          channels = le16(blob, i + 10)
+          rate = le32(blob, i + 12)
+        } else if (id == "data") { dataOff = i + 8; dataLen = len }
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || channels <= 0 || dataOff < 0) return StubDecoder.decode(blob)
+      val hist = new Array[Float](8)
+      val n = math.min(dataLen, 65536)
+      var j = 0
+      while (j < n) { hist((blob(dataOff + j) & 0xff) >> 5) += 1f; j += 1 }
+      if (n > 0) { var k = 0; while (k < 8) { hist(k) /= n; k += 1 } }
+      ("wav", rate, channels, hist)
+    }
+  }
+
   private val outSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
@@ -149,8 +193,26 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+    // genuine 8 kHz mono PCM WAV, one sine-ish period per id — so the
+    // gate also exercises the real RIFF parse path
+    val renderWav = udf { (id: Long) =>
+      val rate = 8000
+      val n = 256 + (id % 64).toInt
+      val header = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      header.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(n)
+      val data = Array.tabulate(n)(i =>
+        (128 + 100 * math.sin((i + id) / 10.0)).toByte)
+      header.array() ++ data
+    }
     docs.select(col("doc_id"),
       when(col("doc_id") % 5 === 0, renderPng(col("doc_id")))
+        .when(col("doc_id") % 5 === 1, renderWav(col("doc_id")))
         .otherwise(encode(col("text"), "UTF-8")).as("blob"))
   }
 
@@ -166,7 +228,9 @@ object Multimodal {
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val blob = r.getAs[Array[Byte]](1)
-            val (fmt, w, h, feat) = ImageDecoder.decode(blob)
+            val (fmt, w, h, feat) =
+              if (WavDecoder.sniffs(blob)) WavDecoder.decode(blob)
+              else ImageDecoder.decode(blob)
             Row(id, fmt, w, h, blob.length, feat.toSeq)
           }
         }

@@ -60,6 +60,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).getInt(2) == sw && out(2L).getInt(3) == sh)
   }
 
+  test("real WAV bytes parse to true sample rate and channels; truncated WAV falls back") {
+    // build a genuine 44.1kHz stereo PCM WAV header + 100 data bytes
+    val n = 100
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    val wav = bb.array() ++ Array.fill(n)(0x40.toByte)
+    val (fmt, rate, ch, feat) = Multimodal.WavDecoder.decode(wav)
+    assert((fmt, rate, ch) == (("wav", 44100, 2)), s"$fmt $rate $ch")
+    assert(feat.length == 8 && math.abs(feat.sum - 1.0f) < 1e-3)
+    assert(feat(2) == 1.0f, "all samples are 0x40 -> bin 2")
+    // a data chunk claiming more bytes than the blob has must not read
+    // out of bounds - falls back to the stub
+    val bad = wav.take(50)
+    val (bf, _, _, _) = Multimodal.WavDecoder.decode(bad)
+    assert(bf.startsWith("stub_") || bf == "empty", bf)
+  }
+
   test("feature resize halves bins and preserves mass") {
     val docs = Tables.documents(spark, Sf).limit(50)
     val feats = Multimodal.decodeFeatures(spark, Multimodal.withBlobs(docs))
