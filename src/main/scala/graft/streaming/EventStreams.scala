@@ -14,6 +14,11 @@ case class SpendState(n: Long, total: Double)
 case class SpendUpdate(user_id: Long, n_purchases: Long, total_spend: Double,
                        large: Boolean)
 
+/** sourceBudget state + output: tokens admitted so far per source. */
+case class BudgetState(admitted: Long)
+case class Admitted(doc_id: Long, source: String, n_tokens: Long,
+                    cum_tokens: Long)
+
 object EventStreams {
 
   /** Streaming source over the events parquet directory (schema must be
@@ -80,6 +85,45 @@ object EventStreams {
             val v = r.getAs[Double]("value")
             st = SpendState(st.n + 1, st.total + v)
             SpendUpdate(user, st.n, st.total, v > 100.0)
+          }.toVector
+          state.update(st)
+          out.iterator
+        })(stateEnc, enc)
+      .toDF()
+  }
+
+  /** Stateful ingest budget control: each SOURCE gets a token quota and
+    * the stream admits its docs greedily in arrival order until the
+    * quota is exhausted — the streaming counterpart of the batch
+    * mixture sampler for the live-crawl case, where per-source totals
+    * aren't known up front and over-represented sources must be cut off
+    * mid-flight. State per source is ONE long (tokens admitted); a doc
+    * is admitted iff it still fits. flatMapGroupsWithState because no
+    * built-in stateful operator expresses admit-while-under-quota. */
+  def sourceBudget(docs: DataFrame, quota: Long,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val withTok = docs.withColumn("_tok",
+      graft.functions.TextStats.textStats(col(textCol))
+        .getField("n_words").cast("long"))
+    val enc = Encoders.product[Admitted]
+    val stateEnc = Encoders.product[BudgetState]
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(withTok.schema)
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    withTok
+      .groupByKey((r: Row) => r.getAs[String]("source"))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[Row], state: GroupState[BudgetState]) => {
+          var st = state.getOption.getOrElse(BudgetState(0L))
+          val out = rows.flatMap { r =>
+            val tok = r.getAs[Long]("_tok")
+            if (st.admitted + tok <= quota) {
+              st = BudgetState(st.admitted + tok)
+              Some(Admitted(r.getAs[Long]("doc_id"), source, tok, st.admitted))
+            } else None
           }.toVector
           state.update(st)
           out.iterator

@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L), s"distinct docs dropped: $kept")
   }
 
+  test("source budget admits greedily per source and stops at the quota") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    // srcA: 3 docs x 4 tokens (quota 10 admits 2); srcB: 1 doc x 6
+    val docs = Seq(
+      (1L, "a b c d", "srcA"), (2L, "e f g h", "srcA"),
+      (3L, "i j k l", "srcA"), (4L, "m n o p q r", "srcB")
+    ).toDF("doc_id", "text", "source")
+    docs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/in")
+    val q = EventStreams.sourceBudget(stream, quota = 10L)
+      .writeStream.format("memory").queryName("source_budget")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("source_budget").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // srcA admitted two docs (8 <= 10, third would hit 12), srcB fits
+    assert(out.keySet.intersect(Set(1L, 2L, 3L)).size == 2,
+      s"srcA must admit exactly 2 docs: $out")
+    assert(!out.contains(3L) || !out.contains(2L) || !out.contains(1L))
+    assert(out.contains(4L), "srcB under quota must be admitted")
+    val aCum = out.filterKeys(Set(1L, 2L, 3L)).values.max
+    assert(aCum <= 10L, s"srcA cumulative $aCum exceeds quota")
+  }
+
   test("streaming ingest gate filters low-quality and contaminated docs statelessly") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
