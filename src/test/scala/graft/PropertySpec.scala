@@ -137,4 +137,28 @@ class PropertySpec extends SparkSpec {
       assert(n <= math.max(t.getBytes("UTF-8").length, 1))
     }
   }
+
+  test("media decoders never throw on arbitrary bytes (fuzz)") {
+    import graft.operators.Multimodal
+    val rng = new scala.util.Random(99)
+    // random blobs, plus adversarial prefixes: valid magics with junk
+    // bodies, truncated headers, and huge declared chunk lengths
+    val magics = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      "RIFF".getBytes("US-ASCII") ++ Array.fill(4)(0x7f.toByte) ++
+        "WAVE".getBytes("US-ASCII"),
+      "RIFFxxxxWAVEfmt ".getBytes("US-ASCII") ++
+        Array.fill(4)(0xff.toByte)) // fmt chunk claiming length -1
+    val blobs =
+      (0 until 200).map(_ => Array.fill(rng.nextInt(200))(rng.nextInt.toByte)) ++
+        magics.flatMap(m => Seq(m, m ++ Array.fill(50)(rng.nextInt.toByte))) ++
+        Seq(Array.empty[Byte])
+    blobs.foreach { b =>
+      val (f1, _, _, h1) =
+        if (Multimodal.WavDecoder.sniffs(b)) Multimodal.WavDecoder.decode(b)
+        else Multimodal.ImageDecoder.decode(b)
+      assert(f1.nonEmpty && h1.length == 8)
+    }
+  }
 }
