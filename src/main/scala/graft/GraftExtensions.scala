@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.GraftInternals
 
-import graft.functions.{LangStats, MinHashBuckets, MinHashSignature, NgramHashes, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{LangStats, MinHashBuckets, MinHashSignature, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -49,6 +49,11 @@ object GraftExtensions {
       case Seq(text) => NgramHashes(text, 8)
       case Seq(text, n) => NgramHashes(text, intArg(n, "n"))
       case _ => throw new IllegalArgumentException("ngram_hashes(text[, n])")
+    },
+    "ngram_hashes_pos" -> {
+      case Seq(text) => NgramHashesPos(text, 8)
+      case Seq(text, n) => NgramHashesPos(text, intArg(n, "n"))
+      case _ => throw new IllegalArgumentException("ngram_hashes_pos(text[, n])")
     },
     "rolling_fingerprint" -> {
       case Seq(text) => RollingFingerprint(text, 8, 4)

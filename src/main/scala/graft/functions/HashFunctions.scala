@@ -274,6 +274,46 @@ object SignatureKernels {
     new GenericArrayData(out)
   }
 
+  /** Positional (ordered, non-distinct) word-n-gram hashes: out(i) is
+    * the hash of words i..i+n-1 in document order — the window stream
+    * the exact-substring span detector consumes (a duplicated ≥n-token
+    * substring duplicates ALL of its n-windows, so window positions are
+    * the span evidence). Identical tokenization, lowercasing, edge
+    * artifacts and gram-hash construction as [[ngramHashes]]; docs with
+    * fewer than n words emit exactly one whole-doc gram. */
+  def ngramHashesPos(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    val window = new Array[Long](n)
+    var nWords = 0
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    def wordHash(start: Int, end: Int): Long =
+      XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, 42L)
+    def pushGram(): Unit = {
+      var g = 42L
+      var k = nWords - math.min(nWords, n)
+      while (k < nWords) { g = XXH64.hashLong(window(k % n), g); k += 1 }
+      out += g
+    }
+    def pushWord(h: Long): Unit = {
+      window(nWords % n) = h
+      nWords += 1
+      if (nWords >= n) pushGram()
+    }
+    if (len == 0 || isWs(bytes(0))) pushWord(wordHash(0, 0))
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > start) pushWord(wordHash(start, i))
+    }
+    if (nWords > 0 && nWords < n) pushGram() // short doc: one gram
+    new GenericArrayData(out.result())
+  }
+
   /** tf-weighted 64-bit SimHash (Charikar 2002) of a word array: each
     * occurrence contributes ±1 to its hash's bit sums, so term frequency
     * weights fall out of iterating occurrences directly. */
@@ -338,6 +378,19 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `ngram_hashes_pos(text)` → ordered positional word-n-gram hashes. */
+case class NgramHashesPos(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes_pos"
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.ngramHashesPos(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SignatureKernels.ngramHashesPos($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesPos =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>)` → tf-weighted 64-bit SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -374,4 +427,8 @@ object HashFunctions {
   /** Column wrapper: sorted distinct word-n-gram hashes from raw text. */
   def ngramHashes(text: Column, n: Int): Column =
     GraftInternals.column(NgramHashes(GraftInternals.expression(text), n))
+
+  /** Column wrapper: ordered positional word-n-gram hashes. */
+  def ngramHashesPos(text: Column, n: Int): Column =
+    GraftInternals.column(NgramHashesPos(GraftInternals.expression(text), n))
 }

@@ -254,6 +254,61 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Exact-substring duplicated-span detection (Lee et al. 2021,
+    * arXiv:2107.06499) at k-token window resolution: a token is part of
+    * a duplicated span iff it sits inside some k-token window whose text
+    * occurs in ≥2 distinct documents; overlapping/contiguous duplicated
+    * windows merge into maximal spans. Per doc: duplicated-window count,
+    * merged-span count, covered-token count and fraction.
+    *
+    * Spark-first scale shape (the paper builds one suffix array over the
+    * concatenated corpus — inherently single-machine): the positional
+    * ngram kernel emits one 8-byte hash per window inside the scan (no
+    * gram strings ever materialize), "duplicated" is one partial+final
+    * count-distinct on the hash, membership is a semi join on the same
+    * 8-byte key, and span merging is a per-document lag window bounded
+    * by doc length. Nothing in the plan is super-linear in corpus size,
+    * and nothing shuffles text. */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    substringSpans(documents(s, d))
+
+  def substringSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.ngramHashesPos
+    val grams = docs.select(col("doc_id"),
+      posexplode(ngramHashesPos(col("text"), k)).as(Seq("pos", "g")))
+    // windows seen in >=2 DISTINCT docs (within-doc repeats alone are
+    // not duplication between documents)
+    val dup = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("g"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = grams.join(dup, Seq("g"), "left_semi")
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+    // window at pos covers tokens [pos, pos+k-1]; a successor at
+    // pos' <= pos+k overlaps or touches it (merge), else a new span
+    val isNew = col("prev").isNull || (col("pos") - col("prev") > k)
+    val spans = marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_dup_windows"),
+      sum(when(isNew, 1L).otherwise(0L)).as("n_spans"),
+      sum(when(isNew, lit(k.toLong))
+        .otherwise((col("pos") - col("prev")).cast(LongType))).as("cov"))
+    docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast(LongType).as("n_words"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        // a shorter-than-k doc's single whole-doc window covers only its
+        // own words, hence the cap
+        least(coalesce(col("cov"), lit(0L)), col("n_words")).as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast(DoubleType) / col("n_words"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, simhash) — map-only via the native tf-weighted kernel. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash64(words(col("text"))).as("simhash"))
@@ -298,6 +353,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_clusters" -> (dedupClusters _)
   )
@@ -372,6 +428,45 @@ object Dedup {
         |       WHEN h_old <> h_new THEN 'changed'
         |       ELSE 'unchanged' END <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
+
+    // The window-gram stream replays in DuckDB as 8-token slice strings
+    // (same tokenization as the kernel, incl. the lower() and the
+    // short-doc whole-text gram via greatest(len-7, 1) + slice
+    // truncation); grouping by the string is equivalent to grouping by
+    // the kernel's collision-free 64-bit gram hash.
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(list_slice(w, pos, pos + 7), ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, greatest(len(w) - 7, 1))) AS pos
+        |        FROM t)
+        |), dup AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM g WHERE gram IN (SELECT gram FROM dup)
+        |), a AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_dup_windows,
+        |    CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 8
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 8
+        |      THEN 8 ELSE pos - prev END) AS BIGINT) AS cov
+        |  FROM m GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(n_spans, 0) AS n_spans,
+        |  least(coalesce(cov, 0), CAST(len(w) AS BIGINT)) AS dup_tokens,
+        |  round(CAST(least(coalesce(cov, 0), CAST(len(w) AS BIGINT)) AS DOUBLE)
+        |    / len(w), 6) AS dup_frac
+        |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // Exact Jaccard is SQL-expressible in DuckDB with list lambdas; the
     // MinHash/SimHash queries are probabilistic candidate generators and

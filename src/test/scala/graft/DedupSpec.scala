@@ -86,6 +86,57 @@ class DedupSpec extends SparkSpec {
     assert(nEdges <= nPairs || nPairs == 0, s"edges $nEdges > pairs $nPairs")
   }
 
+  test("substring spans: planted cross-doc run surfaces as one merged span") {
+    import spark.implicits._
+    // docs 1 and 2 share an exact 10-token run inside otherwise-unique
+    // text; doc 3 repeats an 8-token run twice WITHIN itself only
+    val shared = "the quick brown fox jumps over the lazy sleeping dog"
+    val within = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"aard1 aard2 aard3 aard4 $shared tail1 tail2 tail3"),
+      (2L, s"bolt1 bolt2 $shared coda1 coda2 coda3 coda4 coda5"),
+      (3L, s"cave1 $within cave2 $within cave3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // a 10-token shared run at window size 8 → 3 fully-inside windows,
+    // merging to 1 span covering the 10 shared tokens
+    assert(out(1L) == ((3L, 1L, 10L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, 10L)), s"doc2: ${out(2L)}")
+    // within-doc-only repetition is not cross-document duplication
+    assert(out(3L) == ((0L, 0L, 0L)), s"doc3: ${out(3L)}")
+  }
+
+  test("substring spans: two separated shared runs merge into two spans") {
+    import spark.implicits._
+    val runA = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8
+    val runB = "iota kappa lambda mu nu xi omicron pi"         // exactly 8
+    val docs = Seq(
+      (1L, s"u1 u2 $runA v1 v2 v3 v4 v5 v6 v7 v8 v9 $runB u3"),
+      (2L, s"w1 $runA w2 w3 w4 w5 w6 w7 w8 w9 w10 $runB"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == ((2L, 2L, 16L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 16L)), s"doc2: ${out(2L)}")
+  }
+
+  test("positional ngram kernel: window count and distinct-set parity") {
+    import graft.functions.HashFunctions.{ngramHashes, ngramHashesPos}
+    val docs = Tables.documents(spark, Sf)
+    val bad = docs.select(
+        size(split(lower(col("text")), "\\s+")).as("nw"),
+        size(ngramHashesPos(col("text"), 8)).as("npos"),
+        array_sort(array_distinct(ngramHashesPos(col("text"), 8))).as("pd"),
+        ngramHashes(col("text"), 8).as("nh"))
+      .where(col("npos") =!= greatest(col("nw") - 7, lit(1)) ||
+        col("pd") =!= col("nh"))
+      .count()
+    assert(bad == 0, s"$bad docs violate positional-kernel parity")
+  }
+
   test("incremental ingest admits only first-of-kind batch docs absent from the corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
