@@ -59,17 +59,23 @@ object Dedup {
     * shuffles — the corpus contributes a digest set (at 100 TB this is
     * the persisted digest table from prior ingests, ~2% of corpus
     * bytes; text is never rescanned), the batch pre-aggregates
-    * per-digest map-side, and membership is one left-anti shuffle on
-    * the digest. Spark's runtime row-level bloom filter prunes most
-    * non-duplicate batch rows before that exchange. */
-  def incrementalIngest(corpus: DataFrame, batch: DataFrame): DataFrame =
-    batch
+    * per-digest map-side, and membership is an anti join on the digest
+    * with the corpus side bloom-reduced to ~|batch| rows before any
+    * exchange (ScaleJoins.bloomReducedAntiJoin): the standing corpus
+    * never shuffles, only the survivors of the batch-keyed bloom do —
+    * and AQE broadcasts those. `expectedBatchDigests` sizes the bloom
+    * filter; a loose upper bound is fine. */
+  def incrementalIngest(corpus: DataFrame, batch: DataFrame,
+                        expectedBatchDigests: Long = 1L << 20): DataFrame = {
+    val batchAgg = batch
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
-      .join(corpus.select(md5(col("text")).as("h")).distinct(),
-        Seq("h"), "left_anti")
+    ScaleJoins.bloomReducedAntiJoin(batchAgg,
+        corpus.select(md5(col("text")).as("h")).distinct(), "h",
+        expectedBatchDigests)
       .select(col("doc_id"), col("n_in_batch"))
       .orderBy(col("doc_id"))
+  }
 
   /** Gate entry: deterministic corpus/batch split (doc_id % 10) so the
     * oracle replays it. */

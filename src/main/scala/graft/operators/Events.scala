@@ -113,7 +113,30 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Mergeable distinct-count sketches — the re-aggregation pattern a
+    * 100 TB metrics pipeline lives on: per-day HLL sketches of the
+    * distinct user set (Apache DataSketches via hll_sketch_agg, one
+    * partial+final agg) plus a grand total obtained by UNIONING the
+    * daily sketches — never re-reading the events. The total row
+    * (day = null) costs #days sketch merges instead of a second
+    * corpus-wide distinct. Estimates are sketch-accurate, not exact:
+    * rows-only in the gate; EventsSpec bounds the error vs exact. */
+  def sketchDailyUniques(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val perDay = daily.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("est_uniques"))
+    val total = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_uniques"))
+      .select(lit(null).cast(TimestampType).as("day"), col("est_uniques"))
+    perDay.unionByName(total).orderBy(col("day").asc_nulls_last)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_daily_uniques" -> (sketchDailyUniques _),
     "events_retention" -> (eventsRetention _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),

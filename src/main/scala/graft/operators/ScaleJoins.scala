@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *     cost of an nSalts-times-larger small side — the classic trade.
   *   - bucketed tables (see ScaleJoinsSpec): co-located fact-fact joins
   *     with zero shuffle, for keys joined repeatedly across a pipeline.
+  *   - bloomReducedAntiJoin: an anti join of a small batch against a
+  *     huge standing table, where the huge side is semijoin-reduced by
+  *     a bloom filter over the batch's keys before it reaches any
+  *     exchange — the incremental-ingest shape.
   */
 object ScaleJoins {
 
@@ -39,5 +43,33 @@ object ScaleJoins {
       // using-column join would produce
       .drop(replicated(key))
       .drop("_salt")
+  }
+
+  /** `small` LEFT ANTI `big` on string column `key`, with the big side
+    * pruned map-side by a bloom filter built over the small side's keys.
+    *
+    * Spark's own runtime bloom injection (InjectRuntimeFilter) does not
+    * fire for anti joins, so at 100 TB the naive plan shuffles every
+    * standing-corpus digest to probe a batch a million times smaller.
+    * Pruning the BIG side with a bloom over the SMALL side's keys is
+    * safe for anti-join semantics: the bloom has no false negatives, so
+    * every big row that could eliminate a small row survives; false
+    * positives only pass extra rows into the exact anti join, which
+    * discards them. Output is row-identical to the plain anti join
+    * (ScaleJoinsSpec proves it), but the big side shrinks from the
+    * corpus to ~|batch| rows before any exchange — and AQE then turns
+    * the residual anti join into a broadcast, so nothing big ever
+    * shuffles.
+    *
+    * Note: building the filter runs one Spark job eagerly (the pattern
+    * is inherently two-phase). `expectedItems` sizes the filter — a
+    * loose upper bound on the small side's distinct keys is fine. */
+  def bloomReducedAntiJoin(small: DataFrame, big: DataFrame, key: String,
+                           expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = small.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((k: String) => k != null && bc.value.mightContainString(k))
+    small.join(big.where(mightContain(col(key))), Seq(key), "left_anti")
   }
 }

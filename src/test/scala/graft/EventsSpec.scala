@@ -46,4 +46,28 @@ class EventsSpec extends SparkSpec {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("HLL daily-unique sketches track exact counts; union row matches exact total") {
+    val ev = Tables.events(spark, Sf)
+    val exactDaily = ev
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("exact"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exactTotal = ev.select(countDistinct("user_id")).head().getLong(0)
+
+    val rows = Events.sketchDailyUniques(spark, Sf).collect()
+    val (totalRows, dayRows) = rows.partition(_.isNullAt(0))
+    assert(totalRows.length == 1, "exactly one union-total row (day=null)")
+    assert(dayRows.length == exactDaily.size)
+    // lgConfigK=12 → relative standard error ~1.6%; allow 5% (3 RSE)
+    dayRows.foreach { r =>
+      val exact = exactDaily(r.getTimestamp(0)).toDouble
+      val est = r.getLong(1).toDouble
+      assert(math.abs(est - exact) <= math.max(3.0, 0.05 * exact),
+        s"day ${r.getTimestamp(0)}: est $est vs exact $exact")
+    }
+    val estTotal = totalRows.head.getLong(1).toDouble
+    assert(math.abs(estTotal - exactTotal) <= 0.05 * exactTotal,
+      s"union total $estTotal vs exact $exactTotal")
+  }
 }

@@ -52,4 +52,32 @@ class ScaleJoinsSpec extends SparkSpec {
       s"bucketed join still shuffles on the join key:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("bloom-reduced anti join is row-identical to the plain anti join") {
+    import spark.implicits._
+    // batch keys: some in the corpus (dups), some genuinely new
+    val batch = (1 to 500).map(i => (s"k$i", i)).toDF("h", "payload")
+    val corpus = (250 to 10000).map(i => s"k$i").toDF("h")
+    val plain = batch.join(corpus, Seq("h"), "left_anti")
+      .orderBy("payload").collect().toSeq
+    val bloomed = ScaleJoins
+      .bloomReducedAntiJoin(batch, corpus, "h", expectedItems = 1000)
+      .orderBy("payload").collect().toSeq
+    assert(bloomed == plain)
+    assert(plain.length == 249) // k1..k249 are the genuinely-new keys
+  }
+
+  test("bloom reduction prunes the big side before the anti join") {
+    import spark.implicits._
+    val batch = (1 to 100).map(i => s"b$i").toDF("h")
+    val corpus = (1 to 50000).map(i => s"c$i").toDF("h") // zero overlap
+    val df = ScaleJoins.bloomReducedAntiJoin(batch, corpus, "h", 200, 0.01)
+    assert(df.count() == 100) // nothing eliminated
+    // with ~1% fpp over 50k disjoint keys, the filter passes only a few
+    // hundred corpus rows into the join — the reduction is real, not
+    // just plan-shape cosmetics
+    val bf = batch.stat.bloomFilter("h", 200, 0.01)
+    val survivors = corpus.collect().count(r => bf.mightContainString(r.getString(0)))
+    assert(survivors < 2500, s"bloom passed $survivors of 50000 corpus rows")
+  }
 }
