@@ -21,16 +21,64 @@ import graft.functions.VectorFunctions._
   *     and exact rescoring touches only in-bucket candidates. Work scales
   *     with bucket occupancy, not corpus size.
   *
-  * Parameter note: the synthetic corpus is near-isotropic (top-10
-  * neighbors at cosine ≈ 0.3, background ≈ 0), the hardest regime for
-  * LSH — defaults (L=12, b=4) are tuned for ≥0.6 recall there. Real
-  * embedding corpora cluster much more tightly; raise b (finer buckets,
-  * smaller candidate sets) as the neighbor/background gap widens.
+  * Corpus-scaled parameters (round-3): when a caller does not pin them,
+  * `b` (bucket bits) derives from the corpus count so expected bucket
+  * occupancy stays ~constant as the corpus grows (b ≈ log2(n/target)),
+  * and `L` (tables) derives from the standard LSH recall identity
+  * 1−(1−p^b)^L ≥ R with p = 1 − θ/π the per-bit sign-agreement
+  * probability at the expected neighbor cosine. The corpus count is one
+  * metadata-only parquet count — the only eager job in these builders,
+  * and unavoidable: b/L parameterize literal hyperplanes at plan time.
+  * Every ANN result row carries BOTH `recall` (quality) and `cand_frac`
+  * (cost: candidates examined / corpus) so the gate sees the trade.
+  *
+  * Geometry note: the synthetic corpus is near-isotropic (top-10
+  * neighbors at cosine ≈ 0.3, background ≈ 0) — the hardest regime for
+  * LSH; the default `neighborCos = 0.3` reproduces the tuned (L=12, b=4)
+  * at gate scale. Real embedding corpora have neighbors at cosine ≥ 0.7,
+  * where the same derivation yields deep codes (large b) with few tables
+  * — candidate sets shrink to ~L·n/2^b while recall holds. When the
+  * neighbor/background gap is NARROW and n is huge, the identity demands
+  * more tables than the clamp allows: that is LSH's real limit (IVF
+  * below degrades more gracefully there), and the emitted cand_frac
+  * makes the failure visible instead of silent.
   */
 object Similarity {
 
   private val K = 10
   private val NumQueries = 10
+
+  /** Degenerate-bucket cap, same rationale as Dedup.MaxBucket: a bucket
+    * holding more than this many vectors is non-discriminative (at any
+    * corpus size the DERIVED b keeps expected occupancy ~64, so only
+    * pathological mass — e.g. a constant embedding column — trips it)
+    * and would make the in-bucket pair expansion quadratic. Dropped,
+    * with the recall loss documented; the clustering-scale collapse for
+    * such degenerate mass is the components path, not pairwise output. */
+  private val MaxBucket = 1000L
+
+  private def ceilLog2(x: Long): Int =
+    if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+
+  private def clamp(lo: Int, hi: Int, v: Int): Int = math.min(hi, math.max(lo, v))
+
+  /** Corpus size — metadata-only count over the (column-pruned) scan. */
+  private def corpusCount(emb: DataFrame): Long = emb.count()
+
+  /** b so that expected occupancy n/2^b ≈ targetOccupancy. */
+  private def derivedBits(n: Long, targetOccupancy: Long,
+                          minB: Int, maxB: Int): Int =
+    clamp(minB, maxB, ceilLog2(math.max(1L, n / targetOccupancy)))
+
+  /** L from the recall identity 1−(1−p^b)^L ≥ targetRecall, where
+    * p = 1 − arccos(neighborCos)/π. Clamped: past the cap more tables
+    * stop paying (cand_frac exposes the resulting recall shortfall). */
+  private def derivedTables(b: Int, neighborCos: Double,
+                            targetRecall: Double, maxL: Int = 48): Int = {
+    val p = 1.0 - math.acos(neighborCos) / math.Pi
+    val perTable = math.pow(p, b)
+    clamp(6, maxL, math.ceil(math.log(1 - targetRecall) / math.log1p(-perTable)).toInt)
+  }
 
   /** Deterministic random hyperplanes: L tables × b bits × dim coords. */
   private def planes(L: Int, b: Int, dim: Int): Array[Array[Array[Double]]] = {
@@ -76,7 +124,8 @@ object Similarity {
     * quality number is driver-visible in the gate output (not just row
     * counts). Diagnostic join: the exact twin runs at test scale; at
     * corpus scale recall is measured the same way but over a sampled
-    * query set, never the full corpus. */
+    * query set, never the full corpus. Passes `cand_frac` (cost twin of
+    * recall) through untouched. */
   private def annWithRecall(s: SparkSession, d: String, ann: DataFrame): DataFrame = {
     val exact = simTopkBruteforce(s, d)
       .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
@@ -84,24 +133,32 @@ object Similarity {
       .withColumn("recall",
         round(sum(coalesce(col("hit"), lit(0)))
           .over(Window.partitionBy(col("q_id"))) / K.toDouble, 4))
-      .select(col("q_id"), col("rank"), col("vec_id"), col("score"), col("recall"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"),
+        col("recall"), col("cand_frac"))
       .orderBy(col("q_id"), col("rank"))
   }
 
   /** ANN top-k via random-hyperplane LSH: candidates are vectors sharing
     * ≥1 (table, bucket) with the query; exact cosine rescoring on the
-    * candidate set only. */
+    * candidate set only. L and b derive from the corpus count when not
+    * pinned (see object doc); at n=500 the derivation reproduces the
+    * hand-tuned (L=12, b=4). */
   def simAnnLsh(s: SparkSession, d: String,
-                L: Int = 12, b: Int = 4, dim: Int = 64): DataFrame = {
+                L: Int = 0, b: Int = 0, dim: Int = 64,
+                neighborCos: Double = 0.3,
+                targetRecall: Double = 0.8): DataFrame = {
     val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val bEff = if (b > 0) b else derivedBits(n, 256L, 4, 16)
+    val lEff = if (L > 0) L else derivedTables(bEff, neighborCos, targetRecall)
     val corpus = emb
       .select(col("vec_id"), col("embedding"),
-        explode(buckets(col("embedding"), L, b, dim)).as("bb"))
+        explode(buckets(col("embedding"), lEff, bEff, dim)).as("bb"))
       .select(col("vec_id"), col("embedding"),
         col("bb.table").as("table"), col("bb.bucket").as("bucket"))
     val qs = queriesSet(emb)
       .select(col("q_id"), col("q_emb"),
-        explode(buckets(col("q_emb"), L, b, dim)).as("bb"))
+        explode(buckets(col("q_emb"), lEff, bEff, dim)).as("bb"))
       .select(col("q_id"), col("q_emb"),
         col("bb.table").as("table"), col("bb.bucket").as("bucket"))
     // score first, dedupe after: the (q_id, vec_id) aggregate then
@@ -109,17 +166,23 @@ object Similarity {
     // dragging embedding arrays through a SortAggregate-forcing
     // dropDuplicates. A vector hit by k tables rescans its cosine k≤L
     // times, which is cheaper than per-partition sorts of wide rows.
-    corpus.join(broadcast(qs), Seq("table", "bucket"))
+    val deduped = corpus.join(broadcast(qs), Seq("table", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("score"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(max(col("score")).as("score"))
+    // cand_frac = distinct candidates rescored / corpus — the cost this
+    // query actually paid, next to the recall it bought. Same partition
+    // key as the rank window: one exchange serves both.
+    val wq = Window.partitionBy(col("q_id"))
+    deduped
+      .withColumn("cand_frac",
+        round(count(lit(1)).over(wq) / lit(n.toDouble), 4))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("vec_id"))))
+        wq.orderBy(col("score").desc, col("vec_id"))))
       .where(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"), col("cand_frac"))
       .transform(annWithRecall(s, d, _))
   }
 
@@ -127,30 +190,52 @@ object Similarity {
     * generation (same hyperplane tables as ANN) + exact cosine
     * rescoring ≥ threshold. The strict-threshold variant of similarity
     * search — near-identical vectors agree on nearly all hyperplane
-    * signs, so b can run finer than the ANN default and candidates stay
-    * sparse at corpus scale. */
+    * signs, so b runs finer than the ANN derivation (target occupancy
+    * 64) and candidates stay sparse at corpus scale. */
   def dedupEmbedCosine(s: SparkSession, d: String, threshold: Double = 0.9,
-                       L: Int = 8, b: Int = 8, dim: Int = 64): DataFrame =
+                       L: Int = 8, b: Int = 0, dim: Int = 64): DataFrame =
     embedCosinePairs(embeddings(s, d), threshold, L, b, dim)
 
+  /** Round-3 scale shape (replaces the collect_list-of-embeddings
+    * aggregate, which held whole buckets in one aggregation buffer —
+    * a hot bucket OOM'd it and the in-list expansion was O(n²)):
+    *
+    *   1. bucket membership stays ROWS — embeddings never aggregate;
+    *   2. degenerate buckets (> maxBucket members) are dropped up front
+    *      by a count agg + semi join on the same (table, bucket) key the
+    *      pair join shuffles on, so the exchange is reused;
+    *   3. candidates come from the capped bucketed self-join — a
+    *      streaming sort-merge/shuffle-hash join whose per-bucket work
+    *      is bounded by maxBucket², never corpus-shaped;
+    *   4. score-then-dedupe, as in simAnnLsh: cosine computes per
+    *      bucket-collision, then the (id1, id2) groupBy carries one
+    *      double through a codegen'd HashAggregate.
+    *
+    * b derives from the corpus count (occupancy ~64) when not pinned. */
   def embedCosinePairs(emb: DataFrame, threshold: Double = 0.9,
-                       L: Int = 8, b: Int = 8, dim: Int = 64): DataFrame = {
+                       L: Int = 8, b: Int = 0, dim: Int = 64,
+                       maxBucket: Long = MaxBucket): DataFrame = {
+    val bEff = if (b > 0) b else derivedBits(corpusCount(emb), 64L, 6, 20)
     val bucketed = emb
       .select(col("vec_id"), col("embedding"),
-        explode(buckets(col("embedding"), L, b, dim)).as("bb"))
-      .select(struct(col("vec_id"), col("embedding")).as("e"),
+        explode(buckets(col("embedding"), L, bEff, dim)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
         col("bb.table").as("table"), col("bb.bucket").as("bucket"))
-    bucketed
-      .groupBy(col("table"), col("bucket"))
-      .agg(collect_list(col("e")).as("es"))
-      .where(size(col("es")) > 1)
-      .select(explode(col("es")).as("a"), col("es"))
-      .select(col("a"), explode(col("es")).as("b"))
-      .where(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    val liveBuckets = bucketed.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn").between(2L, maxBucket))
+      .select(col("table"), col("bucket"))
+    val pruned = bucketed.join(liveBuckets, Seq("table", "bucket"), "left_semi")
+    val a = pruned.select(col("table"), col("bucket"),
+      col("vec_id").as("id1"), col("embedding").as("e1"))
+    val bSide = pruned.select(col("table"), col("bucket"),
+      col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(bSide, Seq("table", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))
       .where(col("cos") >= threshold)
-      .distinct()
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("cos")).as("cos"))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -172,22 +257,29 @@ object Similarity {
   }
 
   /** ANN top-k via IVF (inverted-file index): k-means coarse quantizer
-    * assigns every vector to a cell (one MLlib fit + one map-only
+    * assigns every vector to a cell (one sample fit + one map-only
     * transform); each query probes its `nProbe` nearest cells and
-    * rescores exactly only inside them. At corpus scale the fit runs on
-    * a sample, assignments persist with the data, and query cost is
-    * corpus/k × nProbe instead of a full scan. Centroids are tiny
-    * (k × dim) and ride along as literals — no shuffle to probe. */
+    * rescores exactly only inside them. k derives from the corpus count
+    * (cells of ~64 vectors, so query cost nProbe·n/k stays ~constant as
+    * n grows — cand_frac ≈ nProbe/k shrinks) when not pinned; the
+    * sample-fit stays sound up to the k clamp (≥8 sample points per
+    * cell at 4096). At corpus scale assignments persist with the data
+    * and only the probe runs per query. Centroids are tiny (k × dim)
+    * and ride along as literals — no shuffle to probe. */
   def simAnnIvf(s: SparkSession, d: String,
-                k: Int = 32, nProbe: Int = 8): DataFrame = {
+                k: Int = 0, nProbe: Int = 8,
+                targetCellSize: Long = 64L): DataFrame = {
     val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val kEff = if (k > 0) k
+      else clamp(32, 512, math.ceil(n.toDouble / targetCellSize).toInt)
     // coarse quantizer fit on a bounded driver-side sample — the honest
     // pattern at corpus scale too (k-means converges on a sample; only
     // the assignment pass touches all data). Plain Lloyd's keeps the
     // engine free of serialization-fragile deps on the query path.
     val sample = emb.select(col("embedding")).limit(4096).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centroids = lloyds(sample, k, iters = 10, seed = 42).map(_.toSeq).toSeq
+    val centroids = lloyds(sample, kEff, iters = 10, seed = 42).map(_.toSeq).toSeq
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(col("embedding"), centroids).as("cell"))
 
@@ -200,15 +292,17 @@ object Similarity {
     val qs = queriesSet(emb)
       .select(col("q_id"), col("q_emb"),
         explode(probeCells(col("q_emb"))).as("cell"))
+    val wq = Window.partitionBy(col("q_id"))
     assigned.join(broadcast(qs), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("cand_frac",
+        round(count(lit(1)).over(wq) / lit(n.toDouble), 4))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("vec_id"))))
+        wq.orderBy(col("score").desc, col("vec_id"))))
       .where(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"), col("cand_frac"))
       .transform(annWithRecall(s, d, _))
   }
 
@@ -219,18 +313,35 @@ object Similarity {
     * map-only assignment as IVF; the in-cell self-join shuffles once on
     * the cell id and emits pairs above the cosine threshold (keep-rule:
     * smallest id per pair survives, same as the other dedup paths).
-    * Probabilistic recall (boundary pairs split across cells) — spec
-    * plants near-identical vectors; the exact twin is dedupEmbedExact. */
-  def semanticDedupPairs(emb: DataFrame, k: Int = 32,
-                         threshold: Double = 0.95): DataFrame = {
+    *
+    * Round-3 scale fixes: k scales with the corpus when not pinned
+    * (k ≈ n/targetCellSize, as in the paper — with FIXED k the in-cell
+    * self-join is O(n²/k) = O(n²); with scaled k it is O(n·cellSize)),
+    * and a per-cell guard drops cells that still exceed `maxCellSize`
+    * (degenerate mass, e.g. a constant embedding — same rationale and
+    * trade as Dedup.MaxBucket; the components path is the collapse
+    * surface for such mass). Probabilistic recall (boundary pairs split
+    * across cells) — spec plants near-identical vectors; the exact twin
+    * is dedupEmbedExact. */
+  def semanticDedupPairs(emb: DataFrame, k: Int = 0,
+                         threshold: Double = 0.95,
+                         targetCellSize: Long = 1024L,
+                         maxCellSize: Long = 10000L): DataFrame = {
+    val kEff = if (k > 0) k
+      else clamp(32, 512, math.ceil(corpusCount(emb).toDouble / targetCellSize).toInt)
     val sample = emb.select(col("embedding")).limit(4096).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centroids = lloyds(sample, k, iters = 10, seed = 42).map(_.toSeq).toSeq
+    val centroids = lloyds(sample, kEff, iters = 10, seed = 42).map(_.toSeq).toSeq
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(col("embedding"), centroids).as("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+    val liveCells = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn").between(2L, maxCellSize))
+      .select(col("cell"))
+    val pruned = assigned.join(liveCells, Seq("cell"), "left_semi")
+    val a = pruned.select(col("cell"), col("vec_id").as("id1"),
       col("embedding").as("e1"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+    val b = pruned.select(col("cell"), col("vec_id").as("id2"),
       col("embedding").as("e2"))
     a.join(b, Seq("cell")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))

@@ -61,6 +61,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** The emitted cand_frac (cost twin of recall) must be a sane
+    * fraction: positive, ≤ 1, and well below a full scan for ANN. */
+  private def checkCandFrac(rows: Array[org.apache.spark.sql.Row],
+                            maxFrac: Double): Unit = {
+    val fracs = rows.map(_.getDouble(5))
+    assert(fracs.forall(f => f > 0.0 && f <= 1.0), fracs.distinct.toSeq.toString)
+    val mean = fracs.sum / fracs.length
+    assert(mean <= maxFrac,
+      f"mean candidate fraction $mean%.3f > documented bound $maxFrac")
+  }
+
   test("IVF ANN recalls >= 50% of brute-force top-k probing 8/32 cells") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
     val rows = Similarity.simAnnIvf(spark, Sf).collect()
@@ -71,6 +82,8 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, f"mean IVF recall $mean%.2f < 0.5 (near-isotropic corpus)")
     checkEmittedRecall(rows, exact)
+    // nProbe/k = 8/32 cells → documented bound ~0.35 of the corpus
+    checkCandFrac(rows, 0.35)
   }
 
   test("LSH ANN recalls >= 60% of brute-force top-k") {
@@ -83,6 +96,48 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, f"mean recall $mean%.2f < 0.6")
     checkEmittedRecall(rows, exact)
+    // near-isotropic corpus at derived (L=12, b=4): candidates ≈
+    // 1-(1-2^-4)^12 ≈ 0.54 of the corpus — the documented bound for
+    // this worst-case geometry (tight-neighbor corpora run far lower)
+    checkCandFrac(rows, 0.65)
+  }
+
+  test("embedCosinePairs drops degenerate hot buckets instead of exploding") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3000 identical vectors: every hyperplane table puts them all in
+    // ONE bucket. Uncapped, that is 4.5M pairs (the round-2 OOM shape);
+    // capped, the bucket is non-discriminative and is dropped.
+    val hot = spark.range(3000).select(col("id").as("vec_id"),
+      typedLit(Array.fill(16)(1.0f)).as("embedding"))
+    // plus two planted near-identical twins OUTSIDE the hot mass, which
+    // must still be found
+    val twins = Seq(
+      (100000L, Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (100001L, Array.tabulate(16)(i => (if (i % 2 == 0) 1.0f else -1.0f) * 1.01f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embedCosinePairs(
+        hot.unionByName(twins), threshold = 0.9, dim = 16, maxBucket = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100000L, 100001L)),
+      s"expected only the twin pair (hot bucket dropped), got ${pairs.size} pairs")
+  }
+
+  test("semanticDedupPairs per-cell guard drops degenerate cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val hot = spark.range(500).select(col("id").as("vec_id"),
+      typedLit(Array.fill(16)(1.0f)).as("embedding"), lit(0).as("label"))
+    val bg = (0 until 100).map(i =>
+      (10000L + i, Array.fill(16)(rng.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedupPairs(
+      hot.unionByName(bg), k = 8, threshold = 0.95, maxCellSize = 100L)
+    // the 500-strong identical cell is dropped (O(cell²) guard); the
+    // query completes and emits no pair from the degenerate mass
+    assert(!out.collect().exists { r =>
+      r.getLong(0) < 1000L && r.getLong(1) < 1000L })
   }
 
   test("semantic dedup pairs planted twins and only emits true pairs") {
