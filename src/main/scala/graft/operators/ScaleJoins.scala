@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftInternals
+import org.apache.spark.sql.types.BinaryType
 
 /** Join shapes for hostile data distributions at cluster scale
   * (SURVEY.md §5). AQE's skew-join splitting (on in GraftSession)
@@ -61,15 +64,33 @@ object ScaleJoins {
     * the residual anti join into a broadcast, so nothing big ever
     * shuffles.
     *
+    * The probe is Spark's own native `BloomFilterMightContain` — the
+    * exact expression InjectRuntimeFilter emits for the joins where it
+    * DOES fire — over `xxhash64(key)`, with the filter built over the
+    * same hashes. Codegen'd, no per-row ser/de, and no codegen fence on
+    * the one scan that touches 100 TB (a ScalaUDF probe would be both).
+    * Hashing first is lossless for the reduction: a key maps to one
+    * hash, the bloom has no false negatives over those hashes, and hash
+    * collisions only add false positives — which the exact anti join
+    * already absorbs. Null keys hash to the seed and may pass the
+    * probe; harmless, since a null key equals nothing in the equi anti
+    * join and eliminates no small-side row.
+    *
     * Note: building the filter runs one Spark job eagerly (the pattern
     * is inherently two-phase). `expectedItems` sizes the filter — a
     * loose upper bound on the small side's distinct keys is fine. */
   def bloomReducedAntiJoin(small: DataFrame, big: DataFrame, key: String,
                            expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = small.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: String) => k != null && bc.value.mightContainString(k))
-    small.join(big.where(mightContain(col(key))), Seq(key), "left_anti")
+    val bf = small.select(xxhash64(col(key)).as("_kh"))
+      .stat.bloomFilter("_kh", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = GraftInternals.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      GraftInternals.expression(xxhash64(col(key)))))
+    small.join(big.where(probe), Seq(key), "left_anti")
   }
 }

@@ -277,8 +277,7 @@ object Similarity {
     // pattern at corpus scale too (k-means converges on a sample; only
     // the assignment pass touches all data). Plain Lloyd's keeps the
     // engine free of serialization-fragile deps on the query path.
-    val sample = emb.select(col("embedding")).limit(4096).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = fitSample(emb)
     val centroids = lloyds(sample, kEff, iters = 10, seed = 42).map(_.toSeq).toSeq
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(col("embedding"), centroids).as("cell"))
@@ -329,8 +328,7 @@ object Similarity {
                          maxCellSize: Long = 10000L): DataFrame = {
     val kEff = if (k > 0) k
       else clamp(32, 512, math.ceil(corpusCount(emb).toDouble / targetCellSize).toInt)
-    val sample = emb.select(col("embedding")).limit(4096).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = fitSample(emb)
     val centroids = lloyds(sample, kEff, iters = 10, seed = 42).map(_.toSeq).toSeq
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(col("embedding"), centroids).as("cell"))
@@ -354,6 +352,27 @@ object Similarity {
     // (planted twins sit at cos ≈ 1; background pairs ≈ 0.3)
     semanticDedupPairs(embeddings(s, d), threshold = 0.45)
 
+  /** Bounded UNIFORM sample for the quantizer fit. A bare
+    * `limit(size)` takes whatever rows the scan returns first — a
+    * corpus PREFIX, so on any sorted / source-partitioned / Z-ordered
+    * layout (exactly what a 100 TB corpus looks like) the fit centers
+    * on the head shard and recall silently collapses for the tail
+    * (SimilaritySpec's sorted-corpus case demonstrates the
+    * mis-centering). Ordering by a seeded hash of the row id instead
+    * makes every row equally likely at any position regardless of the
+    * physical layout, is deterministic under retries / partition
+    * reshuffles (unlike `sample()`, whose per-partition RNG shifts
+    * when the file split changes), and compiles to
+    * TakeOrderedAndProject: each scan task keeps its local top-`size`
+    * by hash, the driver merges — no global sort, no full shuffle. */
+  private[graft] def fitSample(emb: DataFrame,
+                                   size: Int = 4096): Array[Array[Double]] =
+    emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(42L)), col("vec_id"))
+      .limit(size)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
   /** (d², cell) structs for every centroid — shared by probe-list and
     * nearest-cell assignment; d² is the native vec_l2sq kernel (one
     * codegen'd loop per centroid, no interpreted HOF lambdas). */
@@ -366,7 +385,7 @@ object Similarity {
     array_min(array(cellDistances(v, centroids): _*)).getField("cell")
 
   /** Plain Lloyd's iterations on an in-memory sample, deterministic. */
-  private[operators] def lloyds(points: Array[Array[Double]], k: Int,
+  private[graft] def lloyds(points: Array[Array[Double]], k: Int,
                                 iters: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "k-means needs a non-empty sample")
     val dim = points.head.length

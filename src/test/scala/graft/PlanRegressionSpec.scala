@@ -96,6 +96,15 @@ class PlanRegressionSpec extends SparkSpec {
       }
   }
 
+  test("incremental dedup probes the corpus with the native bloom expression, not a UDF") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("might_contain"),
+      s"corpus-side scan must carry BloomFilterMightContain:\n$p")
+    // a ScalaUDF probe would fence codegen and pay per-row ser/de on the
+    // one scan that touches the full corpus
+    assert(!p.contains("UDF("), s"interpreted UDF on the corpus scan:\n$p")
+  }
+
   test("contamination screen broadcasts the eval n-gram side") {
     val p = plan("pipeline_contamination")
     assert(p.contains("BroadcastHashJoin"),

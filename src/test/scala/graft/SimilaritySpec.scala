@@ -167,6 +167,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizer fit samples uniformly — a prefix fit mis-centers on a sorted corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 100 TB corpus is never in random order: sorted / Z-ordered /
+    // source-partitioned layouts put correlated rows first. Model that:
+    // the first 5000 rows are blob A, the last 1000 are blob B.
+    val rng = new scala.util.Random(3)
+    def blob(center: Int, n: Int, from: Long) = (0 until n).map { i =>
+      (from + i, Array.tabulate(8)(j =>
+        (if (j == center) 10.0 else 0.0).toFloat + rng.nextGaussian().toFloat * 0.1f))
+    }
+    val emb = (blob(0, 5000, 0L) ++ blob(1, 1000, 5000L))
+      .toDF("vec_id", "embedding")
+    val bCenter = Array.tabulate(8)(j => if (j == 1) 10.0 else 0.0)
+    def nearestD2(centers: Array[Array[Double]]): Double =
+      centers.map(c => c.zip(bCenter).map { case (x, y) =>
+        (x - y) * (x - y) }.sum).min
+    // the old prefix "sample": first 4096 scan rows = blob A only
+    val prefix = emb.select(col("embedding")).limit(4096).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val prefixFit = Similarity.lloyds(prefix, 16, iters = 10, seed = 42)
+    assert(nearestD2(prefixFit) > 50.0,
+      f"prefix fit unexpectedly covered blob B (d2=${nearestD2(prefixFit)}%.1f)")
+    // the hash-ordered sample sees both blobs → some centroid lands in B
+    val sampledFit = Similarity.lloyds(
+      Similarity.fitSample(emb), 16, iters = 10, seed = 42)
+    assert(nearestD2(sampledFit) < 5.0,
+      f"sampled fit missed blob B (d2=${nearestD2(sampledFit)}%.1f)")
+    // and it is deterministic (retries / partition reshuffles replay it)
+    val again = Similarity.fitSample(emb.repartition(7))
+    assert(Similarity.fitSample(emb).map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "fitSample must not depend on physical partitioning")
+  }
+
   test("centroids: exact per-label coordinate means, one row per (label, dim)") {
     import spark.implicits._
     val emb = Seq(
