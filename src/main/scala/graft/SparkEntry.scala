@@ -8,15 +8,15 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Events.queries ++ Similarity.queries ++ Multimodal.queries ++
-      GraftEngine.queries ++ Temporal.queries ++ Curation.queries ++
-      Sharding.queries ++ QualityRules.queries
+    Relational.queries ++ TpchExtended.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Events.queries ++ Similarity.queries ++
+      Multimodal.queries ++ GraftEngine.queries ++ Temporal.queries ++
+      Curation.queries ++ Sharding.queries ++ QualityRules.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Events.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      GraftEngine.oracles ++ Temporal.oracles ++ Curation.oracles ++
-      Sharding.oracles ++ QualityRules.oracles
+    Relational.oracles ++ TpchExtended.oracles ++ Dedup.oracles ++
+      TextAnalysis.oracles ++ Events.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++ GraftEngine.oracles ++ Temporal.oracles ++
+      Curation.oracles ++ Sharding.oracles ++ QualityRules.oracles
 }

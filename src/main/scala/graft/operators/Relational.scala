@@ -553,104 +553,6 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
-  /** TPC-H Q17: small-quantity-order revenue — lineitems under 20% of
-    * their part's average order quantity (p_size stands in for the
-    * absent p_container). The per-part average is a partial+final agg
-    * over ONLY the brand-selected lineitems (the correlated subquery's
-    * domain), joined back map-side; no window, no second scan of the
-    * full table. */
-  def qTpchQ17(s: SparkSession, d: String): DataFrame = {
-    val sel = lineitem(s, d)
-      .join(broadcast(part(s, d)
-        .where(col("p_brand") === "Brand#12" && col("p_size") < 10)
-        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    val caps = sel.groupBy(col("l_partkey").as("cap_key"))
-      .agg((lit(0.2) * davg(col("l_quantity"))).as("qty_cap"))
-    // caps has one row per brand-selected part (~0.1% of part) — broadcast
-    // so the cap attaches map-side instead of re-shuffling the lineitems.
-    sel.join(broadcast(caps), col("l_partkey") === col("cap_key"))
-      .where(col("l_quantity") < col("qty_cap"))
-      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
-  }
-
-  /** TPC-H Q19: discounted revenue — a disjunction of three
-    * (brand, size-range, quantity-range) branches over the same
-    * part⋈lineitem join (p_size/l_quantity stand in for the absent
-    * container/shipmode columns). One broadcast join; the whole
-    * predicate evaluates map-side in a single codegen stage. */
-  def qTpchQ19(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .join(broadcast(part(s, d)
-        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
-        col("l_partkey") === col("p_partkey"))
-      .where(
-        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
-          && col("l_quantity").between(1, 11))
-          || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
-            && col("l_quantity").between(10, 20))
-          || (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
-            && col("l_quantity").between(20, 30)))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast(DoubleType).as("revenue"))
-
-  /** TPC-H Q21: suppliers who kept orders waiting — the only late
-    * supplier on a multi-supplier finished order ("late" adapted to
-    * l_shipdate > o_orderdate + 90 days; the schema has no
-    * commit/receipt dates). The EXISTS / NOT-EXISTS pair becomes ONE
-    * per-order partial+final agg (supplier count + distinct-late-
-    * supplier count) joined back on the orderkey the rows already
-    * share — two shuffles total instead of three correlated scans. */
-  def qTpchQ21(s: SparkSession, d: String): DataFrame = {
-    val fl = lineitem(s, d)
-      .join(orders(s, d).where(col("o_orderstatus") === "F")
-        .select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-          .as("late"))
-    val perOrder = fl.groupBy(col("l_orderkey").as("po_key"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-    fl.where(col("late"))
-      .join(perOrder.where(col("n_supp") > 1 && col("n_late_supp") === 1)
-        .select(col("po_key")), col("l_orderkey") === col("po_key"))
-      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-      .where(col("n_name") === "NATION_5")
-      .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
-      .limit(100)
-  }
-
-  /** TPC-H Q22: global sales opportunity — dormant well-funded
-    * customers by country code (c_nationkey % 5 stands in for the
-    * absent phone prefix; "no orders since 2000" for the 7-year
-    * dormancy window). The positive-balance average is a one-row agg
-    * crossJoin'd in; the dormancy test is a left-anti join on the
-    * date-filtered orders; one final agg over ≤5 country codes. */
-  def qTpchQ22(s: SparkSession, d: String): DataFrame = {
-    val sel = customer(s, d)
-      .where((col("c_nationkey") % 5).isin(1, 2, 4))
-      .select(col("c_custkey"),
-        (col("c_nationkey") % 5).cast(IntegerType).as("cntrycode"),
-        col("c_acctbal"))
-    val avgBal = sel.where(col("c_acctbal") > 0.0)
-      .agg((sum(dec(col("c_acctbal"))).cast(DoubleType) / count(lit(1)))
-        .as("avg_bal"))
-    sel.crossJoin(broadcast(avgBal))
-      .where(col("c_acctbal") > col("avg_bal"))
-      .join(orders(s, d)
-        .where(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
-        .select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      .groupBy(col("cntrycode"))
-      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
-      .orderBy(col("cntrycode"))
-  }
-
   /** Window frames beyond running totals: centered 7-row moving average,
     * ntile quartiles, percent_rank — one shuffle on the partition key. */
   def qWindowFrames(s: SparkSession, d: String): DataFrame = {
@@ -896,10 +798,6 @@ object Relational {
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q15" -> (qTpchQ15 _),
-    "q_tpch_q17" -> (qTpchQ17 _),
-    "q_tpch_q19" -> (qTpchQ19 _),
-    "q_tpch_q21" -> (qTpchQ21 _),
-    "q_tpch_q22" -> (qTpchQ22 _),
     "q_window_frames" -> (qWindowFrames _),
     "q_percentile" -> (qPercentile _),
     "q_intersect" -> (qIntersect _),
@@ -1283,69 +1181,6 @@ object Relational {
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
-
-    "q_tpch_q17" ->
-      """WITH sel AS (
-        |  SELECT l_partkey, l_quantity, l_extendedprice
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE p_brand = 'Brand#12' AND p_size < 10
-        |), caps AS (
-        |  SELECT l_partkey AS cap_key,
-        |    0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |      / count(l_quantity)) AS qty_cap
-        |  FROM sel GROUP BY l_partkey
-        |)
-        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |  / CAST(7.0 AS DOUBLE) AS avg_yearly
-        |FROM sel JOIN caps ON l_partkey = cap_key
-        |WHERE l_quantity < qty_cap""".stripMargin,
-
-    "q_tpch_q19" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-        |    AND l_quantity BETWEEN 1 AND 11)
-        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-        |    AND l_quantity BETWEEN 10 AND 20)
-        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
-
-    "q_tpch_q21" ->
-      """SELECT s_name, count(*) AS numwait
-        |FROM supplier
-        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        |JOIN orders ON o_orderkey = l1.l_orderkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |  AND n_name = 'NATION_5'
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey
-        |      AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey
-        |      AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
-
-    "q_tpch_q22" ->
-      """WITH sel AS (
-        |  SELECT c_custkey, CAST(c_nationkey % 5 AS INT) AS cntrycode,
-        |    c_acctbal
-        |  FROM customer WHERE c_nationkey % 5 IN (1, 2, 4)
-        |)
-        |SELECT cntrycode, count(*) AS numcust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-        |FROM sel
-        |WHERE c_acctbal > (
-        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-        |      / count(*) FROM sel WHERE c_acctbal > 0.0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders
-        |    WHERE o_custkey = c_custkey
-        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "q_window_frames" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
