@@ -324,12 +324,17 @@ object Dedup {
   def dedupSimhash(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
     simhashPairs(documents(s, d), maxHamming)
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(docs)
-    val bands = (0 until 4).map { j =>
+  /** 4 × 16-bit band slices of the simhash column — the shared bucket
+    * key of the pairs (verification) and star-edge (collapse) paths. */
+  private def simhashBands: Seq[Column] =
+    (0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bucket"))
     }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(docs)
+    val bands = simhashBands
     sh.select(explode(array(bands: _*)).as("bb"),
         struct(col("doc_id"), col("simhash")).as("e"))
       .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -342,6 +347,40 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** Star-edge form of the simhash band-bucket graph — the same
+    * collapse shape as [[minhashLshEdges]], so simhash clusters collapse
+    * cap-free: every (band, bucket) contributes (doc → bucket-min)
+    * edges, a star has the same connected components as the bucket
+    * clique, and a boilerplate mega-bucket costs n edges instead of
+    * n(n−1)/2 pairs. No bucket materializes as a list — roots come from
+    * a partial+final min agg, edges from a join back on the same
+    * (band, bucket) key (exchange reused). Bucket-sharing (16 identical
+    * bits) IS the cluster relation here, exactly as band-bucket sharing
+    * is for the minhash clusters path; the hamming-verified
+    * [[simhashPairs]] remains the candidate-verification surface, and
+    * every pair it emits co-clusters on this graph by construction
+    * (a verified pair shares a bucket). */
+  def simhashEdges(docs: DataFrame): DataFrame = {
+    val tagged = simhash(docs)
+      .select(col("doc_id"), explode(array(simhashBands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val roots = tagged.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("root"))
+    tagged.join(roots, Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("id1"), col("root").as("id2"))
+      .distinct()
+  }
+
+  /** SimHash near-dup cluster ids over the star-edge graph — text →
+    * simhash → band buckets → star edges → iterative components.
+    * Probabilistic like the pairs path (same buckets). */
+  def dedupSimhashClusters(s: SparkSession, d: String): DataFrame =
+    Components.connectedComponents(simhashEdges(documents(s, d)))
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy(col("doc_id"))
 
   /** Duplicate clusters: connected components over the exact-Jaccard
     * pair graph — (doc_id, comp) with comp = min doc_id of the cluster.
@@ -361,6 +400,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "dedup_simhash_clusters" -> (dedupSimhashClusters _),
     "dedup_clusters" -> (dedupClusters _)
   )
 

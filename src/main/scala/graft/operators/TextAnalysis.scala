@@ -152,6 +152,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The 100 TB shape of [[unigramLogprob]]: the scoring pass never
+    * shuffles the corpus token stream. Pass 1 builds the vocabulary HEAD
+    * (df > dfMin) — the only corpus-wide shuffle, and it moves 8-byte
+    * hashes with map-side combine; Zipf puts the overwhelming share of
+    * token OCCURRENCES in the head, so the head table stays broadcastable
+    * (df > 5 cuts the hapax/rare tail that dominates vocabulary SIZE).
+    * Pass 2 is map-only: broadcast-left-join the head onto the token
+    * stream and floor missing (tail) tokens to the smoothing constant
+    * log(dfMin/total); the per-doc agg then shuffles one partial row per
+    * (doc, partition), never per token. Tail flooring perturbs scores
+    * only for rare-token-heavy documents — exactly the ones the signal
+    * exists to flag — and preserves ranking (log is monotone; the floor
+    * upper-bounds every floored prob at the head boundary). */
+  def textUnigramLogprobSmoothed(s: SparkSession, d: String): DataFrame =
+    unigramLogprobSmoothed(documents(s, d))
+
+  def unigramLogprobSmoothed(docs: DataFrame, dfMin: Long = 5L): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("w"))
+    val head = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      .where(col("cf") > dfMin)
+    val total = tok.agg(count(lit(1)).cast("double").as("t"))
+    tok.join(broadcast(head), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(coalesce(col("cf"), lit(dfMin)) / col("t")), 9)
+          .cast(DecimalType(28, 9)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("lp")).cast(DoubleType) / count(lit(1))), 6)
+          .as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source document-length distribution — the report a curation
     * run reads before choosing truncation/packing budgets. Exact p50/p90
     * (oracle-checkable baseline; q_approx_percentile is the documented
@@ -179,7 +214,8 @@ object TextAnalysis {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_top_tokens" -> (textTopTokens _),
-    "text_unigram_logprob" -> (textUnigramLogprob _)
+    "text_unigram_logprob" -> (textUnigramLogprob _),
+    "text_unigram_logprob_smoothed" -> (textUnigramLogprobSmoothed _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +304,19 @@ object TextAnalysis {
         |  round(CAST(sum(CAST(round(ln(cf / t), 9) AS DECIMAL(28,9)))
         |    AS DOUBLE) / count(*), 6) AS mean_logprob
         |FROM tok JOIN vocab USING (w), total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_logprob_smoothed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents
+        |), head AS (
+        |  SELECT w, count(*) AS cf FROM tok GROUP BY w HAVING count(*) > 5
+        |), total AS (SELECT count(*) AS t FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(round(ln(coalesce(cf, 5) / t), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_logprob
+        |FROM tok LEFT JOIN head USING (w), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

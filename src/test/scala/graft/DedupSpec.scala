@@ -86,6 +86,27 @@ class DedupSpec extends SparkSpec {
     assert(nEdges <= nPairs || nPairs == 0, s"edges $nEdges > pairs $nPairs")
   }
 
+  test("simhash star-edge graph yields identical clusters to the unverified pair-clique graph") {
+    import graft.operators.Components
+    val docs = Tables.documents(spark, Sf)
+    // maxHamming = 64 disables verification, so the pairs path is the
+    // pure bucket clique — the graph the star edges must reproduce
+    val viaPairs = Components.connectedComponents(Dedup.simhashPairs(docs, 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaEdges = Components.connectedComponents(Dedup.simhashEdges(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaEdges == viaPairs,
+      s"cluster mismatch: ${viaEdges.toSet.diff(viaPairs.toSet).take(5)}")
+    // linear edge volume, and every hamming-VERIFIED pair co-clusters
+    val nEdges = Dedup.simhashEdges(docs).count()
+    val nPairs = Dedup.simhashPairs(docs, 64).count()
+    assert(nEdges <= nPairs || nPairs == 0, s"edges $nEdges > pairs $nPairs")
+    Dedup.simhashPairs(docs).collect().foreach { r =>
+      assert(viaEdges(r.getLong(0)) == viaEdges(r.getLong(1)),
+        s"verified pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+  }
+
   test("substring spans: planted cross-doc run surfaces as one merged span") {
     import spark.implicits._
     // docs 1 and 2 share an exact 10-token run inside otherwise-unique

@@ -33,4 +33,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(2L) - BigDecimal(expected)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("smoothed logprob: exact on head tokens, floored on the tail, broadcast scoring join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val common = (1 to 20).map(_ => "the cat sat").mkString(" ")
+    val docs = Seq(
+      (1L, common),                      // every token df=20 > dfMin
+      (2L, "zyzzyva qwerty flurble"))    // three singletons (tail)
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.unigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sm = TextAnalysis.unigramLogprobSmoothed(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // head-only doc: identical score (its tokens never floor)
+    assert(sm(1L) == exact(1L), s"head doc changed: ${sm(1L)} vs ${exact(1L)}")
+    // tail doc: floored to ln(dfMin/total) per token — raised, still worst
+    val floored = BigDecimal(math.round(math.log(5.0 / 63.0) * 1e9) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(sm(2L) - floored) < 1e-9, s"${sm(2L)} vs $floored")
+    assert(sm(1L) > sm(2L), "ranking must be preserved")
+    // the scoring join must broadcast: the corpus token stream may only
+    // hash-exchange for the head build and the per-doc agg, never to
+    // co-locate with the vocabulary
+    val p = TextAnalysis.unigramLogprobSmoothed(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary head must broadcast onto the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle through the vocab join:\n$p")
+  }
 }
