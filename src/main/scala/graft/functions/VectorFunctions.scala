@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftInternals
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Column-level vector math over `array<float>` / `array<double>`
   * embeddings.
@@ -49,6 +49,76 @@ object VectorKernels {
       i += 1
     }
     acc
+  }
+
+  /** L sign-bucket codes for a flat row-major (L·b × dim) hyperplane
+    * matrix: bit j of code t = sign(Σᵢ vᵢ·P[t·b+j][i]). Same per-plane
+    * left-to-right double MAC as `dot`, so the codes are bit-identical
+    * to the unrolled when(dot(v, plane) > 0, ...) composition this
+    * replaces — which blew janino's 64 KB method limit once the DERIVED
+    * L·b left the clamp floor (48 tables × 7 bits × 64 dims unrolled).
+    * One matrix loop over a constant-pool reference keeps any L·b·dim
+    * inside whole-stage codegen. Length mismatch → all-zero codes (the
+    * unrolled form's null-dot → otherwise(0) branch). */
+  def hyperplaneCodes(v: ArrayData, isFloat: Boolean, planes: Array[Double],
+                      numTables: Int, bits: Int, dim: Int): ArrayData = {
+    val out = new Array[Long](numTables)
+    if (v.numElements() == dim) {
+      var t = 0
+      while (t < numTables) {
+        var code = 0L
+        var j = 0
+        while (j < bits) {
+          val off = (t * bits + j) * dim
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc += get(v, isFloat, i) * planes(off + i); i += 1 }
+          if (acc > 0) code |= 1L << j
+          j += 1
+        }
+        out(t) = code
+        t += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** The `nProbe` nearest centroid cells by (L2², cell) ascending, for a
+    * flat row-major (k × dim) centroid matrix — the kernel twin of the
+    * lexicographic (d2, cell) struct array_sort it replaces (cells scan
+    * ascending and insertion is strict, so equal distances keep the
+    * lower cell, matching the struct ordering). O(k·nProbe) partial
+    * selection; same left-to-right (aᵢ−bᵢ)² accumulation as `l2sq`. */
+  def nearestCells(v: ArrayData, isFloat: Boolean, centroids: Array[Double],
+                   k: Int, dim: Int, nProbe: Int): ArrayData = {
+    val m = math.min(nProbe, k)
+    val bestD = Array.fill(m)(Double.PositiveInfinity)
+    val bestC = new Array[Int](m)
+    if (v.numElements() == dim) {
+      var c = 0
+      while (c < k) {
+        val off = c * dim
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val d = get(v, isFloat, i) - centroids(off + i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD(m - 1)) {
+          var pos = m - 1
+          while (pos > 0 && bestD(pos - 1) > acc) {
+            bestD(pos) = bestD(pos - 1)
+            bestC(pos) = bestC(pos - 1)
+            pos -= 1
+          }
+          bestD(pos) = acc
+          bestC(pos) = c
+        }
+        c += 1
+      }
+    }
+    ArrayData.toArrayData(bestC)
   }
 
   /** dot(a,b) / (‖a‖·‖b‖), all three accumulators left-to-right — the
@@ -137,6 +207,62 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinary {
     copy(left = newLeft, right = newRight)
 }
 
+private[functions] trait VectorMatrixUnary extends UnaryExpression {
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs an array<float|double> input, got $t")
+    }
+  protected def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** `hyperplane_codes(v)` — one LSH bucket code per table for a plane
+  * matrix riding as a codegen reference object (never an unrolled
+  * literal tree; see [[VectorKernels.hyperplaneCodes]]). */
+case class HyperplaneCodes(child: Expression, planes: Array[Double],
+                           numTables: Int, bits: Int, dim: Int)
+    extends VectorMatrixUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_codes"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.hyperplaneCodes(
+      v.asInstanceOf[ArrayData], isFloat, planes, numTables, bits, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.VectorKernels.hyperplaneCodes(
+         |  $v, $isFloat, $ref, $numTables, $bits, $dim);""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneCodes =
+    copy(child = newChild)
+}
+
+/** `nearest_cells(v, nProbe)` — the nProbe nearest centroid ids for a
+  * centroid matrix riding as a codegen reference object (see
+  * [[VectorKernels.nearestCells]]). */
+case class NearestCells(child: Expression, centroids: Array[Double],
+                        k: Int, dim: Int, nProbe: Int)
+    extends VectorMatrixUnary {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCells(
+      v.asInstanceOf[ArrayData], isFloat, centroids, k, dim, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.VectorKernels.nearestCells(
+         |  $v, $isFloat, $ref, $k, $dim, $nProbe);""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Σ aᵢ·bᵢ in double precision (native, codegen'd). */
@@ -158,4 +284,18 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     GraftInternals.column(
       VecL2Sq(GraftInternals.expression(a), GraftInternals.expression(b)))
+
+  /** One LSH bucket code per table (array<long>, index = table) for a
+    * row-major (L·b × dim) plane matrix (native, codegen'd). */
+  def hyperplaneCodes(v: Column, planes: Array[Double],
+                      numTables: Int, bits: Int, dim: Int): Column =
+    GraftInternals.column(
+      HyperplaneCodes(GraftInternals.expression(v), planes, numTables, bits, dim))
+
+  /** The nProbe nearest centroid ids (array<int>, (L2², cell) ascending)
+    * for a row-major (k × dim) centroid matrix (native, codegen'd). */
+  def nearestCells(v: Column, centroids: Array[Double],
+                   k: Int, dim: Int, nProbe: Int): Column =
+    GraftInternals.column(
+      NearestCells(GraftInternals.expression(v), centroids, k, dim, nProbe))
 }

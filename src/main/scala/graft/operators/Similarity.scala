@@ -75,6 +75,31 @@ object Similarity {
     * stop paying (cand_frac exposes the resulting recall shortfall). */
   private def derivedTables(b: Int, neighborCos: Double,
                             targetRecall: Double, maxL: Int = 48): Int = {
+    derivedTablesImpl(b, neighborCos, targetRecall, maxL)
+  }
+
+  /** Reporting twin of the in-operator LSH derivation (AnnStress prints
+    * what simAnnLsh will actually use at a given corpus size). */
+  private[graft] def lshParams(n: Long, neighborCos: Double = 0.3,
+                               targetRecall: Double = 0.8): (Int, Int) = {
+    val b = derivedBits(n, 256L, 4, 16)
+    (b, derivedTablesImpl(b, neighborCos, targetRecall, 48))
+  }
+
+  /** Derived cell count shared by IVF (targetCellSize=64) and SemDeDup
+    * (targetCellSize=1024) — one formula, used by the operators and
+    * reported by AnnStress so the two can't drift. */
+  private[graft] def ivfK(n: Long, targetCellSize: Long): Int =
+    clamp(32, 512, math.ceil(n.toDouble / targetCellSize).toInt)
+
+  /** Derived probe count: ~6% of cells, floor 8 (= the hand-tuned probe
+    * at the k=32 clamp floor), cap 64 — constant examined fraction as k
+    * derives upward (see simAnnIvf doc). */
+  private[graft] def ivfNProbe(k: Int): Int =
+    clamp(8, 64, math.ceil(k * 0.06).toInt)
+
+  private def derivedTablesImpl(b: Int, neighborCos: Double,
+                                targetRecall: Double, maxL: Int): Int = {
     val p = 1.0 - math.acos(neighborCos) / math.Pi
     val perTable = math.pow(p, b)
     clamp(6, maxL, math.ceil(math.log(1 - targetRecall) / math.log1p(-perTable)).toInt)
@@ -86,18 +111,15 @@ object Similarity {
     Array.fill(L, b, dim)(rng.nextGaussian())
   }
 
-  /** (table, bucket) signature pairs for one embedding column: bit j of a
-    * table's bucket is the sign of the projection onto hyperplane j. */
-  private def buckets(v: Column, L: Int, b: Int, dim: Int): Column = {
-    val ps = planes(L, b, dim)
-    val entries = (0 until L).map { t =>
-      val bits = (0 until b).map { j =>
-        when(dot(v, typedLit(ps(t)(j).toSeq)) > 0, 1L << j).otherwise(0L)
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
-    }
-    array(entries: _*)
-  }
+  /** Per-table bucket codes for one embedding column (array<long>,
+    * index = table): bit j of a table's bucket is the sign of the
+    * projection onto hyperplane j. One native matrix kernel — the
+    * earlier unrolled when(dot(v, literal)) tree blew janino's 64 KB
+    * method limit (whole-stage codegen fell back to interpreted rows)
+    * as soon as the DERIVED L·b left the clamp floor; the kernel emits
+    * bit-identical codes at any L·b·dim (AnnStress proves both). */
+  private def buckets(v: Column, L: Int, b: Int, dim: Int): Column =
+    hyperplaneCodes(v, planes(L, b, dim).flatten.flatten, L, b, dim)
 
   private def queriesSet(emb: DataFrame): DataFrame =
     emb.where(col("vec_id") < NumQueries)
@@ -153,14 +175,12 @@ object Similarity {
     val lEff = if (L > 0) L else derivedTables(bEff, neighborCos, targetRecall)
     val corpus = emb
       .select(col("vec_id"), col("embedding"),
-        explode(buckets(col("embedding"), lEff, bEff, dim)).as("bb"))
-      .select(col("vec_id"), col("embedding"),
-        col("bb.table").as("table"), col("bb.bucket").as("bucket"))
+        posexplode(buckets(col("embedding"), lEff, bEff, dim))
+          .as(Seq("table", "bucket")))
     val qs = queriesSet(emb)
       .select(col("q_id"), col("q_emb"),
-        explode(buckets(col("q_emb"), lEff, bEff, dim)).as("bb"))
-      .select(col("q_id"), col("q_emb"),
-        col("bb.table").as("table"), col("bb.bucket").as("bucket"))
+        posexplode(buckets(col("q_emb"), lEff, bEff, dim))
+          .as(Seq("table", "bucket")))
     // score first, dedupe after: the (q_id, vec_id) aggregate then
     // carries one double — a codegen'd HashAggregate — instead of
     // dragging embedding arrays through a SortAggregate-forcing
@@ -218,9 +238,8 @@ object Similarity {
     val bEff = if (b > 0) b else derivedBits(corpusCount(emb), 64L, 6, 20)
     val bucketed = emb
       .select(col("vec_id"), col("embedding"),
-        explode(buckets(col("embedding"), L, bEff, dim)).as("bb"))
-      .select(col("vec_id"), col("embedding"),
-        col("bb.table").as("table"), col("bb.bucket").as("bucket"))
+        posexplode(buckets(col("embedding"), L, bEff, dim))
+          .as(Seq("table", "bucket")))
     val liveBuckets = bucketed.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("bn"))
       .where(col("bn").between(2L, maxBucket))
@@ -260,37 +279,46 @@ object Similarity {
     * assigns every vector to a cell (one sample fit + one map-only
     * transform); each query probes its `nProbe` nearest cells and
     * rescores exactly only inside them. k derives from the corpus count
-    * (cells of ~64 vectors, so query cost nProbe·n/k stays ~constant as
-    * n grows — cand_frac ≈ nProbe/k shrinks) when not pinned; the
-    * sample-fit stays sound up to the k clamp (≥8 sample points per
-    * cell at 4096). At corpus scale assignments persist with the data
-    * and only the probe runs per query. Centroids are tiny (k × dim)
-    * and ride along as literals — no shuffle to probe. */
+    * (cells of ~64 vectors) when not pinned, and nProbe derives WITH it
+    * (~6% of cells, floor 8): a fixed probe count tuned at the k=32
+    * clamp floor probes 25% of cells there but 2.5% at k=313, and
+    * AnnStress measured exactly that recall collapse (0.58 → 0.34) on
+    * the isotropic corpus. Probing a constant cell fraction keeps
+    * per-query cost a constant fraction of the corpus — still ~16×
+    * under brute force — with recall degrading only with geometry, not
+    * with n. On real embedding corpora (neighbors at cos ≥ 0.7)
+    * neighbors concentrate in the query's own cell and recall rides
+    * well above this isotropic floor (the planted-twin spec pins the
+    * concentrated regime at 100%). The sample-fit stays sound up to
+    * the k clamp (≥8 sample points per cell at 4096). At corpus scale
+    * assignments persist with the data and only the probe runs per
+    * query. Centroids are tiny (k × dim) and ride along as a codegen
+    * reference object inside the native nearest_cells kernel — no
+    * shuffle to probe, no unrolled literal tree to break codegen at
+    * the k=512 cap. */
   def simAnnIvf(s: SparkSession, d: String,
-                k: Int = 0, nProbe: Int = 8,
+                k: Int = 0, nProbe: Int = 0,
                 targetCellSize: Long = 64L): DataFrame = {
     val emb = embeddings(s, d)
     val n = corpusCount(emb)
-    val kEff = if (k > 0) k
-      else clamp(32, 512, math.ceil(n.toDouble / targetCellSize).toInt)
+    val kEff = if (k > 0) k else ivfK(n, targetCellSize)
+    val nProbeEff = if (nProbe > 0) nProbe else ivfNProbe(kEff)
     // coarse quantizer fit on a bounded driver-side sample — the honest
     // pattern at corpus scale too (k-means converges on a sample; only
     // the assignment pass touches all data). Plain Lloyd's keeps the
     // engine free of serialization-fragile deps on the query path.
     val sample = fitSample(emb)
-    val centroids = lloyds(sample, kEff, iters = 10, seed = 42).map(_.toSeq).toSeq
+    val centroids = lloyds(sample, kEff, iters = 10, seed = 42)
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(col("embedding"), centroids).as("cell"))
 
-    // per-query probe list: L2 distance to every centroid (computed as a
-    // column expression over the literal centroid matrix), keep nProbe
-    def probeCells(v: Column): Column =
-      transform(slice(array_sort(array(cellDistances(v, centroids): _*)),
-        1, nProbe), s => s.getField("cell"))
-
+    // per-query probe list: the nProbe nearest cells by L2, straight
+    // from the native centroid-matrix kernel
     val qs = queriesSet(emb)
       .select(col("q_id"), col("q_emb"),
-        explode(probeCells(col("q_emb"))).as("cell"))
+        explode(graft.functions.VectorFunctions.nearestCells(
+          col("q_emb"), centroids.flatten, kEff,
+          centroids.head.length, nProbeEff)).as("cell"))
     val wq = Window.partitionBy(col("q_id"))
     assigned.join(broadcast(qs), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
@@ -326,10 +354,9 @@ object Similarity {
                          threshold: Double = 0.95,
                          targetCellSize: Long = 1024L,
                          maxCellSize: Long = 10000L): DataFrame = {
-    val kEff = if (k > 0) k
-      else clamp(32, 512, math.ceil(corpusCount(emb).toDouble / targetCellSize).toInt)
+    val kEff = if (k > 0) k else ivfK(corpusCount(emb), targetCellSize)
     val sample = fitSample(emb)
-    val centroids = lloyds(sample, kEff, iters = 10, seed = 42).map(_.toSeq).toSeq
+    val centroids = lloyds(sample, kEff, iters = 10, seed = 42)
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(col("embedding"), centroids).as("cell"))
     val liveCells = assigned.groupBy(col("cell"))
@@ -373,16 +400,13 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-  /** (d², cell) structs for every centroid — shared by probe-list and
-    * nearest-cell assignment; d² is the native vec_l2sq kernel (one
-    * codegen'd loop per centroid, no interpreted HOF lambdas). */
-  private def cellDistances(v: Column, centroids: Seq[Seq[Double]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, j) =>
-      struct(l2sq(v, typedLit(c)).as("d2"), lit(j).as("cell"))
-    }
-
-  private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array_min(array(cellDistances(v, centroids): _*)).getField("cell")
+  /** Nearest centroid id via the native (k × dim) matrix kernel — the
+    * per-centroid struct array_min it replaces unrolled k vec_l2sq
+    * calls into one expression tree, which left codegen's 64 KB method
+    * budget once the DERIVED k reached its 512 cap (AnnStress). */
+  private def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    element_at(graft.functions.VectorFunctions.nearestCells(
+      v, centroids.flatten, centroids.length, centroids.head.length, 1), 1)
 
   /** Plain Lloyd's iterations on an in-memory sample, deterministic. */
   private[graft] def lloyds(points: Array[Array[Double]], k: Int,

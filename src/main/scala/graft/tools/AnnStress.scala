@@ -1,0 +1,146 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Dev tool: exercise the DERIVED ANN/SemDeDup parameters off their
+  * clamp floors (SURVEY.md §6). At the gate scales (≤2k vectors) every
+  * derivation clamps to its floor (b=4, k=32), so the adaptive path —
+  * the whole point of corpus-scaled parameters — never runs under the
+  * gates. This replicates the sf0.1 embeddings 10×/50× and checks:
+  *
+  *   - LSH: bEff/lEff leave the floor (b=7@20k, b=9@100k), recall vs
+  *     the exact brute-force top-k holds, and cand_frac SHRINKS as n
+  *     grows (constant bucket occupancy — the scale claim itself);
+  *   - IVF: kEff derives (313@20k) and hits its 512 cap (@100k) — the
+  *     k×dim literal centroid tree at its worst case — with recall and
+  *     cand_frac ≈ nProbe/k bounds plus wall-time sanity for the
+  *     codegen of the 512-branch nearestCell/probe expressions;
+  *   - SemDeDup: kEff derives (98@100k) and every planted twin pair
+  *     (cos ≈ 1, same cell by construction) is recovered.
+  *
+  * Scaled corpus construction (deterministic, seed-free at runtime):
+  * copy 0 keeps the original vectors, copy 1 plants a jittered twin of
+  * every vector (±0.5% per coordinate — SemDeDup recall ground truth),
+  * copies ≥2 get fresh hash-uniform vectors so the corpus stays in the
+  * near-isotropic hard regime instead of degenerating into clone sets.
+  * `sbt "runMain graft.tools.AnnStress [factor ...]"` (default 10 50). */
+object AnnStress {
+  private val Shift = 100000000L
+  private val Dim = 64
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(10, 50)
+    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val candFracs = factors.map(f => runOne(spark, "/root/testdata/sf0.1", f))
+    if (factors.size >= 2)
+      check("LSH cand_frac shrinks as n grows (constant-occupancy claim)",
+        candFracs.sliding(2).forall { case Seq(a, b) => b < a })
+    spark.stop()
+  }
+
+  /** Hash-uniform coordinate array in [-1, 1]^Dim — fresh geometry per
+    * (vec_id, salt), deterministic under retries. */
+  private def freshVec(salt: Column): Column =
+    transform(sequence(lit(0), lit(Dim - 1)), i =>
+      ((pmod(xxhash64(col("vec_id"), i, salt), lit(2001L)) - lit(1000L))
+        .cast("double") / 1000.0).cast("float"))
+
+  /** freshVec projected onto the unit sphere — the corpus vectors are
+    * unit-normalized (‖v‖ = 1.0 exactly), and IVF assignment is L2:
+    * un-normalized fill (norm ≈ √(Dim/3) ≈ 4.6) would push every
+    * original+twin into a handful of near-origin cells and fake a
+    * pathological cand_frac. LSH is sign-scale-invariant either way. */
+  private def freshUnitVec(salt: Column): Column = {
+    val raw = freshVec(salt)
+    val n = sqrt(graft.functions.VectorFunctions.dot(raw, raw))
+    transform(raw, x => (x / n).cast("float"))
+  }
+
+  private def check(name: String, ok: Boolean): Unit = {
+    println(s"${if (ok) "PASS" else "FAIL"}  $name")
+    if (!ok) sys.exit(1)
+  }
+
+  /** Returns the LSH avg cand_frac (for the cross-factor shrink check). */
+  def runOne(spark: SparkSession, src: String, factor: Int): Double = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_ann_$factor").toString
+    val emb = graft.Tables.embeddings(spark, src)
+    val copies = spark.range(factor.toLong).select(col("id").as("_copy"))
+    emb.crossJoin(copies)
+      .withColumn("vec_id", col("vec_id") + col("_copy") * Shift)
+      .withColumn("embedding",
+        when(col("_copy") === 0, col("embedding"))
+          .when(col("_copy") === 1, // planted twin of the copy-0 vector
+            zip_with(col("embedding"), freshVec(lit(-1L)),
+              (x, n) => x + n * lit(0.005f)))
+          .otherwise(freshUnitVec(col("_copy"))))
+      .drop("_copy")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val n = spark.read.parquet(s"$base/embeddings.parquet").count()
+    val (bEff, lEff) = Similarity.lshParams(n)
+    val kIvf = Similarity.ivfK(n, 64L)
+    val kSem = Similarity.ivfK(n, 1024L)
+    println(s"\n=== factor=$factor n=$n derived: LSH(b=$bEff, L=$lEff) " +
+      s"IVF(k=$kIvf) SemDeDup(k=$kSem) ===")
+    check(s"LSH b off the clamp floor (b=$bEff > 4)", bEff > 4)
+    check(s"IVF k off the clamp floor (k=$kIvf > 32)", kIvf > 32)
+
+    def timed[T](name: String)(x: => T): T = {
+      val t0 = System.nanoTime()
+      val r = x
+      println(f"$name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // ANN quality/cost stats ride on every result row (driver-visible by
+    // design); one aggregate collapse forces the full compute.
+    def annStats(name: String, df: DataFrame): (Double, Double, Double) = {
+      val r = timed(name)(df
+        .agg(min(col("recall")), avg(col("recall")), avg(col("cand_frac")))
+        .collect().head)
+      val (mn, av, cf) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      println(f"  recall min=$mn%.3f avg=$av%.3f  cand_frac avg=$cf%.4f")
+      (mn, av, cf)
+    }
+
+    val (_, lshAvg, lshCf) = annStats("sim_ann_lsh", Similarity.simAnnLsh(spark, base))
+    // every query's planted twin shares all hyperplane signs, so rank 1
+    // is near-guaranteed; bulk recall bound is the derivation's own
+    // target minus the clamp shortfall the object doc documents
+    check(f"LSH avg recall ≥ 0.55 (got $lshAvg%.3f)", lshAvg >= 0.55)
+    // the near-isotropic corpus (neighbors at cos ≈ 0.3) is LSH's
+    // documented worst regime: L clamps at 48 and candidates stay fat
+    // (~0.34 at 20k). The per-factor bound only guards against
+    // quadratic blowup; the real scale claim is the cross-factor
+    // SHRINK check in main (constant occupancy → cand_frac ∝ 1/n).
+    check(f"LSH cand_frac ≤ 0.45 (got $lshCf%.4f)", lshCf <= 0.45)
+
+    val (ivfMin, ivfAvg, ivfCf) = annStats("sim_ann_ivf", Similarity.simAnnIvf(spark, base))
+    val pIvf = Similarity.ivfNProbe(kIvf)
+    val ivfCfBound = 3.0 * pIvf / kIvf // ~3× the ideal nProbe/k occupancy
+    // isotropic-floor recall at a ~6% probed fraction; every query's
+    // planted twin must land in the probed set (min ≥ 1 hit of 10)
+    check(f"IVF avg recall ≥ 0.3 at nProbe=$pIvf/$kIvf (got $ivfAvg%.3f)",
+      ivfAvg >= 0.3)
+    check(f"IVF min recall ≥ 0.1 — twin found (got $ivfMin%.3f)", ivfMin >= 0.1)
+    check(f"IVF cand_frac ≤ 3×nProbe/k = $ivfCfBound%.4f (got $ivfCf%.4f)",
+      ivfCf <= ivfCfBound)
+
+    // SemDeDup ground truth: every copy-0 vector has its jittered twin
+    // at cos ≈ 1 ≥ 0.95; (id, id+Shift) pair ids are the plant itself.
+    val scaled = spark.read.parquet(s"$base/embeddings.parquet")
+    val planted = timed("dedup_semantic")(
+      Similarity.semanticDedupPairs(scaled)
+        .where(col("id2") === col("id1") + Shift).count())
+    val nBase = emb.count()
+    println(s"  planted twins recovered: $planted / $nBase")
+    check(s"SemDeDup planted-twin recall ≥ 0.9 ($planted/$nBase)",
+      planted >= (nBase * 0.9).toLong)
+    lshCf
+  }
+}

@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else graft.Bench.headline
+    val names =
+      if (args.lift(1).contains("all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
+      else graft.Bench.headline
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -138,6 +138,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_codes matches the unrolled dot-sign composition for arbitrary vectors") {
+    import graft.functions.VectorKernels
+    val rng = new scala.util.Random(42)
+    val (tables, bits, dim) = (5, 7, 16)
+    val planes = Array.fill(tables * bits * dim)(rng.nextGaussian())
+    val vecs: Gen[Array[Float]] =
+      Gen.containerOfN[Array, Float](dim, Gen.chooseNum(-1.0f, 1.0f))
+    samples(vecs, 100).foreach { v =>
+      val ad = new GenericArrayData(v)
+      val got = VectorKernels.hyperplaneCodes(ad, true, planes, tables, bits, dim)
+        .toLongArray()
+      // reference: per-plane left-to-right double MAC, sign → bit, the
+      // exact arithmetic of the when(dot > 0, 1<<j) tree it replaced
+      val want = Array.tabulate(tables) { t =>
+        (0 until bits).map { j =>
+          var acc = 0.0
+          (0 until dim).foreach(i => acc += v(i).toDouble * planes((t * bits + j) * dim + i))
+          if (acc > 0) 1L << j else 0L
+        }.sum
+      }
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("nearest_cells matches a full (d2, cell) lexicographic sort for arbitrary vectors") {
+    import graft.functions.VectorKernels
+    val rng = new scala.util.Random(7)
+    val (k, dim, nProbe) = (23, 8, 5)
+    val centroids = Array.fill(k * dim)(rng.nextGaussian())
+    val vecs: Gen[Array[Float]] =
+      Gen.containerOfN[Array, Float](dim, Gen.chooseNum(-2.0f, 2.0f))
+    samples(vecs, 100).foreach { v =>
+      val ad = new GenericArrayData(v)
+      val got = VectorKernels.nearestCells(ad, true, centroids, k, dim, nProbe)
+        .toIntArray()
+      val want = (0 until k).map { c =>
+        var acc = 0.0
+        (0 until dim).foreach { i =>
+          val d = v(i).toDouble - centroids(c * dim + i); acc += d * d
+        }
+        (acc, c)
+      }.sorted.take(nProbe).map(_._2)
+      assert(got.toSeq == want)
+    }
+  }
+
   test("media decoders never throw on arbitrary bytes (fuzz)") {
     import graft.operators.Multimodal
     val rng = new scala.util.Random(99)
