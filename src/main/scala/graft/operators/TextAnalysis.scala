@@ -187,6 +187,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 relevance search (Robertson et al., Okapi BM25; k1=1.2,
+    * b=0.75) for a literal query-term set over the corpus — the lexical
+    * retrieval twin of the embedding ANN path (a training-data pipeline
+    * uses both: ANN for semantic, BM25 for exact-term eval-set mining).
+    *
+    * Scale shape: the token stream filters to the query terms BEFORE
+    * any exchange — non-matching tokens die on the scan (map-only), so
+    * the tf shuffle carries only (doc, matched-term) rows: |Q| ≈ a few
+    * terms means orders of magnitude under the corpus token count. df
+    * and the (N, avgdl) corpus stats are one-row/|Q|-row aggregates,
+    * lazily broadcast — no driver collect. Top-k compiles to
+    * TakeOrderedAndProject. Per-(doc, term) scores round to 9 dp and
+    * sum as DECIMAL (order-free), same discipline as the logprob
+    * scores; the arithmetic mirrors the DuckDB oracle expression for
+    * expression so the doubles match bit-for-bit. */
+  def textBm25Search(s: SparkSession, d: String): DataFrame =
+    bm25Search(documents(s, d), Seq("vector", "stream", "window"))
+
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 20,
+                 k1: Double = 1.2, bp: Double = 0.75): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast(DoubleType).as("dl"))
+    val stats = base.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      (sum(col("dl").cast(DecimalType(18, 2))).cast(DoubleType) /
+        count(lit(1))).as("avgdl"))
+    val matched = base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .where(col("w").isin(terms: _*))
+    val tf = matched.groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dfreq = tf.groupBy(col("w"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    tf.join(broadcast(dfreq), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - bp) + lit(bp) * col("dl") / col("avgdl"))),
+          9).cast(DecimalType(28, 9)).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).cast(DoubleType).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-source document-length distribution — the report a curation
     * run reads before choosing truncation/packing budgets. Exact p50/p90
     * (oracle-checkable baseline; q_approx_percentile is the documented
@@ -215,7 +265,8 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "text_top_tokens" -> (textTopTokens _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
-    "text_unigram_logprob_smoothed" -> (textUnigramLogprobSmoothed _)
+    "text_unigram_logprob_smoothed" -> (textUnigramLogprobSmoothed _),
+    "text_bm25_search" -> (textBm25Search _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,6 +368,41 @@ object TextAnalysis {
         |  round(CAST(sum(CAST(round(ln(coalesce(cf, 5) / t), 9)
         |    AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_logprob
         |FROM tok LEFT JOIN head USING (w), total
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // literal arithmetic mirrors the Spark expression term for term
+    // ((1.2 + 1), not 2.2 — the two parse to DIFFERENT doubles)
+    "text_bm25_search" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents
+        |), b2 AS (
+        |  SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM base
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM b2
+        |), matched AS (
+        |  SELECT doc_id, dl, unnest(ws) AS w FROM b2
+        |), m2 AS (
+        |  SELECT * FROM matched WHERE w IN ('vector', 'stream', 'window')
+        |), tf AS (
+        |  SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM m2 GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(round(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |        (tf * (1.2 + 1)) /
+        |        (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+        |      9) AS DECIMAL(28,9)) AS sc
+        |  FROM tf JOIN dfreq USING (w), stats
+        |)
+        |SELECT doc_id, CAST(sum(sc) AS DOUBLE) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   )
 }

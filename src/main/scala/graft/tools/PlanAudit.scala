@@ -13,20 +13,26 @@ object PlanAudit {
       if (args.lift(1).contains("all")) graft.SparkEntry.queries.keys.toSeq.sorted
       else if (args.length > 1) args.drop(1).toSeq
       else graft.Bench.headline
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val keep = ("(\\w*Join|Exchange|\\w*HashAggregate|SortAggregate|" +
-      "\\w*Scan|Sort|Window|TakeOrdered|Generate|Expand|\\w*Limit|PushedFilters)").r
+    // plain substring scan, never a regex: plans carry multi-megabyte
+    // single lines (broadcast literal arrays) and an alternation of
+    // \w*-prefixed branches backtracks quadratically on them (observed:
+    // one line pinned a core for 6+ minutes)
+    val kws = Seq("Join", "Exchange", "HashAggregate", "SortAggregate",
+      "Scan", "Sort", "Window", "TakeOrdered", "Generate", "Expand",
+      "Limit", "PushedFilters")
     names.foreach { n =>
       println(s"\n===== $n =====")
       val plan = graft.SparkEntry.queries(n)(spark, sf)
         .queryExecution.executedPlan.toString
       plan.split("\n")
-        .filter(l => keep.findFirstIn(l).isDefined)
-        .map(_.replaceAll("#\\d+L?", "").take(200))
+        .filter { l => val h = l.take(4000); kws.exists(h.contains) }
+        .map(_.take(4000).replaceAll("#\\d+L?", "").take(200))
         .foreach(println)
     }
     spark.stop()

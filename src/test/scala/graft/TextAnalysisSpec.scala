@@ -63,4 +63,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"token stream must not shuffle through the vocab join:\n$p")
   }
+
+  test("BM25: exact scores vs a driver-side reference, term filter before any shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "vector stream vector window noise noise"),   // all 3 terms, tf(vector)=2
+      (2L, "vector filler filler filler filler filler filler filler"), // long, 1 hit
+      (3L, "stream window"),                             // short, 2 hits
+      (4L, "nothing relevant here at all"))              // no hits
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs, Seq("vector", "stream", "window"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // driver-side Okapi BM25 with the same rounding discipline
+    val corpus = Map(1L -> "vector stream vector window noise noise",
+      2L -> "vector filler filler filler filler filler filler filler",
+      3L -> "stream window")
+    val dls = Map(1L -> 6.0, 2L -> 8.0, 3L -> 2.0, 4L -> 5.0)
+    val nDocs = 4.0
+    val avgdl = dls.values.sum / 4
+    def dfOf(t: String) = corpus.values.count(_.split(" ").contains(t)).toDouble
+    def score(id: Long): Double = {
+      val terms = Seq("vector", "stream", "window")
+        .map(t => t -> corpus(id).split(" ").count(_ == t).toDouble)
+        .filter(_._2 > 0)
+      val parts = terms.map { case (t, tf) =>
+        val raw = math.log((nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5) + 1.0) *
+          (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dls(id) / avgdl))
+        BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      parts.sum.toDouble
+    }
+    assert(got.keySet == Set(1L, 2L, 3L), s"hit set wrong: $got")
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(math.abs(got(id)._1 - score(id)) < 1e-9,
+        s"doc $id: ${got(id)._1} vs ${score(id)}")
+    }
+    assert(got(1L)._2 == 3L && got(2L)._2 == 1L && got(3L)._2 == 2L)
+    assert(got(1L)._1 > got(2L)._1, "3-term doc must outrank 1-term doc")
+    // plan: the df/stats sides broadcast; the corpus token stream only
+    // hash-exchanges matched (doc, term) rows for tf — never raw tokens
+    val p = TextAnalysis.bm25Search(docs, Seq("vector", "stream", "window"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df and corpus stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side merge join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
 }
