@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.GraftInternals
 
-import graft.functions.{LangStats, MinHashBuckets, MinHashSignature, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{HyperplaneCodes, LangStats, MinHashBuckets, MinHashSignature, NearestCells, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -34,6 +34,17 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$name expects an integer literal, got $other")
   }
+
+  /** Constant-fold a foldable array<double> argument (e.g. a SQL
+    * `array(...)` literal) into the flat matrix the kernel carries as a
+    * codegen reference object. */
+  private def doubleArrayArg(e: Expression, name: String): Array[Double] =
+    if (e.foldable) e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"$name expects an array<double> literal, got $other")
+    } else throw new IllegalArgumentException(
+      s"$name expects a foldable array<double> literal, got $e")
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_buckets" -> {
@@ -66,7 +77,30 @@ object GraftExtensions {
     "lang_stats" -> { args => LangStats(args.head) },
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "vec_cosine" -> { args => VecCosine(args(0), args(1)) },
-    "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) })
+    "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) },
+    // hyperplane_codes(v, planes, L, b): flat row-major (L·b × dim)
+    // plane matrix as an array literal; dim divides out of the length
+    "hyperplane_codes" -> {
+      case Seq(v, planes, l, b) =>
+        val p = doubleArrayArg(planes, "planes")
+        val (lEff, bEff) = (intArg(l, "L"), intArg(b, "b"))
+        require(lEff > 0 && bEff > 0 && p.length % (lEff * bEff) == 0,
+          s"planes length ${p.length} must be a multiple of L*b = ${lEff * bEff}")
+        HyperplaneCodes(v, p, lEff, bEff, p.length / (lEff * bEff))
+      case _ => throw new IllegalArgumentException(
+        "hyperplane_codes(v, planes, L, b)")
+    },
+    // nearest_cells(v, centroids, k, nProbe): flat row-major (k × dim)
+    "nearest_cells" -> {
+      case Seq(v, cents, k, nProbe) =>
+        val c = doubleArrayArg(cents, "centroids")
+        val kEff = intArg(k, "k")
+        require(kEff > 0 && c.length % kEff == 0,
+          s"centroids length ${c.length} must be a multiple of k = $kEff")
+        NearestCells(v, c, kEff, c.length / kEff, intArg(nProbe, "nProbe"))
+      case _ => throw new IllegalArgumentException(
+        "nearest_cells(v, centroids, k, nProbe)")
+    })
 
   /** Idempotently register the native functions on a live session. */
   def registerNativeFunctions(spark: SparkSession): Unit =

@@ -32,6 +32,23 @@ class ExtensionsSpec extends SparkSpec {
       row.getDouble(11) == 25.0)
   }
 
+  test("matrix kernels run from spark.sql with array-literal matrices") {
+    GraftExtensions.registerNativeFunctions(spark)
+    val row = spark.sql(
+      // 2 tables × 1 bit × dim 2: planes (1,0) and (0,1); centroids
+      // (0,0) and (10,10) with k=2, nProbe=2
+      """SELECT
+        |  hyperplane_codes(array(0.5D, -0.5D),
+        |    array(1.0D, 0.0D, 0.0D, 1.0D), 2, 1) AS hc,
+        |  nearest_cells(array(1.0D, 1.0D),
+        |    array(0.0D, 0.0D, 10.0D, 10.0D), 2, 2) AS nc
+        |""".stripMargin).collect()(0)
+    assert(row.getSeq[Long](0) == Seq(1L, 0L),
+      s"sign(0.5)=1, sign(-0.5)=0: ${row.getSeq[Long](0)}")
+    assert(row.getSeq[Int](1) == Seq(0, 1),
+      s"(1,1) is nearer (0,0) than (10,10): ${row.getSeq[Int](1)}")
+  }
+
   test("SQL and column APIs agree") {
     GraftExtensions.registerNativeFunctions(spark)
     import org.apache.spark.sql.functions._
