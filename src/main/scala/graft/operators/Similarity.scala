@@ -333,6 +333,71 @@ object Similarity {
       .transform(annWithRecall(s, d, _))
   }
 
+  /** IVF with the index AT REST — the 100 TB serving layout of
+    * [[simAnnIvf]]. The cell assignments persist PARTITIONED BY CELL
+    * (one directory per coarse cell, the on-disk twin of a FAISS
+    * inverted list); a query then reads `embeddings` back through the
+    * partition column, so the `cell IN (probe list)` filter prunes at
+    * the DIRECTORY level — the scan touches ~nProbe/k of the files on
+    * disk before a single row deserializes (PlanRegressionSpec proves
+    * PartitionFilters + file-count pruning). This is the difference
+    * between "the join discards non-probed cells" (simAnnIvf — still
+    * reads the corpus once per query batch) and "the I/O never
+    * happens" — at 100 TB the index is written once, re-probed
+    * forever, and each query batch pays only its probed cells.
+    * Results are bit-identical to simAnnIvf by construction (same
+    * sample fit, same kernel assignment, same probe list — the spec
+    * asserts row equality). Index dir is content-keyed by corpus path
+    * so gate re-runs overwrite idempotently. */
+  def simAnnIvfPersisted(s: SparkSession, d: String,
+                         k: Int = 0, nProbe: Int = 0,
+                         targetCellSize: Long = 64L): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val kEff = if (k > 0) k else ivfK(n, targetCellSize)
+    val nProbeEff = if (nProbe > 0) nProbe else ivfNProbe(kEff)
+    val sample = fitSample(emb)
+    val centroids = lloyds(sample, kEff, iters = 10, seed = 42)
+    val indexDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_index_${java.lang.Integer.toHexString(d.hashCode)}").toString
+    emb.select(col("vec_id"), col("embedding"),
+        nearestCell(col("embedding"), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    // the query batch is tiny BY DEFINITION (the online side), so its
+    // probe lists collect to the driver — through the SAME kernel the
+    // distributed path runs — and become a STATIC `cell IN (...)`
+    // predicate: the scan prunes partition DIRECTORIES at plan time,
+    // no dynamic-pruning machinery in the loop
+    import s.implicits._
+    val dim = centroids.head.length
+    val flat = centroids.flatten
+    val probes: Seq[(Long, Seq[Float], Int)] = queriesSet(emb)
+      .collect().toSeq.flatMap { r =>
+        val qId = r.getLong(0)
+        val qe = r.getSeq[Float](1)
+        graft.functions.VectorKernels.nearestCells(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(qe.toArray),
+            true, flat, kEff, dim, nProbeEff)
+          .toIntArray().toSeq.map(c => (qId, qe, c))
+      }
+    val probeCells = probes.map(_._3).distinct
+    val qs = probes.toDF("q_id", "q_emb", "cell")
+    val assigned = s.read.parquet(indexDir)
+      .where(col("cell").isin(probeCells: _*))
+    val wq = Window.partitionBy(col("q_id"))
+    assigned.join(broadcast(qs), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("cand_frac",
+        round(count(lit(1)).over(wq) / lit(n.toDouble), 4))
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"), col("cand_frac"))
+      .transform(annWithRecall(s, d, _))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     * pairs via cluster-then-compare — k-means cells bound the pair
     * search to semantic neighborhoods, so the all-pairs comparison runs
@@ -464,6 +529,8 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
+    "sim_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
+      simAnnIvfPersisted(s, d)),
     // gate entry runs at the exact twin's threshold so the rows-only
     // check exercises real output on the synthetic corpus (no 0.9-cosine
     // twins exist there; the 0.9 default is the production near-dup bar,

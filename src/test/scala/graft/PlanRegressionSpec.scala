@@ -187,6 +187,31 @@ class PlanRegressionSpec extends SparkSpec {
       s"AQE must merge the 6-group shuffle's empty partitions at runtime:\n$p")
   }
 
+  test("persisted IVF index prunes cell directories and matches the in-flight IVF") {
+    import graft.operators.Similarity
+    // k=64 / nProbe=2: ≤20 probed cells of 64 — a real pruning margin
+    // (at the gate's k=32/nProbe=8 floor, 10 queries' probes can cover
+    // every cell and pruning has nothing to skip)
+    val live = Similarity.simAnnIvf(spark, Sf, k = 64, nProbe = 2).collect().toSeq
+    val persisted = Similarity.simAnnIvfPersisted(spark, Sf, k = 64, nProbe = 2)
+    val got = persisted.collect().toSeq
+    // same fit, same kernel assignment, same probe list → identical rows
+    assert(got == live, s"persisted IVF diverged: ${got.take(3)} vs ${live.take(3)}")
+    // the probe scan must carry the static cell IN (...) as a
+    // PartitionFilter — directory pruning, not a post-scan filter
+    val p = persisted.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probe filter not pruning cell directories:\n$p")
+    // and it probes strictly fewer directories than the index holds
+    val indexDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_index_${java.lang.Integer.toHexString(Sf.hashCode)}")
+    val allCells = indexDir.listFiles().count(_.getName.startsWith("cell="))
+    val probed = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(p).get
+      .count(_ == ',') + 1
+    assert(probed < allCells,
+      s"probe touched $probed of $allCells cells — no pruning margin")
+  }
+
   test("partitioned writes prune partitions on read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Sources.write(
