@@ -398,6 +398,79 @@ object Similarity {
       .transform(annWithRecall(s, d, _))
   }
 
+  /** ANN via product quantization (Jégou et al. 2011, IEEE TPAMI
+    * 33(1), "Product quantization for nearest neighbor search") — the
+    * MEMORY-bound scale path, orthogonal to IVF's I/O pruning: the
+    * corpus compresses from dim doubles to m subspace codes (64 floats
+    * → 8 bytes at the defaults, 32×), so a 100 TB embedding column
+    * scans as ~3 TB of codes. Encoding is map-only — the same
+    * nearest_cells kernel, once per subspace over a slice. Queries
+    * (tiny by definition) collect driver-side and carry their ADC
+    * lookup table lut[j][c] = ‖q_j − codebook_j[c]‖² as an array
+    * column on the broadcast side; the asymmetric-distance score is m
+    * codegen'd array lookups per (vector, query) — no dim-wide
+    * arithmetic ever touches the corpus at query time. The approx
+    * top-`rerank` short list then rescores EXACTLY against the raw
+    * embeddings (a semi-join-sized read), which caps quantization
+    * error at the ranking boundary; `cand_frac` reports rerank/n, the
+    * exact-rescored fraction. */
+  def simAnnPq(s: SparkSession, d: String, m: Int = 8,
+               codebookK: Int = 64, rerank: Int = 50): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val sample = fitSample(emb)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
+      lloyds(sample.map(_.slice(j * sub, (j + 1) * sub)), codebookK,
+        iters = 10, seed = 42L + j)
+    }
+    val codes = (0 until m).map { j =>
+      element_at(graft.functions.VectorFunctions.nearestCells(
+        slice(col("embedding"), j * sub + 1, sub), codebooks(j).flatten,
+        codebookK, sub, 1), 1).as(s"c$j")
+    }
+    val encoded = emb.select((col("vec_id") +: codes): _*)
+    val qlut: Seq[(Long, Seq[Seq[Double]])] = queriesSet(emb).collect()
+      .toSeq.map { r =>
+        val q = r.getSeq[Float](1).map(_.toDouble).toArray
+        val lut = (0 until m).map { j =>
+          val qj = q.slice(j * sub, (j + 1) * sub)
+          codebooks(j).map { c =>
+            var s2 = 0.0; var i = 0
+            while (i < sub) { val dd = qj(i) - c(i); s2 += dd * dd; i += 1 }
+            s2
+          }.toSeq
+        }
+        (r.getLong(0), lut)
+      }
+    import s.implicits._
+    val qs = qlut.toDF("q_id", "lut")
+    val wq = Window.partitionBy(col("q_id"))
+    val shortList = encoded.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (0 until m).map(j =>
+            element_at(element_at(col("lut"), j + 1), col(s"c$j") + 1))
+          .reduce(_ + _).as("approx_d2"))
+      .withColumn("arank", row_number().over(
+        wq.orderBy(col("approx_d2").asc, col("vec_id"))))
+      .where(col("arank") <= rerank)
+    shortList
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queriesSet(emb)), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .withColumn("cand_frac", round(lit(rerank / n.toDouble), 4))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"),
+        col("cand_frac"))
+      .transform(annWithRecall(s, d, _))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     * pairs via cluster-then-compare — k-means cells bound the pair
     * search to semantic neighborhoods, so the all-pairs comparison runs
@@ -531,6 +604,7 @@ object Similarity {
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
     "sim_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
       simAnnIvfPersisted(s, d)),
+    "sim_ann_pq" -> ((s: SparkSession, d: String) => simAnnPq(s, d)),
     // gate entry runs at the exact twin's threshold so the rows-only
     // check exercises real output on the synthetic corpus (no 0.9-cosine
     // twins exist there; the 0.9 default is the production near-dup bar,

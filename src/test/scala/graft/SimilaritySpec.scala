@@ -86,6 +86,24 @@ class SimilaritySpec extends SparkSpec {
     checkCandFrac(rows, 0.35)
   }
 
+  test("PQ ANN with exact rerank recalls >= 70% of brute-force top-k") {
+    val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
+    val rows = Similarity.simAnnPq(spark, Sf).collect()
+    val pq = topkSets(rows)
+    val recalls = exact.map { case (q, tk) =>
+      pq.getOrElse(q, Set.empty).intersect(tk).size.toDouble / tk.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8-byte codes + top-50 exact rerank: the rerank caps quantization
+    // error at the ranking boundary, so recall rides well above raw ADC
+    assert(mean >= 0.7, f"mean PQ recall $mean%.2f < 0.7 (isotropic corpus)")
+    checkEmittedRecall(rows, exact)
+    // cand_frac = rerank/n — the exact-rescored fraction, 50/500 here
+    checkCandFrac(rows, 0.11)
+    // deterministic across runs (seeded fit, seeded sample)
+    assert(Similarity.simAnnPq(spark, Sf).collect().toSeq == rows.toSeq)
+  }
+
   test("LSH ANN recalls >= 60% of brute-force top-k") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
     val rows = Similarity.simAnnLsh(spark, Sf).collect()
