@@ -98,6 +98,15 @@ object Similarity {
   private[graft] def ivfNProbe(k: Int): Int =
     clamp(8, 64, math.ceil(k * 0.06).toInt)
 
+  /** Derived PQ rerank budget: ~0.25% of the corpus, floor 50 — a FIXED
+    * short list quantization-displaces true neighbors out as n grows
+    * (ε-rate approx-distance impostors scale with n, so the list must
+    * too; AnnStress measured recall 0.57 → 0.30 going 20 k → 100 k at a
+    * pinned 50). Constant fraction holds recall flat while the exact
+    * rescore stays ~400× under brute force. */
+  private[graft] def pqRerank(n: Long): Int =
+    clamp(50, 5000, math.ceil(n * 0.0025).toInt)
+
   private def derivedTablesImpl(b: Int, neighborCos: Double,
                                 targetRecall: Double, maxL: Int): Int = {
     val p = 1.0 - math.acos(neighborCos) / math.Pi
@@ -118,7 +127,7 @@ object Similarity {
     * method limit (whole-stage codegen fell back to interpreted rows)
     * as soon as the DERIVED L·b left the clamp floor; the kernel emits
     * bit-identical codes at any L·b·dim (AnnStress proves both). */
-  private def buckets(v: Column, L: Int, b: Int, dim: Int): Column =
+  private[graft] def buckets(v: Column, L: Int, b: Int, dim: Int): Column =
     hyperplaneCodes(v, planes(L, b, dim).flatten.flatten, L, b, dim)
 
   private def queriesSet(emb: DataFrame): DataFrame =
@@ -415,9 +424,10 @@ object Similarity {
     * error at the ranking boundary; `cand_frac` reports rerank/n, the
     * exact-rescored fraction. */
   def simAnnPq(s: SparkSession, d: String, m: Int = 8,
-               codebookK: Int = 64, rerank: Int = 50): DataFrame = {
+               codebookK: Int = 64, rerank: Int = 0): DataFrame = {
     val emb = embeddings(s, d)
     val n = corpusCount(emb)
+    val rerankEff = if (rerank > 0) rerank else pqRerank(n)
     val sample = fitSample(emb)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
@@ -456,7 +466,7 @@ object Similarity {
           .reduce(_ + _).as("approx_d2"))
       .withColumn("arank", row_number().over(
         wq.orderBy(col("approx_d2").asc, col("vec_id"))))
-      .where(col("arank") <= rerank)
+      .where(col("arank") <= rerankEff)
     shortList
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(queriesSet(emb)), Seq("q_id"))
@@ -465,7 +475,7 @@ object Similarity {
       .withColumn("rank", row_number().over(
         wq.orderBy(col("score").desc, col("vec_id"))))
       .where(col("rank") <= K)
-      .withColumn("cand_frac", round(lit(rerank / n.toDouble), 4))
+      .withColumn("cand_frac", round(lit(rerankEff / n.toDouble), 4))
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"),
         col("cand_frac"))
       .transform(annWithRecall(s, d, _))

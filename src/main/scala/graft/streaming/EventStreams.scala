@@ -150,6 +150,27 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_b0")
       .drop("_b0")
 
+  /** Streaming EMBEDDING near-dup admission — the vector twin of
+    * [[nearDedupStream]] for multimodal/embedding ingest: key = the
+    * sign-bucket code of one fine random-hyperplane table over the
+    * embedding (the same hyperplane_codes kernel the batch LSH dedup
+    * runs; 20 bits ≈ 1 M buckets), deduped within the watermark.
+    * Near-identical vectors agree on every projection sign with
+    * probability ~1 − b·θ/π (θ → 0 for true dups), so re-ingested and
+    * trivially-perturbed embeddings collapse with ONE long of state
+    * per live bucket; unrelated vectors collide at ~2^-20 per pair.
+    * Borderline near-dups (θ large) defer to the batch LSH pass, the
+    * same trade nearDedupStream makes for text. */
+  def embedDedupStream(vecs: DataFrame, tsCol: String = "ts",
+                       bits: Int = 20, dim: Int = 64,
+                       embCol: String = "embedding"): DataFrame =
+    vecs
+      .withColumn("_b0", element_at(
+        graft.operators.Similarity.buckets(col(embCol), 1, bits, dim), 1))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("_b0")
+      .drop("_b0")
+
   /** Streaming ingest admission — the stateless gates a crawl stream
     * passes BEFORE any stateful dedup: Gopher-style quality rules plus
     * a benchmark-contamination check, both pure map-side filters (no

@@ -131,6 +131,20 @@ object AnnStress {
     check(f"IVF cand_frac ≤ 3×nProbe/k = $ivfCfBound%.4f (got $ivfCf%.4f)",
       ivfCf <= ivfCfBound)
 
+    // PQ: 32× code compression, ADC scoring over ALL codes + a DERIVED
+    // exact-rerank budget (~0.25% of n — a pinned 50 measured recall
+    // 0.57 → 0.30 going 20 k → 100 k as ε-rate approx-distance
+    // impostors outgrew the fixed list). Recall is floored on the
+    // isotropic worst case; the planted twin quantizes to its
+    // original's exact code cells, so ADC ranks it first and the
+    // rerank confirms: min recall ≥ 1/10.
+    val (pqMin, pqAvg, pqCf) = annStats("sim_ann_pq", Similarity.simAnnPq(spark, base))
+    val rr = Similarity.pqRerank(n)
+    check(f"PQ avg recall ≥ 0.4 at rerank=$rr (got $pqAvg%.3f)", pqAvg >= 0.4)
+    check(f"PQ min recall ≥ 0.1 — twin found (got $pqMin%.3f)", pqMin >= 0.1)
+    check(f"PQ cand_frac = rerank/n ≤ ${3.0 * rr / n}%.4f (got $pqCf%.4f)",
+      pqCf <= 3.0 * rr / n)
+
     // SemDeDup ground truth: every copy-0 vector has its jittered twin
     // at cos ≈ 1 ≥ 0.95; (id, id+Shift) pair ids are the plant itself.
     val scaled = spark.read.parquet(s"$base/embeddings.parquet")

@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L), s"distinct docs dropped: $kept")
   }
 
+  test("streaming embedding near-dedup collapses re-ingested vectors, keeps distinct ones") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_eds").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rng = new scala.util.Random(7)
+    val v1 = Array.fill(64)(rng.nextGaussian().toFloat)
+    // vec 2 = vec 1 under float-noise perturbation (1e-6 — every
+    // projection sign agrees), vec 3 an unrelated direction
+    val v2 = v1.map(x => x + 1e-6f)
+    val v3 = Array.fill(64)(rng.nextGaussian().toFloat)
+    val vecs = Seq((1L, v1), (2L, v2), (3L, v3))
+      .toDF("vec_id", "embedding").withColumn("ts", lit(ts))
+    vecs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(vecs.schema).parquet(s"$base/in")
+    val q = EventStreams.embedDedupStream(stream)
+      .writeStream.format("memory").queryName("embed_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("embed_dedup").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 2L)).size == 1,
+      s"perturbed twin must collapse to one survivor, kept=$kept")
+    assert(kept.contains(3L), s"distinct vector dropped: $kept")
+  }
+
   test("source budget admits greedily per source and stops at the quota") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_budget").toString
