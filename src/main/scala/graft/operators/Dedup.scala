@@ -391,7 +391,37 @@ object Dedup {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy(col("doc_id"))
 
+  /** Canonical selection per duplicate cluster — what a curation run
+    * actually does with the cluster ids: instead of the arbitrary
+    * keep-min-id rule, each exact-Jaccard duplicate cluster keeps its
+    * HIGHEST-QUALITY member (text_quality score; ties break to the
+    * lower doc_id). Composition of two oracle-green building blocks —
+    * the recursive-closure cluster oracle and the text_quality formula
+    * (shared CTE, so the ranking can't drift) — which makes the argmax
+    * itself oracle-checkable. One row per cluster: the survivor, its
+    * quality, and how many members it displaced. Scale shape: the
+    * quality pass is map-only (single-pass TextStats kernel), the
+    * argmax is one WindowGroupLimit-style top-1 per cluster — no
+    * corpus-wide shuffle beyond the components pass itself. */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val clusters = Components.connectedComponents(
+        ngramJaccardPairs(documents(s, d)))
+      .select(col("id").as("doc_id"), col("comp"))
+    val quality = TextAnalysis.textQuality(s, d)
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("quality").desc, col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("comp"), col("doc_id").as("keep_id"),
+        round(col("quality"), 6).as("quality"), col("n_members"))
+      .orderBy(col("comp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_snapshot_diff" -> (dedupSnapshotDiff _),
@@ -538,6 +568,31 @@ object Dedup {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS comp
         |FROM reach GROUP BY a
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION
+        |  SELECT id2 AS a, id1 AS b FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comps AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS comp
+        |  FROM reach GROUP BY a
+        |), ${graft.operators.TextAnalysis.qualityCteSql},
+        |ranked AS (
+        |  SELECT comp, c.doc_id, quality,
+        |    count(*) OVER (PARTITION BY comp) AS n_members,
+        |    row_number() OVER (PARTITION BY comp
+        |      ORDER BY quality DESC, c.doc_id) AS rn
+        |  FROM comps c JOIN qual USING (doc_id)
+        |)
+        |SELECT comp, doc_id AS keep_id, round(quality, 6) AS quality,
+        |  n_members
+        |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin
   )
 }

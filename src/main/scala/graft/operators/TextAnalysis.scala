@@ -16,6 +16,21 @@ object TextAnalysis {
 
   // single source of truth for the stop lists: the native kernel
   private val enStops = graft.functions.LangStatsKernel.enStops
+
+  /** DuckDB CTE computing the text_quality `quality` column per doc —
+    * shared with oracles that rank by quality (dedup_canonical), so
+    * the formula cannot drift from the text_quality gate's. */
+  private[operators] lazy val qualityCteSql: String =
+    s"""qual AS (
+      |  SELECT doc_id,
+      |    (CAST(len(list_filter(w, x -> x IN (${inList(enStops)}))) AS DOUBLE)
+      |       / len(w)) * 0.4
+      |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+      |    + least((CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+      |       / len(w)) / 10.0, 1.0) * 0.3 AS quality
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w,
+      |          text FROM documents)
+      |)""".stripMargin
   private val deStops = graft.functions.LangStatsKernel.deStops
   private val frStops = graft.functions.LangStatsKernel.frStops
   private val esStops = graft.functions.LangStatsKernel.esStops

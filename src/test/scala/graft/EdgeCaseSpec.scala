@@ -68,6 +68,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(contam == Set(5L), s"expected only the twin flagged: $contam")
   }
 
+  test("BM25 on hostile docs: no query hits → empty result, no crash") {
+    val none = TextAnalysis.bm25Search(hostile, Seq("vector", "stream"))
+    assert(none.collect().isEmpty, "no doc contains the query terms")
+    // a hit among hostile docs still scores; empty/CJK docs never NaN
+    val hit = TextAnalysis.bm25Search(hostile, Seq("word")).collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(!hit.head.getDouble(1).isNaN && hit.head.getDouble(1) > 0)
+  }
+
   test("text quality ratios stay finite or null, never crash") {
     // empty/whitespace docs divide by a zero-ish word count — the
     // operator must produce rows for every doc without throwing
