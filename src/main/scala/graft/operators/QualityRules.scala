@@ -116,6 +116,52 @@ object QualityRules {
           col("n_stop") >= 1)
   }
 
+  /** Gopher-style INTRA-document repetition signals (Rae et al. 2021,
+    * table A1's repetition rows): fraction of n-gram occurrences taken
+    * by the most frequent 2-gram / 3-gram, and the fraction of 5-gram
+    * occurrences that are duplicated — the "same phrase looping"
+    * pathology that word-level rules (gopherRules) cannot see. Docs
+    * under 5 words have no 5-grams and are excluded (they are the
+    * word-count rule's territory). keep = top2 ≤ 0.20 ∧ top3 ≤ 0.18 ∧
+    * dup5 ≤ 0.15, the published thresholds.
+    *
+    * Scale shape: grams reduce to 64-bit hashes before the per-(doc,
+    * gram) count (8-byte shuffle keys, the unigram-logprob discipline;
+    * the DuckDB twin groups the raw strings — same counts either way);
+    * each level is a partial+final count then a per-doc fold, and the
+    * three per-doc folds join on doc_id. Fractions are int/int →
+    * double, rounded 6 dp — order-free. */
+  def qualityRepetition(s: SparkSession, d: String): DataFrame =
+    repetitionStats(documents(s, d))
+
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def gramsOf(n: Int) = {
+      val w = split(lower(col("text")), "\\s+")
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))
+    }
+    val eligible = docs
+      .where(size(split(lower(col("text")), "\\s+")) >= 5)
+    def counts(n: Int) = eligible
+      .select(col("doc_id"), explode(gramsOf(n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    def topFrac(n: Int, name: String) = counts(n)
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast(DoubleType) / sum(col("c")), 6).as(name))
+    val dup5 = counts(5)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(when(col("c") > 1, col("c")).otherwise(0L))
+        .cast(DoubleType) / sum(col("c")), 6).as("dup5_frac"))
+    topFrac(2, "top2_frac")
+      .join(topFrac(3, "top3_frac"), Seq("doc_id"))
+      .join(dup5, Seq("doc_id"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+          col("dup5_frac") <= 0.15)
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style boilerplate paragraph detection: sentence-split, normalize
     * (lower + trim), drop short fragments, and surface every span
     * appearing in ≥2 documents with its document frequency and first
@@ -200,11 +246,47 @@ object QualityRules {
     "quality_domain_gate" -> (qualityDomainGate _),
     "text_pii_redact" -> (textPiiRedact _),
     "quality_gopher_rules" -> (qualityGopherRules _),
+    "quality_repetition" -> (qualityRepetition _),
     "dedup_paragraph" -> (dedupParagraph _),
     "pipeline_contamination" -> (pipelineContamination _)
   )
 
   val oracles: Map[String, String] = Map(
+    "quality_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents
+        |), d5 AS (
+        |  SELECT * FROM d WHERE len(w) >= 5
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g FROM d5
+        |), c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |f2 AS (
+        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top2_frac
+        |  FROM c2 GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g FROM d5
+        |), c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |f3 AS (
+        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top3_frac
+        |  FROM c3 GROUP BY 1
+        |), g5 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g FROM d5
+        |), c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |f5 AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |      / sum(c), 6) AS dup5_frac
+        |  FROM c5 GROUP BY 1
+        |)
+        |SELECT doc_id, top2_frac, top3_frac, dup5_frac,
+        |  (top2_frac <= 0.20 AND top3_frac <= 0.18 AND dup5_frac <= 0.15)
+        |    AS keep
+        |FROM f2 JOIN f3 USING (doc_id) JOIN f5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "quality_domain_gate" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -83,6 +83,26 @@ class QualityRulesSpec extends SparkSpec {
     assert(out(0).getLong(1) == 3L, s"expected 3 shared 8-grams, got ${out(0)}")
   }
 
+  test("repetition stats flag a looping doc, pass diverse text, exact fractions") {
+    import spark.implicits._
+    val looping = Array.fill(10)("buy cheap pills now").mkString(" ") // 40 words
+    val diverse = "the quick brown fox jumps over one lazy dog while rain falls softly tonight"
+    val docs = Seq((1L, looping), (2L, diverse), (3L, "too few here")) // doc 3: <5 words
+      .toDF("doc_id", "text")
+    val out = QualityRules.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!out.contains(3L), "sub-5-word doc must be excluded")
+    // looping doc: 40 words → 39 2-grams; "pills now"/"cheap pills"/
+    // "buy cheap" occur 10×, "now buy" 9× → top2 = 10/39
+    assert(math.abs(out(1L)._1 - math.rint(10.0 / 39 * 1e6) / 1e6) < 1e-9, out(1L).toString)
+    // every 5-gram of the loop repeats → dup5 = 1.0
+    assert(out(1L)._3 == 1.0, s"looping doc dup5 ${out(1L)._3}")
+    assert(!out(1L)._4, "looping doc must fail the gate")
+    // diverse doc: all grams unique → top fractions are 1/n, dup5 = 0
+    assert(out(2L)._3 == 0.0 && out(2L)._4, s"diverse doc must pass: ${out(2L)}")
+  }
+
   test("domain gate drops every doc of a low-mean source, keeps the rest") {
     import spark.implicits._
     val docs = Seq(
