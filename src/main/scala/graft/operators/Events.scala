@@ -135,7 +135,48 @@ object Events {
     perDay.unionByName(total).orderBy(col("day").asc_nulls_last)
   }
 
+  /** Trailing-window anomaly detection over daily event volumes — the
+    * ops-analytics closer of the events suite: per (event_type, day),
+    * a z-score of the day's count against the prior 7 days' mean/std.
+    * Exactness discipline: the window carries only INTEGER sums (s1,
+    * s2 = Σcnt, Σcnt²) — exact at any size — and the mean/std/z double
+    * arithmetic is ONE expression mirrored verbatim in the oracle, so
+    * the doubles match bit-for-bit; zero-variance windows yield null z
+    * (never NaN). Rows-window (not range): gap days don't exist in the
+    * grouped input, and "last 7 observed days" is the operational
+    * baseline. One shuffle for the daily rollup; the window state is
+    * 7 longs per (event_type) partition. */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame =
+    eventsAnomalyFrom(events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** Core of [[eventsAnomaly]] over a pre-aggregated (event_type, day,
+    * cnt) frame — the reusable form for non-events daily series. */
+  def eventsAnomalyFrom(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val s1d = col("s1").cast(DoubleType)
+    val s2d = col("s2").cast(DoubleType)
+    val var7 = (s2d - s1d * s1d / 7.0) / 6.0
+    val z = when(var7 > 0,
+      round((col("cnt").cast(DoubleType) - s1d / 7.0) / sqrt(var7), 6))
+    daily
+      .withColumn("n_prior", count(col("cnt")).over(w))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n_prior") === 7)
+      .withColumn("mean7", round(s1d / 7.0, 6))
+      .withColumn("z", z)
+      .withColumn("anomaly", coalesce(abs(col("z")) >= 3.0, lit(false)))
+      .select(col("event_type"), col("day"), col("cnt"), col("mean7"),
+        col("z"), col("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> (eventsAnomaly _),
     "sketch_daily_uniques" -> (sketchDailyUniques _),
     "events_retention" -> (eventsRetention _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -145,6 +186,33 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), wv AS (
+        |  SELECT event_type, day, cnt,
+        |    count(cnt) OVER w AS n_prior,
+        |    sum(cnt) OVER w AS s1,
+        |    sum(cnt * cnt) OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), scored AS (
+        |  SELECT event_type, day, cnt,
+        |    round(CAST(s1 AS DOUBLE) / 7.0, 6) AS mean7,
+        |    CASE WHEN (CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0 > 0
+        |      THEN round((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+        |        / sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0), 6)
+        |      ELSE NULL END AS z
+        |  FROM wv WHERE n_prior = 7
+        |)
+        |SELECT event_type, day, cnt, mean7, z,
+        |  coalesce(abs(z) >= 3.0, false) AS anomaly
+        |FROM scored ORDER BY event_type, day""".stripMargin,
+
     "events_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events

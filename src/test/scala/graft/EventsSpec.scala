@@ -70,4 +70,36 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(estTotal - exactTotal) <= 0.05 * exactTotal,
       s"union total $estTotal vs exact $exactTotal")
   }
+
+  test("anomaly z-scores: flat history yields null z, a planted spike flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 days of constant volume (zero variance -> null z, not NaN),
+    // then a 9th-day spike on a second type with real variance
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def day(i: Int) = new java.sql.Timestamp(base + i * 86400000L)
+    val flat = (0 until 8).flatMap(i => (0 until 5).map(j =>
+      (i * 100L + j, day(i), "flat")))
+    // varied: counts 4,6,4,6,4,6,4 then 40 on day 7
+    val varied = (0 until 7).flatMap(i =>
+      (0 until (if (i % 2 == 0) 4 else 6)).map(j =>
+        (1000L + i * 100 + j, day(i), "spiky"))) ++
+      (0 until 40).map(j => (2000L + j, day(7), "spiky"))
+    val events = (flat ++ varied)
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", col("event_id") % 7)
+      .withColumn("value", lit(1.0))
+    val daily = events.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = graft.operators.Events.eventsAnomalyFrom(daily).collect()
+    val flatRows = out.filter(_.getString(0) == "flat")
+    assert(flatRows.length == 1 && flatRows.head.isNullAt(4),
+      s"flat history must yield null z: ${flatRows.toSeq}")
+    assert(!flatRows.head.getBoolean(5), "null z must not flag")
+    val spike = out.filter(r => r.getString(0) == "spiky")
+    assert(spike.length == 1 && spike.head.getBoolean(5),
+      s"planted 40-vs-5ish spike must flag: ${spike.toSeq}")
+    assert(spike.head.getDouble(4) > 3.0)
+  }
 }
