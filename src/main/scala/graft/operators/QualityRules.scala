@@ -126,36 +126,42 @@ object QualityRules {
     * dup5 ≤ 0.15, the published thresholds.
     *
     * Scale shape: grams reduce to 64-bit hashes before the per-(doc,
-    * gram) count (8-byte shuffle keys, the unigram-logprob discipline;
-    * the DuckDB twin groups the raw strings — same counts either way);
-    * each level is a partial+final count then a per-doc fold, and the
-    * three per-doc folds join on doc_id. Fractions are int/int →
-    * double, rounded 6 dp — order-free. */
+    * level, gram) count (8-byte shuffle keys, the unigram-logprob
+    * discipline; the DuckDB twin groups the raw strings — same counts
+    * either way); all three levels ride one scan/Generate and fold
+    * through one partial+final count and one per-(doc, level)
+    * aggregate, pivoted per doc. Fractions are int/int → double,
+    * rounded 6 dp — order-free. */
   def qualityRepetition(s: SparkSession, d: String): DataFrame =
     repetitionStats(documents(s, d))
 
   def repetitionStats(docs: DataFrame): DataFrame = {
-    def gramsOf(n: Int) = {
-      val w = split(lower(col("text")), "\\s+")
+    // all three gram levels ride ONE scan and ONE Generate as tagged
+    // (level, gram) structs — three separate explode+count passes would
+    // read the 100 TB text column three times and shuffle six times;
+    // this shape pays one read, one (doc, level, gram) count and one
+    // (doc, level) fold, then a 3-way conditional pivot per doc
+    val w = split(lower(col("text")), "\\s+")
+    def gramsOf(n: Int) =
       transform(sequence(lit(1), size(w) - (n - 1)),
-        i => array_join(slice(w, i, lit(n)), " "))
-    }
-    val eligible = docs
-      .where(size(split(lower(col("text")), "\\s+")) >= 5)
-    def counts(n: Int) = eligible
-      .select(col("doc_id"), explode(gramsOf(n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    def topFrac(n: Int, name: String) = counts(n)
+        i => struct(lit(n).as("n"), array_join(slice(w, i, lit(n)), " ").as("g")))
+    def lvl(n: Int, c: org.apache.spark.sql.Column) = max(when(col("n") === n, c))
+    docs.where(size(w) >= 5)
+      .select(col("doc_id"),
+        explode(flatten(array(gramsOf(2), gramsOf(3), gramsOf(5)))).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), xxhash64(col("t.g")).as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("tot"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
       .groupBy(col("doc_id"))
-      .agg(round(max(col("c")).cast(DoubleType) / sum(col("c")), 6).as(name))
-    val dup5 = counts(5)
-      .groupBy(col("doc_id"))
-      .agg(round(sum(when(col("c") > 1, col("c")).otherwise(0L))
-        .cast(DoubleType) / sum(col("c")), 6).as("dup5_frac"))
-    topFrac(2, "top2_frac")
-      .join(topFrac(3, "top3_frac"), Seq("doc_id"))
-      .join(dup5, Seq("doc_id"))
+      .agg(
+        round(lvl(2, col("top")).cast(DoubleType) / lvl(2, col("tot")), 6)
+          .as("top2_frac"),
+        round(lvl(3, col("top")).cast(DoubleType) / lvl(3, col("tot")), 6)
+          .as("top3_frac"),
+        round(lvl(5, col("dup")).cast(DoubleType) / lvl(5, col("tot")), 6)
+          .as("dup5_frac"))
       .withColumn("keep",
         col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
           col("dup5_frac") <= 0.15)
