@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.Tables._
 
@@ -243,6 +244,27 @@ object Sharding {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Per-source dataset fingerprint — the versioning/drift primitive a
+    * pipeline publishes with every run: identical inputs yield an
+    * identical report REGARDLESS of row order or partitioning (every
+    * column is an order-invariant aggregate), so two runs diff with a
+    * string compare; any row edit moves n_distinct_texts, total_chars,
+    * or a digest extreme. One partial+final agg over 16-byte md5
+    * digests (the text column never shuffles); the distinct count is
+    * Spark's two-phase expand over (source, digest) — group space
+    * bounded by the corpus, same discipline as exact dedup. */
+  def pipelineFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), md5(col("text")).as("h"),
+        length(col("text")).cast(LongType).as("nc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        sum(col("nc").cast(DecimalType(18, 0))).cast(LongType).as("total_chars"),
+        min(col("h")).as("min_digest"),
+        max(col("h")).as("max_digest"))
+      .orderBy(col("source"))
+
   /** Stratified sample: per-language keep fractions via one Bernoulli
     * draw per row (map-only, no shuffle). The correctness contract is
     * statistical (proportions), checked in ShardingSpec. */
@@ -319,6 +341,7 @@ object Sharding {
     "pipeline_shard" -> (pipelineShard _),
     "pipeline_pack_sequences" -> (pipelinePack _),
     "pipeline_source_stats" -> (pipelineSourceStats _),
+    "pipeline_fingerprint" -> (pipelineFingerprint _),
     "pipeline_sample_stratified" -> (pipelineSample _),
     "pipeline_mixture" -> (pipelineMixture _)
   )
@@ -469,6 +492,15 @@ object Sharding {
         |SELECT source, lang, n_docs, n_tokens,
         |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
         |    AS token_share
-        |FROM g ORDER BY source, lang""".stripMargin
+        |FROM g ORDER BY source, lang""".stripMargin,
+
+    "pipeline_fingerprint" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts,
+        |  CAST(sum(CAST(length(text) AS DECIMAL(18,0))) AS BIGINT)
+        |    AS total_chars,
+        |  min(md5(text)) AS min_digest,
+        |  max(md5(text)) AS max_digest
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }
