@@ -83,6 +83,64 @@ object VectorKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Multi-probe codes for the LSH QUERY side (Lv et al. 2007,
+    * "Multi-probe LSH", VLDB): per table, the exact bucket code
+    * followed by the nProbe−1 single-bit flips with the smallest
+    * |projection| margin — the buckets a near neighbor most likely
+    * fell into when a low-margin sign disagreed. Probing these on the
+    * query side buys the recall of many tables while the CORPUS keeps
+    * one code per table (index size ∝ L, the real at-rest cost).
+    * Output: array<long> of length numTables·nProbe, table of element
+    * i = i / nProbe; element order within a table is margin-ascending.
+    * Same per-plane MAC as hyperplaneCodes, so probe 0 of each table
+    * is bit-identical to the single-code kernel. */
+  def hyperplaneProbeCodes(v: ArrayData, isFloat: Boolean,
+                           planes: Array[Double], numTables: Int,
+                           bits: Int, dim: Int, nProbe: Int): ArrayData = {
+    val out = new Array[Long](numTables * nProbe)
+    if (v.numElements() == dim) {
+      val proj = new Array[Double](bits)
+      val order = new Array[Int](bits)
+      var t = 0
+      while (t < numTables) {
+        var code = 0L
+        var j = 0
+        while (j < bits) {
+          val off = (t * bits + j) * dim
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc += get(v, isFloat, i) * planes(off + i); i += 1 }
+          proj(j) = acc
+          if (acc > 0) code |= 1L << j
+          order(j) = j
+          j += 1
+        }
+        // insertion sort of bit indices by |projection| ascending
+        // (bits ≤ 20: trivially cheap, deterministic tie by index)
+        var a = 1
+        while (a < bits) {
+          val idx = order(a)
+          val key = math.abs(proj(idx))
+          var pos = a - 1
+          while (pos >= 0 && (math.abs(proj(order(pos))) > key)) {
+            order(pos + 1) = order(pos); pos -= 1
+          }
+          order(pos + 1) = idx
+          a += 1
+        }
+        out(t * nProbe) = code
+        var k = 1
+        while (k < nProbe) {
+          out(t * nProbe + k) =
+            if (k - 1 < bits) code ^ (1L << order(k - 1)) else code
+          k += 1
+        }
+        t += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** The `nProbe` nearest centroid cells by (L2², cell) ascending, for a
     * flat row-major (k × dim) centroid matrix — the kernel twin of the
     * lexicographic (d2, cell) struct array_sort it replaces (cells scan
@@ -242,6 +300,26 @@ case class HyperplaneCodes(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** `hyperplane_probes(v)` — multi-probe LSH codes for the query side
+  * (see [[VectorKernels.hyperplaneProbeCodes]]). */
+case class HyperplaneProbes(child: Expression, planes: Array[Double],
+                            numTables: Int, bits: Int, dim: Int, nProbe: Int)
+    extends VectorMatrixUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_probes"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.hyperplaneProbeCodes(
+      v.asInstanceOf[ArrayData], isFloat, planes, numTables, bits, dim, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.VectorKernels.hyperplaneProbeCodes(
+         |  $v, $isFloat, $ref, $numTables, $bits, $dim, $nProbe);""".stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbes =
+    copy(child = newChild)
+}
+
 /** `nearest_cells(v, nProbe)` — the nProbe nearest centroid ids for a
   * centroid matrix riding as a codegen reference object (see
   * [[VectorKernels.nearestCells]]). */
@@ -298,4 +376,12 @@ object VectorFunctions {
                    k: Int, dim: Int, nProbe: Int): Column =
     GraftInternals.column(
       NearestCells(GraftInternals.expression(v), centroids, k, dim, nProbe))
+
+  /** Multi-probe LSH query codes: nProbe codes per table (exact code +
+    * lowest-margin bit flips), array<long> of length L·nProbe with
+    * table = index / nProbe (native, codegen'd). */
+  def hyperplaneProbes(v: Column, planes: Array[Double], numTables: Int,
+                       bits: Int, dim: Int, nProbe: Int): Column =
+    GraftInternals.column(HyperplaneProbes(
+      GraftInternals.expression(v), planes, numTables, bits, dim, nProbe))
 }

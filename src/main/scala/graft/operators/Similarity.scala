@@ -215,6 +215,53 @@ object Similarity {
       .transform(annWithRecall(s, d, _))
   }
 
+  /** Multi-probe LSH ANN (Lv et al. 2007): the corpus keeps ONE code
+    * per table but each query also probes the nProbe−1 buckets reached
+    * by flipping its lowest-|projection|-margin bits — the buckets a
+    * true neighbor most likely landed in when one low-confidence sign
+    * disagreed. Why it matters at 100 TB: the bucketed index (and the
+    * per-vector signature compute at ingest) costs ∝ L, and the
+    * standard derivation clamps at L=48 on hard geometry; multi-probe
+    * buys the recall of many tables with L/4 of the index — probing is
+    * a QUERY-side cost and queries are tiny by definition. Candidate
+    * volume stays ≈ (L·nProbe) buckets of derived occupancy, the same
+    * trade the single-probe path pays with 4× the tables. AnnStress
+    * compares the two head-to-head at 10×/50×. */
+  def simAnnLshMultiprobe(s: SparkSession, d: String,
+                          L: Int = 12, b: Int = 0, nProbe: Int = 4,
+                          dim: Int = 64): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val bEff = if (b > 0) b else derivedBits(n, 256L, 4, 16)
+    val flatPlanes = planes(L, bEff, dim).flatten.flatten
+    val corpus = emb
+      .select(col("vec_id"), col("embedding"),
+        posexplode(buckets(col("embedding"), L, bEff, dim))
+          .as(Seq("table", "bucket")))
+    val qs = queriesSet(emb)
+      .select(col("q_id"), col("q_emb"),
+        posexplode(graft.functions.VectorFunctions.hyperplaneProbes(
+          col("q_emb"), flatPlanes, L, bEff, dim, nProbe))
+          .as(Seq("pos", "bucket")))
+      .select(col("q_id"), col("q_emb"),
+        (col("pos") / nProbe).cast("int").as("table"), col("bucket"))
+    val deduped = corpus.join(broadcast(qs), Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("score")).as("score"))
+    val wq = Window.partitionBy(col("q_id"))
+    deduped
+      .withColumn("cand_frac",
+        round(count(lit(1)).over(wq) / lit(n.toDouble), 4))
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"), col("cand_frac"))
+      .transform(annWithRecall(s, d, _))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     * generation (same hyperplane tables as ANN) + exact cosine
     * rescoring ≥ threshold. The strict-threshold variant of similarity
@@ -611,6 +658,8 @@ object Similarity {
     "sim_centroids" -> (simCentroids _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
+    "sim_ann_lsh_multiprobe" -> ((s: SparkSession, d: String) =>
+      simAnnLshMultiprobe(s, d)),
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
     "sim_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
       simAnnIvfPersisted(s, d)),

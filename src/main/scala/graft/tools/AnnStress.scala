@@ -109,6 +109,15 @@ object AnnStress {
     }
 
     val (_, lshAvg, lshCf) = annStats("sim_ann_lsh", Similarity.simAnnLsh(spark, base))
+    // multi-probe head-to-head: L/4 tables (12 vs the derivation's 48
+    // clamp), 4 probes per table — the corpus-side index shrinks 4×;
+    // recall must stay within reach of the full-table run
+    val (_, mpAvg, mpCf) = annStats("  multiprobe L=12",
+      Similarity.simAnnLshMultiprobe(spark, base, L = 12, nProbe = 4))
+    check(f"multi-probe recall ≥ 0.55 with a 4× smaller index (got $mpAvg%.3f" +
+      f" vs full-table $lshAvg%.3f)", mpAvg >= 0.55)
+    check(f"multi-probe cand_frac ≤ full-table's (got $mpCf%.4f vs $lshCf%.4f)",
+      mpCf <= lshCf * 1.1)
     // every query's planted twin shares all hyperplane signs, so rank 1
     // is near-guaranteed; bulk recall bound is the derivation's own
     // target minus the clamp shortfall the object doc documents

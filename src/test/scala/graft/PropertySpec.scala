@@ -162,6 +162,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_probes: probe 0 is the exact code; flips are lowest-margin single bits") {
+    import graft.functions.VectorKernels
+    val rng = new scala.util.Random(11)
+    val (tables, bits, dim, nProbe) = (4, 9, 12, 4)
+    val planes = Array.fill(tables * bits * dim)(rng.nextGaussian())
+    val vecs: Gen[Array[Float]] =
+      Gen.containerOfN[Array, Float](dim, Gen.chooseNum(-1.0f, 1.0f))
+    samples(vecs, 60).foreach { v =>
+      val ad = new GenericArrayData(v)
+      val codes = VectorKernels.hyperplaneCodes(ad, true, planes, tables, bits, dim)
+        .toLongArray()
+      val probes = VectorKernels.hyperplaneProbeCodes(
+        ad, true, planes, tables, bits, dim, nProbe).toLongArray()
+      (0 until tables).foreach { t =>
+        assert(probes(t * nProbe) == codes(t), "probe 0 must be the exact code")
+        val margins = (0 until bits).map { j =>
+          var acc = 0.0
+          (0 until dim).foreach(i => acc += v(i).toDouble * planes((t * bits + j) * dim + i))
+          math.abs(acc)
+        }
+        val expectFlips = margins.zipWithIndex.sortBy { case (m, j) => (m, j) }
+          .take(nProbe - 1).map(_._2)
+        (1 until nProbe).foreach { k =>
+          val diff = probes(t * nProbe + k) ^ codes(t)
+          assert(java.lang.Long.bitCount(diff) == 1, "each probe flips one bit")
+          assert(java.lang.Long.numberOfTrailingZeros(diff) == expectFlips(k - 1),
+            s"probe $k must flip the ${k}-th lowest-margin bit")
+        }
+      }
+    }
+  }
+
   test("nearest_cells matches a full (d2, cell) lexicographic sort for arbitrary vectors") {
     import graft.functions.VectorKernels
     val rng = new scala.util.Random(7)

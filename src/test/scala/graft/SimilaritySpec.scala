@@ -86,6 +86,20 @@ class SimilaritySpec extends SparkSpec {
     checkCandFrac(rows, 0.35)
   }
 
+  test("multi-probe LSH holds recall with a quarter of the tables") {
+    val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
+    // single-probe needs L≈12 at this scale (the derivation's output);
+    // multi-probe runs L=3 tables × 4 probes — 4× smaller corpus index
+    val rows = Similarity.simAnnLshMultiprobe(spark, Sf, L = 3, nProbe = 4).collect()
+    val mp = topkSets(rows)
+    val recalls = exact.map { case (q, tk) =>
+      mp.getOrElse(q, Set.empty).intersect(tk).size.toDouble / tk.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"mean multi-probe recall $mean%.2f < 0.5 at L=3×4 probes")
+    checkEmittedRecall(rows, exact)
+  }
+
   test("PQ ANN with exact rerank recalls >= 70% of brute-force top-k") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
     val rows = Similarity.simAnnPq(spark, Sf).collect()
