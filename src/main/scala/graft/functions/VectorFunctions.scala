@@ -146,13 +146,19 @@ object VectorKernels {
     * lexicographic (d2, cell) struct array_sort it replaces (cells scan
     * ascending and insertion is strict, so equal distances keep the
     * lower cell, matching the struct ordering). O(k·nProbe) partial
-    * selection; same left-to-right (aᵢ−bᵢ)² accumulation as `l2sq`. */
+    * selection; same left-to-right (aᵢ−bᵢ)² accumulation as `l2sq`.
+    * A dim-mismatched vector yields an EMPTY array — explode then
+    * produces no probe rows and element_at(...,1) nulls/fails loudly —
+    * instead of nProbe copies of cell 0 (which duplicated candidates
+    * into the top-k and mis-assigned vectors silently). */
   def nearestCells(v: ArrayData, isFloat: Boolean, centroids: Array[Double],
                    k: Int, dim: Int, nProbe: Int): ArrayData = {
+    if (v.numElements() != dim)
+      return ArrayData.toArrayData(Array.empty[Int])
     val m = math.min(nProbe, k)
     val bestD = Array.fill(m)(Double.PositiveInfinity)
     val bestC = new Array[Int](m)
-    if (v.numElements() == dim) {
+    locally {
       var c = 0
       while (c < k) {
         val off = c * dim

@@ -157,15 +157,16 @@ object Similarity {
     * corpus scale recall is measured the same way but over a sampled
     * query set, never the full corpus. Passes `cand_frac` (cost twin of
     * recall) through untouched. */
-  private def annWithRecall(s: SparkSession, d: String, ann: DataFrame): DataFrame = {
+  private def annWithRecall(s: SparkSession, d: String, ann: DataFrame,
+                            costCols: Seq[String] = Seq("cand_frac")): DataFrame = {
     val exact = simTopkBruteforce(s, d)
       .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
     ann.join(exact, Seq("q_id", "vec_id"), "left")
       .withColumn("recall",
         round(sum(coalesce(col("hit"), lit(0)))
           .over(Window.partitionBy(col("q_id"))) / K.toDouble, 4))
-      .select(col("q_id"), col("rank"), col("vec_id"), col("score"),
-        col("recall"), col("cand_frac"))
+      .select((Seq("q_id", "rank", "vec_id", "score", "recall")
+        ++ costCols).map(col): _*)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -414,8 +415,7 @@ object Similarity {
     val nProbeEff = if (nProbe > 0) nProbe else ivfNProbe(kEff)
     val sample = fitSample(emb)
     val centroids = lloyds(sample, kEff, iters = 10, seed = 42)
-    val indexDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_index_${java.lang.Integer.toHexString(d.hashCode)}").toString
+    val indexDir = ivfIndexDir(d, kEff)
     emb.select(col("vec_id"), col("embedding"),
         nearestCell(col("embedding"), centroids).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
@@ -468,8 +468,12 @@ object Similarity {
     * arithmetic ever touches the corpus at query time. The approx
     * top-`rerank` short list then rescores EXACTLY against the raw
     * embeddings (a semi-join-sized read), which caps quantization
-    * error at the ranking boundary; `cand_frac` reports rerank/n, the
-    * exact-rescored fraction. */
+    * error at the ranking boundary. Cost columns: `cand_frac` = 1.0 —
+    * flat PQ ADC-scans EVERY code (32× cheaper per row, but the whole
+    * corpus), so the field means the same thing it means in the
+    * LSH/IVF paths (candidates examined / corpus) and cross-variant
+    * comparisons stay apples-to-apples; the exact-rescored fraction
+    * rides separately as `rerank_frac` = rerank/n. */
   def simAnnPq(s: SparkSession, d: String, m: Int = 8,
                codebookK: Int = 64, rerank: Int = 0): DataFrame = {
     val emb = embeddings(s, d)
@@ -522,10 +526,11 @@ object Similarity {
       .withColumn("rank", row_number().over(
         wq.orderBy(col("score").desc, col("vec_id"))))
       .where(col("rank") <= K)
-      .withColumn("cand_frac", round(lit(rerankEff / n.toDouble), 4))
+      .withColumn("cand_frac", lit(1.0))
+      .withColumn("rerank_frac", round(lit(rerankEff / n.toDouble), 4))
       .select(col("q_id"), col("rank"), col("vec_id"), col("score"),
-        col("cand_frac"))
-      .transform(annWithRecall(s, d, _))
+        col("cand_frac"), col("rerank_frac"))
+      .transform(annWithRecall(s, d, _, Seq("cand_frac", "rerank_frac")))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
@@ -573,6 +578,23 @@ object Similarity {
     // threshold tuned to the synthetic corpus's near-isotropic geometry
     // (planted twins sit at cos ≈ 1; background pairs ≈ 0.3)
     semanticDedupPairs(embeddings(s, d), threshold = 0.45)
+
+  /** Content-keyed index directory for the persisted IVF family: the
+    * FULL md5 of (corpus path, k) — a 32-bit `hashCode` suffix collides
+    * across datasets (two corpora whose paths hash-collide race
+    * overwrite-vs-read and a reader can see rows assigned from the
+    * other corpus' centroids), and two configs of the SAME corpus
+    * (e.g. the spec's k=64 run next to the gate's derived k) would
+    * overwrite each other mid-session. With (path, k) in the digest,
+    * every (corpus, geometry) pair owns its directory and re-runs of
+    * the same config overwrite idempotently (same fit → same files). */
+  private[graft] def ivfIndexDir(d: String, k: Int,
+                                 flavor: String = "ivf"): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${flavor}_index_$key").toString
+  }
 
   /** Bounded UNIFORM sample for the quantizer fit. A bare
     * `limit(size)` takes whatever rows the scan returns first — a

@@ -160,16 +160,27 @@ object EventStreams {
     * trivially-perturbed embeddings collapse with ONE long of state
     * per live bucket; unrelated vectors collide at ~2^-20 per pair.
     * Borderline near-dups (θ large) defer to the batch LSH pass, the
-    * same trade nearDedupStream makes for text. */
+    * same trade nearDedupStream makes for text.
+    *
+    * Dim guard: hyperplane_codes returns an ALL-ZERO code for a
+    * dim-mismatched embedding, so without a guard every mismatched
+    * vector would land in bucket 0 and all but one per window would
+    * silently drop — data loss on a schema drift in an ingest-admission
+    * path. Mismatched rows therefore key on (length, content hash)
+    * instead: they still pass through (deduping only exact repeats of
+    * themselves), and the length column keeps their key space disjoint
+    * from the well-formed bucket codes. */
   def embedDedupStream(vecs: DataFrame, tsCol: String = "ts",
                        bits: Int = 20, dim: Int = 64,
                        embCol: String = "embedding"): DataFrame =
     vecs
-      .withColumn("_b0", element_at(
-        graft.operators.Similarity.buckets(col(embCol), 1, bits, dim), 1))
+      .withColumn("_sz", size(col(embCol)))
+      .withColumn("_b0", when(col("_sz") === dim, element_at(
+          graft.operators.Similarity.buckets(col(embCol), 1, bits, dim), 1))
+        .otherwise(xxhash64(col(embCol))))
       .withWatermark(tsCol, "2 hours")
-      .dropDuplicatesWithinWatermark("_b0")
-      .drop("_b0")
+      .dropDuplicatesWithinWatermark("_sz", "_b0")
+      .drop("_sz", "_b0")
 
   /** Streaming ingest admission — the stateless gates a crawl stream
     * passes BEFORE any stateful dedup: Gopher-style quality rules plus

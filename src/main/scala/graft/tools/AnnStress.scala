@@ -99,12 +99,13 @@ object AnnStress {
 
     // ANN quality/cost stats ride on every result row (driver-visible by
     // design); one aggregate collapse forces the full compute.
-    def annStats(name: String, df: DataFrame): (Double, Double, Double) = {
+    def annStats(name: String, df: DataFrame,
+                 costCol: String = "cand_frac"): (Double, Double, Double) = {
       val r = timed(name)(df
-        .agg(min(col("recall")), avg(col("recall")), avg(col("cand_frac")))
+        .agg(min(col("recall")), avg(col("recall")), avg(col(costCol)))
         .collect().head)
       val (mn, av, cf) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
-      println(f"  recall min=$mn%.3f avg=$av%.3f  cand_frac avg=$cf%.4f")
+      println(f"  recall min=$mn%.3f avg=$av%.3f  $costCol avg=$cf%.4f")
       (mn, av, cf)
     }
 
@@ -147,11 +148,12 @@ object AnnStress {
     // isotropic worst case; the planted twin quantizes to its
     // original's exact code cells, so ADC ranks it first and the
     // rerank confirms: min recall ≥ 1/10.
-    val (pqMin, pqAvg, pqCf) = annStats("sim_ann_pq", Similarity.simAnnPq(spark, base))
+    val (pqMin, pqAvg, pqCf) = annStats("sim_ann_pq",
+      Similarity.simAnnPq(spark, base), costCol = "rerank_frac")
     val rr = Similarity.pqRerank(n)
     check(f"PQ avg recall ≥ 0.4 at rerank=$rr (got $pqAvg%.3f)", pqAvg >= 0.4)
     check(f"PQ min recall ≥ 0.1 — twin found (got $pqMin%.3f)", pqMin >= 0.1)
-    check(f"PQ cand_frac = rerank/n ≤ ${3.0 * rr / n}%.4f (got $pqCf%.4f)",
+    check(f"PQ rerank_frac = rerank/n ≤ ${3.0 * rr / n}%.4f (got $pqCf%.4f)",
       pqCf <= 3.0 * rr / n)
 
     // SemDeDup ground truth: every copy-0 vector has its jittered twin

@@ -179,6 +179,16 @@ class PlanRegressionSpec extends SparkSpec {
       s"z-order should beat single-key layout off the leading key: $cPrice vs $byPrice")
   }
 
+  test("fingerprint digest extremes aggregate hash-based, never SortAggregate") {
+    // string min/max buffers are not UnsafeRow-mutable and silently
+    // demote the whole aggregation to SortAggregate; the long-prefix
+    // extremes keep every agg in this plan a codegen'd HashAggregate
+    val p = plan("pipeline_fingerprint")
+    assert(!p.contains("SortAggregate"),
+      s"fingerprint aggregation fell back to SortAggregate:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("AQE coalesces shuffle partitions at runtime") {
     val df = SparkEntry.queries("q1_agg")(spark, Sf)
     df.collect()
@@ -203,12 +213,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
       s"probe filter not pruning cell directories:\n$p")
     // and it probes strictly fewer directories than the index holds
-    val indexDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_index_${java.lang.Integer.toHexString(Sf.hashCode)}")
+    val indexDir = new java.io.File(Similarity.ivfIndexDir(Sf, 64))
     val allCells = indexDir.listFiles().count(_.getName.startsWith("cell="))
-    val probed = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(p).get
-      .count(_ == ',') + 1
-    assert(probed < allCells,
+    // parse the IN/INSET value list explicitly — counting commas in the
+    // whole PartitionFilters match truncates at the first ']' and picks
+    // up commas from non-IN clauses (isnotnull etc.). Spark renders
+    // short lists as `IN (v,…)` and optimizer-converted ones as
+    // `INSET v, …` — accept both.
+    val inList = "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+      .orElse("cell[^ ]* INSET ([\\d, ]+)".r.findFirstMatchIn(p))
+    assert(inList.isDefined, s"no static cell IN (...) partition filter:\n$p")
+    val probed = inList.get.group(1).split(",").count(_.trim.nonEmpty)
+    assert(probed > 0 && probed < allCells,
       s"probe touched $probed of $allCells cells — no pruning margin")
   }
 

@@ -112,8 +112,14 @@ class SimilaritySpec extends SparkSpec {
     // error at the ranking boundary, so recall rides well above raw ADC
     assert(mean >= 0.7, f"mean PQ recall $mean%.2f < 0.7 (isotropic corpus)")
     checkEmittedRecall(rows, exact)
-    // cand_frac = rerank/n — the exact-rescored fraction, 50/500 here
-    checkCandFrac(rows, 0.11)
+    // flat PQ ADC-scans every code: cand_frac reports the honest 1.0
+    // (same meaning as the LSH/IVF paths), and the exact-rescored
+    // fraction rides separately as rerank_frac = 50/500 here
+    assert(rows.forall(_.getDouble(5) == 1.0),
+      "flat PQ cand_frac must report the full ADC scan (1.0)")
+    val rerankFracs = rows.map(_.getDouble(6))
+    assert(rerankFracs.forall(f => f > 0.0 && f <= 0.11),
+      s"rerank_frac out of range: ${rerankFracs.distinct.toSeq}")
     // deterministic across runs (seeded fit, seeded sample)
     assert(Similarity.simAnnPq(spark, Sf).collect().toSeq == rows.toSeq)
   }

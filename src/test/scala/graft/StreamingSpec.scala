@@ -110,6 +110,32 @@ class StreamingSpec extends SparkSpec {
     assert(kept.contains(3L), s"distinct vector dropped: $kept")
   }
 
+  test("embedding dedup does not collapse dim-mismatched vectors into bucket 0") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_edsz").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rng = new scala.util.Random(13)
+    // vectors 1/2/3 are DISTINCT but arrive at dim 32 while the stream
+    // is keyed for dim 64: the hyperplane kernel codes them all 0, so an
+    // unguarded key would keep one and silently drop the other two
+    val shortVecs = (1L to 3L).map(i =>
+      (i, Array.fill(32)(rng.nextGaussian().toFloat)))
+    // vector 4 is a well-formed dim-64 row that must flow through too
+    val ok = Seq((4L, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val vecs = (shortVecs ++ ok)
+      .toDF("vec_id", "embedding").withColumn("ts", lit(ts))
+    vecs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(vecs.schema).parquet(s"$base/in")
+    val q = EventStreams.embedDedupStream(stream)
+      .writeStream.format("memory").queryName("embed_dedup_sz")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("embed_dedup_sz").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L),
+      s"dim-mismatched vectors must not dedupe against each other: $kept")
+  }
+
   test("source budget admits greedily per source and stops at the quota") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_budget").toString
