@@ -252,17 +252,27 @@ object Sharding {
     * or a digest extreme. One partial+final agg over 16-byte md5
     * digests (the text column never shuffles); the distinct count is
     * Spark's two-phase expand over (source, digest) — group space
-    * bounded by the corpus, same discipline as exact dedup. */
+    * bounded by the corpus, same discipline as exact dedup.
+    *
+    * The digest extremes aggregate as LONGS (the md5's leading 60 bits
+    * via conv/cast — fixed-width lowercase hex orders exactly like its
+    * numeric value, so min/max over the prefix value IS min/max over
+    * the digest prefix): string min/max buffers are not UnsafeRow-
+    * mutable and forced the whole aggregation into SortAggregate;
+    * long buffers keep it a codegen'd partial+final HashAggregate
+    * (PlanRegressionSpec pins this). 60 bits of extreme still move on
+    * any row edit with collision odds ~2⁻⁶⁰. */
   def pipelineFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("source"), md5(col("text")).as("h"),
         length(col("text")).cast(LongType).as("nc"))
+      .withColumn("hv", conv(substring(col("h"), 1, 15), 16, 10).cast(LongType))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("h")).as("n_distinct_texts"),
         sum(col("nc").cast(DecimalType(18, 0))).cast(LongType).as("total_chars"),
-        min(col("h")).as("min_digest"),
-        max(col("h")).as("max_digest"))
+        min(col("hv")).as("min_digest"),
+        max(col("hv")).as("max_digest"))
       .orderBy(col("source"))
 
   /** Stratified sample: per-language keep fractions via one Bernoulli
@@ -499,8 +509,10 @@ object Sharding {
         |  count(DISTINCT md5(text)) AS n_distinct_texts,
         |  CAST(sum(CAST(length(text) AS DECIMAL(18,0))) AS BIGINT)
         |    AS total_chars,
-        |  min(md5(text)) AS min_digest,
-        |  max(md5(text)) AS max_digest
+        |  min(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+        |    AS min_digest,
+        |  max(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+        |    AS max_digest
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }
