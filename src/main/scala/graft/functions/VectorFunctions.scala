@@ -185,6 +185,24 @@ object VectorKernels {
     ArrayData.toArrayData(bestC)
   }
 
+  /** v − centroids[cell] as a double array, for a flat row-major
+    * (k × dim) centroid matrix — the residual a vector quantizes
+    * against its coarse cell (IVFPQ encodes residuals, not raw
+    * vectors: the PQ codebooks then only need to cover the
+    * within-cell displacement, a much tighter distribution). Empty
+    * array on dim mismatch or out-of-range cell (same loud-failure
+    * contract as nearestCells). */
+  def cellResidual(v: ArrayData, isFloat: Boolean, centroids: Array[Double],
+                   k: Int, dim: Int, cell: Int): ArrayData = {
+    if (v.numElements() != dim || cell < 0 || cell >= k)
+      return ArrayData.toArrayData(Array.empty[Double])
+    val out = new Array[Double](dim)
+    val off = cell * dim
+    var i = 0
+    while (i < dim) { out(i) = get(v, isFloat, i) - centroids(off + i); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** dot(a,b) / (‖a‖·‖b‖), all three accumulators left-to-right — the
     * per-accumulator FP sequences match the three separate HOF loops
     * exactly, so fusing them into one pass is bit-safe. */
@@ -347,6 +365,40 @@ case class NearestCells(child: Expression, centroids: Array[Double],
     copy(child = newChild)
 }
 
+/** `cell_residual(v, cell)` — v − centroids[cell] for a centroid
+  * matrix riding as a codegen reference object (see
+  * [[VectorKernels.cellResidual]]). */
+case class CellResidual(left: Expression, right: Expression,
+                        centroids: Array[Double], k: Int, dim: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "cell_residual"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<float|double>, int), got $l / $r")
+    }
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    VectorKernels.cellResidual(
+      v.asInstanceOf[ArrayData], isFloat, centroids, k, dim,
+      c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"""${ev.value} = graft.functions.VectorKernels.cellResidual(
+         |  $v, $isFloat, $ref, $k, $dim, $c);""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellResidual =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Σ aᵢ·bᵢ in double precision (native, codegen'd). */
@@ -390,4 +442,12 @@ object VectorFunctions {
                        bits: Int, dim: Int, nProbe: Int): Column =
     GraftInternals.column(HyperplaneProbes(
       GraftInternals.expression(v), planes, numTables, bits, dim, nProbe))
+
+  /** v − centroids[cell] (array<double>) for a row-major (k × dim)
+    * centroid matrix (native, codegen'd). */
+  def cellResidual(v: Column, cell: Column, centroids: Array[Double],
+                   k: Int, dim: Int): Column =
+    GraftInternals.column(CellResidual(
+      GraftInternals.expression(v), GraftInternals.expression(cell),
+      centroids, k, dim))
 }

@@ -413,45 +413,154 @@ object Similarity {
     val n = corpusCount(emb)
     val kEff = if (k > 0) k else ivfK(n, targetCellSize)
     val nProbeEff = if (nProbe > 0) nProbe else ivfNProbe(kEff)
-    val sample = fitSample(emb)
-    val centroids = lloyds(sample, kEff, iters = 10, seed = 42)
+    // full lifecycle in AnnIndex: build persists assignments +
+    // centroids + fit meta (so later batches can APPEND against the
+    // same geometry — AnnIndex.append/maintain); query turns the
+    // driver-computed probe lists (tiny online side, same kernel as
+    // the build) into a STATIC `cell IN (...)` predicate — the scan
+    // prunes partition DIRECTORIES at plan time, no dynamic-pruning
+    // machinery in the loop
     val indexDir = ivfIndexDir(d, kEff)
-    emb.select(col("vec_id"), col("embedding"),
-        nearestCell(col("embedding"), centroids).as("cell"))
+    AnnIndex.build(s, emb, indexDir, k = kEff)
+    AnnIndex.query(s, indexDir, queriesSet(emb), nProbeEff, K,
+        candFracOver = n)
+      .transform(annWithRecall(s, d, _))
+  }
+
+  /** ANN via IVF×PQ — the FAISS IVFPQ serving composition (Jégou et
+    * al. 2011 §V): PQ codes live INSIDE the persisted IVF's cell
+    * directories, so the ADC scan — flat PQ's one remaining full pass
+    * (simAnnPq cross-joins every code) — prunes to the probed cells'
+    * directories before a single code deserializes. Per 100 TB query
+    * batch the I/O is nProbe/k of a corpus that is ALREADY 32×
+    * compressed: the two scale paths compose multiplicatively.
+    *
+    * Residual coding, as in the paper: each vector quantizes
+    * x − centroid[cell] (the native cell_residual kernel), so the
+    * shared codebooks only cover within-cell displacements — a much
+    * tighter distribution than raw vectors, recovering most of the
+    * precision the coarse quantizer absorbed. The query side mirrors
+    * it: per (query, probed cell), the ADC lookup table is built from
+    * the query's residual against THAT cell (driver-side — queries
+    * are tiny by definition — and carried as an array column on the
+    * broadcast side of the cell join). approx_d2 = Σ_j lut[j][code_j]
+    * is m array lookups per candidate inside whole-stage codegen.
+    *
+    * The probe budget TRIPLES vs plain IVF (nProbe = 3×ivfNProbe): PQ
+    * inside the cells compounds the probe stage's misses with
+    * quantization noise, so the probe stage must hold enough recall
+    * headroom to match the flat-PQ twin (which never misses a cell) —
+    * the standard practice of raising nprobe when PQ is on, sized
+    * here for the near-isotropic worst case the synthetic corpus
+    * models (measured: 2× probes recall 0.76 vs flat PQ's 0.90 at the
+    * gate; 3× closes it). Concentrated real-world corpora hold the
+    * same recall at far lower multiples; the emitted cand_frac makes
+    * the paid fraction visible either way. Exact rerank budget
+    * derives with n as in flat PQ.
+    * Cost columns: cand_frac = ADC-scanned candidates / n (the probed
+    * cells' population — what flat PQ pays 1.0 for), rerank_frac =
+    * exact-rescored fraction. */
+  def simAnnIvfPq(s: SparkSession, d: String,
+                  k: Int = 0, nProbe: Int = 0, m: Int = 8,
+                  codebookK: Int = 64, rerank: Int = 0,
+                  targetCellSize: Long = 64L): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val kEff = if (k > 0) k else ivfK(n, targetCellSize)
+    val nProbeEff =
+      if (nProbe > 0) nProbe else math.min(kEff, 3 * ivfNProbe(kEff))
+    val rerankEff = if (rerank > 0) rerank else pqRerank(n)
+    val sample = fitSample(emb)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val coarse = lloyds(sample, kEff, iters = 10, seed = 42)
+    val flatCoarse = coarse.flatten
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val e = a(i) - b(i); acc += e * e; i += 1 }
+      acc
+    }
+    def nearestIdx(p: Array[Double]): Int =
+      coarse.indices.minBy(i => (d2(p, coarse(i)), i))
+    // residual codebooks: fit on the sample's displacement from its
+    // own coarse cell — the distribution the corpus codes will draw
+    // from (same seeds as flat PQ so the two stay comparable)
+    val residualSample = sample.map { p =>
+      val c = coarse(nearestIdx(p))
+      Array.tabulate(dim)(i => p(i) - c(i))
+    }
+    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
+      lloyds(residualSample.map(_.slice(j * sub, (j + 1) * sub)), codebookK,
+        iters = 10, seed = 42L + j)
+    }
+    // ENCODE (index build, map-only): coarse cell + m residual codes,
+    // persisted PARTITIONED BY CELL — the FAISS inverted lists, holding
+    // 8-byte codes instead of raw vectors
+    val indexDir = ivfIndexDir(d, kEff, "ivfpq")
+    val withRes = emb
+      .select(col("vec_id"), col("embedding"),
+        nearestCell(col("embedding"), coarse).as("cell"))
+      .withColumn("_res", graft.functions.VectorFunctions.cellResidual(
+        col("embedding"), col("cell"), flatCoarse, kEff, dim))
+    val codes = (0 until m).map { j =>
+      element_at(graft.functions.VectorFunctions.nearestCells(
+        slice(col("_res"), j * sub + 1, sub), codebooks(j).flatten,
+        codebookK, sub, 1), 1).as(s"c$j")
+    }
+    withRes.select((col("vec_id") +: col("cell") +: codes): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
-    // the query batch is tiny BY DEFINITION (the online side), so its
-    // probe lists collect to the driver — through the SAME kernel the
-    // distributed path runs — and become a STATIC `cell IN (...)`
-    // predicate: the scan prunes partition DIRECTORIES at plan time,
-    // no dynamic-pruning machinery in the loop
-    import s.implicits._
-    val dim = centroids.head.length
-    val flat = centroids.flatten
-    val probes: Seq[(Long, Seq[Float], Int)] = queriesSet(emb)
-      .collect().toSeq.flatMap { r =>
-        val qId = r.getLong(0)
-        val qe = r.getSeq[Float](1)
-        graft.functions.VectorKernels.nearestCells(
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(qe.toArray),
-            true, flat, kEff, dim, nProbeEff)
-          .toIntArray().toSeq.map(c => (qId, qe, c))
+    // PROBE: per (query, probed cell), the residual ADC lookup table
+    val qrows = queriesSet(emb).collect().toSeq
+    val probes: Seq[(Long, Int, Seq[Seq[Double]])] = qrows.flatMap { r =>
+      val qId = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val cells = graft.functions.VectorKernels.nearestCells(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
+          false, flatCoarse, kEff, dim, nProbeEff).toIntArray()
+      cells.toSeq.map { c =>
+        val rq = Array.tabulate(dim)(i => q(i) - coarse(c)(i))
+        val lut = (0 until m).map { j =>
+          val rj = rq.slice(j * sub, (j + 1) * sub)
+          codebooks(j).map(cb => d2(rj, cb)).toSeq
+        }
+        (qId, c, lut)
       }
-    val probeCells = probes.map(_._3).distinct
-    val qs = probes.toDF("q_id", "q_emb", "cell")
-    val assigned = s.read.parquet(indexDir)
-      .where(col("cell").isin(probeCells: _*))
+    }
+    val probeCells = probes.map(_._2).distinct
+    import s.implicits._
+    val qs = probes.toDF("q_id", "cell", "lut")
     val wq = Window.partitionBy(col("q_id"))
-    assigned.join(broadcast(qs), Seq("cell"))
+    // ADC over PROBED CELLS ONLY: the isin probe list prunes cell
+    // directories at plan time (PartitionFilters — spec-pinned), then
+    // one broadcast join on cell scores m lookups per candidate. A
+    // vector lives in exactly one cell and a (q, cell) pair occurs
+    // once, so (q_id, vec_id) needs no dedup.
+    val shortList = s.read.parquet(indexDir)
+      .where(col("cell").isin(probeCells: _*))
+      .join(broadcast(qs), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("score"))
+        (0 until m).map(j =>
+            element_at(element_at(col("lut"), j + 1), col(s"c$j") + 1))
+          .reduce(_ + _).as("approx_d2"))
       .withColumn("cand_frac",
         round(count(lit(1)).over(wq) / lit(n.toDouble), 4))
+      .withColumn("arank", row_number().over(
+        wq.orderBy(col("approx_d2").asc, col("vec_id"))))
+      .where(col("arank") <= rerankEff)
+    shortList
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queriesSet(emb)), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cand_frac"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
       .withColumn("rank", row_number().over(
         wq.orderBy(col("score").desc, col("vec_id"))))
       .where(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("score"), col("cand_frac"))
-      .transform(annWithRecall(s, d, _))
+      .withColumn("rerank_frac", round(lit(rerankEff / n.toDouble), 4))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"),
+        col("cand_frac"), col("rerank_frac"))
+      .transform(annWithRecall(s, d, _, Seq("cand_frac", "rerank_frac")))
   }
 
   /** ANN via product quantization (Jégou et al. 2011, IEEE TPAMI
@@ -686,6 +795,7 @@ object Similarity {
     "sim_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
       simAnnIvfPersisted(s, d)),
     "sim_ann_pq" -> ((s: SparkSession, d: String) => simAnnPq(s, d)),
+    "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => simAnnIvfPq(s, d)),
     // gate entry runs at the exact twin's threshold so the rows-only
     // check exercises real output on the synthetic corpus (no 0.9-cosine
     // twins exist there; the 0.9 default is the production near-dup bar,

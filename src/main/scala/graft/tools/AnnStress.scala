@@ -156,6 +156,20 @@ object AnnStress {
     check(f"PQ rerank_frac = rerank/n ≤ ${3.0 * rr / n}%.4f (got $pqCf%.4f)",
       pqCf <= 3.0 * rr / n)
 
+    // IVFPQ: the serving composition — ADC scans only PROBED cells'
+    // codes (cand_frac ≈ probed-cell population, not 1.0), recall must
+    // hold against the flat-PQ twin at the same derived rerank even
+    // though flat PQ never misses a cell.
+    val (ipqMin, ipqAvg, ipqCf) = annStats("sim_ann_ivfpq",
+      Similarity.simAnnIvfPq(spark, base))
+    val pIvfPq = math.min(kIvf, 3 * Similarity.ivfNProbe(kIvf))
+    val ipqBound = 3.0 * pIvfPq / kIvf
+    check(f"IVFPQ avg recall within 0.1 of flat PQ (got $ipqAvg%.3f vs $pqAvg%.3f)",
+      ipqAvg >= pqAvg - 0.1)
+    check(f"IVFPQ min recall ≥ 0.1 — twin found (got $ipqMin%.3f)", ipqMin >= 0.1)
+    check(f"IVFPQ cand_frac ∝ probed cells ≤ 3×nProbe/k = $ipqBound%.4f " +
+      f"(got $ipqCf%.4f)", ipqCf <= ipqBound)
+
     // SemDeDup ground truth: every copy-0 vector has its jittered twin
     // at cos ≈ 1 ≥ 0.95; (id, id+Shift) pair ids are the plant itself.
     val scaled = spark.read.parquet(s"$base/embeddings.parquet")

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, Similarity}
+
+/** Persisted IVF index lifecycle: append-equals-rebuild under a fixed
+  * quantizer, and the drift signals that decide a re-fit. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_annidx_$tag").toString
+
+  test("append-then-query equals rebuild-then-query under the same centroids") {
+    val emb = Tables.embeddings(spark, Sf)
+    // split the corpus into the standing part and an ingest batch
+    val standing = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    // the invariant under test: assignment is a pure function of
+    // (vector, centroids), so appending a batch into an existing index
+    // yields the same index a wholesale rebuild over the union would —
+    // pin the quantizer to make that exact (a refit would move cells)
+    val centroids = AnnIndex.build(spark, standing, freshDir("fit"), k = 32)
+
+    val incDir = freshDir("inc")
+    AnnIndex.build(spark, standing, incDir,
+      pinnedCentroids = Some(centroids))
+    AnnIndex.append(spark, batch, incDir)
+
+    val fullDir = freshDir("full")
+    AnnIndex.build(spark, emb, fullDir, pinnedCentroids = Some(centroids))
+
+    // identical (vec_id, cell) assignment sets...
+    val incCells = spark.read.parquet(s"$incDir/cells")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val fullCells = spark.read.parquet(s"$fullDir/cells")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(incCells == fullCells,
+      s"append diverged from rebuild: ${incCells.diff(fullCells).take(3)} / " +
+        s"${fullCells.diff(incCells).take(3)}")
+
+    // ...and identical query results
+    val incRes = AnnIndex.query(spark, incDir, queries, nProbe = 8).collect().toSeq
+    val fullRes = AnnIndex.query(spark, fullDir, queries, nProbe = 8).collect().toSeq
+    assert(incRes == fullRes,
+      s"append-then-query diverged: ${incRes.take(3)} vs ${fullRes.take(3)}")
+    assert(incRes.nonEmpty, "query returned no rows")
+  }
+
+  test("maintain flags a drifted batch for refit, passes an in-distribution one") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf)
+    val dir = freshDir("drift")
+    AnnIndex.build(spark, emb, dir, k = 32)
+
+    // in-distribution batch: a re-draw of the same corpus (different
+    // ids) — distortion ratio ~1, tiny appended fraction → no refit
+    val sameDist = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding")).limit(100)
+    val ok = AnnIndex.maintain(spark, dir, sameDist)
+    assert(!ok.refitNeeded,
+      s"in-distribution batch must not trigger a refit: $ok")
+    assert(ok.distortionRatio < 1.5, s"ratio unexpectedly high: $ok")
+
+    // drifted batch: mass far outside the fit distribution (corpus
+    // vectors are unit-norm; this blob sits at radius 10)
+    val rng = new scala.util.Random(5)
+    val drifted = (0 until 100).map(i =>
+      (2000000L + i, Array.fill(64)(10.0f + rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val bad = AnnIndex.maintain(spark, dir, drifted)
+    assert(bad.refitNeeded && bad.distortionRatio >= 1.5,
+      s"drifted batch must trigger a refit: $bad")
+
+    // growth alone also triggers: append more rows than the fit saw
+    AnnIndex.append(spark, emb.select((col("vec_id") + 3000000L).as("vec_id"),
+      col("embedding")), dir)
+    AnnIndex.append(spark, emb.select((col("vec_id") + 4000000L).as("vec_id"),
+      col("embedding")), dir)
+    val grown = AnnIndex.maintain(spark, dir, sameDist)
+    assert(grown.refitNeeded && grown.appendedFrac >= 1.0,
+      s"2x growth must trigger a refit: $grown")
+  }
+}

@@ -213,7 +213,7 @@ class PlanRegressionSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
       s"probe filter not pruning cell directories:\n$p")
     // and it probes strictly fewer directories than the index holds
-    val indexDir = new java.io.File(Similarity.ivfIndexDir(Sf, 64))
+    val indexDir = new java.io.File(Similarity.ivfIndexDir(Sf, 64), "cells")
     val allCells = indexDir.listFiles().count(_.getName.startsWith("cell="))
     // parse the IN/INSET value list explicitly — counting commas in the
     // whole PartitionFilters match truncates at the first ']' and picks
@@ -226,6 +226,26 @@ class PlanRegressionSpec extends SparkSpec {
     val probed = inList.get.group(1).split(",").count(_.trim.nonEmpty)
     assert(probed > 0 && probed < allCells,
       s"probe touched $probed of $allCells cells — no pruning margin")
+  }
+
+  test("IVFPQ ADC scans only probed cell directories (PartitionFilters)") {
+    import graft.operators.Similarity
+    // k=64 / nProbe=8: a real pruning margin, as in the persisted-IVF
+    // test above — at the gate floor the probe union can cover all cells
+    val df = Similarity.simAnnIvfPq(spark, Sf, k = 64, nProbe = 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"ADC scan not pruning cell directories:\n$p")
+    val indexDir = new java.io.File(
+      Similarity.ivfIndexDir(Sf, 64, "ivfpq"), "")
+    val allCells = indexDir.listFiles().count(_.getName.startsWith("cell="))
+    val inList = "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+      .orElse("cell[^ ]* INSET ([\\d, ]+)".r.findFirstMatchIn(p))
+    assert(inList.isDefined, s"no static cell IN (...) partition filter:\n$p")
+    val probed = inList.get.group(1).split(",").count(_.trim.nonEmpty)
+    assert(probed > 0 && probed < allCells,
+      s"ADC touched $probed of $allCells cells — no pruning margin")
   }
 
   test("partitioned writes prune partitions on read (PartitionFilters)") {

@@ -124,6 +124,33 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.simAnnPq(spark, Sf).collect().toSeq == rows.toSeq)
   }
 
+  test("IVFPQ matches flat PQ's recall at the same rerank while pruning the ADC scan") {
+    val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
+    def meanRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = topkSets(rows)
+      val rs = exact.map { case (q, tk) =>
+        got.getOrElse(q, Set.empty).intersect(tk).size.toDouble / tk.size }
+      rs.sum / rs.size
+    }
+    val flatRows = Similarity.simAnnPq(spark, Sf).collect()
+    val ivfpqRows = Similarity.simAnnIvfPq(spark, Sf).collect()
+    val (flat, ivfpq) = (meanRecall(flatRows), meanRecall(ivfpqRows))
+    // the composition must not pay for its pruning with recall: the
+    // probe stage runs 2× the IVF budget and residual coding recovers
+    // precision the coarse quantizer absorbed
+    assert(ivfpq >= flat - 0.05,
+      f"IVFPQ recall $ivfpq%.2f fell below flat PQ's $flat%.2f")
+    checkEmittedRecall(ivfpqRows, exact)
+    // ...while ADC-scanning a strict subset of the corpus (flat PQ
+    // reports cand_frac = 1.0; the composition reports the probed
+    // cells' population)
+    val cf = ivfpqRows.map(_.getDouble(5))
+    assert(cf.forall(f => f > 0.0 && f < 1.0),
+      s"IVFPQ cand_frac must be a strict subset of the corpus: ${cf.distinct.toSeq}")
+    // deterministic across runs (seeded fits, seeded sample)
+    assert(Similarity.simAnnIvfPq(spark, Sf).collect().toSeq == ivfpqRows.toSeq)
+  }
+
   test("LSH ANN recalls >= 60% of brute-force top-k") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
     val rows = Similarity.simAnnLsh(spark, Sf).collect()
