@@ -50,6 +50,40 @@ object GraftEngine {
     s
   }
 
+  /** Expose a PIPELINE operator (dedup clusters, ANN paths, quality
+    * gates, sharding …) to SQL as a temp view `graft_<name>` over
+    * `dataDir` — the native kernels are already SQL-registered via
+    * GraftExtensions; this registers the operator *pipelines*, so a
+    * SQL user reaches e.g. the MinHash cluster collapse the way a
+    * DataFrame user does:
+    *
+    * {{{
+    * GraftEngine.pipelineView(spark, "dedup_minhash_clusters", dir)
+    * GraftEngine.sql(spark,
+    *   "select cluster, count(*) n from graft_dedup_minhash_clusters group by 1")
+    * }}}
+    *
+    * The view holds the operator's full logical plan: later SQL
+    * composes against it and Catalyst optimizes the combined plan
+    * (filters/projections push into the pipeline where semantics
+    * allow). Registration is ON DEMAND, one operator at a time —
+    * operators whose builders do eager driver-side work (ANN index
+    * fits/writes) pay it at registration, not per query, and
+    * unregistered operators pay nothing. */
+  def pipelineView(spark: SparkSession, name: String, dataDir: String): String = {
+    val builder = SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown operator '$name' — valid names are SparkEntry.queries keys"))
+    val view = s"graft_$name"
+    builder(spark, dataDir).createOrReplaceTempView(view)
+    view
+  }
+
+  /** Register several pipeline views at once; returns the view names. */
+  def pipelineViews(spark: SparkSession, dataDir: String,
+                    names: Seq[String]): Seq[String] =
+    names.map(pipelineView(spark, _, dataDir))
+
   /** Driver-gate sample: the flagship aggregation written in the
     * reference dialect, run through the front-end. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

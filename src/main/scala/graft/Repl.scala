@@ -52,13 +52,22 @@ object Repl {
 
   /** One REPL step: `explain <query>` → formatted physical plan (beyond
     * the reference's surface — its optimizer is a no-op; on Spark the
-    * plan IS the performance story), anything else → rendered table. */
+    * plan IS the performance story); `pipeline <name> [dataDir]` →
+    * register the operator as a SQL view (GraftEngine.pipelineView)
+    * so subsequent queries compose against it; anything else →
+    * rendered table. */
   def eval(spark: org.apache.spark.sql.SparkSession, line: String,
            baseDir: String): String = {
     val t = line.trim
     if (t.toLowerCase.startsWith("explain "))
       GraftEngine.sql(spark, t.drop(8), baseDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
+    else if (t.toLowerCase.startsWith("pipeline ")) {
+      val args = t.drop(9).trim.split("\\s+")
+      val view = GraftEngine.pipelineView(
+        spark, args(0), args.lift(1).getOrElse(baseDir))
+      s"registered view $view"
+    }
     else render(GraftEngine.sql(spark, line, baseDir))
   }
 

@@ -34,6 +34,35 @@ class ReplSpec extends SparkSpec {
     assert(!out.contains("╭"), "explain must not render a result table")
   }
 
+  test("pipeline operators are queryable end to end through SQL views") {
+    // register the MinHash cluster collapse as a view via the REPL
+    // meta-command, then hit it with plain SQL through the front-end
+    val msg = Repl.eval(spark, s"pipeline dedup_minhash_clusters $Sf", ".")
+    assert(msg.contains("graft_dedup_minhash_clusters"), msg)
+    val direct = graft.operators.Dedup.queries("dedup_minhash_clusters")(spark, Sf)
+    val viaSql = GraftEngine.sql(spark,
+      "select * from graft_dedup_minhash_clusters")
+    assert(viaSql.collect().toSet == direct.collect().toSet,
+      "SQL view must return exactly the operator's rows")
+    // and SQL composes against the pipeline: aggregate over the view
+    val nClusters = GraftEngine.sql(spark,
+      "select count(distinct comp) as n from graft_dedup_minhash_clusters")
+      .collect().head.getLong(0)
+    assert(nClusters > 0 && nClusters <= direct.count())
+
+    // ANN + quality-gate pipelines reach SQL the same way
+    GraftEngine.pipelineViews(spark, Sf,
+      Seq("sim_ann_ivfpq", "quality_gopher_rules"))
+    val topHit = GraftEngine.sql(spark,
+      "select vec_id from graft_sim_ann_ivfpq where q_id = 0 and rank = 1")
+      .collect()
+    assert(topHit.length == 1, "ANN view must answer per-query SQL")
+    val gated = GraftEngine.sql(spark,
+      "select count(*) as n from graft_quality_gopher_rules where keep")
+      .collect().head.getLong(0)
+    assert(gated > 0, "quality gate view must pass some documents")
+  }
+
   test("render truncates past MaxRows and shows nulls as NULL") {
     import spark.implicits._
     val big = spark.range(500).toDF("id")
