@@ -203,6 +203,34 @@ object EventStreams {
         lit(evalGrams)))
   }
 
+  /** Streaming ANN serving — micro-batch probes against the PERSISTED
+    * IVF index (graft.operators.AnnIndex): the index is built and
+    * appended offline (the lifecycle's write side), query vectors
+    * arrive as a stream, and every micro-batch pays only its probed
+    * cell directories — the same static partition-filter scan the
+    * batch path runs, now per trigger. foreachBatch rather than a
+    * stream-static join because per-query top-k needs a rank window
+    * over a COMPLETE candidate set, which exists per micro-batch but
+    * not on an unbounded stream. Results are exactly-once by
+    * idempotence: each batch overwrites its own batchId-keyed
+    * directory (see [[foreachBatchSink]]). The spec pins result
+    * equality against the batch twin on the same queries. */
+  def annProbeStream(queries: DataFrame, indexDir: String, outDir: String,
+                     checkpointDir: String, nProbe: Int = 0,
+                     topK: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.AnnIndex
+            .query(batch.sparkSession, indexDir, batch, nProbe, topK)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** foreachBatch sink: the escape hatch for targets without a native
     * streaming sink (JDBC upserts, multi-table fan-out, partitioned
     * lakehouse layouts). Exactly-once comes from idempotence, not the

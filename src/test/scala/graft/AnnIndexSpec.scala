@@ -51,6 +51,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(incRes.nonEmpty, "query returned no rows")
   }
 
+  test("streaming probe equals the batch query against the same persisted index") {
+    val emb = Tables.embeddings(spark, Sf)
+    val dir = freshDir("stream")
+    AnnIndex.build(spark, emb, dir, k = 32)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // the batch twin: same index, same probe budget
+    val expected = AnnIndex.query(spark, dir, queries, nProbe = 8)
+      .collect().toSet
+
+    val base = freshDir("streamio")
+    queries.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(queries.schema).parquet(s"$base/in")
+    val q = graft.streaming.EventStreams.annProbeStream(
+      stream, dir, s"$base/out", s"$base/ckpt", nProbe = 8)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(s"$base/out").drop("batch_id")
+      .collect().toSet
+    assert(got == expected,
+      s"streaming probe diverged from batch twin: got ${got.size} rows, " +
+        s"expected ${expected.size}")
+    assert(got.nonEmpty, "streaming probe returned no rows")
+  }
+
   test("maintain flags a drifted batch for refit, passes an in-distribution one") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, Sf)
