@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.GraftInternals
 
-import graft.functions.{HyperplaneCodes, LangStats, MinHashBuckets, MinHashSignature, NearestCells, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{CellResidual, HyperplaneCodes, LangStats, MinHashBuckets, MinHashSignature, NearestCells, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -100,6 +100,17 @@ object GraftExtensions {
         NearestCells(v, c, kEff, c.length / kEff, intArg(nProbe, "nProbe"))
       case _ => throw new IllegalArgumentException(
         "nearest_cells(v, centroids, k, nProbe)")
+    },
+    // cell_residual(v, cell, centroids, k): v − centroids[cell]
+    "cell_residual" -> {
+      case Seq(v, cell, cents, k) =>
+        val c = doubleArrayArg(cents, "centroids")
+        val kEff = intArg(k, "k")
+        require(kEff > 0 && c.length % kEff == 0,
+          s"centroids length ${c.length} must be a multiple of k = $kEff")
+        CellResidual(v, cell, c, kEff, c.length / kEff)
+      case _ => throw new IllegalArgumentException(
+        "cell_residual(v, cell, centroids, k)")
     })
 
   /** Idempotently register the native functions on a live session. */
