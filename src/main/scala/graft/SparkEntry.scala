@@ -11,12 +11,14 @@ object SparkEntry {
     Relational.queries ++ TpchExtended.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Events.queries ++ Similarity.queries ++
       Multimodal.queries ++ GraftEngine.queries ++ Temporal.queries ++
-      Curation.queries ++ Sharding.queries ++ QualityRules.queries
+      Curation.queries ++ Sharding.queries ++ QualityRules.queries ++
+      TextIndex.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TpchExtended.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Events.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ GraftEngine.oracles ++ Temporal.oracles ++
-      Curation.oracles ++ Sharding.oracles ++ QualityRules.oracles
+      Curation.oracles ++ Sharding.oracles ++ QualityRules.oracles ++
+      TextIndex.oracles
 }

@@ -80,8 +80,32 @@ object ScaleJoins {
     * is inherently two-phase). `expectedItems` sizes the filter — a
     * loose upper bound on the small side's distinct keys is fine. */
   def bloomReducedAntiJoin(small: DataFrame, big: DataFrame, key: String,
-                           expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = small.select(xxhash64(col(key)).as("_kh"))
+                           expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    small.join(bloomReduce(small, big, Seq(key), expectedItems, fpp),
+      Seq(key), "left_anti")
+
+  /** `small` LEFT SEMI `big` on `keys`, big side bloom-reduced the same
+    * way — the membership-probe twin of [[bloomReducedAntiJoin]] (which
+    * batch rows collide with the standing corpus?). The same safety
+    * argument holds for semi semantics: no false negatives means every
+    * big row that could MATCH a small row survives the reduction;
+    * false positives only pass extra rows into the exact semi join,
+    * which ignores them (semi output depends only on match existence).
+    * Composite keys hash as one xxhash64 over the key columns. */
+  def bloomReducedSemiJoin(small: DataFrame, big: DataFrame,
+                           keys: Seq[String], expectedItems: Long,
+                           fpp: Double = 0.01): DataFrame =
+    small.join(bloomReduce(small, big, keys, expectedItems, fpp),
+      keys, "left_semi")
+
+  /** The shared reduction: prune `big` map-side with a bloom filter
+    * built over `small`'s keys (Spark's native BloomFilterMightContain
+    * probe — codegen'd, no per-row ser/de on the corpus-sized scan). */
+  private def bloomReduce(small: DataFrame, big: DataFrame,
+                          keys: Seq[String], expectedItems: Long,
+                          fpp: Double): DataFrame = {
+    val kh = xxhash64(keys.map(col): _*)
+    val bf = small.select(kh.as("_kh"))
       .stat.bloomFilter("_kh", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -89,8 +113,7 @@ object ScaleJoins {
       bos.toByteArray
     }
     val probe = GraftInternals.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType),
-      GraftInternals.expression(xxhash64(col(key)))))
-    small.join(big.where(probe), Seq(key), "left_anti")
+      Literal(bytes, BinaryType), GraftInternals.expression(kh)))
+    big.where(probe)
   }
 }

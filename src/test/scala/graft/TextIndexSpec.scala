@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextIndex
+
+/** Persisted MinHash index: incremental near-dup admission semantics
+  * on planted documents, and append parity with a rebuild. */
+class TextIndexSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_textidx").toString
+
+  // distinct filler docs — long enough that 3-gram shingle sets are
+  // rich and unrelated docs share no band bucket
+  private def doc(i: Long, topic: String) =
+    (i, s"document about $topic number $i discussing $topic pipelines " +
+      s"and the analytics engine details of $topic system $i at length")
+
+  test("admission rejects corpus near-dups, admits fresh docs, collapses in-batch dups") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(i => doc(i, s"corpustopic$i"))
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    TextIndex.build(spark, corpus, dir)
+
+    val batch = Seq(
+      // 100: byte-exact repeat of corpus doc 3 → every band collides
+      (100L, corpus.where(col("doc_id") === 3).collect().head.getString(1)),
+      // 101: case/whitespace-noise near-dup of corpus doc 5 (the
+      // minhash kernel normalizes case/whitespace → same signature)
+      (101L, corpus.where(col("doc_id") === 5).collect().head.getString(1)
+        .toUpperCase.replace(" ", "  ")),
+      // 102/103: fresh content, near-dups OF EACH OTHER → one survives
+      doc(102L, "freshtwin").copy(_1 = 102L),
+      (103L, doc(102L, "freshtwin")._2.toUpperCase),
+      // 104: fresh and unique → admitted
+      doc(104L, "uniquefresh")
+    ).toDF("doc_id", "text")
+
+    val admitted = TextIndex.ingest(spark, batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(100L), "exact corpus repeat must be rejected")
+    assert(!admitted.contains(101L), "corpus near-dup must be rejected")
+    assert(admitted.intersect(Set(102L, 103L)).size == 1,
+      s"in-batch twin pair must keep exactly one representative: $admitted")
+    assert(admitted.contains(104L), "fresh unique doc must be admitted")
+
+    // the commit is real: re-ingesting the same batch admits NOTHING —
+    // every previously-admitted doc now collides with the grown index
+    val again = TextIndex.ingest(spark, batch, dir)
+      .select("doc_id").collect()
+    assert(again.isEmpty,
+      s"second ingest of the same batch must be fully rejected: ${again.toSeq}")
+  }
+
+  test("build-then-append holds the same index a one-shot build over the union would") {
+    import spark.implicits._
+    val a = (0L until 15L).map(i => doc(i, s"alpha$i")).toDF("doc_id", "text")
+    val b = (100L until 110L).map(i => doc(i, s"beta$i")).toDF("doc_id", "text")
+
+    val incDir = freshDir()
+    TextIndex.build(spark, a, incDir)
+    TextIndex.append(spark, b, incDir)
+    val fullDir = freshDir()
+    TextIndex.build(spark, a.unionByName(b), fullDir)
+
+    def rows(dir: String) = spark.read.parquet(s"$dir/buckets")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(incDir) == rows(fullDir),
+      "bucket codes are a pure function of text — append must equal rebuild")
+  }
+
+  test("gate entry admits only genuinely new batch docs at sf0.001") {
+    val out = TextIndex.dedupIncrementalNear(spark, Sf).collect()
+    assert(out.nonEmpty, "some batch docs must be genuinely new")
+    // every admitted doc's text must appear nowhere in the corpus side
+    // as an exact copy (exact copies collide on all 16 bands)
+    import org.apache.spark.sql.functions._
+    val all = Tables.documents(spark, Sf)
+    val corpusTexts = all.where(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text"))).collect().map(_.getString(0)).toSet
+    val admittedIds = out.map(_.getLong(0)).toSet
+    val admittedTexts = all.where(col("doc_id").isin(admittedIds.toSeq: _*))
+      .select(md5(col("text"))).collect().map(_.getString(0))
+    assert(admittedTexts.forall(h => !corpusTexts.contains(h)),
+      "an admitted batch doc exactly repeats a corpus doc")
+  }
+}
