@@ -157,6 +157,39 @@ object AnnIndex {
     ranked.select(cols.map(col): _*).orderBy(col("q_id"), col("rank"))
   }
 
+  /** Compact the cell directories in place. Every [[append]] leaves
+    * one file set per batch in each touched cell — after k ingests a
+    * cell holds k small files, and at 100 TB the probe scan's cost
+    * becomes file-open-bound instead of byte-bound (the classic
+    * streaming small-file problem). Rewrites each cell's rows into
+    * ~one file per shuffle partition of its size (repartition on the
+    * partition column co-locates each cell) via a staging directory +
+    * atomic swap, because Spark cannot overwrite a path it is reading.
+    * Query results are unchanged — same rows, fewer files. Returns
+    * (files before, files after). */
+  def compact(s: SparkSession, dir: String): (Long, Long) = {
+    def countFiles: Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(s"$dir/cells"))
+    }
+    val before = countFiles
+    val staged = s"$dir/cells_compacting"
+    s.read.parquet(s"$dir/cells")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    val cells = new java.io.File(s"$dir/cells")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(cells)
+    require(new java.io.File(staged).renameTo(cells),
+      s"atomic swap failed: $staged -> $cells")
+    (before, countFiles)
+  }
+
   case class MaintainDecision(appendedFrac: Double, distortionRatio: Double,
                               refitNeeded: Boolean)
 

@@ -231,6 +231,32 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest into the persisted IVF index — the WRITE-side
+    * twin of [[annProbeStream]], closing the lifecycle loop: vectors
+    * arrive as a stream, each micro-batch assigns against the
+    * PERSISTED centroids (AnnIndex.append — map-only, pure function
+    * of vector × centroids) and lands in the cell directories, so the
+    * index a probe stream is serving grows continuously without a
+    * refit; AnnIndex.maintain decides when drift demands one, and
+    * AnnIndex.compact folds the per-batch small files. Delivery is
+    * at-least-once: a replayed micro-batch re-appends (plain parquet
+    * append has no batchId idempotence) — acceptable for ANN serving
+    * (a duplicated vector changes no top-k membership beyond itself);
+    * an exactly-once deployment stages per-batch directories as in
+    * [[foreachBatchSink]] and compacts them in. */
+  def annIngestStream(vecs: DataFrame, indexDir: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.AnnIndex.append(batch.sparkSession, batch, indexDir)
+        ()
+      }
+      .start()
+
   /** foreachBatch sink: the escape hatch for targets without a native
     * streaming sink (JDBC upserts, multi-table fan-out, partitioned
     * lakehouse layouts). Exactly-once comes from idempotence, not the

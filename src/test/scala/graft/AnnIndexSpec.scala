@@ -76,6 +76,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.nonEmpty, "streaming probe returned no rows")
   }
 
+  test("streaming ingest grows the index to parity with a batch build; compact folds the files") {
+    val emb = Tables.embeddings(spark, Sf)
+    val standing = emb.where(col("vec_id") % 2 === 0)
+    val arriving = emb.where(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    val incDir = freshDir("ingest")
+    val centroids = AnnIndex.build(spark, standing, incDir, k = 32)
+    val base = freshDir("ingestio")
+    arriving.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(arriving.schema).parquet(s"$base/in")
+    val q = graft.streaming.EventStreams.annIngestStream(
+      stream, incDir, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val fullDir = freshDir("ingestfull")
+    AnnIndex.build(spark, emb, fullDir, pinnedCentroids = Some(centroids))
+    val inc = AnnIndex.query(spark, incDir, queries, nProbe = 8).collect().toSeq
+    val full = AnnIndex.query(spark, fullDir, queries, nProbe = 8).collect().toSeq
+    assert(inc == full,
+      s"stream-grown index diverged from the batch build: ${inc.take(3)} vs ${full.take(3)}")
+
+    // compaction folds the per-batch file litter without changing results
+    val (before, after) = AnnIndex.compact(spark, incDir)
+    assert(after <= before, s"compact must not grow the file count: $before -> $after")
+    val again = AnnIndex.query(spark, incDir, queries, nProbe = 8).collect().toSeq
+    assert(again == full, "compaction changed query results")
+  }
+
   test("maintain flags a drifted batch for refit, passes an in-distribution one") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, Sf)
