@@ -275,6 +275,40 @@ object Sharding {
         max(col("hv")).as("max_digest"))
       .orderBy(col("source"))
 
+  /** Sliding-window document chunking — long documents become
+    * fixed-size token windows with overlap (the step that turns a
+    * curated corpus into context-window-sized training examples, and
+    * the retrieval-index unit for RAG pipelines). Window `size` tokens,
+    * stride = size − overlap; the last window is the first one whose
+    * span reaches the end of the doc, so every token lands in ≥1 chunk
+    * and short docs yield exactly one. Map-only: split → per-row chunk
+    * count (pure arithmetic) → explode(sequence) → slice/join — the
+    * text shuffles zero times and the only exchange is the
+    * presentation orderBy. DuckDB replays the identical tokenization
+    * (regexp \s+ split), chunk-count arithmetic, and slicing, so the
+    * chunk TEXT itself hash-checks. */
+  def chunkDocuments(docs: DataFrame, window: Int = 128,
+                     overlap: Int = 32): DataFrame = {
+    require(window > overlap && overlap >= 0, s"need window > overlap ≥ 0")
+    val stride = window - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("n_chunks",
+        (floor((greatest(size(col("toks")) - window, lit(0))
+          + lit(stride - 1)) / stride.toDouble) + 1).cast("int"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * stride + 1, lit(window)))
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("chunk_id") * stride + 1,
+          lit(window)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def pipelineChunk(s: SparkSession, d: String): DataFrame =
+    chunkDocuments(documents(s, d))
+
   /** Stratified sample: per-language keep fractions via one Bernoulli
     * draw per row (map-only, no shuffle). The correctness contract is
     * statistical (proportions), checked in ShardingSpec. */
@@ -353,7 +387,8 @@ object Sharding {
     "pipeline_source_stats" -> (pipelineSourceStats _),
     "pipeline_fingerprint" -> (pipelineFingerprint _),
     "pipeline_sample_stratified" -> (pipelineSample _),
-    "pipeline_mixture" -> (pipelineMixture _)
+    "pipeline_mixture" -> (pipelineMixture _),
+    "pipeline_chunk" -> (pipelineChunk _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,6 +538,30 @@ object Sharding {
         |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
         |    AS token_share
         |FROM g ORDER BY source, lang""".stripMargin,
+
+    // identical tokenization (\s+ split), chunk-count arithmetic
+    // ((max(n-128,0)+95) div 96 + 1), and 1-based inclusive slicing on
+    // both sides, so the chunk text itself hash-checks
+    "pipeline_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, toks,
+        |    CAST(floor((greatest(len(toks) - 128, 0) + 95) / 96.0) AS INT)
+        |      + 1 AS n_chunks
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(list_slice(toks, chunk_id*96 + 1, chunk_id*96 + 128))
+        |    AS INT) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_id*96 + 1, chunk_id*96 + 128),
+        |    ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pipeline_fingerprint" ->
       """SELECT source, count(*) AS n_docs,

@@ -174,6 +174,30 @@ class ShardingSpec extends SparkSpec {
     out.foreach(r => assert(repart(r.getLong(0)) == r.getString(2)))
   }
 
+  test("chunking covers every token with the declared overlap; short docs yield one chunk") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    // 300 tokens at window 128 / stride 96: chunks start at 0/96/192 —
+    // ceil((300-128)/96)+1 = 3; 128-token doc → exactly 1; 10-token → 1
+    val docs = Seq((1L, mk(300)), (2L, mk(128)), (3L, mk(10)))
+      .toDF("doc_id", "text")
+    val out = Sharding.chunkDocuments(docs, window = 128, overlap = 32)
+      .collect().groupBy(_.getLong(0))
+    assert(out(1L).length == 3 && out(2L).length == 1 && out(3L).length == 1,
+      out.view.mapValues(_.length).toMap.toString)
+    // every token of doc 1 appears in some chunk, consecutive chunks
+    // share exactly `overlap` tokens, and no chunk exceeds the window
+    val chunks = out(1L).sortBy(_.getInt(1)).map(_.getString(3).split(" ").toSeq)
+    assert(chunks.flatten.toSet == (1 to 300).map(i => s"t$i").toSet)
+    chunks.sliding(2).foreach { w =>
+      assert(w(0).takeRight(32) == w(1).take(32),
+        "consecutive chunks must share exactly the overlap window")
+    }
+    assert(chunks.forall(_.length <= 128))
+    // the final chunk reaches the last token
+    assert(chunks.last.last == "t300")
+  }
+
   test("length buckets: caps are powers of two covering every doc") {
     val docs = Tables.documents(spark, Sf)
     val out = Sharding.lengthBuckets(docs).collect()
