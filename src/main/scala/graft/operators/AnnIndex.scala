@@ -49,20 +49,24 @@ object AnnIndex {
 
   case class Meta(k: Int, dim: Int, nAtFit: Long, avgD2AtFit: Double)
 
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val e = a(i) - b(i); s += e * e; i += 1 }
+    s
+  }
+
+  private def nearestIdx(p: Array[Double],
+                         centroids: Array[Array[Double]]): Int =
+    centroids.indices.minBy(i => (d2(p, centroids(i)), i))
+
   /** Mean squared distance of `points` to their nearest centroid —
     * the quantizer-distortion statistic stored at fit time and
     * recomputed per batch by [[maintain]]. Driver-side over a bounded
     * sample (≤ fitSample's 4096 rows). */
   private def meanD2(points: Array[Array[Double]],
-                     centroids: Array[Array[Double]]): Double = {
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val e = a(i) - b(i); s += e * e; i += 1 }
-      s
-    }
+                     centroids: Array[Array[Double]]): Double =
     if (points.isEmpty) 0.0
     else points.map(p => centroids.map(c => d2(p, c)).min).sum / points.length
-  }
 
   private def nearestCellCol(v: org.apache.spark.sql.Column,
                              centroids: Array[Array[Double]]) =
@@ -155,6 +159,172 @@ object AnnIndex {
     val cols = Seq("q_id", "rank", "vec_id", "score") ++
       (if (candFracOver > 0L) Seq("cand_frac") else Nil)
     ranked.select(cols.map(col): _*).orderBy(col("q_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // PQ variant of the lifecycle — the IVFPQ index at rest
+  // (Similarity.simAnnIvfPq rides this). Same directory contract plus
+  // `codebooks/` (subspace, code, vector); `cells/` holds (vec_id,
+  // c0..c{m-1}) PQ codes instead of raw embeddings — the 32×-smaller
+  // inverted lists. Encoding is a pure function of (vector, centroids,
+  // codebooks), so append == rebuild under pinned quantizers, exactly
+  // as the raw lifecycle's assignment purity (spec-pinned for both).
+  // ------------------------------------------------------------------
+
+  case class PqQuantizers(centroids: Array[Array[Double]],
+                          codebooks: Seq[Array[Array[Double]]])
+
+  /** Fit (or adopt) the coarse + residual-PQ quantizers and persist
+    * the fully-encoded index. Returns the quantizers it wrote. */
+  def buildPq(s: SparkSession, emb: DataFrame, dir: String, k: Int = 0,
+              m: Int = 8, codebookK: Int = 64, targetCellSize: Long = 64L,
+              pinned: Option[PqQuantizers] = None): PqQuantizers = {
+    import s.implicits._
+    val n = emb.count()
+    val sample = Similarity.fitSample(emb)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val qz = pinned.getOrElse {
+      val kEff = if (k > 0) k else Similarity.ivfK(n, targetCellSize)
+      val cents = Similarity.lloyds(sample, kEff, iters = 10, seed = 42)
+      // residual codebooks: the sample's displacement from its own
+      // coarse cell — the distribution the corpus codes draw from
+      val residuals = sample.map { p =>
+        val c = cents(nearestIdx(p, cents))
+        Array.tabulate(dim)(i => p(i) - c(i))
+      }
+      PqQuantizers(cents, (0 until m).map { j =>
+        Similarity.lloyds(residuals.map(_.slice(j * sub, (j + 1) * sub)),
+          codebookK, iters = 10, seed = 42L + j)
+      })
+    }
+    writeEncoded(s, emb, dir, qz, "overwrite")
+    qz.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    qz.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toDF("subspace", "code", "vector")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((qz.centroids.length, qz.centroids.head.length, n,
+        meanD2(sample, qz.centroids)))
+      .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    qz
+  }
+
+  def readQuantizers(s: SparkSession, dir: String): PqQuantizers = {
+    val cents = readCentroids(s, dir)
+    val rows = s.read.parquet(s"$dir/codebooks")
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    val cbs: Seq[Array[Array[Double]]] =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+    PqQuantizers(cents, cbs)
+  }
+
+  /** Encode `newVecs` with the PERSISTED quantizers and append into
+    * the cell directories — map-only, nothing standing moves. */
+  def appendPq(s: SparkSession, newVecs: DataFrame, dir: String): Unit =
+    writeEncoded(s, newVecs, dir, readQuantizers(s, dir), "append")
+
+  /** cell + residual PQ codes via the native kernels, written
+    * partitioned by cell. */
+  private def writeEncoded(s: SparkSession, emb: DataFrame, dir: String,
+                           qz: PqQuantizers, mode: String): Unit = {
+    val kEff = qz.centroids.length
+    val dim = qz.centroids.head.length
+    val m = qz.codebooks.length
+    val sub = dim / m
+    val flat = qz.centroids.flatten
+    val withRes = emb
+      .select(col("vec_id"), col("embedding"),
+        element_at(VectorFunctions.nearestCells(
+          col("embedding"), flat, kEff, dim, 1), 1).as("cell"))
+      .withColumn("_res", VectorFunctions.cellResidual(
+        col("embedding"), col("cell"), flat, kEff, dim))
+    val codes = (0 until m).map { j =>
+      element_at(VectorFunctions.nearestCells(
+        slice(col("_res"), j * sub + 1, sub), qz.codebooks(j).flatten,
+        qz.codebooks(j).length, sub, 1), 1).as(s"c$j")
+    }
+    withRes.select((col("vec_id") +: col("cell") +: codes): _*)
+      .write.mode(mode).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** ADC + exact-rerank top-k against the PQ index at rest: per
+    * (query, probed cell) residual lookup tables ride the broadcast
+    * side of the cell join; the probe list prunes code directories at
+    * plan time; the approx top-`rerank` short list rescores exactly
+    * against `rawEmb` (vec_id, embedding). With `candFracOver` set
+    * (the corpus size) the result carries cand_frac (ADC-scanned
+    * fraction) and rerank_frac (exact-rescored fraction). */
+  def queryPq(s: SparkSession, dir: String, queries: DataFrame,
+              rawEmb: DataFrame, nProbe: Int = 0, rerank: Int = 0,
+              topK: Int = 10, candFracOver: Long = 0L): DataFrame = {
+    import s.implicits._
+    val qz = readQuantizers(s, dir)
+    val kEff = qz.centroids.length
+    val dim = qz.centroids.head.length
+    val m = qz.codebooks.length
+    val sub = dim / m
+    val flat = qz.centroids.flatten
+    val nProbeEff =
+      if (nProbe > 0) nProbe
+      else math.min(kEff, 3 * Similarity.ivfNProbe(kEff))
+    val rerankEff = if (rerank > 0) rerank else 50
+    val probes: Seq[(Long, Int, Seq[Seq[Double]])] = queries
+      .select(col("q_id"), col("q_emb")).collect().toSeq.flatMap { r =>
+        val qId = r.getLong(0)
+        val q = r.getSeq[Float](1).map(_.toDouble).toArray
+        graft.functions.VectorKernels.nearestCells(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
+            false, flat, kEff, dim, nProbeEff).toIntArray().toSeq.map { c =>
+          val rq = Array.tabulate(dim)(i => q(i) - qz.centroids(c)(i))
+          val lut = (0 until m).map { j =>
+            val rj = rq.slice(j * sub, (j + 1) * sub)
+            qz.codebooks(j).map(cb => d2(rj, cb)).toSeq
+          }
+          (qId, c, lut)
+        }
+      }
+    val probeCells = probes.map(_._2).distinct
+    val qs = probes.toDF("q_id", "cell", "lut")
+    val wq = Window.partitionBy(col("q_id"))
+    val adc = s.read.parquet(s"$dir/cells")
+      .where(col("cell").isin(probeCells: _*))
+      .join(broadcast(qs), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (0 until m).map(j =>
+            element_at(element_at(col("lut"), j + 1), col(s"c$j") + 1))
+          .reduce(_ + _).as("approx_d2"))
+    val withCost =
+      if (candFracOver > 0L) adc.withColumn("cand_frac",
+        round(count(lit(1)).over(wq) / lit(candFracOver.toDouble), 4))
+      else adc
+    val shortList = withCost
+      .withColumn("arank", row_number().over(
+        wq.orderBy(col("approx_d2").asc, col("vec_id"))))
+      .where(col("arank") <= rerankEff)
+    val reranked = shortList
+      .join(rawEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .select((Seq(col("q_id"), col("vec_id"),
+        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("score"))
+        ++ (if (candFracOver > 0L) Seq(col("cand_frac")) else Nil)): _*)
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= topK)
+    val costCols = if (candFracOver > 0L)
+      Seq(col("cand_frac"),
+        round(lit(rerankEff / candFracOver.toDouble), 4).as("rerank_frac"))
+    else Nil
+    reranked
+      .select((Seq(col("q_id"), col("rank"), col("vec_id"), col("score"))
+        ++ costCols): _*)
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Compact the cell directories in place. Every [[append]] leaves

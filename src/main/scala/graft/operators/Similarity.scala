@@ -470,96 +470,19 @@ object Similarity {
     val nProbeEff =
       if (nProbe > 0) nProbe else math.min(kEff, 3 * ivfNProbe(kEff))
     val rerankEff = if (rerank > 0) rerank else pqRerank(n)
-    val sample = fitSample(emb)
-    val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val sub = dim / m
-    val coarse = lloyds(sample, kEff, iters = 10, seed = 42)
-    val flatCoarse = coarse.flatten
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val e = a(i) - b(i); acc += e * e; i += 1 }
-      acc
-    }
-    def nearestIdx(p: Array[Double]): Int =
-      coarse.indices.minBy(i => (d2(p, coarse(i)), i))
-    // residual codebooks: fit on the sample's displacement from its
-    // own coarse cell — the distribution the corpus codes will draw
-    // from (same seeds as flat PQ so the two stay comparable)
-    val residualSample = sample.map { p =>
-      val c = coarse(nearestIdx(p))
-      Array.tabulate(dim)(i => p(i) - c(i))
-    }
-    val codebooks: Seq[Array[Array[Double]]] = (0 until m).map { j =>
-      lloyds(residualSample.map(_.slice(j * sub, (j + 1) * sub)), codebookK,
-        iters = 10, seed = 42L + j)
-    }
-    // ENCODE (index build, map-only): coarse cell + m residual codes,
-    // persisted PARTITIONED BY CELL — the FAISS inverted lists, holding
-    // 8-byte codes instead of raw vectors
+    // the full PQ lifecycle lives in AnnIndex: buildPq persists the
+    // encoded inverted lists (cell-partitioned PQ codes), centroids,
+    // residual codebooks, and fit meta — so later batches APPEND
+    // through appendPq against the same quantizers; queryPq turns the
+    // probe lists into a static partition filter over the code
+    // directories, ADC-scores with per-(query, cell) residual LUTs on
+    // the broadcast side, and exact-reranks against the raw corpus
     val indexDir = ivfIndexDir(d, kEff, "ivfpq")
-    val withRes = emb
-      .select(col("vec_id"), col("embedding"),
-        nearestCell(col("embedding"), coarse).as("cell"))
-      .withColumn("_res", graft.functions.VectorFunctions.cellResidual(
-        col("embedding"), col("cell"), flatCoarse, kEff, dim))
-    val codes = (0 until m).map { j =>
-      element_at(graft.functions.VectorFunctions.nearestCells(
-        slice(col("_res"), j * sub + 1, sub), codebooks(j).flatten,
-        codebookK, sub, 1), 1).as(s"c$j")
-    }
-    withRes.select((col("vec_id") +: col("cell") +: codes): _*)
-      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
-    // PROBE: per (query, probed cell), the residual ADC lookup table
-    val qrows = queriesSet(emb).collect().toSeq
-    val probes: Seq[(Long, Int, Seq[Seq[Double]])] = qrows.flatMap { r =>
-      val qId = r.getLong(0)
-      val q = r.getSeq[Float](1).map(_.toDouble).toArray
-      val cells = graft.functions.VectorKernels.nearestCells(
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
-          false, flatCoarse, kEff, dim, nProbeEff).toIntArray()
-      cells.toSeq.map { c =>
-        val rq = Array.tabulate(dim)(i => q(i) - coarse(c)(i))
-        val lut = (0 until m).map { j =>
-          val rj = rq.slice(j * sub, (j + 1) * sub)
-          codebooks(j).map(cb => d2(rj, cb)).toSeq
-        }
-        (qId, c, lut)
-      }
-    }
-    val probeCells = probes.map(_._2).distinct
-    import s.implicits._
-    val qs = probes.toDF("q_id", "cell", "lut")
-    val wq = Window.partitionBy(col("q_id"))
-    // ADC over PROBED CELLS ONLY: the isin probe list prunes cell
-    // directories at plan time (PartitionFilters — spec-pinned), then
-    // one broadcast join on cell scores m lookups per candidate. A
-    // vector lives in exactly one cell and a (q, cell) pair occurs
-    // once, so (q_id, vec_id) needs no dedup.
-    val shortList = s.read.parquet(indexDir)
-      .where(col("cell").isin(probeCells: _*))
-      .join(broadcast(qs), Seq("cell"))
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (0 until m).map(j =>
-            element_at(element_at(col("lut"), j + 1), col(s"c$j") + 1))
-          .reduce(_ + _).as("approx_d2"))
-      .withColumn("cand_frac",
-        round(count(lit(1)).over(wq) / lit(n.toDouble), 4))
-      .withColumn("arank", row_number().over(
-        wq.orderBy(col("approx_d2").asc, col("vec_id"))))
-      .where(col("arank") <= rerankEff)
-    shortList
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(queriesSet(emb)), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"), col("cand_frac"),
-        cosine(col("q_emb"), col("embedding")).as("score"))
-      .withColumn("rank", row_number().over(
-        wq.orderBy(col("score").desc, col("vec_id"))))
-      .where(col("rank") <= K)
-      .withColumn("rerank_frac", round(lit(rerankEff / n.toDouble), 4))
-      .select(col("q_id"), col("rank"), col("vec_id"), col("score"),
-        col("cand_frac"), col("rerank_frac"))
+    AnnIndex.buildPq(s, emb, indexDir, k = kEff, m = m,
+      codebookK = codebookK)
+    AnnIndex.queryPq(s, indexDir, queriesSet(emb),
+        emb.select(col("vec_id"), col("embedding")),
+        nProbeEff, rerankEff, K, candFracOver = n)
       .transform(annWithRecall(s, d, _, Seq("cand_frac", "rerank_frac")))
   }
 

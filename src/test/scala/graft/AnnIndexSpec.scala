@@ -76,6 +76,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.nonEmpty, "streaming probe returned no rows")
   }
 
+  test("PQ append-then-query equals rebuild-then-query under pinned quantizers") {
+    val emb = Tables.embeddings(spark, Sf)
+    val standing = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val raw = emb.select("vec_id", "embedding")
+
+    // fit once on the standing corpus; pin for both index variants —
+    // encoding is a pure function of (vector, centroids, codebooks)
+    val qz = AnnIndex.buildPq(spark, standing, freshDir("pqfit"), k = 32)
+
+    val incDir = freshDir("pqinc")
+    AnnIndex.buildPq(spark, standing, incDir, pinned = Some(qz))
+    AnnIndex.appendPq(spark, batch, incDir)
+    val fullDir = freshDir("pqfull")
+    AnnIndex.buildPq(spark, emb, fullDir, pinned = Some(qz))
+
+    // identical encoded rows...
+    def codes(dir: String) = spark.read.parquet(s"$dir/cells")
+      .collect().map(_.toSeq).toSet
+    assert(codes(incDir) == codes(fullDir),
+      "PQ append diverged from rebuild under the same quantizers")
+    // ...and identical query answers (ADC + exact rerank end to end)
+    val inc = AnnIndex.queryPq(spark, incDir, queries, raw,
+      nProbe = 8, rerank = 50).collect().toSeq
+    val full = AnnIndex.queryPq(spark, fullDir, queries, raw,
+      nProbe = 8, rerank = 50).collect().toSeq
+    assert(inc == full && inc.nonEmpty,
+      s"PQ append-then-query diverged: ${inc.take(3)} vs ${full.take(3)}")
+  }
+
   test("streaming ingest grows the index to parity with a batch build; compact folds the files") {
     val emb = Tables.embeddings(spark, Sf)
     val standing = emb.where(col("vec_id") % 2 === 0)
