@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.GraftInternals
 
-import graft.functions.{CellResidual, HyperplaneCodes, LangStats, MinHashBuckets, MinHashSignature, NearestCells, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{CellResidual, HyperplaneCodes, HyperplaneProbes, LangStats, MinHashBuckets, MinHashSignature, NearestCells, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -100,6 +100,20 @@ object GraftExtensions {
         NearestCells(v, c, kEff, c.length / kEff, intArg(nProbe, "nProbe"))
       case _ => throw new IllegalArgumentException(
         "nearest_cells(v, centroids, k, nProbe)")
+    },
+    // hyperplane_probes(v, planes, L, b, nProbe): multi-probe query
+    // codes — the exact bucket per table plus the nProbe−1
+    // lowest-margin bit flips
+    "hyperplane_probes" -> {
+      case Seq(v, planes, l, b, nProbe) =>
+        val p = doubleArrayArg(planes, "planes")
+        val (lEff, bEff) = (intArg(l, "L"), intArg(b, "b"))
+        require(lEff > 0 && bEff > 0 && p.length % (lEff * bEff) == 0,
+          s"planes length ${p.length} must be a multiple of L*b = ${lEff * bEff}")
+        HyperplaneProbes(v, p, lEff, bEff, p.length / (lEff * bEff),
+          intArg(nProbe, "nProbe"))
+      case _ => throw new IllegalArgumentException(
+        "hyperplane_probes(v, planes, L, b, nProbe)")
     },
     // cell_residual(v, cell, centroids, k): v − centroids[cell]
     "cell_residual" -> {

@@ -257,6 +257,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming incremental near-dup ingest — the TEXT twin of
+    * [[annIngestStream]], riding TextIndex (the persisted MinHash
+    * bucket index): each micro-batch of documents screens against the
+    * standing corpus' buckets at rest, collapses its own in-batch
+    * near-dups, lands its ADMITTED docs in a batchId-keyed directory
+    * (idempotent on replay, as [[foreachBatchSink]]), and appends
+    * their buckets so the NEXT batch screens against them too. This
+    * is the crawl-ingest shape at 100 TB: the corpus text is never
+    * re-read — only its ~0.1%-sized bucket index participates, and
+    * that through a bloom-reduced semi join. Index appends are
+    * at-least-once (replay re-appends buckets — harmless: duplicate
+    * bucket rows change no admission decision); the admitted OUTPUT
+    * is exactly-once by the batchId overwrite. */
+  def textIngestStream(docs: DataFrame, indexDir: String, outDir: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.TextIndex
+            .ingest(batch.sparkSession, batch, indexDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** foreachBatch sink: the escape hatch for targets without a native
     * streaming sink (JDBC upserts, multi-table fan-out, partitioned
     * lakehouse layouts). Exactly-once comes from idempotence, not the

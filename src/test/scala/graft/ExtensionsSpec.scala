@@ -43,7 +43,9 @@ class ExtensionsSpec extends SparkSpec {
         |  nearest_cells(array(1.0D, 1.0D),
         |    array(0.0D, 0.0D, 10.0D, 10.0D), 2, 2) AS nc,
         |  cell_residual(array(1.0D, 1.0D), 1,
-        |    array(0.0D, 0.0D, 10.0D, 10.0D), 2) AS cr
+        |    array(0.0D, 0.0D, 10.0D, 10.0D), 2) AS cr,
+        |  hyperplane_probes(array(0.5D, -0.5D),
+        |    array(1.0D, 0.0D, 0.0D, 1.0D), 2, 1, 2) AS hp
         |""".stripMargin).collect()(0)
     assert(row.getSeq[Long](0) == Seq(1L, 0L),
       s"sign(0.5)=1, sign(-0.5)=0: ${row.getSeq[Long](0)}")
@@ -51,6 +53,9 @@ class ExtensionsSpec extends SparkSpec {
       s"(1,1) is nearer (0,0) than (10,10): ${row.getSeq[Int](1)}")
     assert(row.getSeq[Double](2) == Seq(-9.0, -9.0),
       s"(1,1) − centroid(10,10): ${row.getSeq[Double](2)}")
+    // per table: exact code then its one-bit flip (b=1 → flip of bit 0)
+    assert(row.getSeq[Long](3) == Seq(1L, 0L, 0L, 1L),
+      s"probe codes (code, flip) per table: ${row.getSeq[Long](3)}")
   }
 
   test("SQL and column APIs agree") {

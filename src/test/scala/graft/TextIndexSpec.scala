@@ -70,6 +70,41 @@ class TextIndexSpec extends SparkSpec {
       "bucket codes are a pure function of text — append must equal rebuild")
   }
 
+  test("streaming ingest admits the same docs as the batch twin and grows the index") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(i => doc(i, s"streamtopic$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, corpus.where(col("doc_id") === 2).collect().head.getString(1)),
+      doc(201L, "streamfresh")
+    ).toDF("doc_id", "text")
+
+    // batch twin on its own index copy (ingest mutates the index)
+    val twinDir = freshDir()
+    TextIndex.build(spark, corpus, twinDir)
+    val expected = TextIndex.ingest(spark, batch, twinDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val streamDir = freshDir()
+    TextIndex.build(spark, corpus, streamDir)
+    val base = freshDir()
+    batch.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$base/in")
+    val q = graft.streaming.EventStreams.textIngestStream(
+      stream, streamDir, s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"streaming admission diverged from batch twin: $got vs $expected")
+    assert(got == Set(201L), s"only the fresh doc admits: $got")
+    // the commit is real: the admitted doc's buckets are in the index
+    val idxDocs = spark.read.parquet(s"$streamDir/buckets")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxDocs.contains(201L), "admitted doc must join the index")
+  }
+
   test("gate entry admits only genuinely new batch docs at sf0.001") {
     val out = TextIndex.dedupIncrementalNear(spark, Sf).collect()
     assert(out.nonEmpty, "some batch docs must be genuinely new")
