@@ -23,6 +23,10 @@ import graft.streaming.EventStreams
   * `sbt "runMain graft.tools.StreamStress [factor] [slices]"`. */
 object StreamStress {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("serve")) {
+      serve(args.lift(1).map(_.toInt).getOrElse(10))
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val slices = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -89,6 +93,98 @@ object StreamStress {
       stateRows.max <= bound)
     check(s"state is a small fraction of input (${stateRows.max} < ${total / 3})",
       stateRows.max < total / 3)
+    spark.stop()
+  }
+
+  /** `serve` mode: evidence for the INDEX-SERVING streaming paths at
+    * scale — annProbeStream querying a persisted IVF index built over
+    * factor× embeddings (each micro-batch pays only its probed cell
+    * directories), and textIngestStream admitting document batches
+    * against a persisted MinHash index that GROWS across micro-batches
+    * (batch i+1's repeats of batch i's fresh docs must be rejected).
+    * `sbt "runMain graft.tools.StreamStress serve [factor]"`. */
+  def serve(factor: Int): Unit = {
+    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{AnnIndex, TextIndex}
+    def check(name: String, ok: Boolean): Unit = {
+      println(s"${if (ok) "PASS" else "FAIL"}  $name")
+      if (!ok) sys.exit(1)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_serve").toString
+
+    // ---- ANN probe serving over a factor× index ----
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val copies = spark.range(factor.toLong).select(col("id").as("_copy"))
+    val scaled = emb.crossJoin(copies)
+      .withColumn("vec_id", col("vec_id") + col("_copy") * 100000000L)
+      .drop("_copy").repartition(32)
+    val n = scaled.count()
+    val idxDir = s"$base/annidx"
+    val t0 = System.nanoTime()
+    AnnIndex.build(spark, scaled, idxDir)
+    println(f"ANN index: $n vectors, built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val nBatches = 5
+    val qPerBatch = 20
+    (0 until nBatches).foreach { i =>
+      emb.where(col("vec_id") < qPerBatch)
+        .select((col("vec_id") + i * 1000L).as("q_id"),
+          col("embedding").as("q_emb"))
+        .coalesce(1).write.mode("append").parquet(s"$base/qin")
+    }
+    val qStream = spark.readStream
+      .schema(spark.read.parquet(s"$base/qin").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/qin")
+    val t1 = System.nanoTime()
+    val pq = graft.streaming.EventStreams.annProbeStream(
+      qStream, idxDir, s"$base/qout", s"$base/qckpt")
+    try pq.processAllAvailable() finally pq.stop()
+    val probeWall = (System.nanoTime() - t1) / 1e9
+    val served = spark.read.parquet(s"$base/qout")
+    val answered = served.select("q_id").distinct().count()
+    println(f"probe serving: ${nBatches * qPerBatch} queries in $probeWall%.1f s " +
+      f"(${nBatches * qPerBatch / probeWall}%.1f q/s) against $n vectors")
+    check(s"every streamed query answered with a full top-k " +
+      s"($answered of ${nBatches * qPerBatch})",
+      answered == nBatches * qPerBatch &&
+        served.count() == nBatches * qPerBatch * 10L)
+
+    // ---- text ingest with a growing index ----
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val tIdx = s"$base/textidx"
+    TextIndex.build(spark, docs, tIdx)
+    // batch i = 100 fresh docs + batch i−1's fresh docs re-sent: only
+    // the fresh half may admit once the index has absorbed batch i−1.
+    // Every token carries (wave, doc, position) so distinct fresh docs
+    // share NO shingle (they must not in-batch collapse as near-dups);
+    // an exact re-send still collides on every band.
+    def fresh(i: Int) = spark.range(100)
+      .select((lit(500000000L + i * 1000L) + col("id")).as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit(s"w${i}d"), col("id"), lit("t"), j)), " ")
+          .as("text"))
+    (0 until nBatches).foreach { i =>
+      val b = if (i == 0) fresh(0)
+              else fresh(i).unionByName(fresh(i - 1))
+      b.coalesce(1).write.mode("append").parquet(s"$base/din")
+    }
+    val dStream = spark.readStream
+      .schema(spark.read.parquet(s"$base/din").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/din")
+    val t2 = System.nanoTime()
+    val tq = graft.streaming.EventStreams.textIngestStream(
+      dStream, tIdx, s"$base/dout", s"$base/dckpt")
+    try tq.processAllAvailable() finally tq.stop()
+    val ingestWall = (System.nanoTime() - t2) / 1e9
+    val admitted = spark.read.parquet(s"$base/dout")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    println(f"text ingest: ${nBatches * 100 * 2 - 100} docs in $ingestWall%.1f s, " +
+      s"${admitted.size} admitted")
+    check(s"every fresh doc admitted exactly once (${admitted.size} of ${nBatches * 100})",
+      admitted.size == nBatches * 100)
+    check("no re-sent doc admitted twice — the index grew across micro-batches",
+      admitted.size == spark.read.parquet(s"$base/dout").count())
     spark.stop()
   }
 }
