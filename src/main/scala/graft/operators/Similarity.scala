@@ -565,6 +565,68 @@ object Similarity {
       .transform(annWithRecall(s, d, _, Seq("cand_frac", "rerank_frac")))
   }
 
+  /** Exact k-NN graph — each vector's top-k neighbors over the WHOLE
+    * corpus (not a query set): the primitive under SemDeDup-style
+    * graph clustering, label propagation, and diversity filtering.
+    * All-pairs at test scale (the correctness twin, broadcast
+    * nested-loop by design — [[simKnnGraph]] is the scale path);
+    * per-vector ranking compiles to a partial WindowGroupLimit, so
+    * even the exact form never sorts the full pair stream. */
+  def simKnnGraphExact(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("e2"))
+    a.join(broadcast(b), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosine(col("e1"), col("e2")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("score").desc, col("dst"))))
+      .where(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("score"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  /** LSH-bucketed k-NN graph — the corpus-scale form: candidates come
+    * from shared hyperplane buckets (the same derivation and
+    * degenerate-bucket guard as [[embedCosinePairs]]), each candidate
+    * pair scores once (groupBy max over table collisions — one
+    * codegen'd HashAggregate), and both directions of the undirected
+    * collision feed each endpoint's top-k window. Work scales with
+    * bucket occupancy, not n²; recall is probabilistic (spec measures
+    * it against the exact twin; planted twins rank first). */
+  def simKnnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    knnGraph(embeddings(s, d), k)
+
+  def knnGraph(emb: DataFrame, k: Int = 3,
+               L: Int = 8, b: Int = 0, dim: Int = 64,
+               maxBucket: Long = MaxBucket): DataFrame = {
+    val bEff = if (b > 0) b else derivedBits(corpusCount(emb), 64L, 4, 20)
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"),
+        posexplode(buckets(col("embedding"), L, bEff, dim))
+          .as(Seq("table", "bucket")))
+    val liveBuckets = bucketed.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn").between(2L, maxBucket))
+      .select(col("table"), col("bucket"))
+    val pruned = bucketed.join(liveBuckets, Seq("table", "bucket"), "left_semi")
+    val aa = pruned.select(col("table"), col("bucket"),
+      col("vec_id").as("src"), col("embedding").as("e1"))
+    val bb = pruned.select(col("table"), col("bucket"),
+      col("vec_id").as("dst"), col("embedding").as("e2"))
+    aa.join(bb, Seq("table", "bucket"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosine(col("e1"), col("e2")).as("score"))
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("score")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("score").desc, col("dst"))))
+      .where(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("score"))
+      .orderBy(col("src"), col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     * pairs via cluster-then-compare — k-means cells bound the pair
     * search to semantic neighborhoods, so the all-pairs comparison runs
@@ -726,7 +788,10 @@ object Similarity {
     "dedup_embed_cosine" -> ((s: SparkSession, d: String) =>
       dedupEmbedCosine(s, d, threshold = 0.45)),
     "dedup_semantic" -> (dedupSemantic _),
-    "dedup_embed_exact" -> ((s: SparkSession, d: String) => dedupEmbedExact(s, d))
+    "dedup_embed_exact" -> ((s: SparkSession, d: String) => dedupEmbedExact(s, d)),
+    "sim_knn_graph_exact" -> ((s: SparkSession, d: String) =>
+      simKnnGraphExact(s, d)),
+    "sim_knn_graph" -> ((s: SparkSession, d: String) => simKnnGraph(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -767,6 +832,28 @@ object Similarity {
         |FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
     // sim_ann_lsh is probabilistic — covered by the recall-vs-bruteforce
     // ScalaTest instead of a SQL oracle.
+
+    // same bit-stable cosine formulation as sim_topk_bruteforce /
+    // dedup_embed_exact, ranked per SOURCE vector over the full corpus
+    "sim_knn_graph_exact" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v))) AS score
+        |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT src, dst, score,
+        |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst)
+        |      AS rank
+        |  FROM s
+        |)
+        |SELECT src, CAST(rank AS INTEGER) AS rank, dst, score
+        |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
 
     "dedup_embed_exact" ->
       """WITH e AS (

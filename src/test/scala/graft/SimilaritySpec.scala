@@ -167,6 +167,39 @@ class SimilaritySpec extends SparkSpec {
     checkCandFrac(rows, 0.65)
   }
 
+  test("bucketed kNN graph recalls most exact edges; planted twins rank first") {
+    import org.apache.spark.sql.functions._
+    val exact = Similarity.simKnnGraphExact(spark, Sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = Similarity.simKnnGraph(spark, Sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = exact.map { case (src, nbrs) =>
+      approx.getOrElse(src, Set.empty).intersect(nbrs).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5,
+      f"mean kNN-graph recall $mean%.2f < 0.5 on the isotropic corpus")
+    // a planted near-identical twin shares every hyperplane sign →
+    // same buckets in every table → must surface as its source's rank-1
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val twins = emb.where(col("vec_id") < 3)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.001f)).cast("float")).as("embedding"))
+    val g = Similarity.knnGraph(emb.unionByName(twins)).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 3L).foreach { id =>
+      assert(g(id) == id + 100000,
+        s"planted twin must be $id's rank-1 neighbor, got ${g(id)}")
+    }
+    assert(Similarity.simKnnGraph(spark, Sf).collect().toSeq ==
+      Similarity.simKnnGraph(spark, Sf).collect().toSeq,
+      "bucketed kNN graph must be deterministic")
+  }
+
   test("embedCosinePairs drops degenerate hot buckets instead of exploding") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
