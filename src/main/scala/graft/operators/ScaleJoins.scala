@@ -100,11 +100,17 @@ object ScaleJoins {
 
   /** The shared reduction: prune `big` map-side with a bloom filter
     * built over `small`'s keys (Spark's native BloomFilterMightContain
-    * probe — codegen'd, no per-row ser/de on the corpus-sized scan). */
+    * probe — codegen'd, no per-row ser/de on the corpus-sized scan).
+    * An EMPTY small side reduces big to nothing outright — correct for
+    * both consumers (no small keys ⇒ no possible match) and necessary:
+    * Spark's bloomFilter aggregate returns a null buffer over zero
+    * rows and NPEs on read (an empty ingest batch is a routine
+    * production input, not an error). */
   private def bloomReduce(small: DataFrame, big: DataFrame,
                           keys: Seq[String], expectedItems: Long,
                           fpp: Double): DataFrame = {
     val kh = xxhash64(keys.map(col): _*)
+    if (small.isEmpty) return big.where(lit(false))
     val bf = small.select(kh.as("_kh"))
       .stat.bloomFilter("_kh", expectedItems, fpp)
     val bytes = {

@@ -84,6 +84,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.count() == Tables.documents(spark, Sf).count())
   }
 
+  test("chunking survives hostile docs: every doc yields >= 1 chunk, nothing throws") {
+    val out = graft.operators.Sharding.chunkDocuments(hostile).collect()
+    val perDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // one short chunk each — empty/whitespace/CJK included
+    hostile.collect().foreach { r =>
+      assert(perDoc.getOrElse(r.getLong(0), 0) == 1,
+        s"doc ${r.getLong(0)} must yield exactly one chunk: $perDoc")
+    }
+    assert(out.forall(_.getInt(2) <= 128), "no chunk may exceed the window")
+  }
+
+  test("text index admission survives hostile docs and an empty batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tihostile").toString
+    graft.operators.TextIndex.build(spark, hostile, dir)
+    // empty batch: admits nothing, throws nothing
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TextIndex.ingest(spark, empty, dir).collect().isEmpty)
+    // a batch repeating hostile boilerplate is rejected; fresh admits
+    val batch = Seq(
+      (100L, "exact duplicate boilerplate text"),
+      (101L, "completely novel content that shares no shingles with anything here")
+    ).toDF("doc_id", "text")
+    val admitted = graft.operators.TextIndex.ingest(spark, batch, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(100L) && admitted.contains(101L), admitted.toString)
+  }
+
   test("shuffle/bucket/sample operators survive hostile docs incl. null lang") {
     import spark.implicits._
     import graft.operators.Sharding

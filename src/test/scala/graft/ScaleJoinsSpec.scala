@@ -65,6 +65,13 @@ class ScaleJoinsSpec extends SparkSpec {
       .orderBy("payload").collect().toSeq
     assert(bloomed == plain)
     assert(plain.length == 249) // k1..k249 are the genuinely-new keys
+    // empty batch: Spark's bloomFilter aggregate yields a null buffer
+    // over zero rows — the reduction must short-circuit, not NPE
+    val empty = Seq.empty[(String, Int)].toDF("h", "payload")
+    assert(ScaleJoins.bloomReducedAntiJoin(empty, corpus, "h", 10)
+      .collect().isEmpty)
+    assert(ScaleJoins.bloomReducedSemiJoin(empty, corpus, Seq("h"), 10)
+      .collect().isEmpty)
   }
 
   test("bloom reduction prunes the big side before the anti join") {
