@@ -216,6 +216,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cell_residual matches driver-side subtraction; empty on mismatch/out-of-range") {
+    import graft.functions.VectorKernels
+    val rng = new scala.util.Random(17)
+    val (k, dim) = (11, 8)
+    val centroids = Array.fill(k * dim)(rng.nextGaussian())
+    val vecs: Gen[Array[Float]] =
+      Gen.containerOfN[Array, Float](dim, Gen.chooseNum(-2.0f, 2.0f))
+    samples(vecs, 100).foreach { v =>
+      val cell = rng.nextInt(k)
+      val got = VectorKernels.cellResidual(
+        new GenericArrayData(v), true, centroids, k, dim, cell).toDoubleArray()
+      val want = (0 until dim).map(i => v(i).toDouble - centroids(cell * dim + i))
+      assert(got.toSeq == want)
+      // loud-failure contract: wrong dim or cell out of range → empty
+      assert(VectorKernels.cellResidual(
+        new GenericArrayData(v.take(dim - 1)), true, centroids, k, dim, cell)
+        .numElements() == 0)
+      assert(VectorKernels.cellResidual(
+        new GenericArrayData(v), true, centroids, k, dim, k)
+        .numElements() == 0)
+    }
+  }
+
+  test("nearest_cells yields an empty array on a dim-mismatched vector") {
+    import graft.functions.VectorKernels
+    val centroids = Array.fill(4 * 8)(1.0)
+    val short = new GenericArrayData(Array.fill(5)(1.0f))
+    assert(VectorKernels.nearestCells(short, true, centroids, 4, 8, 2)
+      .numElements() == 0,
+      "mismatched dim must probe no cells, not nProbe copies of cell 0")
+  }
+
   test("media decoders never throw on arbitrary bytes (fuzz)") {
     import graft.operators.Multimodal
     val rng = new scala.util.Random(99)
