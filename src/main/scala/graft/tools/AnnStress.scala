@@ -170,13 +170,26 @@ object AnnStress {
     check(f"IVFPQ cand_frac ∝ probed cells ≤ 3×nProbe/k = $ipqBound%.4f " +
       f"(got $ipqCf%.4f)", ipqCf <= ipqBound)
 
+    // kNN graph — the one ANN-family operator with corpus-sized OUTPUT
+    // (top-k per EVERY vector): work must stay occupancy-bound, and
+    // every copy-0 vector's jittered twin (cos ≈ 1, same buckets in
+    // all tables) must surface as its rank-1 neighbor.
+    val scaledEmb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nBase = emb.count()
+    val knnTwinHits = timed("sim_knn_graph")(
+      Similarity.knnGraph(scaledEmb)
+        .where(col("rank") === 1 && col("src") < Shift &&
+          col("dst") === col("src") + Shift)
+        .count())
+    check(s"kNN graph rank-1 = planted twin for ≥ 90% of originals " +
+      s"($knnTwinHits/$nBase)", knnTwinHits >= (nBase * 0.9).toLong)
+
     // SemDeDup ground truth: every copy-0 vector has its jittered twin
     // at cos ≈ 1 ≥ 0.95; (id, id+Shift) pair ids are the plant itself.
     val scaled = spark.read.parquet(s"$base/embeddings.parquet")
     val planted = timed("dedup_semantic")(
       Similarity.semanticDedupPairs(scaled)
         .where(col("id2") === col("id1") + Shift).count())
-    val nBase = emb.count()
     println(s"  planted twins recovered: $planted / $nBase")
     check(s"SemDeDup planted-twin recall ≥ 0.9 ($planted/$nBase)",
       planted >= (nBase * 0.9).toLong)
