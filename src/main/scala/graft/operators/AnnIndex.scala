@@ -349,14 +349,21 @@ object AnnIndex {
     s.read.parquet(s"$dir/cells")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    // swap via rename-aside, not delete-then-rename: the live data is
+    // never in a deleted state — if the process dies mid-swap, either
+    // `cells` or `cells_retired` still holds a complete index
     val cells = new java.io.File(s"$dir/cells")
+    val retired = new java.io.File(s"$dir/cells_retired")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(); ()
     }
-    rm(cells)
+    if (retired.exists()) rm(retired)
+    require(cells.renameTo(retired),
+      s"swap failed retiring $cells")
     require(new java.io.File(staged).renameTo(cells),
-      s"atomic swap failed: $staged -> $cells")
+      s"swap failed installing $staged -> $cells")
+    rm(retired)
     (before, countFiles)
   }
 

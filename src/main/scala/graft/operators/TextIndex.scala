@@ -72,7 +72,15 @@ object TextIndex {
   }
 
   /** Admit + commit: append the admitted docs' buckets so the NEXT
-    * batch screens against them too. Returns the admitted docs. */
+    * batch screens against them too. Returns the admitted docs.
+    *
+    * The returned frame re-executes when the caller acts on it, and
+    * stays consistent with the decision the append committed because
+    * `admit`'s index scan snapshots its FILE LISTING when the
+    * DataFrame is created (before the append lands) — a fresh
+    * `admit`/`ingest` call builds a fresh scan and sees the grown
+    * index, which is exactly the re-ingest semantics the spec pins
+    * (same batch twice → second fully rejected). */
   def ingest(s: SparkSession, batch: DataFrame, dir: String,
              expectedBatchBuckets: Long = 1L << 20): DataFrame = {
     val admitted = admit(s, batch, dir, expectedBatchBuckets)
