@@ -60,7 +60,7 @@ object GraftEngine {
     * {{{
     * GraftEngine.pipelineView(spark, "dedup_minhash_clusters", dir)
     * GraftEngine.sql(spark,
-    *   "select cluster, count(*) n from graft_dedup_minhash_clusters group by 1")
+    *   "select comp, count(*) n from graft_dedup_minhash_clusters group by 1")
     * }}}
     *
     * The view holds the operator's full logical plan: later SQL

@@ -134,6 +134,13 @@ object AnnIndex {
     val probes: Seq[(Long, Seq[Float], Int)] = queries
       .select(col("q_id"), col("q_emb")).collect().toSeq.flatMap { r =>
         val qe = r.getSeq[Float](1)
+        // fail LOUDLY on a dim-mismatched query — the kernel would
+        // return an empty probe list and the q_id would silently
+        // vanish from the output, indistinguishable from "no
+        // neighbors" (queries are the tiny online side; an error is
+        // the right surface, same contract as the corpus-side guards)
+        require(qe.size == meta.dim,
+          s"query ${r.getLong(0)} has dim ${qe.size}, index expects ${meta.dim}")
         graft.functions.VectorKernels.nearestCells(
             new org.apache.spark.sql.catalyst.util.GenericArrayData(qe.toArray),
             true, flat, meta.k, meta.dim, nProbeEff)
@@ -278,6 +285,8 @@ object AnnIndex {
       .select(col("q_id"), col("q_emb")).collect().toSeq.flatMap { r =>
         val qId = r.getLong(0)
         val q = r.getSeq[Float](1).map(_.toDouble).toArray
+        require(q.length == dim,
+          s"query $qId has dim ${q.length}, index expects $dim")
         graft.functions.VectorKernels.nearestCells(
             new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
             false, flat, kEff, dim, nProbeEff).toIntArray().toSeq.map { c =>
@@ -338,32 +347,31 @@ object AnnIndex {
     * Query results are unchanged — same rows, fewer files. Returns
     * (files before, files after). */
   def compact(s: SparkSession, dir: String): (Long, Long) = {
+    // Hadoop FileSystem API throughout, like every other lifecycle
+    // write — the index lives wherever Spark wrote it (HDFS, S3A, or
+    // local), and java.io.File would only ever see the local case
+    import org.apache.hadoop.fs.Path
+    val cells = new Path(s"$dir/cells")
+    val fs = cells.getFileSystem(s.sparkContext.hadoopConfiguration)
     def countFiles: Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(s"$dir/cells"))
+      val it = fs.listFiles(cells, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
     }
     val before = countFiles
-    val staged = s"$dir/cells_compacting"
-    s.read.parquet(s"$dir/cells")
+    val staged = new Path(s"$dir/cells_compacting")
+    s.read.parquet(cells.toString)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+      .write.mode("overwrite").partitionBy("cell").parquet(staged.toString)
     // swap via rename-aside, not delete-then-rename: the live data is
     // never in a deleted state — if the process dies mid-swap, either
     // `cells` or `cells_retired` still holds a complete index
-    val cells = new java.io.File(s"$dir/cells")
-    val retired = new java.io.File(s"$dir/cells_retired")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    if (retired.exists()) rm(retired)
-    require(cells.renameTo(retired),
-      s"swap failed retiring $cells")
-    require(new java.io.File(staged).renameTo(cells),
-      s"swap failed installing $staged -> $cells")
-    rm(retired)
+    val retired = new Path(s"$dir/cells_retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    require(fs.rename(cells, retired), s"swap failed retiring $cells")
+    require(fs.rename(staged, cells), s"swap failed installing $staged")
+    fs.delete(retired, true)
     (before, countFiles)
   }
 

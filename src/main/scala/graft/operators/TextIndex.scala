@@ -74,16 +74,16 @@ object TextIndex {
   /** Admit + commit: append the admitted docs' buckets so the NEXT
     * batch screens against them too. Returns the admitted docs.
     *
-    * The returned frame re-executes when the caller acts on it, and
-    * stays consistent with the decision the append committed because
-    * `admit`'s index scan snapshots its FILE LISTING when the
-    * DataFrame is created (before the append lands) — a fresh
-    * `admit`/`ingest` call builds a fresh scan and sees the grown
-    * index, which is exactly the re-ingest semantics the spec pins
-    * (same batch twice → second fully rejected). */
+    * The admission decision materializes ONCE (localCheckpoint):
+    * without it, the append would run the full pipeline — bloom probe,
+    * semi/anti joins, component collapse — and the caller's use of the
+    * returned frame would run it all AGAIN, doubling the hot streaming
+    * path and racing the index the append just grew. Batches are
+    * bounded by construction (a crawl window), so holding one
+    * materialized batch is safe. */
   def ingest(s: SparkSession, batch: DataFrame, dir: String,
              expectedBatchBuckets: Long = 1L << 20): DataFrame = {
-    val admitted = admit(s, batch, dir, expectedBatchBuckets)
+    val admitted = admit(s, batch, dir, expectedBatchBuckets).localCheckpoint()
     append(s, admitted, dir)
     admitted
   }

@@ -169,7 +169,14 @@ object EventStreams {
     * path. Mismatched rows therefore key on (length, content hash)
     * instead: they still pass through (deduping only exact repeats of
     * themselves), and the length column keeps their key space disjoint
-    * from the well-formed bucket codes. */
+    * from the well-formed bucket codes.
+    *
+    * CHECKPOINT MIGRATION: the guard widened the stateful dedup key
+    * from (_b0) to (_sz, _b0) — a state-key SCHEMA change. A query
+    * restarted from a checkpoint written by the one-column version
+    * fails Spark's state-schema compatibility check; restart from a
+    * fresh checkpoint (accepting one watermark window of possible
+    * re-admits) rather than deleting state files in place. */
   def embedDedupStream(vecs: DataFrame, tsCol: String = "ts",
                        bits: Int = 20, dim: Int = 64,
                        embCol: String = "embedding"): DataFrame =

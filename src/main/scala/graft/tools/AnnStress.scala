@@ -186,9 +186,8 @@ object AnnStress {
 
     // SemDeDup ground truth: every copy-0 vector has its jittered twin
     // at cos ≈ 1 ≥ 0.95; (id, id+Shift) pair ids are the plant itself.
-    val scaled = spark.read.parquet(s"$base/embeddings.parquet")
     val planted = timed("dedup_semantic")(
-      Similarity.semanticDedupPairs(scaled)
+      Similarity.semanticDedupPairs(scaledEmb)
         .where(col("id2") === col("id1") + Shift).count())
     println(s"  planted twins recovered: $planted / $nBase")
     check(s"SemDeDup planted-twin recall ≥ 0.9 ($planted/$nBase)",
