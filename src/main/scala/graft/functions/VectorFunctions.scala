@@ -148,9 +148,14 @@ object VectorKernels {
     * lower cell, matching the struct ordering). O(k·nProbe) partial
     * selection; same left-to-right (aᵢ−bᵢ)² accumulation as `l2sq`.
     * A dim-mismatched vector yields an EMPTY array — explode then
-    * produces no probe rows and element_at(...,1) nulls/fails loudly —
-    * instead of nProbe copies of cell 0 (which duplicated candidates
-    * into the top-k and mis-assigned vectors silently). */
+    * produces no probe rows, and under non-ANSI SQL
+    * element_at(empty, 1) is NULL, NOT an error — so every caller
+    * that writes the result must guard the mismatch itself
+    * (AnnIndex.guardedCell raises on the write path; the query paths
+    * `require` on the collected query rows). The empty array exists
+    * so the failure is at least inert: the earlier behavior returned
+    * nProbe copies of cell 0, which duplicated candidates into the
+    * top-k and mis-assigned vectors silently. */
   def nearestCells(v: ArrayData, isFloat: Boolean, centroids: Array[Double],
                    k: Int, dim: Int, nProbe: Int): ArrayData = {
     if (v.numElements() != dim)
@@ -190,8 +195,9 @@ object VectorKernels {
     * against its coarse cell (IVFPQ encodes residuals, not raw
     * vectors: the PQ codebooks then only need to cover the
     * within-cell displacement, a much tighter distribution). Empty
-    * array on dim mismatch or out-of-range cell (same loud-failure
-    * contract as nearestCells). */
+    * array on dim mismatch or out-of-range cell (same inert-failure
+    * contract as nearestCells — callers that persist the result guard
+    * the mismatch on the write path). */
   def cellResidual(v: ArrayData, isFloat: Boolean, centroids: Array[Double],
                    k: Int, dim: Int, cell: Int): ArrayData = {
     if (v.numElements() != dim || cell < 0 || cell >= k)

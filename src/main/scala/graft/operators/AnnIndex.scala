@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +28,12 @@ import graft.functions.VectorFunctions
   *   - [[query]]: probe-cells per query become a static partition
   *     filter over the cell directories — the scan prunes at the
   *     directory level, identical to the one-shot persisted path.
+  *   - [[delete]]: tombstone removal — a takedown/recrawl drops ids
+  *     from every subsequent query WITHOUT rewriting the cell
+  *     directories (the whole point of the lifecycle is never paying
+  *     a corpus rewrite per mutation). Tombstones are a tiny parquet
+  *     id list; the query paths anti-join it on the already-pruned
+  *     candidate set, and [[compact]] folds it away physically.
   *   - [[maintain]]: the documented RE-FIT trigger. Appending never
   *     degrades correctness (every vector lands in its true nearest
   *     cell) but it degrades BALANCE: if the ingest distribution
@@ -43,8 +50,16 @@ import graft.functions.VectorFunctions
   *
   * Layout under `dir`: `cells/` (parquet partitioned by cell:
   * vec_id, embedding), `centroids/` (cell, centroid), `meta/`
-  * (k, dim, n_at_fit, avg_d2_at_fit).
-  */
+  * (k, dim, n_at_fit, avg_d2_at_fit), and — once [[delete]] has run —
+  * `tombstones/` (vec_id) until the next [[compact]] folds it away.
+  *
+  * Concurrency contract (see [[IndexFiles]]): [[compact]] holds
+  * `compact.lock` for its critical section and heals a crashed swap
+  * on entry; [[append]]/[[appendPq]] fail fast while the lock exists.
+  * A STRICT exactly-once deployment additionally pauses its ingest
+  * streams around compact — a batch that passed the lock check before
+  * the lock appeared can still land between compact's staging read
+  * and its swap and would be swept into the retired copy. */
 object AnnIndex {
 
   case class Meta(k: Int, dim: Int, nAtFit: Long, avgD2AtFit: Double)
@@ -68,10 +83,25 @@ object AnnIndex {
     if (points.isEmpty) 0.0
     else points.map(p => centroids.map(c => d2(p, c)).min).sum / points.length
 
-  private def nearestCellCol(v: org.apache.spark.sql.Column,
+  private def nearestCellCol(v: Column,
                              centroids: Array[Array[Double]]) =
     element_at(VectorFunctions.nearestCells(
       v, centroids.flatten, centroids.length, centroids.head.length, 1), 1)
+
+  /** Cell assignment with a WRITE-PATH dim guard. The kernel returns an
+    * empty probe list on a dim mismatch, and under non-ANSI SQL
+    * `element_at(empty, 1)` is NULL — without the guard a
+    * schema-drifted ingest batch would land under
+    * `cell=__HIVE_DEFAULT_PARTITION__`, a directory no probe list ever
+    * selects, i.e. the batch would vanish from the index with no error
+    * (the query side has its own `require`; this is the corpus-side
+    * twin). `raise_error` keeps the check inside codegen — no extra
+    * pass over the batch. */
+  private def guardedCell(dim: Int,
+                          centroids: Array[Array[Double]]): Column =
+    when(size(col("embedding")) === dim, nearestCellCol(col("embedding"), centroids))
+      .otherwise(raise_error(concat(
+        lit(s"embedding dim != $dim for vec_id="), col("vec_id").cast("string"))))
 
   /** Fit (or adopt `pinnedCentroids`) and persist the full index.
     * Returns the centroids it wrote. */
@@ -86,7 +116,7 @@ object AnnIndex {
       Similarity.lloyds(sample, kEff, iters = 10, seed = 42)
     }
     emb.select(col("vec_id"), col("embedding"),
-        nearestCellCol(col("embedding"), centroids).as("cell"))
+        guardedCell(centroids.head.length, centroids).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -109,12 +139,47 @@ object AnnIndex {
 
   /** Assign `newVecs` with the PERSISTED centroids and append into the
     * existing cell directories. Map-only: no standing data moves, no
-    * refit, no shuffle beyond the dynamic-partition write. */
+    * refit, no shuffle beyond the dynamic-partition write. Fails fast
+    * while a [[compact]] is in flight (see the concurrency contract in
+    * the object doc). */
   def append(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
+    IndexFiles.requireNoCompactInFlight(s, dir)
     val centroids = readCentroids(s, dir)
     newVecs.select(col("vec_id"), col("embedding"),
-        nearestCellCol(col("embedding"), centroids).as("cell"))
+        guardedCell(centroids.head.length, centroids).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Tombstone `ids`: they stop appearing in [[query]]/[[queryPq]]
+    * results (and therefore in every streaming probe — the stream
+    * rides the same code path) from the next call on, without touching
+    * the cell directories. Physical removal happens at the next
+    * [[compact]]. Append-mode write: successive takedowns accumulate;
+    * the query-side anti-join is idempotent under duplicate ids. */
+  def delete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  private def tombstonePath(dir: String) = new Path(s"$dir/tombstones")
+
+  /** Drop tombstoned ids from `df` (anti join against the tiny id
+    * list, broadcast by size) — no-op when no delete has ever run. */
+  private def dropTombstoned(s: SparkSession, dir: String,
+                             df: DataFrame): DataFrame = {
+    val p = tombstonePath(dir)
+    if (IndexFiles.fsFor(s, p).exists(p))
+      df.join(broadcast(s.read.parquet(p.toString).select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    else df
+  }
+
+  /** Heal a crashed compact swap before reading `dir/cells` (cheap
+    * exists() probe; see [[IndexFiles.recoverRetired]]). */
+  private def recoverCells(s: SparkSession, dir: String): Unit = {
+    val cells = new Path(s"$dir/cells")
+    IndexFiles.recoverRetired(IndexFiles.fsFor(s, cells), cells)
   }
 
   /** Exact-rescored top-k probe against the index at rest: the probe
@@ -122,11 +187,21 @@ object AnnIndex {
     * the build ran) become a static `cell IN (...)` partition filter —
     * only probed directories are ever read. Returns
     * (q_id, rank, vec_id, score[, cand_frac when `candFracOver` — the
-    * corpus size — is set]). */
+    * corpus size — is set]).
+    *
+    * `excludeSelf` drops candidates whose vec_id equals the query's
+    * q_id — correct when queries are drawn from the corpus id space
+    * (the gate paths: a vector must not be its own neighbor). A
+    * serving deployment whose query ids live in a DIFFERENT id space
+    * passes false: a numeric collision between an external q_id and an
+    * unrelated corpus vec_id would otherwise silently drop that vector
+    * from that query's top-k. */
   def query(s: SparkSession, dir: String, queries: DataFrame,
             nProbe: Int = 0, topK: Int = 10,
-            candFracOver: Long = 0L): DataFrame = {
+            candFracOver: Long = 0L,
+            excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
+    recoverCells(s, dir)
     val meta = readMeta(s, dir)
     val centroids = readCentroids(s, dir)
     val nProbeEff = if (nProbe > 0) nProbe else Similarity.ivfNProbe(meta.k)
@@ -149,10 +224,11 @@ object AnnIndex {
     val probeCells = probes.map(_._3).distinct
     val qs = probes.toDF("q_id", "q_emb", "cell")
     val wq = Window.partitionBy(col("q_id"))
-    val scored = s.read.parquet(s"$dir/cells")
-      .where(col("cell").isin(probeCells: _*))
+    val candidates = dropTombstoned(s, dir,
+        s.read.parquet(s"$dir/cells").where(col("cell").isin(probeCells: _*)))
       .join(broadcast(qs), Seq("cell"))
-      .where(col("vec_id") =!= col("q_id"))
+    val scored = (if (excludeSelf) candidates.where(col("vec_id") =!= col("q_id"))
+                  else candidates)
       .select(col("q_id"), col("vec_id"),
         VectorFunctions.cosine(col("q_emb"), col("embedding")).as("score"))
     val withCost =
@@ -232,25 +308,27 @@ object AnnIndex {
   }
 
   /** Encode `newVecs` with the PERSISTED quantizers and append into
-    * the cell directories — map-only, nothing standing moves. */
-  def appendPq(s: SparkSession, newVecs: DataFrame, dir: String): Unit =
+    * the cell directories — map-only, nothing standing moves. Fails
+    * fast while a [[compact]] is in flight. */
+  def appendPq(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
+    IndexFiles.requireNoCompactInFlight(s, dir)
     writeEncoded(s, newVecs, dir, readQuantizers(s, dir), "append")
+  }
 
   /** cell + residual PQ codes via the native kernels, written
-    * partitioned by cell. */
+    * partitioned by cell. Same write-path dim guard as the raw
+    * lifecycle (see [[guardedCell]]). */
   private def writeEncoded(s: SparkSession, emb: DataFrame, dir: String,
                            qz: PqQuantizers, mode: String): Unit = {
     val kEff = qz.centroids.length
     val dim = qz.centroids.head.length
     val m = qz.codebooks.length
     val sub = dim / m
-    val flat = qz.centroids.flatten
     val withRes = emb
       .select(col("vec_id"), col("embedding"),
-        element_at(VectorFunctions.nearestCells(
-          col("embedding"), flat, kEff, dim, 1), 1).as("cell"))
+        guardedCell(dim, qz.centroids).as("cell"))
       .withColumn("_res", VectorFunctions.cellResidual(
-        col("embedding"), col("cell"), flat, kEff, dim))
+        col("embedding"), col("cell"), qz.centroids.flatten, kEff, dim))
     val codes = (0 until m).map { j =>
       element_at(VectorFunctions.nearestCells(
         slice(col("_res"), j * sub + 1, sub), qz.codebooks(j).flatten,
@@ -266,11 +344,21 @@ object AnnIndex {
     * plan time; the approx top-`rerank` short list rescores exactly
     * against `rawEmb` (vec_id, embedding). With `candFracOver` set
     * (the corpus size) the result carries cand_frac (ADC-scanned
-    * fraction) and rerank_frac (exact-rescored fraction). */
+    * fraction) and rerank_frac (exact-rescored fraction).
+    *
+    * The default rerank budget derives from the index's OWN fit-time
+    * size (pqRerank(meta.n_at_fit)) — a fixed default is the
+    * fixed-budget recall collapse AnnStress measured (recall 0.57 →
+    * 0.30 going 20 k → 100 k at a pinned 50): the short list must
+    * scale with the corpus the index actually holds, and meta carries
+    * exactly that number. `excludeSelf` as in [[query]]. */
   def queryPq(s: SparkSession, dir: String, queries: DataFrame,
               rawEmb: DataFrame, nProbe: Int = 0, rerank: Int = 0,
-              topK: Int = 10, candFracOver: Long = 0L): DataFrame = {
+              topK: Int = 10, candFracOver: Long = 0L,
+              excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
+    recoverCells(s, dir)
+    val meta = readMeta(s, dir)
     val qz = readQuantizers(s, dir)
     val kEff = qz.centroids.length
     val dim = qz.centroids.head.length
@@ -280,7 +368,7 @@ object AnnIndex {
     val nProbeEff =
       if (nProbe > 0) nProbe
       else math.min(kEff, 3 * Similarity.ivfNProbe(kEff))
-    val rerankEff = if (rerank > 0) rerank else 50
+    val rerankEff = if (rerank > 0) rerank else Similarity.pqRerank(meta.nAtFit)
     val probes: Seq[(Long, Int, Seq[Seq[Double]])] = queries
       .select(col("q_id"), col("q_emb")).collect().toSeq.flatMap { r =>
         val qId = r.getLong(0)
@@ -301,10 +389,11 @@ object AnnIndex {
     val probeCells = probes.map(_._2).distinct
     val qs = probes.toDF("q_id", "cell", "lut")
     val wq = Window.partitionBy(col("q_id"))
-    val adc = s.read.parquet(s"$dir/cells")
-      .where(col("cell").isin(probeCells: _*))
+    val candidates = dropTombstoned(s, dir,
+        s.read.parquet(s"$dir/cells").where(col("cell").isin(probeCells: _*)))
       .join(broadcast(qs), Seq("cell"))
-      .where(col("vec_id") =!= col("q_id"))
+    val adc = (if (excludeSelf) candidates.where(col("vec_id") =!= col("q_id"))
+               else candidates)
       .select(col("q_id"), col("vec_id"),
         (0 until m).map(j =>
             element_at(element_at(col("lut"), j + 1), col(s"c$j") + 1))
@@ -343,36 +432,30 @@ object AnnIndex {
     * streaming small-file problem). Rewrites each cell's rows into
     * ~one file per shuffle partition of its size (repartition on the
     * partition column co-locates each cell) via a staging directory +
-    * atomic swap, because Spark cannot overwrite a path it is reading.
-    * Query results are unchanged — same rows, fewer files. Returns
-    * (files before, files after). */
+    * rename-aside swap, because Spark cannot overwrite a path it is
+    * reading. Tombstoned ids are dropped in the rewrite and the
+    * tombstone list is cleared — the delete becomes physical here.
+    * Query results are unchanged — same live rows, fewer files.
+    *
+    * Holds `compact.lock` throughout (concurrent appends fail fast —
+    * see the object doc; STRICT deployments pause ingest) and heals a
+    * previously crashed swap on entry. Returns (files before, files
+    * after). */
   def compact(s: SparkSession, dir: String): (Long, Long) = {
-    // Hadoop FileSystem API throughout, like every other lifecycle
-    // write — the index lives wherever Spark wrote it (HDFS, S3A, or
-    // local), and java.io.File would only ever see the local case
-    import org.apache.hadoop.fs.Path
     val cells = new Path(s"$dir/cells")
-    val fs = cells.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def countFiles: Long = {
-      val it = fs.listFiles(cells, true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
+    val fs = IndexFiles.fsFor(s, cells)
+    IndexFiles.recoverRetired(fs, cells)
+    IndexFiles.withCompactLock(s, dir) {
+      val before = IndexFiles.countParquetFiles(fs, cells)
+      val staged = IndexFiles.stagingOf(cells)
+      dropTombstoned(s, dir, s.read.parquet(cells.toString))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staged.toString)
+      IndexFiles.swapInstall(fs, cells)
+      val tp = tombstonePath(dir)
+      if (fs.exists(tp)) fs.delete(tp, true)
+      (before, IndexFiles.countParquetFiles(fs, cells))
     }
-    val before = countFiles
-    val staged = new Path(s"$dir/cells_compacting")
-    s.read.parquet(cells.toString)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staged.toString)
-    // swap via rename-aside, not delete-then-rename: the live data is
-    // never in a deleted state — if the process dies mid-swap, either
-    // `cells` or `cells_retired` still holds a complete index
-    val retired = new Path(s"$dir/cells_retired")
-    if (fs.exists(retired)) fs.delete(retired, true)
-    require(fs.rename(cells, retired), s"swap failed retiring $cells")
-    require(fs.rename(staged, cells), s"swap failed installing $staged")
-    fs.delete(retired, true)
-    (before, countFiles)
   }
 
   case class MaintainDecision(appendedFrac: Double, distortionRatio: Double,
@@ -383,7 +466,10 @@ object AnnIndex {
     * and the index's growth against its fit-time size. Thresholds:
     * appended fraction ≥ 1.0 (the quantizer has seen a minority of
     * the data) or distortion ratio ≥ `maxDistortionRatio` (the batch
-    * lives where the centroids aren't). */
+    * lives where the centroids aren't). Tombstoned-but-uncompacted
+    * rows still count toward the growth signal — they still occupy
+    * probe I/O until [[compact]] folds them, which is exactly what
+    * the maintenance decision prices. */
   def maintain(s: SparkSession, dir: String, batch: DataFrame,
                maxDistortionRatio: Double = 1.5): MaintainDecision = {
     val meta = readMeta(s, dir)

@@ -477,7 +477,7 @@ object Similarity {
     // probe lists into a static partition filter over the code
     // directories, ADC-scores with per-(query, cell) residual LUTs on
     // the broadcast side, and exact-reranks against the raw corpus
-    val indexDir = ivfIndexDir(d, kEff, "ivfpq")
+    val indexDir = ivfIndexDir(d, kEff, "ivfpq", s"m=$m,cb=$codebookK")
     AnnIndex.buildPq(s, emb, indexDir, k = kEff, m = m,
       codebookK = codebookK)
     AnnIndex.queryPq(s, indexDir, queriesSet(emb),
@@ -674,20 +674,29 @@ object Similarity {
     semanticDedupPairs(embeddings(s, d), threshold = 0.45)
 
   /** Content-keyed index directory for the persisted IVF family: the
-    * FULL md5 of (corpus path, k) — a 32-bit `hashCode` suffix collides
-    * across datasets (two corpora whose paths hash-collide race
-    * overwrite-vs-read and a reader can see rows assigned from the
-    * other corpus' centroids), and two configs of the SAME corpus
-    * (e.g. the spec's k=64 run next to the gate's derived k) would
-    * overwrite each other mid-session. With (path, k) in the digest,
-    * every (corpus, geometry) pair owns its directory and re-runs of
-    * the same config overwrite idempotently (same fit → same files). */
+    * FULL md5 of (corpus path, k, flavor, extra params) — a 32-bit
+    * `hashCode` suffix collides across datasets (two corpora whose
+    * paths hash-collide race overwrite-vs-read and a reader can see
+    * rows assigned from the other corpus' centroids), and two configs
+    * of the SAME corpus (e.g. the spec's k=64 run next to the gate's
+    * derived k, or two IVFPQ runs differing only in m/codebookK — the
+    * `params` argument) would overwrite each other mid-session. The
+    * directory name also carries the JVM's pid: the digest only
+    * disambiguates WITHIN a process, and two concurrent JVMs on the
+    * same corpus/config (a test suite next to a gate or bench run)
+    * would still race overwrite-vs-read on a shared path. Within a
+    * process, re-runs of the same config overwrite idempotently (same
+    * fit → same files); the per-pid directories are ordinary tmpdir
+    * litter, reclaimed by the OS policy like every other temp file. */
   private[graft] def ivfIndexDir(d: String, k: Int,
-                                 flavor: String = "ivf"): String = {
+                                 flavor: String = "ivf",
+                                 params: String = ""): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$d:$k:$flavor:$params".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pid = ProcessHandle.current().pid()
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${flavor}_index_$key").toString
+      s"graft_${flavor}_index_${key}_p$pid").toString
   }
 
   /** Bounded UNIFORM sample for the quantizer fit. A bare

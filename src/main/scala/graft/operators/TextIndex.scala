@@ -35,7 +35,15 @@ import graft.functions.HashFunctions.minhashBuckets
   *
   * Admission is intentionally one-sided: borderline pairs whose bands
   * all miss defer to the periodic batch LSH pass over the corpus —
-  * the stream/batch split every production dedup pipeline makes. */
+  * the stream/batch split every production dedup pipeline makes.
+  *
+  * [[delete]] is the takedown verb (the twin of AnnIndex.delete): a
+  * removed doc's buckets stop screening future batches immediately —
+  * a RE-INGEST of equivalent text is admitted again — and [[compact]]
+  * folds the tombstones away physically (plus the per-batch small
+  * files every append leaves). Same concurrency contract as AnnIndex:
+  * compact holds `compact.lock`, appends fail fast under it, and a
+  * crashed swap heals on the next lifecycle entry ([[IndexFiles]]). */
 object TextIndex {
 
   /** (doc_id, band, bucket) — map-only, one codegen'd kernel pass. */
@@ -46,8 +54,51 @@ object TextIndex {
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit =
     bucketsOf(docs).write.mode("overwrite").parquet(s"$dir/buckets")
 
-  def append(s: SparkSession, docs: DataFrame, dir: String): Unit =
+  def append(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    IndexFiles.requireNoCompactInFlight(s, dir)
     bucketsOf(docs).write.mode("append").parquet(s"$dir/buckets")
+  }
+
+  /** Tombstone `ids`: their buckets stop screening batches from the
+    * next [[admit]] on (so equivalent text re-ingests cleanly after a
+    * takedown); [[compact]] removes them physically. */
+  def delete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    ids.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  private def tombstonePath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+
+  private def liveBucketRows(s: SparkSession, dir: String): DataFrame = {
+    val idx = s.read.parquet(s"$dir/buckets")
+    val tp = tombstonePath(dir)
+    if (IndexFiles.fsFor(s, tp).exists(tp))
+      idx.join(broadcast(s.read.parquet(tp.toString).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    else idx
+  }
+
+  /** Fold the per-append small files and drop tombstoned docs'
+    * buckets physically (staging rewrite + rename-aside swap, compact
+    * lock held — see [[IndexFiles]]). Returns (files before, after). */
+  def compact(s: SparkSession, dir: String): (Long, Long) = {
+    val buckets = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+    val fs = IndexFiles.fsFor(s, buckets)
+    IndexFiles.recoverRetired(fs, buckets)
+    IndexFiles.withCompactLock(s, dir) {
+      val before = IndexFiles.countParquetFiles(fs, buckets)
+      liveBucketRows(s, dir).coalesce(
+          math.max(1, (before / 16).toInt))
+        .write.mode("overwrite")
+        .parquet(IndexFiles.stagingOf(buckets).toString)
+      IndexFiles.swapInstall(fs, buckets)
+      val tp = tombstonePath(dir)
+      if (fs.exists(tp)) fs.delete(tp, true)
+      (before, IndexFiles.countParquetFiles(fs, buckets))
+    }
+  }
 
   /** The pure admission decision: batch docs that are near-dup-free
     * against the index AND first-of-their-cluster within the batch.
@@ -55,7 +106,10 @@ object TextIndex {
     * loose upper bound is fine). */
   def admit(s: SparkSession, batch: DataFrame, dir: String,
             expectedBatchBuckets: Long = 1L << 20): DataFrame = {
-    val idx = s.read.parquet(s"$dir/buckets")
+    IndexFiles.recoverRetired(IndexFiles.fsFor(s,
+      new org.apache.hadoop.fs.Path(s"$dir/buckets")),
+      new org.apache.hadoop.fs.Path(s"$dir/buckets"))
+    val idx = liveBucketRows(s, dir)
     val bb = bucketsOf(batch)
     val collided = ScaleJoins
       .bloomReducedSemiJoin(bb, idx, Seq("band", "bucket"),

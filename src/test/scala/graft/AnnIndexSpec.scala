@@ -139,6 +139,189 @@ class AnnIndexSpec extends SparkSpec {
     assert(again == full, "compaction changed query results")
   }
 
+  test("delete-then-query equals rebuild-without-deleted; compact folds tombstones physically") {
+    val emb = Tables.embeddings(spark, Sf)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dir = freshDir("del")
+    val centroids = AnnIndex.build(spark, emb, dir, k = 32)
+
+    // take down exactly the current rank-1 answers — the ids whose
+    // removal MUST visibly change the results
+    val doomed = AnnIndex.query(spark, dir, queries, nProbe = 8)
+      .where(col("rank") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).distinct.toSeq
+    assert(doomed.nonEmpty)
+    AnnIndex.delete(spark, dir, doomed)
+
+    // the contract: delete-then-query == rebuild-without-deleted
+    // (pinned centroids make the remaining assignment identical)
+    val twinDir = freshDir("deltwin")
+    AnnIndex.build(spark, emb.where(!col("vec_id").isin(doomed: _*)),
+      twinDir, pinnedCentroids = Some(centroids))
+    val afterDel = AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
+    val rebuilt = AnnIndex.query(spark, twinDir, queries, nProbe = 8).collect().toSeq
+    assert(afterDel == rebuilt,
+      s"delete diverged from rebuild-without-deleted: ${afterDel.take(3)} vs ${rebuilt.take(3)}")
+    assert(afterDel.nonEmpty &&
+      !afterDel.map(_.getLong(2)).exists(doomed.toSet),
+      "a tombstoned id surfaced in query results")
+
+    // tombstones are invisible to the streaming probe (same code path)
+    val base = freshDir("delstream")
+    queries.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(queries.schema).parquet(s"$base/in")
+    val q = graft.streaming.EventStreams.annProbeStream(
+      stream, dir, s"$base/out", s"$base/ckpt", nProbe = 8)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed.intersect(doomed.toSet).isEmpty,
+      "a tombstoned id surfaced in the streaming probe")
+
+    // compact makes the delete physical: tombstone list gone, rows gone,
+    // results unchanged
+    AnnIndex.compact(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "compact must clear the tombstone list")
+    val remaining = spark.read.parquet(s"$dir/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(remaining.intersect(doomed.toSet).isEmpty,
+      "compact must remove tombstoned rows physically")
+    assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
+      == afterDel, "compacting the delete changed query results")
+  }
+
+  test("PQ delete-then-query equals rebuild-without-deleted") {
+    val emb = Tables.embeddings(spark, Sf)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val raw = emb.select("vec_id", "embedding")
+    val dir = freshDir("pqdel")
+    val qz = AnnIndex.buildPq(spark, emb, dir, k = 32)
+    val doomed = AnnIndex.queryPq(spark, dir, queries, raw, nProbe = 8,
+        rerank = 50)
+      .where(col("rank") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).distinct.toSeq
+    AnnIndex.delete(spark, dir, doomed)
+    val twinDir = freshDir("pqdeltwin")
+    val kept = emb.where(!col("vec_id").isin(doomed: _*))
+    AnnIndex.buildPq(spark, kept, twinDir, pinned = Some(qz))
+    // rawEmb for the delete side keeps the full corpus — the rerank
+    // join must not resurrect a tombstoned id either
+    val afterDel = AnnIndex.queryPq(spark, dir, queries, raw,
+      nProbe = 8, rerank = 50).collect().toSeq
+    val rebuilt = AnnIndex.queryPq(spark, twinDir, queries,
+      kept.select("vec_id", "embedding"), nProbe = 8, rerank = 50)
+      .collect().toSeq
+    assert(afterDel == rebuilt && afterDel.nonEmpty,
+      s"PQ delete diverged from rebuild-without-deleted")
+    assert(!afterDel.map(_.getLong(2)).exists(doomed.toSet))
+  }
+
+  test("compact lock excludes appends; a crashed swap heals on the next entry") {
+    val emb = Tables.embeddings(spark, Sf)
+    val dir = freshDir("crash")
+    AnnIndex.build(spark, emb, dir, k = 32)
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val expected = AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between compact's two renames: live cells/
+    // already retired, staging never installed
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val retired = new org.apache.hadoop.fs.Path(s"$dir/cells_retired")
+    assert(fs.rename(cells, retired))
+    // the next lifecycle entry heals it — query sees the full index
+    assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
+      == expected, "crashed swap must heal on the next query")
+    assert(fs.exists(cells) && !fs.exists(retired))
+
+    // a held compact lock makes appends fail fast instead of racing
+    // the staging read
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/compact.lock")
+    assert(fs.createNewFile(lock))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, emb.limit(5), dir)
+    }
+    assert(e.getMessage.contains("compact in progress"))
+    // ...and a second compact cannot start under the same lock
+    intercept[IllegalArgumentException] { AnnIndex.compact(spark, dir) }
+    fs.delete(lock, false)
+    // clean compact after the lock clears; results unchanged
+    val (before, after) = AnnIndex.compact(spark, dir)
+    assert(after <= before)
+    assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
+      == expected)
+  }
+
+  test("a dim-mismatched ingest batch fails loudly on the write path") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf)
+    val dir = freshDir("dimguard")
+    AnnIndex.build(spark, emb, dir, k = 32)
+    // 32 floats against a 64-dim index: without the write-path guard
+    // this row would land under cell=__HIVE_DEFAULT_PARTITION__ and
+    // silently never be probed
+    val bad = Seq((9999999L, Array.fill(32)(0.1f)))
+      .toDF("vec_id", "embedding")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val e = intercept[Throwable] { AnnIndex.append(spark, bad, dir) }
+    assert(messages(e).contains("embedding dim != 64"),
+      s"expected the dim guard to fire, got: ${messages(e)}")
+    val ePq = intercept[Throwable] {
+      val pqDir = freshDir("dimguardpq")
+      AnnIndex.buildPq(spark, emb, pqDir, k = 32)
+      AnnIndex.appendPq(spark, bad, pqDir)
+    }
+    assert(messages(ePq).contains("embedding dim != 64"))
+  }
+
+  test("external-id serving keeps a numerically colliding corpus vector (excludeSelf=false)") {
+    val emb = Tables.embeddings(spark, Sf)
+    val dir = freshDir("extid")
+    AnnIndex.build(spark, emb, dir, k = 32)
+    // an external query whose id happens to equal corpus vec_id 7 and
+    // whose embedding IS vector 7: with self-exclusion the index's
+    // best answer (vector 7 itself, score 1.0) silently disappears
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val served = AnnIndex.query(spark, dir, q, nProbe = 8,
+      excludeSelf = false).collect()
+    assert(served.head.getLong(2) == 7L && served.head.getDouble(3) > 0.999,
+      "excludeSelf=false must keep the colliding corpus vector")
+    val gated = AnnIndex.query(spark, dir, q, nProbe = 8).collect()
+    assert(!gated.map(_.getLong(2)).contains(7L),
+      "the default (corpus-id queries) must still self-exclude")
+  }
+
+  test("queryPq's default rerank budget derives from the index's fit-time size") {
+    val emb = Tables.embeddings(spark, Sf)
+    val raw = emb.select("vec_id", "embedding")
+    val dir = freshDir("rerankmeta")
+    AnnIndex.buildPq(spark, emb, dir, k = 32)
+    val meta = AnnIndex.readMeta(spark, dir)
+    val n = raw.count()
+    // rerank omitted → the budget must be pqRerank(meta.n_at_fit),
+    // observable through the emitted rerank_frac cost column
+    val expectedFrac = BigDecimal(
+        graft.operators.Similarity.pqRerank(meta.nAtFit).toDouble / n)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = AnnIndex.queryPq(spark, dir,
+        emb.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        raw, candFracOver = n)
+      .select("rerank_frac").distinct().collect()
+    assert(got.length == 1 && math.abs(got.head.getDouble(0) - expectedFrac) < 1e-9,
+      s"default rerank must derive from n_at_fit: got ${got.toSeq}, expected $expectedFrac")
+  }
+
   test("maintain flags a drifted batch for refit, passes an in-distribution one") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, Sf)

@@ -238,7 +238,7 @@ class PlanRegressionSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
       s"ADC scan not pruning cell directories:\n$p")
     val indexDir = new java.io.File(
-      Similarity.ivfIndexDir(Sf, 64, "ivfpq"), "cells")
+      Similarity.ivfIndexDir(Sf, 64, "ivfpq", "m=8,cb=64"), "cells")
     val allCells = indexDir.listFiles().count(_.getName.startsWith("cell="))
     val inList = "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
       .orElse("cell[^ ]* INSET ([\\d, ]+)".r.findFirstMatchIn(p))

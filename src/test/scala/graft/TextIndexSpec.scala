@@ -105,6 +105,44 @@ class TextIndexSpec extends SparkSpec {
     assert(idxDocs.contains(201L), "admitted doc must join the index")
   }
 
+  test("delete: a taken-down doc stops screening, re-ingest admits, compact folds tombstones") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(i => doc(i, s"taketopic$i"))
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    TextIndex.build(spark, corpus, dir)
+
+    // a re-crawl of corpus doc 7's text: rejected while 7 stands...
+    val recrawl = Seq((300L,
+      corpus.where(col("doc_id") === 7).collect().head.getString(1)))
+      .toDF("doc_id", "text")
+    assert(TextIndex.admit(spark, recrawl, dir).collect().isEmpty,
+      "standing doc must screen its own re-crawl")
+
+    // ...takedown of doc 7 → the same text is admitted again
+    TextIndex.delete(spark, dir, Seq(7L))
+    val readmitted = TextIndex.ingest(spark, recrawl, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(readmitted == Set(300L),
+      s"deleted doc must stop screening a re-ingest: $readmitted")
+
+    // compact folds the tombstone physically; the re-admitted doc's
+    // buckets survive and now screen the NEXT re-crawl
+    val (before, after) = TextIndex.compact(spark, dir)
+    assert(after <= before)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    val idxDocs = spark.read.parquet(s"$dir/buckets")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!idxDocs.contains(7L), "compact must drop the deleted doc's buckets")
+    assert(idxDocs.contains(300L), "compact must keep the re-admitted doc")
+    val again = Seq((301L, recrawl.collect().head.getString(1)))
+      .toDF("doc_id", "text")
+    assert(TextIndex.admit(spark, again, dir).collect().isEmpty,
+      "the re-admitted doc must screen subsequent re-crawls")
+  }
+
   test("gate entry admits only genuinely new batch docs at sf0.001") {
     val out = TextIndex.dedupIncrementalNear(spark, Sf).collect()
     assert(out.nonEmpty, "some batch docs must be genuinely new")
