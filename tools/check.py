@@ -15,7 +15,9 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
 fails, passes, skips = [], [], []
+report = {}
 for name in sorted(os.listdir(out_dir)):
     p = f"{out_dir}/{name}"
     if not os.path.isdir(p):
@@ -24,20 +26,30 @@ for name in sorted(os.listdir(out_dir)):
     got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
     if name not in oracle:
         skips.append(f"{name} (rows={len(got)}, rows-only)")
+        report[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": len(got),
+                        "oracle_rows": None, "err": "no_oracle"}
         continue
+    report[name] = {"rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": len(got),
+                    "oracle_rows": None, "err": None}
     try:
         exp = con.sql(oracle[name]).df()
     except Exception as e:
         fails.append(f"{name}: ORACLE SQL ERROR {e}")
+        report[name]["err"] = f"oracle sql error: {e}"
         continue
+    report[name]["oracle_rows"] = len(exp)
     g = got.reindex(sorted(got.columns), axis=1)
     e = exp.reindex(sorted(exp.columns), axis=1)
     if list(g.columns) != list(e.columns):
         fails.append(f"{name}: COLS spark={list(g.columns)} duck={list(e.columns)}")
         continue
+    report[name]["schema_match"] = True
     if len(g) != len(e):
         fails.append(f"{name}: ROWS spark={len(g)} duck={len(e)}")
         continue
+    report[name]["rows_match"] = True
     gs = g.sort_values(by=list(g.columns), na_position="first").reset_index(drop=True)
     es = e.sort_values(by=list(e.columns), na_position="first").reset_index(drop=True)
     ok = True
@@ -57,10 +69,13 @@ for name in sorted(os.listdir(out_dir)):
             break
     if ok:
         passes.append(name)
+        report[name]["hash_match"] = True
 
 print(f"PASS {len(passes)}: {' '.join(passes)}")
 print(f"SKIP {len(skips)}: {' '.join(skips)}")
 print(f"FAIL {len(fails)}:")
 for f in fails:
     print("  ", f)
+if json_out:
+    json.dump(report, open(json_out, "w"), indent=2, sort_keys=True)
 sys.exit(1 if fails else 0)
