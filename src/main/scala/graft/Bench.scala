@@ -32,7 +32,11 @@ object Bench {
     // round 6: the scale paths SURVEY §5 argues for — the cluster
     // collapse (not just the pair path) and the never-shuffle-the-
     // token-stream logprob
-    "dedup_minhash_clusters", "text_unigram_logprob_smoothed")
+    "dedup_minhash_clusters", "text_unigram_logprob_smoothed",
+    // round 7: the serving layer — probe a persisted index at rest.
+    // Build-once-per-JVM: run 1 absorbs the build (visible as spread),
+    // the MIN is the steady-state probe cost a serving regression moves
+    "serve_ann_probe")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -70,12 +70,38 @@ object GraftEngine {
     * operators whose builders do eager driver-side work (ANN index
     * fits/writes) pay it at registration, not per query, and
     * unregistered operators pay nothing. */
-  def pipelineView(spark: SparkSession, name: String, dataDir: String): String = {
-    val builder = SparkEntry.queries.getOrElse(name,
-      throw new IllegalArgumentException(
-        s"unknown operator '$name' — valid names are SparkEntry.queries keys"))
+  def pipelineView(spark: SparkSession, name: String, dataDir: String): String =
+    pipelineView(spark, name, dataDir, Map.empty[String, String])
+
+  /** Parameterized registration: `params` overrides the operator's
+    * gate defaults (k, thresholds, probe budgets, window sizes — the
+    * knobs a SQL user otherwise can't reach). Values arrive as strings
+    * (the REPL's `pipeline <name> [dir] [k=v ...]` syntax and any
+    * config file speak strings); each builder parses them through a
+    * typed [[Params]] bag that fails loudly on an unknown key — a
+    * typo'd `nprobe=8` must not silently run the gate default. Only
+    * operators in [[parameterized]] accept params; passing params to
+    * any other name is an error (better than silently ignoring). */
+  def pipelineView(spark: SparkSession, name: String, dataDir: String,
+                   params: Map[String, String]): String = {
+    val df =
+      if (params.isEmpty)
+        SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"unknown operator '$name' — valid names are SparkEntry.queries keys"))(
+          spark, dataDir)
+      else {
+        val builder = parameterized.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"operator '$name' takes no parameters — parameterizable " +
+              s"operators: ${parameterized.keys.toSeq.sorted.mkString(", ")}"))
+        val p = new Params(name, params)
+        val out = builder(spark, dataDir, p)
+        p.requireAllRead()
+        out
+      }
     val view = s"graft_$name"
-    builder(spark, dataDir).createOrReplaceTempView(view)
+    df.createOrReplaceTempView(view)
     view
   }
 
@@ -83,6 +109,88 @@ object GraftEngine {
   def pipelineViews(spark: SparkSession, dataDir: String,
                     names: Seq[String]): Seq[String] =
     names.map(pipelineView(spark, _, dataDir))
+
+  /** String-valued parameter bag with typed, tracked reads: after the
+    * builder runs, [[requireAllRead]] rejects any key no getter
+    * consumed (the typo guard). */
+  final class Params(name: String, m: Map[String, String]) {
+    private val read = scala.collection.mutable.Set.empty[String]
+    private def get[T](key: String, dflt: T)(parse: String => T): T = {
+      read += key
+      m.get(key).map { v =>
+        try parse(v)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$name: parameter $key=$v is not a valid number") }
+      }.getOrElse(dflt)
+    }
+    def int(key: String, dflt: Int): Int = get(key, dflt)(_.toInt)
+    def long(key: String, dflt: Long): Long = get(key, dflt)(_.toLong)
+    def double(key: String, dflt: Double): Double = get(key, dflt)(_.toDouble)
+    /** Comma-separated list (e.g. `terms=alpha,beta`). */
+    def strings(key: String, dflt: Seq[String]): Seq[String] =
+      get(key, dflt)(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    def requireAllRead(): Unit = {
+      val unknown = m.keySet.diff(read)
+      require(unknown.isEmpty,
+        s"$name: unknown parameter(s) ${unknown.toSeq.sorted.mkString(", ")}" +
+          s" — this operator reads: ${read.toSeq.sorted.mkString(", ")}")
+    }
+  }
+
+  /** The parameterizable subset of the operator surface — the entries
+    * whose underlying functions expose real knobs. Defaults of 0 mean
+    * "derive from the corpus" wherever the DataFrame API does. */
+  private val parameterized:
+      Map[String, (SparkSession, String, Params) => DataFrame] = {
+    import graft.operators.{Sharding, Similarity, TextAnalysis}
+    Map(
+      "sim_ann_lsh" -> ((s, d, p) =>
+        Similarity.simAnnLsh(s, d, L = p.int("L", 0), b = p.int("b", 0))),
+      "sim_ann_lsh_multiprobe" -> ((s, d, p) =>
+        Similarity.simAnnLshMultiprobe(s, d, L = p.int("L", 12),
+          b = p.int("b", 0), nProbe = p.int("nProbe", 4))),
+      "sim_ann_ivf" -> ((s, d, p) =>
+        Similarity.simAnnIvf(s, d, k = p.int("k", 0),
+          nProbe = p.int("nProbe", 0),
+          targetCellSize = p.long("targetCellSize", 64L))),
+      "sim_ann_ivf_persisted" -> ((s, d, p) =>
+        Similarity.simAnnIvfPersisted(s, d, k = p.int("k", 0),
+          nProbe = p.int("nProbe", 0),
+          targetCellSize = p.long("targetCellSize", 64L))),
+      "sim_ann_pq" -> ((s, d, p) =>
+        Similarity.simAnnPq(s, d, m = p.int("m", 8),
+          codebookK = p.int("codebookK", 64), rerank = p.int("rerank", 0))),
+      "sim_ann_ivfpq" -> ((s, d, p) =>
+        Similarity.simAnnIvfPq(s, d, k = p.int("k", 0),
+          nProbe = p.int("nProbe", 0), m = p.int("m", 8),
+          codebookK = p.int("codebookK", 64), rerank = p.int("rerank", 0),
+          targetCellSize = p.long("targetCellSize", 64L))),
+      "sim_knn_graph" -> ((s, d, p) =>
+        Similarity.simKnnGraph(s, d, k = p.int("k", 3),
+          nProbe = p.int("nProbe", 4))),
+      "dedup_semantic" -> ((s, d, p) =>
+        Similarity.dedupSemantic(s, d,
+          threshold = p.double("threshold", 0.45))),
+      "dedup_embed_cosine" -> ((s, d, p) =>
+        Similarity.dedupEmbedCosine(s, d,
+          threshold = p.double("threshold", 0.9),
+          L = p.int("L", 8), b = p.int("b", 0))),
+      "text_top_tokens" -> ((s, d, p) =>
+        TextAnalysis.topTokens(Tables.documents(s, d), k = p.int("k", 100))),
+      "text_bm25_search" -> ((s, d, p) =>
+        TextAnalysis.bm25Search(Tables.documents(s, d),
+          terms = p.strings("terms", Seq("vector", "stream", "window")),
+          k = p.int("k", 20), k1 = p.double("k1", 1.2),
+          bp = p.double("b", 0.75))),
+      "pipeline_chunk" -> ((s, d, p) =>
+        Sharding.chunkDocuments(Tables.documents(s, d),
+          window = p.int("window", 128), overlap = p.int("overlap", 32))),
+      "pipeline_pack_sequences" -> ((s, d, p) =>
+        Sharding.packSequences(Tables.documents(s, d),
+          budget = p.long("budget", Sharding.TokenBudget)))
+    )
+  }
 
   /** Driver-gate sample: the flagship aggregation written in the
     * reference dialect, run through the front-end. */

@@ -52,10 +52,12 @@ object Repl {
 
   /** One REPL step: `explain <query>` → formatted physical plan (beyond
     * the reference's surface — its optimizer is a no-op; on Spark the
-    * plan IS the performance story); `pipeline <name> [dataDir]` →
-    * register the operator as a SQL view (GraftEngine.pipelineView)
-    * so subsequent queries compose against it; anything else →
-    * rendered table. */
+    * plan IS the performance story); `pipeline <name> [dataDir]
+    * [k=v ...]` → register the operator as a SQL view
+    * (GraftEngine.pipelineView) so subsequent queries compose against
+    * it — trailing k=v tokens override the operator's gate defaults
+    * (e.g. `pipeline sim_ann_ivf_persisted /data nProbe=8`); anything
+    * else → rendered table. */
   def eval(spark: org.apache.spark.sql.SparkSession, line: String,
            baseDir: String): String = {
     val t = line.trim
@@ -64,9 +66,15 @@ object Repl {
         .explainString(org.apache.spark.sql.execution.FormattedMode)
     else if (t.toLowerCase.startsWith("pipeline ")) {
       val args = t.drop(9).trim.split("\\s+")
+      val (kvs, positional) = args.tail.partition(_.contains("="))
+      val params = kvs.map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> v
+      }.toMap
       val view = GraftEngine.pipelineView(
-        spark, args(0), args.lift(1).getOrElse(baseDir))
-      s"registered view $view"
+        spark, args(0), positional.headOption.getOrElse(baseDir), params)
+      s"registered view $view" +
+        (if (params.isEmpty) "" else s" with ${kvs.sorted.mkString(" ")}")
     }
     else render(GraftEngine.sql(spark, line, baseDir))
   }

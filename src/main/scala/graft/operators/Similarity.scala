@@ -427,6 +427,31 @@ object Similarity {
       .transform(annWithRecall(s, d, _))
   }
 
+  /** Persisted-index serving probe — the headline-bench form of the
+    * serving layer: the index is built ONCE per JVM (write-once /
+    * probe-forever, the actual serving deployment shape) and every
+    * subsequent call pays only the probe — driver-side cell
+    * assignment for the tiny query set, then a scan of the probed
+    * cell DIRECTORIES via the static partition filter. Under the
+    * bench variance protocol the first run absorbs the build and the
+    * MIN across runs measures steady-state serving cost, which is
+    * exactly what BENCH_r{N}.json should track round over round (a
+    * serving regression — pruning lost, tombstone join gone wide —
+    * moves the min; build cost drift is visible as spread instead).
+    * No recall join here, unlike the sim_ann_* gate entries: recall
+    * is pinned by spec (equality with simAnnIvfPersisted, whose
+    * recall the AnnStress legs measure); computing it per bench run
+    * would time the brute-force twin, not the serving path. */
+  def serveAnnProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val kEff = ivfK(n, 64L)
+    val indexDir = ivfIndexDir(d, kEff, "serve")
+    if (!new java.io.File(indexDir, "meta").exists())
+      AnnIndex.build(s, emb, indexDir, k = kEff)
+    AnnIndex.query(s, indexDir, queriesSet(emb), topK = K)
+  }
+
   /** ANN via IVF×PQ — the FAISS IVFPQ serving composition (Jégou et
     * al. 2011 §V): PQ codes live INSIDE the persisted IVF's cell
     * directories, so the ADC scan — flat PQ's one remaining full pass
@@ -593,25 +618,51 @@ object Similarity {
     * codegen'd HashAggregate), and both directions of the undirected
     * collision feed each endpoint's top-k window. Work scales with
     * bucket occupancy, not n²; recall is probabilistic (spec measures
-    * it against the exact twin; planted twins rank first). */
-  def simKnnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame =
-    knnGraph(embeddings(s, d), k)
+    * it against the exact twin; planted twins rank first).
+    *
+    * Multi-probe (Lv et al. 2007, as in [[simAnnLshMultiprobe]]): every
+    * vector is simultaneously index entry AND query, so the src side
+    * additionally probes the nProbe−1 buckets reached by flipping its
+    * lowest-|projection|-margin bits — the buckets a true neighbor
+    * most likely landed in when one low-confidence sign disagreed. The
+    * index side keeps ONE code per table (the at-rest bytes don't
+    * grow); candidate volume scales to L·nProbe buckets of derived
+    * occupancy — still occupancy-bound, never n² (AnnStress measures
+    * the 10×/50× growth). Gate default nProbe=4 lifts graph recall to
+    * the ≥0.7 band at the same index size (SimilaritySpec measures it
+    * against the exact twin). */
+  def simKnnGraph(s: SparkSession, d: String, k: Int = 3,
+                  nProbe: Int = 4): DataFrame =
+    knnGraph(embeddings(s, d), k, nProbe = nProbe)
 
   def knnGraph(emb: DataFrame, k: Int = 3,
                L: Int = 8, b: Int = 0, dim: Int = 64,
-               maxBucket: Long = MaxBucket): DataFrame = {
+               maxBucket: Long = MaxBucket, nProbe: Int = 1): DataFrame = {
     val bEff = if (b > 0) b else derivedBits(corpusCount(emb), 64L, 4, 20)
     val bucketed = emb
       .select(col("vec_id"), col("embedding"),
         posexplode(buckets(col("embedding"), L, bEff, dim))
           .as(Seq("table", "bucket")))
+    // a singleton home bucket pairs with nothing under single probe,
+    // but an EXTERNAL probe can still reach its lone member — the
+    // lower occupancy bound only applies when nobody probes
+    val minOcc = if (nProbe > 1) 1L else 2L
     val liveBuckets = bucketed.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("bn"))
-      .where(col("bn").between(2L, maxBucket))
+      .where(col("bn").between(minOcc, maxBucket))
       .select(col("table"), col("bucket"))
     val pruned = bucketed.join(liveBuckets, Seq("table", "bucket"), "left_semi")
-    val aa = pruned.select(col("table"), col("bucket"),
-      col("vec_id").as("src"), col("embedding").as("e1"))
+    val aa =
+      if (nProbe <= 1)
+        pruned.select(col("table"), col("bucket"),
+          col("vec_id").as("src"), col("embedding").as("e1"))
+      else emb.select(col("vec_id").as("src"), col("embedding").as("e1"),
+          posexplode(graft.functions.VectorFunctions.hyperplaneProbes(
+            col("embedding"), planes(L, bEff, dim).flatten.flatten,
+            L, bEff, dim, nProbe))
+            .as(Seq("pos", "bucket")))
+        .select(col("src"), col("e1"),
+          (col("pos") / nProbe).cast("int").as("table"), col("bucket"))
     val bb = pruned.select(col("table"), col("bucket"),
       col("vec_id").as("dst"), col("embedding").as("e2"))
     aa.join(bb, Seq("table", "bucket"))
@@ -668,10 +719,11 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
-  def dedupSemantic(s: SparkSession, d: String): DataFrame =
-    // threshold tuned to the synthetic corpus's near-isotropic geometry
-    // (planted twins sit at cos ≈ 1; background pairs ≈ 0.3)
-    semanticDedupPairs(embeddings(s, d), threshold = 0.45)
+  def dedupSemantic(s: SparkSession, d: String,
+                    threshold: Double = 0.45): DataFrame =
+    // default threshold tuned to the synthetic corpus's near-isotropic
+    // geometry (planted twins sit at cos ≈ 1; background pairs ≈ 0.3)
+    semanticDedupPairs(embeddings(s, d), threshold = threshold)
 
   /** Content-keyed index directory for the persisted IVF family: the
     * FULL md5 of (corpus path, k, flavor, extra params) — a 32-bit
@@ -788,6 +840,7 @@ object Similarity {
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
     "sim_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
       simAnnIvfPersisted(s, d)),
+    "serve_ann_probe" -> (serveAnnProbe _),
     "sim_ann_pq" -> ((s: SparkSession, d: String) => simAnnPq(s, d)),
     "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => simAnnIvfPq(s, d)),
     // gate entry runs at the exact twin's threshold so the rows-only
@@ -796,7 +849,7 @@ object Similarity {
     // spec-covered with planted dups)
     "dedup_embed_cosine" -> ((s: SparkSession, d: String) =>
       dedupEmbedCosine(s, d, threshold = 0.45)),
-    "dedup_semantic" -> (dedupSemantic _),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "dedup_embed_exact" -> ((s: SparkSession, d: String) => dedupEmbedExact(s, d)),
     "sim_knn_graph_exact" -> ((s: SparkSession, d: String) =>
       simKnnGraphExact(s, d)),

@@ -176,13 +176,25 @@ object AnnStress {
     // all tables) must surface as its rank-1 neighbor.
     val scaledEmb = spark.read.parquet(s"$base/embeddings.parquet")
     val nBase = emb.count()
-    val knnTwinHits = timed("sim_knn_graph")(
+    val knnTwinHits = timed("sim_knn_graph mp4")(
+      Similarity.knnGraph(scaledEmb, nProbe = 4)
+        .where(col("rank") === 1 && col("src") < Shift &&
+          col("dst") === col("src") + Shift)
+        .count())
+    check(s"kNN graph (multi-probe 4) rank-1 = planted twin for ≥ 90% of " +
+      s"originals ($knnTwinHits/$nBase)", knnTwinHits >= (nBase * 0.9).toLong)
+    // the occupancy-bound claim must SURVIVE probing: 4 probes/table
+    // multiply the candidate stream by ≤ nProbe (each probe pays one
+    // bucket of derived occupancy), never by n — the cross-factor
+    // timing above is the evidence (printed per factor; 10×/50× runs
+    // stay near-flat like the single-probe round-6 leg)
+    val knnSingle = timed("  single-probe")(
       Similarity.knnGraph(scaledEmb)
         .where(col("rank") === 1 && col("src") < Shift &&
           col("dst") === col("src") + Shift)
         .count())
-    check(s"kNN graph rank-1 = planted twin for ≥ 90% of originals " +
-      s"($knnTwinHits/$nBase)", knnTwinHits >= (nBase * 0.9).toLong)
+    check(s"multi-probe keeps ≥ single-probe twin hits " +
+      s"($knnTwinHits vs $knnSingle)", knnTwinHits >= knnSingle)
 
     // SemDeDup ground truth: every copy-0 vector has its jittered twin
     // at cos ≈ 1 ≥ 0.95; (id, id+Shift) pair ids are the plant itself.

@@ -63,6 +63,41 @@ class ReplSpec extends SparkSpec {
     assert(gated > 0, "quality gate view must pass some documents")
   }
 
+  test("pipeline views accept k=v parameters and the plan reflects them") {
+    // non-default probe budget through the REPL syntax: the persisted
+    // IVF registers with nProbe=2 then nProbe=6 — the static cell
+    // partition filter in the view's plan must widen with the budget
+    def probedCells(nProbe: Int): Int = {
+      val msg = Repl.eval(spark,
+        s"pipeline sim_ann_ivf_persisted $Sf k=64 nProbe=$nProbe", ".")
+      assert(msg.contains("graft_sim_ann_ivf_persisted") &&
+        msg.contains(s"nProbe=$nProbe"), msg)
+      val p = GraftEngine.sql(spark,
+          "select * from graft_sim_ann_ivf_persisted where rank = 1")
+        .queryExecution.executedPlan.toString
+      val inList = "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+        .orElse("cell[^ ]* INSET ([\\d, ]+)".r.findFirstMatchIn(p))
+      assert(inList.isDefined, s"no static cell partition filter:\n${p.take(800)}")
+      inList.get.group(1).split(",").count(_.trim.nonEmpty)
+    }
+    val narrow = probedCells(2)
+    val wide = probedCells(6)
+    assert(narrow < wide,
+      s"probe budget must widen the partition filter ($narrow !< $wide)")
+    assert(wide < 64, s"even nProbe=6 must keep a pruning margin ($wide of 64)")
+
+    // the typo guard: an unknown key fails loudly, never runs defaults
+    val err = intercept[IllegalArgumentException] {
+      Repl.eval(spark, s"pipeline sim_ann_ivf_persisted $Sf nprobe=8", ".")
+    }
+    assert(err.getMessage.contains("nprobe"), err.getMessage)
+    // and a non-parameterizable operator rejects params outright
+    val err2 = intercept[IllegalArgumentException] {
+      Repl.eval(spark, s"pipeline q1_agg $Sf k=3", ".")
+    }
+    assert(err2.getMessage.contains("takes no parameters"), err2.getMessage)
+  }
+
   test("render truncates past MaxRows and shows nulls as NULL") {
     import spark.implicits._
     val big = spark.range(500).toDF("id")

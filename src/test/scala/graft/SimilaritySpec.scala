@@ -86,6 +86,25 @@ class SimilaritySpec extends SparkSpec {
     checkCandFrac(rows, 0.35)
   }
 
+  test("serve_ann_probe equals the persisted-IVF path and reuses its index") {
+    // same derived geometry, same deterministic fit → the serving probe
+    // must return exactly the persisted path's rows (minus the cost and
+    // recall columns the bench form deliberately omits)
+    val serve = Similarity.serveAnnProbe(spark, Sf).collect().toSeq
+    val persisted = Similarity.simAnnIvfPersisted(spark, Sf)
+      .select("q_id", "rank", "vec_id", "score").collect().toSeq
+    assert(serve == persisted,
+      s"serving probe diverged: ${serve.take(3)} vs ${persisted.take(3)}")
+    // build-once-per-JVM: a second call must NOT rebuild — the index
+    // meta mtime is unchanged across calls
+    val meta = new java.io.File(
+      graft.operators.Similarity.ivfIndexDir(
+        Sf, graft.operators.Similarity.ivfK(500, 64L), "serve"), "meta")
+    val t1 = meta.lastModified()
+    Similarity.serveAnnProbe(spark, Sf).collect()
+    assert(meta.lastModified() == t1, "second probe call rebuilt the index")
+  }
+
   test("multi-probe LSH holds recall with a quarter of the tables") {
     val exact = topkSets(Similarity.simTopkBruteforce(spark, Sf).collect())
     // single-probe needs L≈12 at this scale (the derivation's output);
@@ -179,8 +198,10 @@ class SimilaritySpec extends SparkSpec {
       approx.getOrElse(src, Set.empty).intersect(nbrs).size.toDouble / nbrs.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5,
-      f"mean kNN-graph recall $mean%.2f < 0.5 on the isotropic corpus")
+    // multi-probe (nProbe=4) lifts the single-probe ~0.5-0.6 band to
+    // ≥0.7 at the SAME index size — probing is a query-side cost
+    assert(mean >= 0.7,
+      f"mean kNN-graph recall $mean%.2f < 0.7 on the isotropic corpus")
     // a planted near-identical twin shares every hyperplane sign →
     // same buckets in every table → must surface as its source's rank-1
     val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
