@@ -144,6 +144,11 @@ object AnnIndex {
     * the object doc). */
   def append(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
     IndexFiles.requireNoCompactInFlight(s, dir)
+    // heal a crashed swap BEFORE writing: the dynamic-partition append
+    // would otherwise create a fresh cells/ holding only this batch,
+    // stranding the standing index in cells_retired (recovery only
+    // fires while cells/ is missing)
+    recoverCells(s, dir)
     val centroids = readCentroids(s, dir)
     newVecs.select(col("vec_id"), col("embedding"),
         guardedCell(centroids.head.length, centroids).as("cell"))
@@ -312,6 +317,7 @@ object AnnIndex {
     * fast while a [[compact]] is in flight. */
   def appendPq(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
     IndexFiles.requireNoCompactInFlight(s, dir)
+    recoverCells(s, dir) // same stranded-retired hazard as [[append]]
     writeEncoded(s, newVecs, dir, readQuantizers(s, dir), "append")
   }
 

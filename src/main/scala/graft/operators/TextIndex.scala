@@ -56,6 +56,12 @@ object TextIndex {
 
   def append(s: SparkSession, docs: DataFrame, dir: String): Unit = {
     IndexFiles.requireNoCompactInFlight(s, dir)
+    // heal a crashed compact swap first — otherwise this append would
+    // create a fresh buckets/ holding only this batch and strand the
+    // standing index in buckets_retired (recovery only fires while
+    // buckets/ is missing)
+    val buckets = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+    IndexFiles.recoverRetired(IndexFiles.fsFor(s, buckets), buckets)
     bucketsOf(docs).write.mode("append").parquet(s"$dir/buckets")
   }
 

@@ -257,6 +257,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(after <= before)
     assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
       == expected)
+
+    // an APPEND right after a crashed swap must heal first too — a
+    // fresh cells/ holding only the appended batch would strand the
+    // standing index in cells_retired with no entry left to heal it
+    assert(fs.rename(cells, retired))
+    AnnIndex.append(spark, emb.limit(5), dir)
+    assert(fs.exists(cells) && !fs.exists(retired))
+    val n = spark.read.parquet(s"$dir/cells").count()
+    assert(n == emb.count() + 5,
+      s"append after crashed swap must keep the standing index (rows=$n)")
   }
 
   test("a dim-mismatched ingest batch fails loudly on the write path") {

@@ -68,6 +68,21 @@ class TextIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(rows(incDir) == rows(fullDir),
       "bucket codes are a pure function of text — append must equal rebuild")
+
+    // an append right after a crashed compact swap heals first: the
+    // standing index must not be stranded in buckets_retired
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val buckets = new org.apache.hadoop.fs.Path(s"$incDir/buckets")
+    val retired = new org.apache.hadoop.fs.Path(s"$incDir/buckets_retired")
+    assert(fs.rename(buckets, retired))
+    val c = (200L until 205L).map(i => doc(i, s"gamma$i")).toDF("doc_id", "text")
+    TextIndex.append(spark, c, incDir)
+    assert(fs.exists(buckets) && !fs.exists(retired))
+    assert(rows(incDir) == rows(fullDir) ++
+      c.transform(TextIndex.bucketsOf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet,
+      "append after a crashed swap must keep the standing index")
   }
 
   test("streaming ingest admits the same docs as the batch twin and grows the index") {
