@@ -172,9 +172,13 @@ object GraftEngine {
       "dedup_semantic" -> ((s, d, p) =>
         Similarity.dedupSemantic(s, d,
           threshold = p.double("threshold", 0.45))),
+      // threshold default matches the GATE registration (0.45, the
+      // synthetic-corpus twin bar — Similarity.queries), NOT the 0.9
+      // production near-dup bar: overriding L must not silently move
+      // the threshold too. Production callers pass threshold=0.9.
       "dedup_embed_cosine" -> ((s, d, p) =>
         Similarity.dedupEmbedCosine(s, d,
-          threshold = p.double("threshold", 0.9),
+          threshold = p.double("threshold", 0.45),
           L = p.int("L", 8), b = p.int("b", 0))),
       "text_top_tokens" -> ((s, d, p) =>
         TextAnalysis.topTokens(Tables.documents(s, d), k = p.int("k", 100))),

@@ -67,6 +67,13 @@ object Repl {
     else if (t.toLowerCase.startsWith("pipeline ")) {
       val args = t.drop(9).trim.split("\\s+")
       val (kvs, positional) = args.tail.partition(_.contains("="))
+      // at most one positional (the data dir): a trailing token that
+      // isn't k=v is a separator typo (`nProbe:4`), and silently
+      // dropping it would run the gate default — the exact silent
+      // fallback the Params unknown-key guard exists to prevent
+      require(positional.length <= 1,
+        s"unexpected arguments ${positional.drop(1).mkString(" ")} — " +
+          "syntax: pipeline <name> [dataDir] [key=value ...]")
       val params = kvs.map { kv =>
         val Array(k, v) = kv.split("=", 2)
         k -> v

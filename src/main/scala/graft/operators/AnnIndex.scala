@@ -55,11 +55,13 @@ import graft.functions.VectorFunctions
   *
   * Concurrency contract (see [[IndexFiles]]): [[compact]] holds
   * `compact.lock` for its critical section and heals a crashed swap
-  * on entry; [[append]]/[[appendPq]] fail fast while the lock exists.
-  * A STRICT exactly-once deployment additionally pauses its ingest
-  * streams around compact — a batch that passed the lock check before
-  * the lock appeared can still land between compact's staging read
-  * and its swap and would be swept into the retired copy. */
+  * on entry; [[append]]/[[appendPq]]/[[delete]] fail fast while the
+  * lock exists (a tombstone written mid-compact would be cleared
+  * without being folded — a silently resurrected takedown). A STRICT
+  * exactly-once deployment additionally pauses its ingest streams
+  * around compact — a batch that passed the lock check before the
+  * lock appeared can still land between compact's staging read and
+  * its swap and would be swept into the retired copy. */
 object AnnIndex {
 
   case class Meta(k: Int, dim: Int, nAtFit: Long, avgD2AtFit: Double)
@@ -160,25 +162,27 @@ object AnnIndex {
     * rides the same code path) from the next call on, without touching
     * the cell directories. Physical removal happens at the next
     * [[compact]]. Append-mode write: successive takedowns accumulate;
-    * the query-side anti-join is idempotent under duplicate ids. */
+    * the query-side anti-join is idempotent under duplicate ids.
+    * Fails fast while a compact is in flight — compact reads the
+    * tombstone list once and clears it at the end, so a tombstone
+    * written mid-compact would be cleared WITHOUT being folded and the
+    * takedown would silently resurrect. */
   def delete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     import s.implicits._
-    ids.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstones")
+    delete(s, dir, ids.toDF("vec_id").coalesce(1))
   }
 
-  private def tombstonePath(dir: String) = new Path(s"$dir/tombstones")
+  /** Takedown list as a DataFrame (first column = ids, cast to long) —
+    * the corpus-scale shape: a recrawl diff or right-to-be-forgotten
+    * list is itself data, not a driver-side Seq. The write is
+    * distributed; the query-side anti-join plans by SIZE (no forced
+    * broadcast — see [[IndexFiles.dropTombstoned]]). */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    IndexFiles.appendTombstones(s, dir, ids, "vec_id")
 
-  /** Drop tombstoned ids from `df` (anti join against the tiny id
-    * list, broadcast by size) — no-op when no delete has ever run. */
   private def dropTombstoned(s: SparkSession, dir: String,
-                             df: DataFrame): DataFrame = {
-    val p = tombstonePath(dir)
-    if (IndexFiles.fsFor(s, p).exists(p))
-      df.join(broadcast(s.read.parquet(p.toString).select(col("vec_id"))),
-        Seq("vec_id"), "left_anti")
-    else df
-  }
+                             df: DataFrame): DataFrame =
+    IndexFiles.dropTombstoned(s, dir, df, "vec_id")
 
   /** Heal a crashed compact swap before reading `dir/cells` (cheap
     * exists() probe; see [[IndexFiles.recoverRetired]]). */
@@ -352,12 +356,18 @@ object AnnIndex {
     * (the corpus size) the result carries cand_frac (ADC-scanned
     * fraction) and rerank_frac (exact-rescored fraction).
     *
-    * The default rerank budget derives from the index's OWN fit-time
-    * size (pqRerank(meta.n_at_fit)) — a fixed default is the
+    * The default rerank budget derives from the corpus the index
+    * actually HOLDS, not a fixed constant — a fixed default is the
     * fixed-budget recall collapse AnnStress measured (recall 0.57 →
-    * 0.30 going 20 k → 100 k at a pinned 50): the short list must
-    * scale with the corpus the index actually holds, and meta carries
-    * exactly that number. `excludeSelf` as in [[query]]. */
+    * 0.30 going 20 k → 100 k at a pinned 50). Sizing: max of the
+    * fit-time count in meta and the caller's `candFracOver` (gate and
+    * serving paths already pass the LIVE corpus size there for cost
+    * accounting, so a grown index gets a grown budget for free).
+    * Between refits with no candFracOver the fit-time number can lag
+    * the live size, but [[maintain]]'s appendedFrac ≥ 1.0 trigger
+    * bounds that staleness to 2× — within pqRerank's linear law, a
+    * ≤2× budget shortfall, repaired at the refit the trigger demands.
+    * `excludeSelf` as in [[query]]. */
   def queryPq(s: SparkSession, dir: String, queries: DataFrame,
               rawEmb: DataFrame, nProbe: Int = 0, rerank: Int = 0,
               topK: Int = 10, candFracOver: Long = 0L,
@@ -374,7 +384,9 @@ object AnnIndex {
     val nProbeEff =
       if (nProbe > 0) nProbe
       else math.min(kEff, 3 * Similarity.ivfNProbe(kEff))
-    val rerankEff = if (rerank > 0) rerank else Similarity.pqRerank(meta.nAtFit)
+    val rerankEff =
+      if (rerank > 0) rerank
+      else Similarity.pqRerank(math.max(meta.nAtFit, candFracOver))
     val probes: Seq[(Long, Int, Seq[Seq[Double]])] = queries
       .select(col("q_id"), col("q_emb")).collect().toSeq.flatMap { r =>
         val qId = r.getLong(0)
@@ -458,8 +470,7 @@ object AnnIndex {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(staged.toString)
       IndexFiles.swapInstall(fs, cells)
-      val tp = tombstonePath(dir)
-      if (fs.exists(tp)) fs.delete(tp, true)
+      IndexFiles.clearTombstones(fs, dir)
       (before, IndexFiles.countParquetFiles(fs, cells))
     }
   }

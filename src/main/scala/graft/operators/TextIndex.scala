@@ -67,24 +67,23 @@ object TextIndex {
 
   /** Tombstone `ids`: their buckets stop screening batches from the
     * next [[admit]] on (so equivalent text re-ingests cleanly after a
-    * takedown); [[compact]] removes them physically. */
+    * takedown); [[compact]] removes them physically. Fails fast while
+    * a compact is in flight — same silently-resurrected-takedown
+    * hazard as AnnIndex.delete. */
   def delete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     import s.implicits._
-    ids.toDF("doc_id").coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstones")
+    delete(s, dir, ids.toDF("doc_id").coalesce(1))
   }
 
-  private def tombstonePath(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+  /** Takedown list as a DataFrame (first column = ids, cast to long) —
+    * the corpus-scale shape, as in AnnIndex.delete: a takedown/recrawl
+    * list is data, not a driver-side Seq. */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    IndexFiles.appendTombstones(s, dir, ids, "doc_id")
 
-  private def liveBucketRows(s: SparkSession, dir: String): DataFrame = {
-    val idx = s.read.parquet(s"$dir/buckets")
-    val tp = tombstonePath(dir)
-    if (IndexFiles.fsFor(s, tp).exists(tp))
-      idx.join(broadcast(s.read.parquet(tp.toString).select(col("doc_id"))),
-        Seq("doc_id"), "left_anti")
-    else idx
-  }
+  private def liveBucketRows(s: SparkSession, dir: String): DataFrame =
+    IndexFiles.dropTombstoned(s, dir,
+      s.read.parquet(s"$dir/buckets"), "doc_id")
 
   /** Fold the per-append small files and drop tombstoned docs'
     * buckets physically (staging rewrite + rename-aside swap, compact
@@ -100,8 +99,7 @@ object TextIndex {
         .write.mode("overwrite")
         .parquet(IndexFiles.stagingOf(buckets).toString)
       IndexFiles.swapInstall(fs, buckets)
-      val tp = tombstonePath(dir)
-      if (fs.exists(tp)) fs.delete(tp, true)
+      IndexFiles.clearTombstones(fs, dir)
       (before, IndexFiles.countParquetFiles(fs, buckets))
     }
   }

@@ -205,7 +205,11 @@ class AnnIndexSpec extends SparkSpec {
         rerank = 50)
       .where(col("rank") === 1).select("vec_id")
       .collect().map(_.getLong(0)).distinct.toSeq
-    AnnIndex.delete(spark, dir, doomed)
+    // the DataFrame overload — a takedown list is DATA (corpus-scale
+    // shape); column name/type normalize on write
+    AnnIndex.delete(spark, dir,
+      { import spark.implicits._
+        doomed.map(_.toInt).toDF("some_id_col") })
     val twinDir = freshDir("pqdeltwin")
     val kept = emb.where(!col("vec_id").isin(doomed: _*))
     AnnIndex.buildPq(spark, kept, twinDir, pinned = Some(qz))
@@ -241,17 +245,33 @@ class AnnIndexSpec extends SparkSpec {
       == expected, "crashed swap must heal on the next query")
     assert(fs.exists(cells) && !fs.exists(retired))
 
-    // a held compact lock makes appends fail fast instead of racing
-    // the staging read
+    // a held compact lock makes appends AND deletes fail fast instead
+    // of racing the staging read (a tombstone written mid-compact
+    // would be cleared without being folded — a resurrected takedown)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/compact.lock")
     assert(fs.createNewFile(lock))
     val e = intercept[IllegalArgumentException] {
       AnnIndex.append(spark, emb.limit(5), dir)
     }
     assert(e.getMessage.contains("compact in progress"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.delete(spark, dir, Seq(1L))
+    }
     // ...and a second compact cannot start under the same lock
     intercept[IllegalArgumentException] { AnnIndex.compact(spark, dir) }
+    // the heal must NOT fire while the lock exists: a live compact
+    // passes through the same missing-live state mid-swap, and a
+    // concurrent reader healing it would break the install rename
+    assert(fs.rename(cells, retired))
+    org.scalatest.Assertions.intercept[Exception] {
+      AnnIndex.query(spark, dir, queries, nProbe = 8).collect()
+    }
+    assert(!fs.exists(cells) && fs.exists(retired),
+      "recovery ran under a live compact lock")
     fs.delete(lock, false)
+    // lock gone (crash + stale-lock removal): the next entry heals
+    assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
+      == expected)
     // clean compact after the lock clears; results unchanged
     val (before, after) = AnnIndex.compact(spark, dir)
     assert(after <= before)

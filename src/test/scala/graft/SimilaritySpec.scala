@@ -96,10 +96,15 @@ class SimilaritySpec extends SparkSpec {
     assert(serve == persisted,
       s"serving probe diverged: ${serve.take(3)} vs ${persisted.take(3)}")
     // build-once-per-JVM: a second call must NOT rebuild — the index
-    // meta mtime is unchanged across calls
+    // meta mtime is unchanged across calls. Derive k from the LIVE
+    // corpus count exactly as serveAnnProbe does (a hardcoded count
+    // would silently point at a nonexistent dir if the fixture grows,
+    // and lastModified()==0 on both reads would pass vacuously)
+    val n = Tables.embeddings(spark, Sf).count()
     val meta = new java.io.File(
       graft.operators.Similarity.ivfIndexDir(
-        Sf, graft.operators.Similarity.ivfK(500, 64L), "serve"), "meta")
+        Sf, graft.operators.Similarity.ivfK(n, 64L), "serve"), "meta")
+    assert(meta.exists(), s"serving index meta missing at $meta")
     val t1 = meta.lastModified()
     Similarity.serveAnnProbe(spark, Sf).collect()
     assert(meta.lastModified() == t1, "second probe call rebuilt the index")

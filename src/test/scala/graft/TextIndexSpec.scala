@@ -141,6 +141,18 @@ class TextIndexSpec extends SparkSpec {
     assert(readmitted == Set(300L),
       s"deleted doc must stop screening a re-ingest: $readmitted")
 
+    // a delete during a live compact fails fast — compact clears the
+    // tombstone list at the end, so a mid-compact tombstone would be
+    // dropped without being folded (a resurrected takedown)
+    val fsLock = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/compact.lock")
+    assert(fsLock.createNewFile(lock))
+    intercept[IllegalArgumentException] {
+      TextIndex.delete(spark, dir, Seq(8L))
+    }
+    fsLock.delete(lock, false)
+
     // compact folds the tombstone physically; the re-admitted doc's
     // buckets survive and now screen the NEXT re-crawl
     val (before, after) = TextIndex.compact(spark, dir)
