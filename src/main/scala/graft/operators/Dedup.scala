@@ -415,8 +415,15 @@ object Dedup {
       .withColumn("rn", row_number().over(
         w.orderBy(col("quality").desc, col("doc_id"))))
       .where(col("rn") === 1)
+      // quality passes through UNROUNDED: the per-row double is
+      // bit-identical across engines (text_quality proves it at every
+      // scale), while round(x, 6) is NOT portable — the quality ratios
+      // produce exact .5e-6 ties (dyadic denominators), and Spark
+      // rounds the shortest decimal repr (BigDecimal.valueOf → 0.2509375
+      // → HALF_UP up) where DuckDB rounds the binary value (…49999998 →
+      // down). Caught by the sf1 oracle run.
       .select(col("comp"), col("doc_id").as("keep_id"),
-        round(col("quality"), 6).as("quality"), col("n_members"))
+        col("quality"), col("n_members"))
       .orderBy(col("comp"))
   }
 
@@ -591,7 +598,7 @@ object Dedup {
         |      ORDER BY quality DESC, c.doc_id) AS rn
         |  FROM comps c JOIN qual USING (doc_id)
         |)
-        |SELECT comp, doc_id AS keep_id, round(quality, 6) AS quality,
+        |SELECT comp, doc_id AS keep_id, quality,
         |  n_members
         |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin
   )

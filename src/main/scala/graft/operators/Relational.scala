@@ -99,9 +99,15 @@ object Relational {
 
   /** LIMIT with a total order so results are deterministic. */
   def qLimit(s: SparkSession, d: String): DataFrame =
+    // ORDER BY every projected column: (l_orderkey, l_linenumber) is
+    // NOT unique in the corpus, and a tie under LIMIT picks whichever
+    // row the layout serves first — deterministic on the single-file
+    // gate data by luck, divergent on any multi-file layout (caught by
+    // the sf1 oracle run). With all columns in the sort, ties are
+    // identical rows and the output is a well-defined multiset.
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .limit(100)
 
   /** Global (ungrouped) min/max/sum/count/avg — partial+final agg. */
@@ -123,10 +129,18 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        // money sums round to scale 2 BEFORE the double cast: the
+        // decimal sums are exact on both engines, but DuckDB's
+        // DECIMAL(38,6)→DOUBLE cast double-rounds once the scaled
+        // integer exceeds 2^53 (≈9e15 — a 2.8e10 sum at scale 6 is
+        // 2.8e16), drifting 1 ulp from Spark's correctly-rounded
+        // conversion (caught by the sf1 oracle run). At scale 2 the
+        // scaled integer always fits, so the final conversion is a
+        // single exact-int division on both sides.
+        round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
           .cast(DoubleType).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-          * (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))), 2).cast(DoubleType).as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
@@ -856,7 +870,7 @@ object Relational {
 
     "q_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
 
     "q_agg_global" ->
       """SELECT min(l_quantity) AS min_q, max(l_quantity) AS max_q,
@@ -866,15 +880,23 @@ object Relational {
         |    / count(l_quantity) AS avg_q
         |FROM lineitem""".stripMargin,
 
+    // sum_charge: the inner CAST to DECIMAL(18,4) keeps DuckDB's
+    // triple product inside decimal — without it the product's width
+    // (18+19+19 digits) exceeds DuckDB's 38-digit cap and DuckDB
+    // silently promotes to DOUBLE, whose inexact sum drifts a final
+    // ulp from Spark's exact DECIMAL(38,6) path at sf1 row counts
+    // (caught by the sf1 oracle run; sf0.1 and below agreed by luck).
+    // The (18,4) cast is exact: price*(1-disc) has scale 4 by
+    // construction and magnitude ≪ 10^14.
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        |    * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |    / count(l_quantity) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
