@@ -169,6 +169,9 @@ object GraftEngine {
       "sim_knn_graph" -> ((s, d, p) =>
         Similarity.simKnnGraph(s, d, k = p.int("k", 3),
           nProbe = p.int("nProbe", 4))),
+      "serve_ann_probe" -> ((s, d, p) =>
+        Similarity.serveAnnProbe(s, d, nProbe = p.int("nProbe", 0),
+          topK = p.int("topK", 10))),
       "dedup_semantic" -> ((s, d, p) =>
         Similarity.dedupSemantic(s, d,
           threshold = p.double("threshold", 0.45))),

@@ -442,14 +442,15 @@ object Similarity {
     * is pinned by spec (equality with simAnnIvfPersisted, whose
     * recall the AnnStress legs measure); computing it per bench run
     * would time the brute-force twin, not the serving path. */
-  def serveAnnProbe(s: SparkSession, d: String): DataFrame = {
+  def serveAnnProbe(s: SparkSession, d: String,
+                    nProbe: Int = 0, topK: Int = K): DataFrame = {
     val emb = embeddings(s, d)
     val n = corpusCount(emb)
     val kEff = ivfK(n, 64L)
     val indexDir = ivfIndexDir(d, kEff, "serve")
     if (!new java.io.File(indexDir, "meta").exists())
       AnnIndex.build(s, emb, indexDir, k = kEff)
-    AnnIndex.query(s, indexDir, queriesSet(emb), topK = K)
+    AnnIndex.query(s, indexDir, queriesSet(emb), nProbe = nProbe, topK = topK)
   }
 
   /** ANN via IVF×PQ — the FAISS IVFPQ serving composition (Jégou et
@@ -840,7 +841,7 @@ object Similarity {
     "sim_ann_ivf" -> ((s: SparkSession, d: String) => simAnnIvf(s, d)),
     "sim_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
       simAnnIvfPersisted(s, d)),
-    "serve_ann_probe" -> (serveAnnProbe _),
+    "serve_ann_probe" -> ((s: SparkSession, d: String) => serveAnnProbe(s, d)),
     "sim_ann_pq" -> ((s: SparkSession, d: String) => simAnnPq(s, d)),
     "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => simAnnIvfPq(s, d)),
     // gate entry runs at the exact twin's threshold so the rows-only
