@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions
 
@@ -26,8 +27,8 @@ import graft.functions.VectorFunctions
   *     query-result equality), which is why a wholesale rebuild per
   *     ingest batch (`mode("overwrite")`) is never needed.
   *   - [[query]]: probe-cells per query become a static partition
-  *     filter over the cell directories — the scan prunes at the
-  *     directory level, identical to the one-shot persisted path.
+  *     filter over the live file set — the scan prunes at the
+  *     cell-directory level, identical to the one-shot persisted path.
   *   - [[delete]]: tombstone removal — a takedown/recrawl drops ids
   *     from every subsequent query WITHOUT rewriting the cell
   *     directories (the whole point of the lifecycle is never paying
@@ -48,23 +49,46 @@ import graft.functions.VectorFunctions
   *     via pipeline_fingerprint's per-source digests (Sharding.scala);
   *     this is the embedding-space twin of that check.
   *
-  * Layout under `dir`: `cells/` (parquet partitioned by cell:
-  * vec_id, embedding), `centroids/` (cell, centroid), `meta/`
-  * (k, dim, n_at_fit, avg_d2_at_fit), and — once [[delete]] has run —
-  * `tombstones/` (vec_id) until the next [[compact]] folds it away.
+  * Layout under `dir`: `cells/` (parquet partitioned by cell: vec_id,
+  * embedding — immutable files), `centroids/` + `meta/` (k, dim,
+  * n_at_fit, avg_d2_at_fit — rewritten only by a [[build]]),
+  * `tombstones/` (vec_id — immutable files), and `manifest/` — the
+  * committed snapshot that says which data/tombstone files are LIVE.
+  * The commit protocol (object-store-safe conditional manifest put,
+  * crash table, writer lock, vacuum) lives in [[IndexFiles]]; every
+  * verb here is "write immutable files, publish one manifest".
+  * Compared to round 7's rename-aside swap: no directory is ever
+  * renamed, readers can never observe a torn index, a crashed verb
+  * needs no heal-on-entry, and a concurrent append WAITS out a
+  * compact instead of failing — which is what lets a streaming ingest
+  * survive maintenance (StreamingSpec).
   *
-  * Concurrency contract (see [[IndexFiles]]): [[compact]] holds
-  * `compact.lock` for its critical section and heals a crashed swap
-  * on entry; [[append]]/[[appendPq]]/[[delete]] fail fast while the
-  * lock exists (a tombstone written mid-compact would be cleared
-  * without being folded — a silently resurrected takedown). A STRICT
-  * exactly-once deployment additionally pauses its ingest streams
-  * around compact — a batch that passed the lock check before the
-  * lock appeared can still land between compact's staging read and
-  * its swap and would be swept into the retired copy. */
+  * [[compact]] is TARGETED — O(litter), not O(index): it rewrites
+  * only cells whose file count exceeds the fold threshold plus the
+  * files that physically contain tombstoned rows (found via a
+  * stats-pruned id probe, footer-bound for small takedowns); every
+  * other live file is untouched — byte-identical by construction,
+  * since data files are immutable and only the manifest pointer
+  * moves. Replaced files are reclaimed by [[vacuum]] (grace-windowed,
+  * the Delta/Iceberg split of logical compact vs physical GC). */
 object AnnIndex {
 
   case class Meta(k: Int, dim: Int, nAtFit: Long, avgD2AtFit: Double)
+
+  /** True when `dir` holds a committed index (a manifest exists). */
+  def hasIndex(s: SparkSession, dir: String): Boolean =
+    IndexFiles.hasIndex(s, dir)
+
+  /** Committed-snapshot summary (manifest version, build generation,
+    * live file counts) — the REPL `index status` surface and what
+    * specs assert instead of raw directory listings. */
+  case class Status(version: Long, built: String, liveDataFiles: Long,
+                    liveTombstoneFiles: Long)
+
+  def status(s: SparkSession, dir: String): Status = {
+    val m = IndexFiles.read(s, dir)
+    Status(m.version, m.built, m.data.size.toLong, m.tombstones.size.toLong)
+  }
 
   private def d2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -105,8 +129,11 @@ object AnnIndex {
       .otherwise(raise_error(concat(
         lit(s"embedding dim != $dim for vec_id="), col("vec_id").cast("string"))))
 
-  /** Fit (or adopt `pinnedCentroids`) and persist the full index.
-    * Returns the centroids it wrote. */
+  /** Fit (or adopt `pinnedCentroids`) and persist the full index as a
+    * fresh build generation — prior tombstones and manifest history
+    * are cleared (a rebuild re-admits previously taken-down ids: the
+    * re-ingest-after-takedown flow). Returns the centroids it
+    * wrote. */
   def build(s: SparkSession, emb: DataFrame, dir: String, k: Int = 0,
             targetCellSize: Long = 64L,
             pinnedCentroids: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
@@ -117,16 +144,18 @@ object AnnIndex {
       val kEff = if (k > 0) k else Similarity.ivfK(n, targetCellSize)
       Similarity.lloyds(sample, kEff, iters = 10, seed = 42)
     }
-    emb.select(col("vec_id"), col("embedding"),
-        guardedCell(centroids.head.length, centroids).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    Seq((centroids.length, centroids.head.length, n, meanD2(sample, centroids)))
-      .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexFiles.commitRebuild(s, dir, "cells") {
+      emb.select(col("vec_id"), col("embedding"),
+          guardedCell(centroids.head.length, centroids).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      Seq((centroids.length, centroids.head.length, n, meanD2(sample, centroids)))
+        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
     centroids
   }
 
@@ -139,34 +168,72 @@ object AnnIndex {
     Meta(r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))
   }
 
+  // ---- quantizer cache ----------------------------------------------
+  // The serving path probes at micro-batch cadence; re-reading the
+  // centroid/meta/codebook parquet per probe call is two-to-three tiny
+  // scans the steady state does not need. Quantizer artifacts are
+  // immutable WITHIN a build generation (only build rewrites them), so
+  // a JVM-local cache keyed on (dir, manifest.built) is exact: a
+  // rebuild changes the generation id and the stale entry is ignored.
+  // Keyed on the manifest generation, NOT mtime — object stores have
+  // no reliable directory mtime.
+
+  private case class Quantizers(built: String,
+                                centroids: Array[Array[Double]],
+                                meta: Meta,
+                                codebooks: Option[Seq[Array[Array[Double]]]])
+
+  private val qzCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Quantizers]()
+
+  /** Number of physical quantizer loads — spec-visible so the no-rebuild
+    * spec can assert the second probe does NOT re-read centroids. */
+  private[graft] val quantizerLoads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def readCodebooks(s: SparkSession, dir: String): Seq[Array[Array[Double]]] = {
+    val rows = s.read.parquet(s"$dir/codebooks")
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+  }
+
+  private def cachedQuantizers(s: SparkSession, dir: String,
+                               built: String, needPq: Boolean): Quantizers = {
+    val hit = Option(qzCache.get(dir))
+      .filter(q => q.built == built && (!needPq || q.codebooks.isDefined))
+    hit.getOrElse {
+      quantizerLoads.incrementAndGet()
+      val q = Quantizers(built, readCentroids(s, dir), readMeta(s, dir),
+        if (needPq) Some(readCodebooks(s, dir)) else None)
+      qzCache.put(dir, q)
+      q
+    }
+  }
+
   /** Assign `newVecs` with the PERSISTED centroids and append into the
-    * existing cell directories. Map-only: no standing data moves, no
-    * refit, no shuffle beyond the dynamic-partition write. Fails fast
-    * while a [[compact]] is in flight (see the concurrency contract in
-    * the object doc). */
+    * existing cell directories — map-only writes of new immutable
+    * files, then one manifest commit. If a [[compact]] holds the
+    * writer lock, this WAITS (bounded) and then proceeds — a
+    * streaming ingest survives maintenance instead of dying on it. */
   def append(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
-    IndexFiles.requireNoCompactInFlight(s, dir)
-    // heal a crashed swap BEFORE writing: the dynamic-partition append
-    // would otherwise create a fresh cells/ holding only this batch,
-    // stranding the standing index in cells_retired (recovery only
-    // fires while cells/ is missing)
-    recoverCells(s, dir)
     val centroids = readCentroids(s, dir)
-    newVecs.select(col("vec_id"), col("embedding"),
-        guardedCell(centroids.head.length, centroids).as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    IndexFiles.commitDataAppend(s, dir, "cells") {
+      newVecs.select(col("vec_id"), col("embedding"),
+          guardedCell(centroids.head.length, centroids).as("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    }
   }
 
   /** Tombstone `ids`: they stop appearing in [[query]]/[[queryPq]]
     * results (and therefore in every streaming probe — the stream
     * rides the same code path) from the next call on, without touching
     * the cell directories. Physical removal happens at the next
-    * [[compact]]. Append-mode write: successive takedowns accumulate;
-    * the query-side anti-join is idempotent under duplicate ids.
-    * Fails fast while a compact is in flight — compact reads the
-    * tombstone list once and clears it at the end, so a tombstone
-    * written mid-compact would be cleared WITHOUT being folded and the
-    * takedown would silently resurrect. */
+    * [[compact]]. Successive takedowns accumulate; the query-side
+    * anti-join is idempotent under duplicate ids. A delete racing a
+    * compact is safe by construction: the tombstone files land in the
+    * manifest via the same conditional commit, so the compact can
+    * clear only the tombstone files it actually folded. */
   def delete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     import s.implicits._
     delete(s, dir, ids.toDF("vec_id").coalesce(1))
@@ -180,21 +247,37 @@ object AnnIndex {
   def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
     IndexFiles.appendTombstones(s, dir, ids, "vec_id")
 
-  private def dropTombstoned(s: SparkSession, dir: String,
-                             df: DataFrame): DataFrame =
-    IndexFiles.dropTombstoned(s, dir, df, "vec_id")
-
-  /** Heal a crashed compact swap before reading `dir/cells` (cheap
-    * exists() probe; see [[IndexFiles.recoverRetired]]). */
-  private def recoverCells(s: SparkSession, dir: String): Unit = {
-    val cells = new Path(s"$dir/cells")
-    IndexFiles.recoverRetired(IndexFiles.fsFor(s, cells), cells)
+  /** The index's live rows (manifest-resolved, tombstones dropped) —
+    * what a full scan of the index means under the snapshot
+    * protocol. Specs and [[maintain]] read through this; a raw
+    * directory read would also see compact-replaced litter awaiting
+    * [[vacuum]]. */
+  def liveRows(s: SparkSession, dir: String): DataFrame = {
+    val m = IndexFiles.read(s, dir)
+    IndexFiles.dataFrame(s, dir, "cells", m)
+      .map(IndexFiles.dropTombstoned(s, dir, m, _, "vec_id"))
+      .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("cell", IntegerType)))))
   }
+
+  /** Reclaim files no longer referenced by the current manifest —
+    * compact-replaced data, folded tombstones, superseded manifests.
+    * See [[IndexFiles.vacuum]] for the grace-window contract. */
+  def vacuum(s: SparkSession, dir: String, graceMs: Long = 0L): Long =
+    IndexFiles.vacuum(s, dir, "cells", graceMs)
+
+  private def emptyResult(s: SparkSession, withCost: Boolean): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(
+      Seq(StructField("q_id", LongType), StructField("rank", IntegerType),
+        StructField("vec_id", LongType), StructField("score", DoubleType)) ++
+        (if (withCost) Seq(StructField("cand_frac", DoubleType)) else Nil)))
 
   /** Exact-rescored top-k probe against the index at rest: the probe
     * lists (tiny query side, driver-computed through the same kernel
     * the build ran) become a static `cell IN (...)` partition filter —
-    * only probed directories are ever read. Returns
+    * only probed directories' live files are ever read. Returns
     * (q_id, rank, vec_id, score[, cand_frac when `candFracOver` — the
     * corpus size — is set]).
     *
@@ -210,9 +293,12 @@ object AnnIndex {
             candFracOver: Long = 0L,
             excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
-    recoverCells(s, dir)
-    val meta = readMeta(s, dir)
-    val centroids = readCentroids(s, dir)
+    val man = IndexFiles.read(s, dir)
+    val qz = cachedQuantizers(s, dir, man.built, needPq = false)
+    val meta = qz.meta
+    val centroids = qz.centroids
+    val cellRows = IndexFiles.dataFrame(s, dir, "cells", man)
+      .getOrElse(return emptyResult(s, candFracOver > 0L))
     val nProbeEff = if (nProbe > 0) nProbe else Similarity.ivfNProbe(meta.k)
     val flat = centroids.flatten
     val probes: Seq[(Long, Seq[Float], Int)] = queries
@@ -233,8 +319,8 @@ object AnnIndex {
     val probeCells = probes.map(_._3).distinct
     val qs = probes.toDF("q_id", "q_emb", "cell")
     val wq = Window.partitionBy(col("q_id"))
-    val candidates = dropTombstoned(s, dir,
-        s.read.parquet(s"$dir/cells").where(col("cell").isin(probeCells: _*)))
+    val candidates = IndexFiles.dropTombstoned(s, dir, man,
+        cellRows.where(col("cell").isin(probeCells: _*)), "vec_id")
       .join(broadcast(qs), Seq("cell"))
     val scored = (if (excludeSelf) candidates.where(col("vec_id") =!= col("q_id"))
                   else candidates)
@@ -267,7 +353,8 @@ object AnnIndex {
                           codebooks: Seq[Array[Array[Double]]])
 
   /** Fit (or adopt) the coarse + residual-PQ quantizers and persist
-    * the fully-encoded index. Returns the quantizers it wrote. */
+    * the fully-encoded index as a fresh build generation. Returns the
+    * quantizers it wrote. */
   def buildPq(s: SparkSession, emb: DataFrame, dir: String, k: Int = 0,
               m: Int = 8, codebookK: Int = 64, targetCellSize: Long = 64L,
               pinned: Option[PqQuantizers] = None): PqQuantizers = {
@@ -291,38 +378,34 @@ object AnnIndex {
           codebookK, iters = 10, seed = 42L + j)
       })
     }
-    writeEncoded(s, emb, dir, qz, "overwrite")
-    qz.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    qz.codebooks.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
-    }.toDF("subspace", "code", "vector")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((qz.centroids.length, qz.centroids.head.length, n,
-        meanD2(sample, qz.centroids)))
-      .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexFiles.commitRebuild(s, dir, "cells") {
+      writeEncoded(s, emb, dir, qz, "overwrite")
+      qz.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      qz.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+      }.toDF("subspace", "code", "vector")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      Seq((qz.centroids.length, qz.centroids.head.length, n,
+          meanD2(sample, qz.centroids)))
+        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
     qz
   }
 
-  def readQuantizers(s: SparkSession, dir: String): PqQuantizers = {
-    val cents = readCentroids(s, dir)
-    val rows = s.read.parquet(s"$dir/codebooks")
-      .orderBy(col("subspace"), col("code")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
-    val cbs: Seq[Array[Array[Double]]] =
-      rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
-    PqQuantizers(cents, cbs)
-  }
+  def readQuantizers(s: SparkSession, dir: String): PqQuantizers =
+    PqQuantizers(readCentroids(s, dir), readCodebooks(s, dir))
 
   /** Encode `newVecs` with the PERSISTED quantizers and append into
-    * the cell directories — map-only, nothing standing moves. Fails
-    * fast while a [[compact]] is in flight. */
+    * the cell directories — map-only, nothing standing moves. Waits
+    * out a concurrent [[compact]]'s writer lock, as [[append]]. */
   def appendPq(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
-    IndexFiles.requireNoCompactInFlight(s, dir)
-    recoverCells(s, dir) // same stranded-retired hazard as [[append]]
-    writeEncoded(s, newVecs, dir, readQuantizers(s, dir), "append")
+    val qz = readQuantizers(s, dir)
+    IndexFiles.commitDataAppend(s, dir, "cells") {
+      writeEncoded(s, newVecs, dir, qz, "append")
+    }
   }
 
   /** cell + residual PQ codes via the native kernels, written
@@ -373,9 +456,12 @@ object AnnIndex {
               topK: Int = 10, candFracOver: Long = 0L,
               excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
-    recoverCells(s, dir)
-    val meta = readMeta(s, dir)
-    val qz = readQuantizers(s, dir)
+    val man = IndexFiles.read(s, dir)
+    val cached = cachedQuantizers(s, dir, man.built, needPq = true)
+    val meta = cached.meta
+    val qz = PqQuantizers(cached.centroids, cached.codebooks.get)
+    val cellRows = IndexFiles.dataFrame(s, dir, "cells", man)
+      .getOrElse(return emptyResult(s, candFracOver > 0L))
     val kEff = qz.centroids.length
     val dim = qz.centroids.head.length
     val m = qz.codebooks.length
@@ -407,8 +493,8 @@ object AnnIndex {
     val probeCells = probes.map(_._2).distinct
     val qs = probes.toDF("q_id", "cell", "lut")
     val wq = Window.partitionBy(col("q_id"))
-    val candidates = dropTombstoned(s, dir,
-        s.read.parquet(s"$dir/cells").where(col("cell").isin(probeCells: _*)))
+    val candidates = IndexFiles.dropTombstoned(s, dir, man,
+        cellRows.where(col("cell").isin(probeCells: _*)), "vec_id")
       .join(broadcast(qs), Seq("cell"))
     val adc = (if (excludeSelf) candidates.where(col("vec_id") =!= col("q_id"))
                else candidates)
@@ -443,36 +529,78 @@ object AnnIndex {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Compact the cell directories in place. Every [[append]] leaves
-    * one file set per batch in each touched cell — after k ingests a
-    * cell holds k small files, and at 100 TB the probe scan's cost
-    * becomes file-open-bound instead of byte-bound (the classic
-    * streaming small-file problem). Rewrites each cell's rows into
-    * ~one file per shuffle partition of its size (repartition on the
-    * partition column co-locates each cell) via a staging directory +
-    * rename-aside swap, because Spark cannot overwrite a path it is
-    * reading. Tombstoned ids are dropped in the rewrite and the
-    * tombstone list is cleared — the delete becomes physical here.
-    * Query results are unchanged — same live rows, fewer files.
+  /** TARGETED compaction — fold litter, not the corpus. Every
+    * [[append]] leaves one file set per batch in each touched cell;
+    * after k ingests a hot cell holds k small files and the probe
+    * scan goes file-open-bound (the classic streaming small-file
+    * problem). The rewrite set is exactly:
     *
-    * Holds `compact.lock` throughout (concurrent appends fail fast —
-    * see the object doc; STRICT deployments pause ingest) and heals a
-    * previously crashed swap on entry. Returns (files before, files
-    * after). */
-  def compact(s: SparkSession, dir: String): (Long, Long) = {
-    val cells = new Path(s"$dir/cells")
-    val fs = IndexFiles.fsFor(s, cells)
-    IndexFiles.recoverRetired(fs, cells)
-    IndexFiles.withCompactLock(s, dir) {
-      val before = IndexFiles.countParquetFiles(fs, cells)
-      val staged = IndexFiles.stagingOf(cells)
-      dropTombstoned(s, dir, s.read.parquet(cells.toString))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(staged.toString)
-      IndexFiles.swapInstall(fs, cells)
-      IndexFiles.clearTombstones(fs, dir)
-      (before, IndexFiles.countParquetFiles(fs, cells))
+    *   - cells holding more than `maxFilesPerCell` live files
+    *     (fold the append litter to ~one file per cell), plus
+    *   - files that physically CONTAIN tombstoned rows
+    *     ([[IndexFiles.filesWithTombstonedRows]] — stats-pruned id
+    *     probe, footer-bound for small takedowns), so the fold makes
+    *     every outstanding delete physical.
+    *
+    * Every other live file is untouched — not read, not moved,
+    * byte-identical (files are immutable; only the manifest pointer
+    * swaps). Cost is O(touched cells), not O(index): at 100 TB,
+    * reclaiming the litter of a day's appends to a handful of cells
+    * costs a handful of cells' I/O (ScaleStress carries the measured
+    * curve). Replaced files stay on disk until [[vacuum]].
+    *
+    * Returns (live files before, live files after) — the file count
+    * a probe scan pays, which is the quantity compaction exists to
+    * bound. */
+  def compact(s: SparkSession, dir: String,
+              maxFilesPerCell: Int = 4): (Long, Long) =
+    IndexFiles.withWriterLock(s, dir) {
+      val man = IndexFiles.read(s, dir)
+      compactLocked(s, dir, man, maxFilesPerCell)
     }
+
+  /** Compact body, writer lock held. Shared with the REPL DDL verb. */
+  private def compactLocked(s: SparkSession, dir: String,
+                            man: IndexFiles.Manifest,
+                            maxFilesPerCell: Int): (Long, Long) = {
+    val before = man.data.size.toLong
+    val cellOf = (rel: String) => rel.takeWhile(_ != '/')
+    val dirty = IndexFiles.filesWithTombstonedRows(s, dir, "cells", man, "vec_id")
+    val dirtyCells = dirty.map(cellOf)
+    val byCell = man.dataFiles.groupBy(cellOf)
+    val touchedCells = byCell.collect {
+      case (c, fs) if fs.size > maxFilesPerCell || dirtyCells(c) => c
+    }.toSet
+    if (touchedCells.isEmpty) {
+      // nothing to rewrite; the OBSERVED tombstone ids hit no live
+      // file — e.g. a double delete — so clearing exactly those files
+      // folds nothing and is safe (a racing delete's newer tombstone
+      // files survive the filter)
+      if (man.tombstones.nonEmpty) {
+        val observed = man.tombFiles.toSet
+        IndexFiles.commit(s, dir)(cur =>
+          cur.copy(tombstones = cur.tombstones.filterNot(e => observed(e.rel))))
+      }
+      return (before, before)
+    }
+    val rewrite = byCell.filter { case (c, _) => touchedCells(c) }
+      .values.flatten.toSet
+    val root = new Path(s"$dir/cells")
+    val fs = IndexFiles.fsFor(s, root)
+    val preExisting = IndexFiles.listParquet(fs, root).map(_.rel).toSet
+    val rows = s.read.option("basePath", root.toString)
+      .parquet(IndexFiles.resolve(dir, "cells", rewrite.toSeq.sorted): _*)
+    IndexFiles.dropTombstoned(s, dir, man, rows, "vec_id")
+      // one shuffle partition per cell → ~one folded file per cell;
+      // at corpus scale maxRecordsPerFile re-splits a giant cell
+      .repartition(col("cell"))
+      .write.mode("append").option("maxRecordsPerFile", "4000000")
+      .partitionBy("cell").parquet(root.toString)
+    val added = IndexFiles.listParquet(fs, root)
+      .filterNot(e => preExisting(e.rel))
+    val next = IndexFiles.commitCompactSwap(s, dir, rewrite, added,
+      man.tombFiles.toSet)
+    (before, next.data.size.toLong)
   }
 
   case class MaintainDecision(appendedFrac: Double, distortionRatio: Double,
@@ -489,9 +617,11 @@ object AnnIndex {
     * the maintenance decision prices. */
   def maintain(s: SparkSession, dir: String, batch: DataFrame,
                maxDistortionRatio: Double = 1.5): MaintainDecision = {
+    val man = IndexFiles.read(s, dir)
     val meta = readMeta(s, dir)
     val centroids = readCentroids(s, dir)
-    val indexed = s.read.parquet(s"$dir/cells").count()
+    val indexed = IndexFiles.dataFrame(s, dir, "cells", man)
+      .map(_.count()).getOrElse(0L)
     val appendedFrac =
       math.max(0L, indexed - meta.nAtFit).toDouble / meta.nAtFit
     val batchD2 = meanD2(Similarity.fitSample(batch), centroids)

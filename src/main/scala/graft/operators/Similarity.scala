@@ -448,7 +448,7 @@ object Similarity {
     val n = corpusCount(emb)
     val kEff = ivfK(n, 64L)
     val indexDir = ivfIndexDir(d, kEff, "serve")
-    if (!new java.io.File(indexDir, "meta").exists())
+    if (!AnnIndex.hasIndex(s, indexDir))
       AnnIndex.build(s, emb, indexDir, k = kEff)
     AnnIndex.query(s, indexDir, queriesSet(emb), nProbe = nProbe, topK = topK)
   }

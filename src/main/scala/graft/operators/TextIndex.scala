@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,35 +42,49 @@ import graft.functions.HashFunctions.minhashBuckets
   * removed doc's buckets stop screening future batches immediately —
   * a RE-INGEST of equivalent text is admitted again — and [[compact]]
   * folds the tombstones away physically (plus the per-batch small
-  * files every append leaves). Same concurrency contract as AnnIndex:
-  * compact holds `compact.lock`, appends fail fast under it, and a
-  * crashed swap heals on the next lifecycle entry ([[IndexFiles]]). */
+  * files every append leaves). Storage protocol = [[IndexFiles]]:
+  * immutable bucket files, a versioned manifest as the committed
+  * snapshot, conditional manifest commits (object-store-safe), a
+  * bounded-wait writer lock (an append WAITS out a compact instead of
+  * dying — streaming ingest survives maintenance), and [[vacuum]] for
+  * physical reclamation. */
 object TextIndex {
+
+  /** True when `dir` holds a committed index (a manifest exists). */
+  def hasIndex(s: SparkSession, dir: String): Boolean =
+    IndexFiles.hasIndex(s, dir)
+
+  /** Committed-snapshot summary — see [[AnnIndex.Status]]. */
+  def status(s: SparkSession, dir: String): AnnIndex.Status = {
+    val m = IndexFiles.read(s, dir)
+    AnnIndex.Status(m.version, m.built, m.data.size.toLong,
+      m.tombstones.size.toLong)
+  }
 
   /** (doc_id, band, bucket) — map-only, one codegen'd kernel pass. */
   def bucketsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       posexplode(minhashBuckets(col("text"))).as(Seq("band", "bucket")))
 
+  /** Destructive (re)build: fresh manifest generation, prior
+    * tombstones cleared — a rebuild re-admits previously taken-down
+    * ids (the re-ingest-after-takedown flow). */
   def build(s: SparkSession, docs: DataFrame, dir: String): Unit =
-    bucketsOf(docs).write.mode("overwrite").parquet(s"$dir/buckets")
+    IndexFiles.commitRebuild(s, dir, "buckets") {
+      bucketsOf(docs).write.mode("overwrite").parquet(s"$dir/buckets")
+    }
 
-  def append(s: SparkSession, docs: DataFrame, dir: String): Unit = {
-    IndexFiles.requireNoCompactInFlight(s, dir)
-    // heal a crashed compact swap first — otherwise this append would
-    // create a fresh buckets/ holding only this batch and strand the
-    // standing index in buckets_retired (recovery only fires while
-    // buckets/ is missing)
-    val buckets = new org.apache.hadoop.fs.Path(s"$dir/buckets")
-    IndexFiles.recoverRetired(IndexFiles.fsFor(s, buckets), buckets)
-    bucketsOf(docs).write.mode("append").parquet(s"$dir/buckets")
-  }
+  def append(s: SparkSession, docs: DataFrame, dir: String): Unit =
+    IndexFiles.commitDataAppend(s, dir, "buckets") {
+      bucketsOf(docs).write.mode("append").parquet(s"$dir/buckets")
+    }
 
   /** Tombstone `ids`: their buckets stop screening batches from the
     * next [[admit]] on (so equivalent text re-ingests cleanly after a
-    * takedown); [[compact]] removes them physically. Fails fast while
-    * a compact is in flight — same silently-resurrected-takedown
-    * hazard as AnnIndex.delete. */
+    * takedown); [[compact]] removes them physically. Safe against a
+    * racing compact by construction — the tombstone files enter the
+    * manifest via the same conditional commit, so a compact can clear
+    * only the files it actually folded. */
   def delete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     import s.implicits._
     delete(s, dir, ids.toDF("doc_id").coalesce(1))
@@ -81,27 +96,82 @@ object TextIndex {
   def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
     IndexFiles.appendTombstones(s, dir, ids, "doc_id")
 
-  private def liveBucketRows(s: SparkSession, dir: String): DataFrame =
-    IndexFiles.dropTombstoned(s, dir,
-      s.read.parquet(s"$dir/buckets"), "doc_id")
+  /** The index's live bucket rows (manifest-resolved, tombstones
+    * dropped) — None when the live set is empty (all docs deleted and
+    * compacted away, or a fresh corpus). */
+  private def liveBucketRows(s: SparkSession, dir: String): Option[DataFrame] = {
+    val m = IndexFiles.read(s, dir)
+    IndexFiles.dataFrame(s, dir, "buckets", m)
+      .map(IndexFiles.dropTombstoned(s, dir, m, _, "doc_id"))
+  }
 
-  /** Fold the per-append small files and drop tombstoned docs'
-    * buckets physically (staging rewrite + rename-aside swap, compact
-    * lock held — see [[IndexFiles]]). Returns (files before, after). */
-  def compact(s: SparkSession, dir: String): (Long, Long) = {
-    val buckets = new org.apache.hadoop.fs.Path(s"$dir/buckets")
-    val fs = IndexFiles.fsFor(s, buckets)
-    IndexFiles.recoverRetired(fs, buckets)
-    IndexFiles.withCompactLock(s, dir) {
-      val before = IndexFiles.countParquetFiles(fs, buckets)
-      liveBucketRows(s, dir).coalesce(
-          math.max(1, (before / 16).toInt))
-        .write.mode("overwrite")
-        .parquet(IndexFiles.stagingOf(buckets).toString)
-      IndexFiles.swapInstall(fs, buckets)
-      IndexFiles.clearTombstones(fs, dir)
-      (before, IndexFiles.countParquetFiles(fs, buckets))
+  /** Public live-rows view for specs/tools — what a full scan of the
+    * index means under the snapshot protocol (a raw directory read
+    * would also see compact-replaced litter awaiting [[vacuum]]). */
+  def liveRows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    liveBucketRows(s, dir).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("band", IntegerType), StructField("bucket", LongType)))))
+  }
+
+  /** Reclaim files no manifest references (compact-replaced buckets,
+    * folded tombstones, superseded manifests) — see
+    * [[IndexFiles.vacuum]] for the grace-window contract. */
+  def vacuum(s: SparkSession, dir: String, graceMs: Long = 0L): Long =
+    IndexFiles.vacuum(s, dir, "buckets", graceMs)
+
+  /** TARGETED compaction — fold litter, not the corpus. The rewrite
+    * set is exactly: live bucket files smaller than `smallFileBytes`
+    * (the per-append litter) plus files that physically CONTAIN
+    * tombstoned docs' rows ([[IndexFiles.filesWithTombstonedRows]] —
+    * stats-pruned, footer-bound for small takedowns). Everything else
+    * is untouched — not read, not moved, byte-identical (files are
+    * immutable; only the manifest pointer swaps). Cost is O(litter):
+    * a year-old 100 TB bucket index pays only for the files recent
+    * appends and takedowns actually touched. Replaced files stay on
+    * disk until [[vacuum]]. Returns (live files before, after). */
+  def compact(s: SparkSession, dir: String,
+              smallFileBytes: Long = 16L << 20): (Long, Long) =
+    IndexFiles.withWriterLock(s, dir) {
+      val man = IndexFiles.read(s, dir)
+      compactLocked(s, dir, man, smallFileBytes)
     }
+
+  private def compactLocked(s: SparkSession, dir: String,
+                            man: IndexFiles.Manifest,
+                            smallFileBytes: Long): (Long, Long) = {
+    val before = man.data.size.toLong
+    val dirty =
+      IndexFiles.filesWithTombstonedRows(s, dir, "buckets", man, "doc_id")
+    val small = man.data.filter(_.size < smallFileBytes).map(_.rel).toSet
+    val rewrite = small ++ dirty
+    // fewer than two clean small files and no delete to fold → nothing
+    // a rewrite would improve
+    if (dirty.isEmpty && rewrite.size <= 1) {
+      if (man.tombstones.nonEmpty) {
+        val observed = man.tombFiles.toSet
+        IndexFiles.commit(s, dir)(cur =>
+          cur.copy(tombstones = cur.tombstones.filterNot(e => observed(e.rel))))
+      }
+      return (before, before)
+    }
+    val root = new Path(s"$dir/buckets")
+    val fs = IndexFiles.fsFor(s, root)
+    val preExisting = IndexFiles.listParquet(fs, root).map(_.rel).toSet
+    val rows = s.read
+      .parquet(IndexFiles.resolve(dir, "buckets", rewrite.toSeq.sorted): _*)
+    val rewriteBytes = man.data.filter(e => rewrite(e.rel)).map(_.size).sum
+    val targetFiles = math.max(1L, rewriteBytes / (64L << 20)).toInt
+    IndexFiles.dropTombstoned(s, dir, man, rows, "doc_id")
+      .coalesce(targetFiles)
+      .write.mode("append").parquet(root.toString)
+    val added = IndexFiles.listParquet(fs, root)
+      .filterNot(e => preExisting(e.rel))
+    val next = IndexFiles.commitCompactSwap(s, dir, rewrite, added,
+      man.tombFiles.toSet)
+    (before, next.data.size.toLong)
   }
 
   /** The pure admission decision: batch docs that are near-dup-free
@@ -110,16 +180,16 @@ object TextIndex {
     * loose upper bound is fine). */
   def admit(s: SparkSession, batch: DataFrame, dir: String,
             expectedBatchBuckets: Long = 1L << 20): DataFrame = {
-    IndexFiles.recoverRetired(IndexFiles.fsFor(s,
-      new org.apache.hadoop.fs.Path(s"$dir/buckets")),
-      new org.apache.hadoop.fs.Path(s"$dir/buckets"))
-    val idx = liveBucketRows(s, dir)
-    val bb = bucketsOf(batch)
-    val collided = ScaleJoins
-      .bloomReducedSemiJoin(bb, idx, Seq("band", "bucket"),
-        expectedBatchBuckets)
-      .select(col("doc_id")).distinct()
-    val fresh = batch.join(collided, Seq("doc_id"), "left_anti")
+    val fresh = liveBucketRows(s, dir) match {
+      case None => batch // empty live index screens nothing
+      case Some(idx) =>
+        val bb = bucketsOf(batch)
+        val collided = ScaleJoins
+          .bloomReducedSemiJoin(bb, idx, Seq("band", "bucket"),
+            expectedBatchBuckets)
+          .select(col("doc_id")).distinct()
+        batch.join(collided, Seq("doc_id"), "left_anti")
+    }
     // in-batch collapse: non-root cluster members drop; singletons
     // (absent from the component labels) pass untouched
     val nonRoots = Components

@@ -10,6 +10,24 @@ class AnnIndexSpec extends SparkSpec {
   private def freshDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_annidx_$tag").toString
 
+  /** Physical parquet files under `dir` as (relative path, size,
+    * mtime) — the byte-identity fingerprint for cold-file checks. */
+  private def physicalParquetFiles(dir: String): Set[(String, Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Set.empty
+    val it = fs.listFiles(root, true)
+    val out = Set.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        out += ((st.getPath.toUri.getPath.stripPrefix(
+          fs.makeQualified(root).toUri.getPath), st.getLen,
+          st.getModificationTime))
+    }
+    out.result()
+  }
+
   test("append-then-query equals rebuild-then-query under the same centroids") {
     val emb = Tables.embeddings(spark, Sf)
     // split the corpus into the standing part and an ingest batch
@@ -179,17 +197,22 @@ class AnnIndexSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.intersect(doomed.toSet).isEmpty,
       "a tombstoned id surfaced in the streaming probe")
 
-    // compact makes the delete physical: tombstone list gone, rows gone,
-    // results unchanged
+    // compact makes the delete physical: tombstone list empty in the
+    // committed snapshot, rows gone from the folded files, results
+    // unchanged; vacuum then reclaims the replaced files so even a raw
+    // directory read agrees
     AnnIndex.compact(spark, dir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
-      "compact must clear the tombstone list")
+    assert(AnnIndex.status(spark, dir).liveTombstoneFiles == 0,
+      "compact must clear the folded tombstone list")
+    AnnIndex.vacuum(spark, dir)
     val remaining = spark.read.parquet(s"$dir/cells")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(remaining.intersect(doomed.toSet).isEmpty,
       "compact must remove tombstoned rows physically")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(physicalParquetFiles(s"$dir/tombstones").isEmpty,
+      "vacuum must reclaim the folded tombstone files")
     assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
       == afterDel, "compacting the delete changed query results")
   }
@@ -225,68 +248,96 @@ class AnnIndexSpec extends SparkSpec {
     assert(!afterDel.map(_.getLong(2)).exists(doomed.toSet))
   }
 
-  test("compact lock excludes appends; a crashed swap heals on the next entry") {
+  test("targeted compact: hot cells fold, cold cells stay byte-identical, results unchanged") {
+    import spark.implicits._
+    // four orthogonal pinned centroids → deterministic cell assignment,
+    // so the test controls exactly which cell takes append litter
+    val dim = 64
+    def axis(i: Int, id: Long) = Array.tabulate(dim)(j =>
+      (if (j == i) 1.0f else 0.0f) +
+        (if (j == ((id % 32) + 32).toInt) 0.01f else 0.0f))
+    val cents = Array.tabulate(4)(i =>
+      Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0))
+    def vecs(cell: Int, ids: Seq[Long]) =
+      ids.map(id => (id, axis(cell, id)))
+    val corpus = (vecs(0, 0L until 40L) ++ vecs(1, 100L until 140L) ++
+      vecs(2, 200L until 240L) ++ vecs(3, 300L until 340L))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val dir = freshDir("targeted")
+    AnnIndex.build(spark, corpus, dir, pinnedCentroids = Some(cents))
+    // four append batches, ALL landing in cell 0 → litter in one cell
+    (1 to 4).foreach { b =>
+      AnnIndex.append(spark,
+        vecs(0, (1000L * b) until (1000L * b + 3L)).toDF("vec_id", "embedding")
+          .coalesce(1), dir)
+    }
+    val queries = (vecs(0, Seq(9000L)) ++ vecs(1, Seq(9001L)) ++
+      vecs(2, Seq(9002L)) ++ vecs(3, Seq(9003L)))
+      .toDF("q_id", "q_emb")
+    val expected = AnnIndex.query(spark, dir, queries, nProbe = 4)
+      .collect().toSeq
+    assert(expected.nonEmpty)
+
+    // no compact has run yet → physical layout == live set
+    val coldBefore = (1 to 3).map(c => physicalParquetFiles(s"$dir/cells/cell=$c"))
+    assert(physicalParquetFiles(s"$dir/cells/cell=0").size == 5,
+      "setup: cell 0 must hold the build file plus 4 litter files")
+    assert(coldBefore.forall(_.size == 1), "setup: cold cells hold one file")
+
+    val (before, after) = AnnIndex.compact(spark, dir, maxFilesPerCell = 2)
+    assert(before == 8 && after == 4,
+      s"only cell 0 must fold (5 files -> 1): $before -> $after")
+    // cold cells: not rewritten, not moved — same names, sizes, mtimes
+    val coldAfter = (1 to 3).map(c => physicalParquetFiles(s"$dir/cells/cell=$c"))
+    assert(coldAfter == coldBefore,
+      "a cold cell's files changed — compact must be O(litter), not O(index)")
+    assert(AnnIndex.query(spark, dir, queries, nProbe = 4).collect().toSeq
+      == expected, "targeted compact changed query results")
+    // vacuum reclaims the folded litter; cold cells still untouched
+    AnnIndex.vacuum(spark, dir)
+    assert(physicalParquetFiles(s"$dir/cells/cell=0").size == 1)
+    assert((1 to 3).map(c => physicalParquetFiles(s"$dir/cells/cell=$c"))
+      == coldBefore)
+
+    // a takedown in a COLD, under-threshold cell: the dirty-file probe
+    // must pull exactly that cell's file into the rewrite set
+    AnnIndex.delete(spark, dir, Seq(200L))
+    val cold13 = Seq(1, 3).map(c => physicalParquetFiles(s"$dir/cells/cell=$c"))
+    val (b2, a2) = AnnIndex.compact(spark, dir, maxFilesPerCell = 99)
+    assert(b2 == 4 && a2 == 4, s"one dirty file swaps for one folded file: $b2 -> $a2")
+    assert(Seq(1, 3).map(c => physicalParquetFiles(s"$dir/cells/cell=$c"))
+      == cold13, "cells without the tombstoned id must stay byte-identical")
+    AnnIndex.vacuum(spark, dir)
+    assert(!spark.read.parquet(s"$dir/cells").select("vec_id")
+      .collect().map(_.getLong(0)).contains(200L),
+      "the takedown must be physical after compact+vacuum")
+    assert(AnnIndex.query(spark, dir, queries, nProbe = 4).collect()
+      .forall(_.getLong(2) != 200L))
+  }
+
+  test("serving probes reuse cached quantizers within a build generation") {
     val emb = Tables.embeddings(spark, Sf)
-    val dir = freshDir("crash")
-    AnnIndex.build(spark, emb, dir, k = 32)
+    val dir = freshDir("qzcache")
+    AnnIndex.build(spark, emb, dir, k = 16)
     val queries = emb.where(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val expected = AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
-
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    // simulate a crash between compact's two renames: live cells/
-    // already retired, staging never installed
-    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
-    val retired = new org.apache.hadoop.fs.Path(s"$dir/cells_retired")
-    assert(fs.rename(cells, retired))
-    // the next lifecycle entry heals it — query sees the full index
-    assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
-      == expected, "crashed swap must heal on the next query")
-    assert(fs.exists(cells) && !fs.exists(retired))
-
-    // a held compact lock makes appends AND deletes fail fast instead
-    // of racing the staging read (a tombstone written mid-compact
-    // would be cleared without being folded — a resurrected takedown)
-    val lock = new org.apache.hadoop.fs.Path(s"$dir/compact.lock")
-    assert(fs.createNewFile(lock))
-    val e = intercept[IllegalArgumentException] {
-      AnnIndex.append(spark, emb.limit(5), dir)
-    }
-    assert(e.getMessage.contains("compact in progress"))
-    intercept[IllegalArgumentException] {
-      AnnIndex.delete(spark, dir, Seq(1L))
-    }
-    // ...and a second compact cannot start under the same lock
-    intercept[IllegalArgumentException] { AnnIndex.compact(spark, dir) }
-    // the heal must NOT fire while the lock exists: a live compact
-    // passes through the same missing-live state mid-swap, and a
-    // concurrent reader healing it would break the install rename
-    assert(fs.rename(cells, retired))
-    org.scalatest.Assertions.intercept[Exception] {
-      AnnIndex.query(spark, dir, queries, nProbe = 8).collect()
-    }
-    assert(!fs.exists(cells) && fs.exists(retired),
-      "recovery ran under a live compact lock")
-    fs.delete(lock, false)
-    // lock gone (crash + stale-lock removal): the next entry heals
-    assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
-      == expected)
-    // clean compact after the lock clears; results unchanged
-    val (before, after) = AnnIndex.compact(spark, dir)
-    assert(after <= before)
-    assert(AnnIndex.query(spark, dir, queries, nProbe = 8).collect().toSeq
-      == expected)
-
-    // an APPEND right after a crashed swap must heal first too — a
-    // fresh cells/ holding only the appended batch would strand the
-    // standing index in cells_retired with no entry left to heal it
-    assert(fs.rename(cells, retired))
-    AnnIndex.append(spark, emb.limit(5), dir)
-    assert(fs.exists(cells) && !fs.exists(retired))
-    val n = spark.read.parquet(s"$dir/cells").count()
-    assert(n == emb.count() + 5,
-      s"append after crashed swap must keep the standing index (rows=$n)")
+    def loads = AnnIndex.quantizerLoads.get()
+    val l0 = loads
+    AnnIndex.query(spark, dir, queries, nProbe = 4).collect()
+    assert(loads == l0 + 1, "first probe loads the quantizers once")
+    AnnIndex.query(spark, dir, queries, nProbe = 4).collect()
+    assert(loads == l0 + 1,
+      "second probe must NOT re-read centroids/meta — generation unchanged")
+    // appends change the manifest version but not the build generation:
+    // the cache stays valid (assignment geometry is immutable)
+    AnnIndex.append(spark, emb.limit(5)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")), dir)
+    AnnIndex.query(spark, dir, queries, nProbe = 4).collect()
+    assert(loads == l0 + 1, "an append must not invalidate the quantizer cache")
+    // a rebuild is a NEW generation → exactly one reload
+    AnnIndex.build(spark, emb, dir, k = 16)
+    AnnIndex.query(spark, dir, queries, nProbe = 4).collect()
+    assert(loads == l0 + 2, "a rebuild must reload quantizers exactly once")
   }
 
   test("a dim-mismatched ingest batch fails loudly on the write path") {

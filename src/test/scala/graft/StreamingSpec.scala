@@ -240,4 +240,45 @@ class StreamingSpec extends SparkSpec {
     val nEvents = rows.map(_.getLong(3)).sum
     assert(nEvents == Tables.events(spark, Sf).count())
   }
+
+  test("streaming ANN ingest survives a concurrent compact: batches wait, none fail, none lost") {
+    val emb = Tables.embeddings(spark, Sf)
+    val standing = emb.where(col("vec_id") % 2 === 0)
+    val arriving = emb.where(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_compact").toString
+    graft.operators.AnnIndex.build(spark, standing, dir, k = 16)
+
+    // a "compact" holds the writer lock while the stream's first batch
+    // arrives — the batch must WAIT (round 7 killed the stream here)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/writer.lock")
+    assert(fs.createNewFile(lock))
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_compact_io").toString
+    arriving.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(arriving.schema).parquet(s"$base/in")
+    val q = EventStreams.annIngestStream(stream, dir, s"$base/ckpt")
+    try {
+      // the micro-batch is inside the bounded lock wait: still alive,
+      // no exception, nothing committed yet
+      Thread.sleep(3000)
+      assert(q.isActive, "stream died while a compact held the writer lock")
+      assert(q.exception.isEmpty,
+        s"micro-batch failed under the lock: ${q.exception}")
+      fs.delete(lock, false)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"batch failed after lock release: ${q.exception}")
+    } finally q.stop()
+
+    // zero lost appends: the stream-grown index holds every vector
+    val got = graft.operators.AnnIndex.liveRows(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"lost appends across the compact: missing ${(want -- got).take(5)}")
+  }
 }

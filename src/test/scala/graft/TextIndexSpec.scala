@@ -64,25 +64,34 @@ class TextIndexSpec extends SparkSpec {
     val fullDir = freshDir()
     TextIndex.build(spark, a.unionByName(b), fullDir)
 
-    def rows(dir: String) = spark.read.parquet(s"$dir/buckets")
+    def rows(dir: String) = TextIndex.liveRows(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(rows(incDir) == rows(fullDir),
       "bucket codes are a pure function of text — append must equal rebuild")
 
-    // an append right after a crashed compact swap heals first: the
-    // standing index must not be stranded in buckets_retired
+    // uncommitted litter in buckets/ (a crashed append) is invisible
+    // to the live view — the manifest is the index (IndexManifestSpec
+    // pins the full crash table on the AnnIndex twin)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val buckets = new org.apache.hadoop.fs.Path(s"$incDir/buckets")
-    val retired = new org.apache.hadoop.fs.Path(s"$incDir/buckets_retired")
-    assert(fs.rename(buckets, retired))
     val c = (200L until 205L).map(i => doc(i, s"gamma$i")).toDF("doc_id", "text")
+    c.transform(TextIndex.bucketsOf).write.mode("append")
+      .parquet(s"$incDir/buckets_orphan_stage")
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(s"$incDir/buckets_orphan_stage"), true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet"))
+        fs.rename(p, new org.apache.hadoop.fs.Path(s"$incDir/buckets/${p.getName}"))
+    }
+    assert(rows(incDir) == rows(fullDir),
+      "uncommitted bucket files leaked into the live view")
+    // a real append COMMITS and becomes visible
     TextIndex.append(spark, c, incDir)
-    assert(fs.exists(buckets) && !fs.exists(retired))
     assert(rows(incDir) == rows(fullDir) ++
       c.transform(TextIndex.bucketsOf).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet,
-      "append after a crashed swap must keep the standing index")
+      "a committed append must join the live view")
   }
 
   test("streaming ingest admits the same docs as the batch twin and grows the index") {
@@ -141,25 +150,16 @@ class TextIndexSpec extends SparkSpec {
     assert(readmitted == Set(300L),
       s"deleted doc must stop screening a re-ingest: $readmitted")
 
-    // a delete during a live compact fails fast — compact clears the
-    // tombstone list at the end, so a mid-compact tombstone would be
-    // dropped without being folded (a resurrected takedown)
-    val fsLock = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val lock = new org.apache.hadoop.fs.Path(s"$dir/compact.lock")
-    assert(fsLock.createNewFile(lock))
-    intercept[IllegalArgumentException] {
-      TextIndex.delete(spark, dir, Seq(8L))
-    }
-    fsLock.delete(lock, false)
-
     // compact folds the tombstone physically; the re-admitted doc's
-    // buckets survive and now screen the NEXT re-crawl
+    // buckets survive and now screen the NEXT re-crawl (a delete
+    // racing a live compact now WAITS on the writer lock and its
+    // tombstone files survive the fold by construction —
+    // IndexManifestSpec pins both)
     val (before, after) = TextIndex.compact(spark, dir)
     assert(after <= before)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    assert(TextIndex.status(spark, dir).liveTombstoneFiles == 0,
+      "compact must clear the folded tombstone list")
+    TextIndex.vacuum(spark, dir)
     val idxDocs = spark.read.parquet(s"$dir/buckets")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(!idxDocs.contains(7L), "compact must drop the deleted doc's buckets")
@@ -168,6 +168,66 @@ class TextIndexSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(TextIndex.admit(spark, again, dir).collect().isEmpty,
       "the re-admitted doc must screen subsequent re-crawls")
+  }
+
+  test("targeted compact folds only small and tombstone-dirty bucket files") {
+    import spark.implicits._
+    def physical(dir: String): Set[(String, Long, Long)] = {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      val out = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += ((st.getPath.getName, st.getLen, st.getModificationTime))
+      }
+      out.result()
+    }
+    // one big build file (200 docs) + three small append files (3 docs)
+    val corpus = (0L until 200L).map(i => doc(i, s"bigtopic$i"))
+      .toDF("doc_id", "text").coalesce(1)
+    val dir = freshDir()
+    TextIndex.build(spark, corpus, dir)
+    (1 to 3).foreach { b =>
+      TextIndex.append(spark,
+        (1000L * b until 1000L * b + 3L).map(i => doc(i, s"litter$i"))
+          .toDF("doc_id", "text").coalesce(1), dir)
+    }
+    val files = physical(dir)
+    assert(files.size == 4, s"setup: 1 build + 3 litter files: ${files.size}")
+    val bigFile = files.maxBy(_._2)
+    val threshold = files.map(_._2).toSeq.sorted.takeRight(2).head + 1
+    assert(bigFile._2 >= threshold,
+      "setup: the build file must sit above the small-file threshold")
+    val liveBefore = TextIndex.liveRows(spark, dir).collect().toSet
+
+    // fold the litter: the big file is neither small nor dirty → it
+    // must stay byte-identical (same name, size, mtime)
+    val (b1, a1) = TextIndex.compact(spark, dir, smallFileBytes = threshold)
+    assert(b1 == 4 && a1 == 2, s"3 litter files fold into 1: $b1 -> $a1")
+    TextIndex.vacuum(spark, dir)
+    val afterFold = physical(dir)
+    assert(afterFold.contains(bigFile),
+      "the big clean file must not be rewritten — compact is O(litter)")
+    assert(TextIndex.liveRows(spark, dir).collect().toSet == liveBefore,
+      "folding changed the live rows")
+
+    // a takedown inside the BIG file: the dirty-file probe pulls
+    // exactly it into the rewrite; the folded litter file stays
+    TextIndex.delete(spark, dir, Seq(5L))
+    val litterFile = (afterFold - bigFile).head
+    val (b2, a2) = TextIndex.compact(spark, dir, smallFileBytes = 1L)
+    assert(b2 == 2 && a2 == 2, s"one dirty file swaps for one fold: $b2 -> $a2")
+    TextIndex.vacuum(spark, dir)
+    val afterDel = physical(dir)
+    assert(afterDel.contains(litterFile),
+      "the clean folded file must stay byte-identical under a takedown fold")
+    assert(!afterDel.contains(bigFile), "the dirty file must be replaced")
+    val docs = TextIndex.liveRows(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!docs.contains(5L) && docs.contains(6L),
+      "the takedown must be physical and everything else intact")
   }
 
   test("gate entry admits only genuinely new batch docs at sf0.001") {
