@@ -20,18 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert exactly (integer
-    * division — a double roundtrip would lose precision past 2^53 ns). */
+  /** events.parquet's `ts` physical type has shifted across driver data
+    * vintages; normalize every vintage to session-zone TimestampType so
+    * downstream operators (`unix_seconds`/`unix_micros`, streaming
+    * watermarks) see one stable type contract:
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it; read nanos as long
+    *     under the legacy flag and convert exactly (integer division — a
+    *     double roundtrip would lose precision past 2^53 ns).
+    *   - timestamp[us] with no UTC flag: Spark 4 infers TIMESTAMP_NTZ;
+    *     the session is pinned UTC (GraftSession), so the cast to
+    *     TimestampType is value-exact and keeps DuckDB-oracle hash parity
+    *     (DuckDB reads the same naive micros).
+    *   - TimestampType (MakeScale-derived dirs): pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    // derived dirs (MakeScale) already store a true timestamp; only the
-    // driver-generated TIMESTAMP(NANOS) files need the long→micros fix
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -22,24 +22,35 @@ case class Admitted(doc_id: Long, source: String, n_tokens: Long,
 object EventStreams {
 
   /** Streaming source over the events parquet directory (schema must be
-    * supplied for readStream). `ts` arrives as nanos (TIMESTAMP(NANOS)
-    * is read as long under the legacy flag) and converts exactly. */
+    * supplied for readStream). The driver's `ts` physical type has
+    * shifted across data vintages — TIMESTAMP(NANOS) read as long under
+    * the legacy flag, then plain timestamp[us] with no UTC flag (Spark
+    * infers TIMESTAMP_NTZ). Probe the file's actual type with a one-off
+    * batch footer read and convert per vintage, so every downstream
+    * watermark/window sees session-zone TimestampType — the same
+    * contract graft.Tables.events normalizes the batch twin to. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
-      StructField("ts", LongType),
+      StructField("ts", tsType),
       StructField("value", DoubleType)))
     // glob-filter to the events file specifically: a bare directory
     // stream would sweep in sibling tables as all-null rows (event-time
     // filters hide them in windowed aggs, but a dedup keeps one
     // null-key row)
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark:
