@@ -10,8 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ReadSchema` in explain output).
   */
 object Tables {
+  /** Driver data vintages have flipped timestamp columns between
+    * UTC-flagged (TimestampType) and naive micros (TIMESTAMP_NTZ in
+    * Spark 4). Operators are written against one contract —
+    * session-zone TimestampType — so every loader casts NTZ columns
+    * through here. The session is pinned UTC (GraftSession), making the
+    * cast value-exact; the DuckDB oracle reads the same naive micros,
+    * so hash parity holds. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.col
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    ntz.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -20,29 +35,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet's `ts` physical type has shifted across driver data
-    * vintages; normalize every vintage to session-zone TimestampType so
-    * downstream operators (`unix_seconds`/`unix_micros`, streaming
-    * watermarks) see one stable type contract:
-    *   - TIMESTAMP(NANOS): Spark's reader rejects it; read nanos as long
-    *     under the legacy flag and convert exactly (integer division — a
-    *     double roundtrip would lose precision past 2^53 ns).
-    *   - timestamp[us] with no UTC flag: Spark 4 infers TIMESTAMP_NTZ;
-    *     the session is pinned UTC (GraftSession), so the cast to
-    *     TimestampType is value-exact and keeps DuckDB-oracle hash parity
-    *     (DuckDB reads the same naive micros).
-    *   - TimestampType (MakeScale-derived dirs): pass through. */
+  /** events.parquet's `ts` has one extra vintage beyond the NTZ case
+    * [[normalizeNtz]] already covers: TIMESTAMP(NANOS), which Spark's
+    * reader rejects outright — read nanos as long under the legacy flag
+    * and convert exactly (integer division; a double roundtrip would
+    * lose precision past 2^53 ns). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts",
-        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

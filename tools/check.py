@@ -20,11 +20,32 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 json_out = sys.argv[3] if len(sys.argv) > 3 else None
+# closed world: iterate the DECLARED query set (queries_keys.json, written
+# by Verify.scala) so a query that crashed or never ran shows as a red row
+# instead of silently vanishing from the artifact. Fall back to listing
+# output dirs only for pre-existing dumps without the declaration file.
+keys_file = f"{out_dir}/queries_keys.json"
+if os.path.exists(keys_file):
+    declared = json.load(open(keys_file))
+else:
+    declared = [n for n in sorted(os.listdir(out_dir))
+                if os.path.isdir(f"{out_dir}/{n}")]
 fails, passes, skips = [], [], []
 report = {}
-for name in sorted(os.listdir(out_dir)):
+for name in declared:
     p = f"{out_dir}/{name}"
     if not os.path.isdir(p):
+        fails.append(f"{name}: NO OUTPUT (query absent from dump)")
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": None,
+                        "oracle_rows": None, "err": "no output (query absent)"}
+        continue
+    if os.path.exists(f"{p}/_ERROR"):
+        msg = open(f"{p}/_ERROR").read().strip()
+        fails.append(f"{name}: QUERY ERROR {msg}")
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": None,
+                        "oracle_rows": None, "err": f"query error: {msg}"}
         continue
     files = glob.glob(f"{p}/*.parquet")
     got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
