@@ -62,6 +62,24 @@ object Bench {
 
     val loadBefore = loadavg
     run(headline.head) // warm-up: JIT + codegen compile, FS caches
+
+    // explicit index-build timing (round 10): the IVF build was only
+    // visible as serve_ann_probe's run-1 spread, where a build
+    // regression can't be told from machine load. One timed build into
+    // a fresh dir, same derived k as the serve path, its own field.
+    val buildS: Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_ann")
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.AnnIndex.build(spark,
+          Tables.embeddings(spark, sfDir), dir.toString)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] index build failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
     val samples: Seq[(String, Seq[Double])] = headline.map { name =>
       name -> Seq.fill(nRuns)(run(name))
     }
@@ -85,6 +103,7 @@ object Bench {
       s""","queries_median":${jmap(_._2._2)}""" +
       s""","queries_spread":${jmap(_._2._3)}""" +
       s""","total_median":${jtotal(_._2._2)}""" +
+      s""","build_s":$buildS""" +
       s""","runs":$nRuns,"loadavg_before":"$loadBefore"""" +
       s""","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
     spark.stop()

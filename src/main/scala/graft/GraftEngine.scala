@@ -125,6 +125,8 @@ object GraftEngine {
       }.getOrElse(dflt)
     }
     def int(key: String, dflt: Int): Int = get(key, dflt)(_.toInt)
+    /** Raw string parameter (e.g. an index directory). */
+    def str(key: String, dflt: String): String = get(key, dflt)(identity)
     def long(key: String, dflt: Long): Long = get(key, dflt)(_.toLong)
     def double(key: String, dflt: Double): Double = get(key, dflt)(_.toDouble)
     /** Comma-separated list (e.g. `terms=alpha,beta`). */
@@ -171,7 +173,7 @@ object GraftEngine {
           nProbe = p.int("nProbe", 4))),
       "serve_ann_probe" -> ((s, d, p) =>
         Similarity.serveAnnProbe(s, d, nProbe = p.int("nProbe", 0),
-          topK = p.int("topK", 10))),
+          topK = p.int("topK", 10), indexDir = p.str("indexDir", ""))),
       "dedup_semantic" -> ((s, d, p) =>
         Similarity.dedupSemantic(s, d,
           threshold = p.double("threshold", 0.45))),

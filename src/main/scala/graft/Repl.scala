@@ -50,20 +50,101 @@ object Repl {
     else table
   }
 
+  /** Index lifecycle DDL — the SQL/REPL user's route to the verbs that
+    * were previously Scala-only (most importantly `delete`, the
+    * takedown verb: a compliance operator must not require a Scala
+    * build). Syntax:
+    *
+    * {{{
+    * index <build|append|delete|compact|vacuum|status> <ann|text>
+    *       <indexDir> [dataDir] [key=value ...]
+    * }}}
+    *
+    * `build`/`append` read the corpus tables (embeddings / documents)
+    * from `dataDir` (default: the session's baseDir); `delete` takes
+    * `ids=1,2,3`; `compact`/`vacuum`/`status` act on the index alone.
+    * The built index is immediately probeable via
+    * `pipeline serve_ann_probe indexDir=<indexDir>`. */
+  def evalIndex(spark: org.apache.spark.sql.SparkSession, rest: String,
+                baseDir: String): String = {
+    import graft.operators.{AnnIndex, TextIndex}
+    val toks = rest.trim.split("\\s+")
+    require(toks.length >= 3,
+      "syntax: index <build|append|delete|compact|vacuum|status> " +
+        "<ann|text> <indexDir> [dataDir] [key=value ...]")
+    val (verb, kind, dir) = (toks(0).toLowerCase, toks(1).toLowerCase, toks(2))
+    require(kind == "ann" || kind == "text",
+      s"unknown index kind '$kind' — expected ann or text")
+    val (kvs, positional) = toks.drop(3).partition(_.contains("="))
+    require(positional.length <= 1,
+      s"unexpected arguments ${positional.drop(1).mkString(" ")}")
+    val dataDir = positional.headOption.getOrElse(baseDir)
+    val p = new GraftEngine.Params(s"index $verb $kind",
+      kvs.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+    val out = (verb, kind) match {
+      case ("build", "ann") =>
+        val cents = AnnIndex.build(spark, Tables.embeddings(spark, dataDir),
+          dir, k = p.int("k", 0),
+          targetCellSize = p.long("targetCellSize", 64L))
+        s"built ann index at $dir (k=${cents.length}, dim=${cents.head.length})"
+      case ("build", "text") =>
+        TextIndex.build(spark, Tables.documents(spark, dataDir), dir)
+        s"built text index at $dir"
+      case ("append", "ann") =>
+        AnnIndex.append(spark, Tables.embeddings(spark, dataDir), dir)
+        s"appended embeddings from $dataDir into $dir"
+      case ("append", "text") =>
+        TextIndex.append(spark, Tables.documents(spark, dataDir), dir)
+        s"appended documents from $dataDir into $dir"
+      case ("delete", _) =>
+        val ids = p.strings("ids", Seq.empty).map(_.toLong)
+        require(ids.nonEmpty, "index delete needs ids=<id,id,...>")
+        if (kind == "ann") AnnIndex.delete(spark, dir, ids)
+        else TextIndex.delete(spark, dir, ids)
+        s"tombstoned ${ids.length} id(s) in $dir"
+      case ("compact", "ann") =>
+        val (before, after) = AnnIndex.compact(spark, dir,
+          maxFilesPerCell = p.int("maxFilesPerCell", 4))
+        s"compacted $dir: live data files $before -> $after"
+      case ("compact", "text") =>
+        val (before, after) = TextIndex.compact(spark, dir,
+          smallFileBytes = p.long("smallFileBytes", 16L << 20))
+        s"compacted $dir: live data files $before -> $after"
+      case ("vacuum", _) =>
+        val n = if (kind == "ann") AnnIndex.vacuum(spark, dir, p.long("graceMs", 0L))
+                else TextIndex.vacuum(spark, dir, p.long("graceMs", 0L))
+        s"vacuumed $n orphan file(s) from $dir"
+      case ("status", _) =>
+        val st = if (kind == "ann") AnnIndex.status(spark, dir)
+                 else TextIndex.status(spark, dir)
+        s"version=${st.version} built=${st.built} " +
+          s"liveDataFiles=${st.liveDataFiles} " +
+          s"liveTombstoneFiles=${st.liveTombstoneFiles}"
+      case _ => throw new IllegalArgumentException(
+        s"unknown index verb '$verb' — expected " +
+          "build|append|delete|compact|vacuum|status")
+    }
+    p.requireAllRead()
+    out
+  }
+
   /** One REPL step: `explain <query>` → formatted physical plan (beyond
     * the reference's surface — its optimizer is a no-op; on Spark the
     * plan IS the performance story); `pipeline <name> [dataDir]
     * [k=v ...]` → register the operator as a SQL view
     * (GraftEngine.pipelineView) so subsequent queries compose against
     * it — trailing k=v tokens override the operator's gate defaults
-    * (e.g. `pipeline sim_ann_ivf_persisted /data nProbe=8`); anything
-    * else → rendered table. */
+    * (e.g. `pipeline sim_ann_ivf_persisted /data nProbe=8`);
+    * `index <verb> ...` → the index lifecycle DDL ([[evalIndex]]);
+    * anything else → rendered table. */
   def eval(spark: org.apache.spark.sql.SparkSession, line: String,
            baseDir: String): String = {
     val t = line.trim
     if (t.toLowerCase.startsWith("explain "))
       GraftEngine.sql(spark, t.drop(8), baseDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
+    else if (t.toLowerCase.startsWith("index "))
+      evalIndex(spark, t.drop(6), baseDir)
     else if (t.toLowerCase.startsWith("pipeline ")) {
       val args = t.drop(9).trim.split("\\s+")
       val (kvs, positional) = args.tail.partition(_.contains("="))

@@ -559,7 +559,8 @@ object AnnIndex {
       compactLocked(s, dir, man, maxFilesPerCell)
     }
 
-  /** Compact body, writer lock held. Shared with the REPL DDL verb. */
+  /** Compact body, writer lock held; [[compact]] is the public entry
+    * (also the target of the REPL's `index compact ann` DDL verb). */
   private def compactLocked(s: SparkSession, dir: String,
                             man: IndexFiles.Manifest,
                             maxFilesPerCell: Int): (Long, Long) = {

@@ -443,14 +443,20 @@ object Similarity {
     * recall the AnnStress legs measure); computing it per bench run
     * would time the brute-force twin, not the serving path. */
   def serveAnnProbe(s: SparkSession, d: String,
-                    nProbe: Int = 0, topK: Int = K): DataFrame = {
+                    nProbe: Int = 0, topK: Int = K,
+                    indexDir: String = ""): DataFrame = {
     val emb = embeddings(s, d)
     val n = corpusCount(emb)
     val kEff = ivfK(n, 64L)
-    val indexDir = ivfIndexDir(d, kEff, "serve")
-    if (!AnnIndex.hasIndex(s, indexDir))
-      AnnIndex.build(s, emb, indexDir, k = kEff)
-    AnnIndex.query(s, indexDir, queriesSet(emb), nProbe = nProbe, topK = topK)
+    // explicit indexDir (the REPL DDL flow: `index build ann <dir>`,
+    // then `pipeline serve_ann_probe indexDir=<dir>`) probes THAT
+    // committed index; otherwise a derived per-corpus dir, built on
+    // first touch
+    val dirEff = if (indexDir.nonEmpty) indexDir
+                 else ivfIndexDir(d, kEff, "serve")
+    if (!AnnIndex.hasIndex(s, dirEff))
+      AnnIndex.build(s, emb, dirEff, k = kEff)
+    AnnIndex.query(s, dirEff, queriesSet(emb), nProbe = nProbe, topK = topK)
   }
 
   /** ANN via IVF×PQ — the FAISS IVFPQ serving composition (Jégou et

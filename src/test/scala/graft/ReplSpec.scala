@@ -98,6 +98,55 @@ class ReplSpec extends SparkSpec {
     assert(err2.getMessage.contains("takes no parameters"), err2.getMessage)
   }
 
+  test("index DDL: build, status, delete-takedown, compact, vacuum via the REPL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_repl_ddl").toString
+    // build from the embeddings table, then probe it through the
+    // pipeline view pointed at the SAME index dir
+    val built = Repl.eval(spark, s"index build ann $dir $Sf k=16", ".")
+    assert(built.contains(s"built ann index at $dir") && built.contains("k=16"),
+      built)
+    val st = Repl.eval(spark, s"index status ann $dir", ".")
+    assert(st.contains("version=") && st.contains("liveDataFiles="), st)
+
+    Repl.eval(spark, s"pipeline serve_ann_probe $Sf indexDir=$dir nProbe=16", ".")
+    val before = GraftEngine.sql(spark,
+        "select distinct vec_id from graft_serve_ann_probe")
+      .collect().map(_.getLong(0)).toSet
+    assert(before.nonEmpty, "probe against the built index must hit")
+    val victim = before.head
+
+    // the takedown verb, SQL-surface only — no Scala required
+    val del = Repl.eval(spark, s"index delete ann $dir ids=$victim", ".")
+    assert(del.contains("tombstoned 1"), del)
+    Repl.eval(spark, s"pipeline serve_ann_probe $Sf indexDir=$dir nProbe=16", ".")
+    val after = GraftEngine.sql(spark,
+        "select distinct vec_id from graft_serve_ann_probe")
+      .collect().map(_.getLong(0)).toSet
+    assert(!after.contains(victim),
+      s"deleted id $victim still served: ${after.take(5)}")
+
+    // compact folds the tombstone physically; vacuum clears orphans
+    val comp = Repl.eval(spark, s"index compact ann $dir", ".")
+    assert(comp.contains("live data files"), comp)
+    val vac = Repl.eval(spark, s"index vacuum ann $dir", ".")
+    assert(vac.contains("vacuumed"), vac)
+
+    // text twin: build + delete + status round-trip
+    val tdir = java.nio.file.Files.createTempDirectory("graft_repl_tddl").toString
+    assert(Repl.eval(spark, s"index build text $tdir $Sf", ".")
+      .contains("built text index"))
+    assert(Repl.eval(spark, s"index delete text $tdir ids=1,2", ".")
+      .contains("tombstoned 2"))
+    assert(Repl.eval(spark, s"index status text $tdir", ".")
+      .contains("liveTombstoneFiles=1"))
+
+    // unknown parameter keys fail loudly, as everywhere on the surface
+    val err = intercept[IllegalArgumentException] {
+      Repl.eval(spark, s"index compact ann $dir maxfiles=2", ".")
+    }
+    assert(err.getMessage.contains("maxfiles"), err.getMessage)
+  }
+
   test("render truncates past MaxRows and shows nulls as NULL") {
     import spark.implicits._
     val big = spark.range(500).toDF("id")
