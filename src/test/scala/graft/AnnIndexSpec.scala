@@ -28,6 +28,23 @@ class AnnIndexSpec extends SparkSpec {
     out.result()
   }
 
+  test("build writes one file per cell regardless of input partitioning") {
+    // the scale property that broke at sf1 (round 10): without cell
+    // co-location the build fans every scan partition into every cell
+    // dir — k × partitions splinter files whose open cost dominates
+    // the probe. A 16-partition input must still land one file/cell.
+    val dir = freshDir("layout")
+    AnnIndex.build(spark, Tables.embeddings(spark, Sf).repartition(16),
+      dir, k = 8)
+    val byCell = physicalParquetFiles(dir)
+      .filter(_._1.contains("cell="))
+      .groupBy(_._1.split("/").find(_.startsWith("cell=")).get)
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (cell, fs) =>
+      assert(fs.size == 1, s"$cell has ${fs.size} files — build must co-locate")
+    }
+  }
+
   test("append-then-query equals rebuild-then-query under the same centroids") {
     val emb = Tables.embeddings(spark, Sf)
     // split the corpus into the standing part and an ingest batch
