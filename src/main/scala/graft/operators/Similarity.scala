@@ -801,15 +801,43 @@ object Similarity {
       while (i < a.length) { val e = a(i) - b(i); s += e * e; i += 1 }
       s
     }
+    // assignment is O(sample × k × dim) per iteration — ~8e9 mul-adds
+    // at the k=313/dim=64 sf1 derivation and the dominant build_s cost.
+    // Parallelize over FIXED point chunks and merge partial (sums,
+    // counts) in chunk-index order: deterministic under any thread
+    // schedule (each chunk's float-sum order is fixed, and so is the
+    // merge order), unlike a naive shared-accumulator parallel loop.
+    val nChunks = math.min(
+      Runtime.getRuntime.availableProcessors, math.max(1, points.length / 64))
+    val chunkSize = (points.length + nChunks - 1) / nChunks
     for (_ <- 0 until iters) {
+      val partials = java.util.stream.IntStream.range(0, nChunks).parallel()
+        .mapToObj { c =>
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val counts = new Array[Int](k)
+          var pi = c * chunkSize
+          val end = math.min(points.length, pi + chunkSize)
+          while (pi < end) {
+            val p = points(pi)
+            var best = 0; var bd = Double.MaxValue; var j = 0
+            while (j < k) { val dd = d2(p, centers(j)); if (dd < bd) { bd = dd; best = j }; j += 1 }
+            counts(best) += 1
+            var i = 0
+            while (i < dim) { sums(best)(i) += p(i); i += 1 }
+            pi += 1
+          }
+          (sums, counts)
+        }.toArray(n => new Array[(Array[Array[Double]], Array[Int])](n))
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      points.foreach { p =>
-        var best = 0; var bd = Double.MaxValue; var j = 0
-        while (j < k) { val dd = d2(p, centers(j)); if (dd < bd) { bd = dd; best = j }; j += 1 }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      partials.foreach { case (ps, pc) =>
+        var j = 0
+        while (j < k) {
+          counts(j) += pc(j)
+          var i = 0
+          while (i < dim) { sums(j)(i) += ps(j)(i); i += 1 }
+          j += 1
+        }
       }
       for (j <- 0 until k if counts(j) > 0; i <- 0 until dim)
         centers(j)(i) = sums(j)(i) / counts(j)
