@@ -36,7 +36,11 @@ object Bench {
     // round 7: the serving layer — probe a persisted index at rest.
     // Build-once-per-JVM: run 1 absorbs the build (visible as spread),
     // the MIN is the steady-state probe cost a serving regression moves
-    "serve_ann_probe")
+    "serve_ann_probe",
+    // round 10: the bucketed range join — one of the two queries the
+    // timestamp-vintage regression silently killed; benched so the
+    // temporal-join path has a tracked number like stream_sessionize
+    "q_range_join")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
