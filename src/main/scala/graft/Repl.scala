@@ -56,14 +56,17 @@ object Repl {
     * build). Syntax:
     *
     * {{{
-    * index <build|append|delete|compact|vacuum|status> <ann|text>
+    * index <build|append|delete|compact|vacuum|status> <ann|pq|text>
     *       <indexDir> [dataDir] [key=value ...]
     * }}}
     *
     * `build`/`append` read the corpus tables (embeddings / documents)
     * from `dataDir` (default: the session's baseDir); `delete` takes
     * `ids=1,2,3`; `compact`/`vacuum`/`status` act on the index alone.
-    * The built index is immediately probeable via
+    * `pq` builds/appends the IVFPQ encoding (buildPq/appendPq; knobs
+    * m, codebookK) — its takedown/maintenance verbs are the raw-IVF
+    * ones, since both layouts share the manifest and cell-directory
+    * contract. The built raw index is immediately probeable via
     * `pipeline serve_ann_probe indexDir=<indexDir>`. */
   def evalIndex(spark: org.apache.spark.sql.SparkSession, rest: String,
                 baseDir: String): String = {
@@ -73,8 +76,8 @@ object Repl {
       "syntax: index <build|append|delete|compact|vacuum|status> " +
         "<ann|text> <indexDir> [dataDir] [key=value ...]")
     val (verb, kind, dir) = (toks(0).toLowerCase, toks(1).toLowerCase, toks(2))
-    require(kind == "ann" || kind == "text",
-      s"unknown index kind '$kind' — expected ann or text")
+    require(kind == "ann" || kind == "pq" || kind == "text",
+      s"unknown index kind '$kind' — expected ann, pq or text")
     val (kvs, positional) = toks.drop(3).partition(_.contains("="))
     require(positional.length <= 1,
       s"unexpected arguments ${positional.drop(1).mkString(" ")}")
@@ -87,11 +90,21 @@ object Repl {
           dir, k = p.int("k", 0),
           targetCellSize = p.long("targetCellSize", 64L))
         s"built ann index at $dir (k=${cents.length}, dim=${cents.head.length})"
+      case ("build", "pq") =>
+        val qz = AnnIndex.buildPq(spark, Tables.embeddings(spark, dataDir),
+          dir, k = p.int("k", 0), m = p.int("m", 8),
+          codebookK = p.int("codebookK", 64),
+          targetCellSize = p.long("targetCellSize", 64L))
+        s"built ivfpq index at $dir (k=${qz.centroids.length}, " +
+          s"m=${qz.codebooks.length})"
       case ("build", "text") =>
         TextIndex.build(spark, Tables.documents(spark, dataDir), dir)
         s"built text index at $dir"
       case ("append", "ann") =>
         AnnIndex.append(spark, Tables.embeddings(spark, dataDir), dir)
+        s"appended embeddings from $dataDir into $dir"
+      case ("append", "pq") =>
+        AnnIndex.appendPq(spark, Tables.embeddings(spark, dataDir), dir)
         s"appended embeddings from $dataDir into $dir"
       case ("append", "text") =>
         TextIndex.append(spark, Tables.documents(spark, dataDir), dir)
@@ -99,10 +112,10 @@ object Repl {
       case ("delete", _) =>
         val ids = p.strings("ids", Seq.empty).map(_.toLong)
         require(ids.nonEmpty, "index delete needs ids=<id,id,...>")
-        if (kind == "ann") AnnIndex.delete(spark, dir, ids)
-        else TextIndex.delete(spark, dir, ids)
+        if (kind == "text") TextIndex.delete(spark, dir, ids)
+        else AnnIndex.delete(spark, dir, ids)
         s"tombstoned ${ids.length} id(s) in $dir"
-      case ("compact", "ann") =>
+      case ("compact", "ann" | "pq") =>
         val (before, after) = AnnIndex.compact(spark, dir,
           maxFilesPerCell = p.int("maxFilesPerCell", 4))
         s"compacted $dir: live data files $before -> $after"
@@ -111,12 +124,12 @@ object Repl {
           smallFileBytes = p.long("smallFileBytes", 16L << 20))
         s"compacted $dir: live data files $before -> $after"
       case ("vacuum", _) =>
-        val n = if (kind == "ann") AnnIndex.vacuum(spark, dir, p.long("graceMs", 0L))
-                else TextIndex.vacuum(spark, dir, p.long("graceMs", 0L))
+        val n = if (kind == "text") TextIndex.vacuum(spark, dir, p.long("graceMs", 0L))
+                else AnnIndex.vacuum(spark, dir, p.long("graceMs", 0L))
         s"vacuumed $n orphan file(s) from $dir"
       case ("status", _) =>
-        val st = if (kind == "ann") AnnIndex.status(spark, dir)
-                 else TextIndex.status(spark, dir)
+        val st = if (kind == "text") TextIndex.status(spark, dir)
+                 else AnnIndex.status(spark, dir)
         s"version=${st.version} built=${st.built} " +
           s"liveDataFiles=${st.liveDataFiles} " +
           s"liveTombstoneFiles=${st.liveTombstoneFiles}"

@@ -145,6 +145,23 @@ class ReplSpec extends SparkSpec {
       Repl.eval(spark, s"index compact ann $dir maxfiles=2", ".")
     }
     assert(err.getMessage.contains("maxfiles"), err.getMessage)
+
+    // PQ twin: the IVFPQ encoding builds through the same DDL and
+    // shares the takedown/maintenance verbs (same manifest contract)
+    val pdir = java.nio.file.Files.createTempDirectory("graft_repl_pddl").toString
+    val pb = Repl.eval(spark, s"index build pq $pdir $Sf k=16 m=8", ".")
+    assert(pb.contains("built ivfpq index") && pb.contains("m=8"), pb)
+    val pq = Repl.eval(spark, s"index delete pq $pdir ids=7", ".")
+    assert(pq.contains("tombstoned 1"), pq)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, Sf)
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val served = graft.operators.AnnIndex
+      .queryPq(spark, pdir, queries, emb, nProbe = 16, topK = 50)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(served.nonEmpty && !served.contains(7L),
+      s"tombstoned id 7 still served by the PQ index")
   }
 
   test("render truncates past MaxRows and shows nulls as NULL") {
