@@ -42,7 +42,16 @@ object Sources {
     }
   }
 
-  /** Write any supported format with scale-aware layout controls. */
+  /** Write any supported format with scale-aware layout controls.
+    *
+    * When `partitionBy` is set, co-locate first (`df.repartition(cols)`)
+    * unless the frame is already clustered on those columns: a
+    * partitioned write fans EVERY task into EVERY matching directory,
+    * so an uncolocated frame produces tasks × values splinter files
+    * whose open cost comes to dominate later scans (measured on the
+    * ANN index at sf1: 7 686 files for 308 cells; 12× probe slowdown).
+    * `maxRecordsPerFile` bounds the opposite failure — one oversized
+    * file per directory after co-location. */
   def write(df: DataFrame, path: String, format: Option[String] = None,
             mode: String = "overwrite", partitionBy: Seq[String] = Nil,
             maxRecordsPerFile: Long = 0L): Unit = {
