@@ -174,6 +174,9 @@ object GraftEngine {
       "serve_ann_probe" -> ((s, d, p) =>
         Similarity.serveAnnProbe(s, d, nProbe = p.int("nProbe", 0),
           topK = p.int("topK", 10), indexDir = p.str("indexDir", ""))),
+      "dedup_incremental_near" -> ((s, d, p) =>
+        graft.operators.TextIndex.dedupIncrementalNear(s, d,
+          indexDir = p.str("indexDir", ""))),
       "dedup_semantic" -> ((s, d, p) =>
         Similarity.dedupSemantic(s, d,
           threshold = p.double("threshold", 0.45))),

@@ -222,19 +222,34 @@ object TextIndex {
     * batch docs whose text repeats a corpus doc collide on every band
     * and are rejected; genuinely new docs are admitted. Probabilistic
     * near-dup semantics → rows-only (TextIndexSpec pins rejection/
-    * admission/in-batch collapse on planted docs). */
-  def dedupIncrementalNear(s: SparkSession, d: String): DataFrame = {
+    * admission/in-batch collapse on planted docs).
+    *
+    * With `indexDir` set (the REPL flow: `index build text <dir>`,
+    * then `pipeline dedup_incremental_near indexDir=<dir>`) the batch
+    * screens against THAT standing index instead of a fresh
+    * corpus-split build — so a `index delete text` takedown is
+    * immediately observable as re-admission through the SQL surface. */
+  def dedupIncrementalNear(s: SparkSession, d: String,
+                           indexDir: String = ""): DataFrame = {
     val all = documents(s, d)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_textindex_gate").toString
-    build(s, all.where(col("doc_id") % 10 =!= 0), dir)
+    val dir =
+      if (indexDir.nonEmpty) {
+        require(IndexFiles.hasIndex(s, indexDir),
+          s"no text index at $indexDir — run `index build text` first")
+        indexDir
+      } else {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft_textindex_gate").toString
+        build(s, all.where(col("doc_id") % 10 =!= 0), t)
+        t
+      }
     ingest(s, all.where(col("doc_id") % 10 === 0), dir)
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_incremental_near" -> (dedupIncrementalNear _)
+    "dedup_incremental_near" -> ((s, d) => dedupIncrementalNear(s, d))
   )
 
   val oracles: Map[String, String] = Map.empty

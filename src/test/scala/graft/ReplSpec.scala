@@ -146,6 +146,44 @@ class ReplSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("maxfiles"), err.getMessage)
 
+    // text takedown -> re-admission, entirely through the SQL surface:
+    // an index over ALL documents rejects every batch doc (each is its
+    // own exact dup); tombstoning one unique-text batch doc via DDL
+    // makes exactly that doc admissible on the next screen
+    val xdir = java.nio.file.Files.createTempDirectory("graft_repl_xddl").toString
+    Repl.eval(spark, s"index build text $xdir $Sf", ".")
+    Repl.eval(spark, s"pipeline dedup_incremental_near $Sf indexDir=$xdir", ".")
+    assert(GraftEngine.sql(spark,
+        "select count(*) as n from graft_dedup_incremental_near")
+      .collect().head.getLong(0) == 0L,
+      "a full-corpus index must reject every batch doc")
+    // victim = a batch doc sharing NO MinHash band bucket with any
+    // other doc — uniqueness by the admission criterion itself (raw
+    // text uniqueness isn't enough: the kernel normalizes case and
+    // whitespace, and a band can collide across different texts)
+    import org.apache.spark.sql.functions.{col, posexplode}
+    import graft.functions.HashFunctions.minhashBuckets
+    val b = Tables.documents(spark, Sf)
+      .select(col("doc_id"), posexplode(minhashBuckets(col("text")))
+        .as(Seq("band", "bucket")))
+    val colliding = b.as("a").join(b.as("o"),
+        col("a.band") === col("o.band") &&
+          col("a.bucket") === col("o.bucket") &&
+          col("a.doc_id") =!= col("o.doc_id"))
+      .select(col("a.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val unique = Tables.documents(spark, Sf)
+      .select(col("doc_id")).where(col("doc_id") % 10 === 0)
+      .collect().map(_.getLong(0))
+      .filterNot(colliding).min
+    Repl.eval(spark, s"index delete text $xdir ids=$unique", ".")
+    Repl.eval(spark, s"pipeline dedup_incremental_near $Sf indexDir=$xdir", ".")
+    val readmitted = GraftEngine.sql(spark,
+        "select doc_id from graft_dedup_incremental_near")
+      .collect().map(_.getLong(0)).toSet
+    assert(readmitted == Set(unique),
+      s"takedown of $unique must re-admit exactly it, got $readmitted")
+
     // PQ twin: the IVFPQ encoding builds through the same DDL and
     // shares the takedown/maintenance verbs (same manifest contract)
     val pdir = java.nio.file.Files.createTempDirectory("graft_repl_pddl").toString
