@@ -175,6 +175,55 @@ object Events {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Top event-type trigrams across all user timelines — the sequence
+    * pattern report behind funnel DESIGN (which 3-step paths actually
+    * occur, before you hard-code one in events_funnel). lead() over the
+    * per-user order gives consecutive triples; counts aggregate to
+    * #distinct-type³ rows max. One shuffle on user_id (same partitioning
+    * the sessionize family reuses); the top-20 compiles to TakeOrdered
+    * with a total tie-break order, never a global sort. */
+  def eventsUserPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** Session-length distribution: sessionize (same 30-min-gap kernel as
+    * stream_sessionize), then report per events-per-session bucket how
+    * many sessions occur and how long they run — the engagement
+    * histogram a product team reads next to retention. Duration sums
+    * are exact micros longs; the mean divides as double in a fixed
+    * order mirrored by the oracle. Shuffles: user_id (sessionize),
+    * then n_events (#buckets rows after partial agg). */
+  def eventsSessionStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+          1L).otherwise(0L).as("is_new"))
+      .select(col("user_id"), col("ts"), sum(col("is_new")).over(wRun).as("sess_id"))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+    sess.groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("dur_us")).cast(DoubleType) / count(lit(1)) / 1000000.0, 6)
+          .as("mean_dur_s"),
+        round(max(col("dur_us")).cast(DoubleType) / 1000000.0, 6).as("max_dur_s"))
+      .orderBy(col("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
     "sketch_daily_uniques" -> (sketchDailyUniques _),
@@ -182,7 +231,9 @@ object Events {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "q_json_funcs" -> (qJsonFuncs _),
-    "events_funnel" -> (eventsFunnel _)
+    "events_funnel" -> (eventsFunnel _),
+    "events_user_paths" -> (eventsUserPaths _),
+    "events_session_stats" -> (eventsSessionStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,6 +338,47 @@ object Events {
         |SELECT CAST(2 AS INTEGER) AS stage, count(*) AS n_users FROM c
         |UNION ALL
         |SELECT CAST(3 AS INTEGER) AS stage, count(*) AS n_users FROM p
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    "events_user_paths" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events
+        |)
+        |SELECT e1, e2, e3, count(*) AS cnt FROM t
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    "events_session_stats" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM y
+        |), sess AS (
+        |  SELECT user_id, sess_id, count(*) AS n_events,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM z GROUP BY 1, 2
+        |)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    AS mean_dur_s,
+        |  round(CAST(max(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_dur_s
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin
   )
 }

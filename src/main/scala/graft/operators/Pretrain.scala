@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Pretraining-corpus selection operators (SURVEY.md §2.C): importance
+  * weighting (DSIR), perplexity bucketing (CCNet), a bigram language
+  * model, and a character-entropy gibberish signal. These are the
+  * data-SELECTION layer that sits on top of the dedup/quality gates —
+  * every one keeps the 100 TB shape of its family: feature streams
+  * reduce to fixed-size hashed statistics before any exchange, scoring
+  * passes are map-only against broadcast tables, and float outputs
+  * follow the repo-wide round-then-decimal-sum determinism discipline
+  * so the DuckDB oracle matches bit-for-bit.
+  */
+object Pretrain {
+
+  /** DSIR importance weight per document (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via
+    * Importance Resampling"): score raw docs by how much their hashed
+    * n-gram feature distribution looks like a TARGET corpus (here: the
+    * `lang = 'en'` slice stands in for the curated target).
+    *
+    * log w(doc) = Σ_grams log( p_target(bucket) / p_raw(bucket) ),
+    * with additive-α smoothed bucket probabilities over B=8192 hashed
+    * bigram buckets.
+    *
+    * Scale shape — the whole point of DSIR's hashing trick: the bigram
+    * stream reduces to a bucket id map-only on the scan (md5 → 24-bit →
+    * mod B, replayed exactly by the oracle); the two count vectors are
+    * ≤B rows each (partial-agg shuffles B rows per partition, not the
+    * corpus); the per-bucket log-ratio table is ≤B rows and BROADCAST
+    * onto the bucket stream, so the scoring pass never shuffles tokens —
+    * per-doc weights come out of one partial+final agg keyed by doc_id.
+    * At 100 TB the only corpus-wide exchange is the per-doc agg itself.
+    * Docs with <2 tokens have no bigram features and are absent (they
+    * carry no evidence either way; the oracle mirrors this).
+    *
+    * Determinism: per-bucket log-ratios round to 9 dp and sum as
+    * DECIMAL per doc (order-free), final weight rounds to 6 dp. */
+  def pipelineDsirWeight(s: SparkSession, d: String): DataFrame =
+    dsirWeight(documents(s, d))
+
+  def dsirWeight(docs: DataFrame, buckets: Int = 8192,
+                 alpha: Double = 0.5): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "filter(transform(ws, (w, i) -> IF(i = 0, NULL, " +
+          "concat(element_at(ws, i), ' ', w))), x -> x IS NOT NULL)")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast(LongType)
+          % buckets).as("b"))
+    val rawCnt = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCnt = bg.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = bg.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    // every bucket in the stream exists in rawCnt (raw = all docs), so
+    // the left side of this join is total; ct is null off-target
+    val w = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + alpha * buckets)) /
+            ((col("cr") + alpha) / (col("tr") + alpha * buckets))), 9)
+          .cast(DecimalType(28, 9)).as("w"))
+    bg.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        // round the DECIMAL sum, then cast — no trailing division here,
+        // so double-first rounding would sit exactly on 6 dp boundaries
+        round(sum(col("w")), 6).cast(DoubleType).as("dsir_logweight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every doc with the in-engine unigram LM
+    * ([[TextAnalysis.unigramLogprobSmoothed]] — the broadcast-head
+    * shape stands in for CCNet's KenLM), then split each language into
+    * head/middle/tail TERCILES of the score — the standard
+    * keep-the-head curation gate.
+    *
+    * Scale shape: scoring is the smoothed-logprob pass (corpus tokens
+    * never shuffle); the tercile boundaries are a ≤#langs-row aggregate
+    * (exact percentile here for oracle-checkability —
+    * q_approx_percentile is the documented sketch path at 100 TB)
+    * broadcast back onto the scored stream, so bucket assignment is
+    * map-only. */
+  def qualityCcnetBucket(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val scored = TextAnalysis.unigramLogprobSmoothed(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val bounds = scored.groupBy(col("lang")).agg(
+      expr("percentile(mean_logprob, 0.3333333333333333D)").as("q1"),
+      expr("percentile(mean_logprob, 0.6666666666666666D)").as("q2"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_logprob"),
+        when(col("mean_logprob") >= col("q2"), "head")
+          .when(col("mean_logprob") >= col("q1"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Conditional bigram language model: mean log p(w_i | w_{i-1}) per
+    * doc under the corpus MLE bigram distribution — one order up from
+    * text_unigram_logprob, and the signal that catches
+    * locally-plausible-but-incoherent token soup a unigram model scores
+    * as fluent.
+    *
+    * Scale shape mirrors the unigram path: bigrams hash to 8 bytes
+    * map-only (xxhash64 chains (prev, cur) — no separator ambiguity),
+    * the numerator/denominator count tables shuffle hashes with
+    * map-side combine, and the scoring join carries (doc, 8-byte key)
+    * rows. log p = ln(c(w1,w2) / c(w1,·)) where the denominator is the
+    * bigram-PREFIX count from the same stream (so first/last-token
+    * boundary effects cancel exactly). Docs with <2 tokens are absent
+    * (no bigram evidence; oracle mirrors). Per-pair scores round to
+    * 9 dp and sum as DECIMAL. */
+  def textBigramLogprob(s: SparkSession, d: String): DataFrame =
+    bigramLogprob(documents(s, d))
+
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(ws, (w, i) -> IF(i = 0, NULL, " +
+          "struct(element_at(ws, i) AS p, w AS c))), x -> x IS NOT NULL)")).as("t"))
+      .select(col("doc_id"),
+        xxhash64(col("t.p")).as("hp"),
+        xxhash64(col("t.p"), col("t.c")).as("hb"))
+    val cb = bg.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
+    val cp = bg.groupBy(col("hp")).agg(count(lit(1)).as("cp"))
+    bg.join(cb, Seq("hb")).join(cp, Seq("hp"))
+      .select(col("doc_id"),
+        round(log(col("cb") / col("cp")), 9).cast(DecimalType(28, 9)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character-entropy gibberish signal: Shannon entropy (bits) of each
+    * doc's printable-ASCII byte distribution via the native
+    * [[graft.functions.CharEntropy]] codegen kernel — base64/minified
+    * junk scores near 6 bits, natural text ~4-4.5, degenerate repetition
+    * near 0. Map-only over the scan: one histogram pass per row inside
+    * whole-stage codegen, no explode, no shuffle except the final sort —
+    * the cheapest-possible 100 TB quality signal. */
+  def textCharEntropy(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CharEntropy.charEntropy
+    val st = charEntropy(col("text"))
+    documents(s, d)
+      // round the DECIMAL (exact HALF_UP, both engines), THEN cast:
+      // the term sum has no trailing division to scramble it off 6 dp
+      // boundaries, so double-first rounding would flake ~1e-3/doc
+      .select(col("doc_id"),
+        st.getField("n_printable").as("n_printable"),
+        round(st.getField("ent"), 6).cast(DoubleType).as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dsir_weight" -> (pipelineDsirWeight _),
+    "quality_ccnet_bucket" -> (qualityCcnetBucket _),
+    "text_bigram_logprob" -> (textBigramLogprob _),
+    "text_char_entropy" -> (textCharEntropy _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_dsir_weight" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 6)) AS BIGINT) % 8192 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+        |    FROM (SELECT doc_id, lang,
+        |            regexp_split_to_array(lower(text), '\s+') AS ws
+        |          FROM documents), UNNEST(range(1, len(ws))) AS u(i)
+        |  )
+        |), cr AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+        |ct AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT count(*) AS tr,
+        |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM bg),
+        |w AS (
+        |  SELECT cr.b,
+        |    CAST(round(ln(
+        |      ((COALESCE(ct.ct, 0) + 0.5) / (tt + 0.5 * 8192)) /
+        |      ((cr.cr + 0.5) / (tr + 0.5 * 8192))), 9) AS DECIMAL(28,9)) AS w
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+        |)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(round(sum(w.w), 6) AS DOUBLE) AS dsir_logweight
+        |FROM bg JOIN w ON bg.b = w.b
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_ccnet_bucket" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents
+        |), head AS (
+        |  SELECT w, count(*) AS cf FROM tok GROUP BY w HAVING count(*) > 5
+        |), total AS (SELECT count(*) AS t FROM tok),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(round(ln(coalesce(cf, 5) / t), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_logprob
+        |  FROM tok LEFT JOIN head USING (w), total
+        |  GROUP BY doc_id
+        |), sl AS (
+        |  SELECT s.doc_id, d.lang, s.mean_logprob
+        |  FROM scored s JOIN documents d USING (doc_id)
+        |), b AS (
+        |  SELECT lang,
+        |    quantile_cont(mean_logprob, 0.3333333333333333) AS q1,
+        |    quantile_cont(mean_logprob, 0.6666666666666666) AS q2
+        |  FROM sl GROUP BY lang
+        |)
+        |SELECT sl.doc_id, sl.lang, sl.mean_logprob,
+        |  CASE WHEN mean_logprob >= q2 THEN 'head'
+        |       WHEN mean_logprob >= q1 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM sl JOIN b USING (lang) ORDER BY sl.doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, ws[i] AS p, ws[i] || ' ' || ws[i+1] AS g
+        |  FROM t, UNNEST(range(1, len(ws))) AS u(i)
+        |), cb AS (SELECT g, count(*) AS cb FROM bg GROUP BY g),
+        |cp AS (SELECT p, count(*) AS cp FROM bg GROUP BY p)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(round(ln(cb / cp), 9) AS DECIMAL(28,9)))
+        |    AS DOUBLE) / count(*), 6) AS mean_logprob
+        |FROM bg JOIN cb USING (g) JOIN cp USING (p)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    regexp_replace(text, '[^\x20-\x7e]', '', 'g'), '')) AS c
+        |  FROM documents
+        |), hist AS (
+        |  SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> ''
+        |  GROUP BY doc_id, c
+        |), tot AS (SELECT doc_id, sum(n) AS t FROM hist GROUP BY doc_id),
+        |ent AS (
+        |  SELECT hist.doc_id,
+        |    sum(CAST(round(-((n / t) * (ln(n / t) / ln(2))), 9)
+        |      AS DECIMAL(28,9))) AS e
+        |  FROM hist JOIN tot USING (doc_id) WHERE n < t
+        |  GROUP BY hist.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(tot.t, 0) AS INTEGER) AS n_printable,
+        |  CAST(round(COALESCE(ent.e, CAST(0 AS DECIMAL(28,9))), 6) AS DOUBLE)
+        |    AS char_entropy
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN ent ON d.doc_id = ent.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -766,6 +766,38 @@ object Relational {
         posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
       .orderBy(col("p_partkey"), col("pos"))
 
+  /** Second-moment statistical aggregates per return flag — corr /
+    * covar / stddev / variance, the profile a feature-engineering pass
+    * reads before normalizing columns. All four are single-pass
+    * mergeable co-moment aggregates (partial+final, #flags rows out —
+    * the ideal 100 TB agg shape). Outputs round coarsely enough
+    * (corr 6 dp is dimensionless ~1e-15 relative; covar 2 dp against a
+    * ~1e4 magnitude) that the parallel-merge vs single-pass float
+    * ordering difference cannot reach the rounded digit. */
+  def qStatsAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_qty_price"),
+        round(stddev_samp(col("l_discount")), 6).as("std_discount"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** ntile quartiles of customer balance within each nation — the
+    * equal-frequency bucketing window function (deterministic here
+    * because the order key (acctbal, custkey) is total). One shuffle on
+    * nationkey; at 100 TB a skewed partition would instead use the
+    * percentile-sketch cut points (q_approx_percentile path). */
+  def qWindowNtile(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))).as("quartile"))
+      .orderBy(col("c_custkey"))
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -828,7 +860,9 @@ object Relational {
     "q_explode" -> (qExplode _),
     "q_latest_per_key" -> (qLatestPerKey _),
     "q_string_agg" -> (qStringAgg _),
-    "q_approx_percentile" -> (qApproxPercentile _)
+    "q_approx_percentile" -> (qApproxPercentile _),
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_window_ntile" -> (qWindowNtile _)
   )
 
   /** DuckDB oracle SQL. Same aliases, same DECIMAL-exact aggregation,
@@ -1355,6 +1389,20 @@ object Relational {
         |  string_agg(c_name, ',' ORDER BY c_name) AS names,
         |  count(*) AS n
         |FROM customer WHERE c_custkey < 100
-        |GROUP BY 1 ORDER BY key""".stripMargin
+        |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |  round(stddev_samp(l_discount), 6) AS std_discount,
+        |  round(var_samp(l_quantity), 4) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT c_custkey, c_nationkey,
+        |  ntile(4) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pretrain
+
+/** Planted-data semantics for the pretraining-selection operators
+  * (DSIR weights, CCNet buckets, bigram LM, char entropy); the
+  * sf-corpus outputs are DuckDB-oracle-checked by the driver gate. */
+class PretrainSpec extends SparkSpec {
+
+  test("dsir: target-like docs outweigh off-target docs; planted doc count") {
+    import spark.implicits._
+    // target slice (lang=en) speaks in "the cat sat" bigrams; the
+    // off-target docs reuse them (raw mass) plus their own bigrams
+    val en = (1 to 10).map(i => (i.toLong, "the cat sat on the mat", "en"))
+    val de = (11 to 14).map(i => (i.toLong, "der hund lief durch den wald", "de"))
+    val mixed = Seq((15L, "the cat sat der hund lief", "de"))
+    val docs = (en ++ de ++ mixed).toDF("doc_id", "text", "lang")
+    val out = Pretrain.dsirWeight(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 15) // every doc has >= 2 tokens
+    // a pure-target-bigram doc must outweigh a pure-off-target doc,
+    // and the mixed doc must land between them
+    assert(out(1L) > out(15L) && out(15L) > out(11L),
+      s"target ${out(1L)} > mixed ${out(15L)} > off ${out(11L)} expected")
+  }
+
+  test("dsir: identical docs get identical weights; n_grams = tokens-1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en"), (2L, "a b c d", "en"), (3L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val rows = Pretrain.dsirWeight(docs).collect()
+    assert(rows.length == 2) // the 1-token doc has no bigram evidence
+    assert(rows(0).getLong(1) == 3 && rows(1).getLong(1) == 3)
+    assert(rows(0).getDouble(2) == rows(1).getDouble(2))
+  }
+
+  test("ccnet buckets: per-lang terciles partition docs head/middle/tail") {
+    val out = Pretrain.qualityCcnetBucket(spark, Sf)
+    val byLang = out.groupBy(col("lang"), col("ppl_bucket")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = byLang.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val h = byLang.getOrElse((l, "head"), 0L)
+      val m = byLang.getOrElse((l, "middle"), 0L)
+      val t = byLang.getOrElse((l, "tail"), 0L)
+      val n = h + m + t
+      assert(n > 0)
+      // terciles: each bucket within ~40% of n/3 (small langs are lumpy)
+      Seq(h, m, t).foreach(b =>
+        assert(b >= n / 3 - (n * 2) / 5 - 1 && b <= n / 3 + (n * 2) / 5 + 1,
+          s"lang $l bucket sizes ($h,$m,$t) not tercile-ish"))
+    }
+    // every doc bucketed exactly once
+    assert(out.count() ==
+      Tables.documents(spark, Sf).count())
+  }
+
+  test("bigram logprob: deterministic continuations score ln(1)=0, forks score ln(1/2)") {
+    import spark.implicits._
+    // corpus: "a b" twice and "a c" twice → p(b|a)=p(c|a)=1/2;
+    // every other continuation is deterministic
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val out = Pretrain.bigramLogprob(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 4)
+    val half = BigDecimal(math.round(math.log(0.5) * 1e9))./(BigDecimal(1e9))
+    out.foreach { case (_, n, lp) =>
+      assert(n == 1)
+      assert(math.abs(lp - half.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9, s"p(.|a)=1/2 ⇒ mean lp=ln(.5), got $lp")
+    }
+  }
+
+  test("bigram logprob beats unigram at spotting shuffled token soup") {
+    import spark.implicits._
+    val fluent = (1 to 30).map(_ => "the cat sat on the mat").mkString(" ")
+    // same token multiset, order-scrambled (seeded): unigram can't
+    // tell them apart, bigram can — a cyclic rearrangement would NOT
+    // work here, it is exactly as bigram-predictable as the original
+    val soup = new scala.util.Random(7)
+      .shuffle(fluent.split(" ").toList).mkString(" ")
+    val docs = Seq((1L, fluent), (2L, soup)).toDF("doc_id", "text")
+    val bg = Pretrain.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // both share mass at the seam bigrams, but the fluent doc's
+    // dominant transitions are higher-probability
+    assert(bg(1L) > bg(2L), s"fluent ${bg(1L)} must outscore soup ${bg(2L)}")
+  }
+
+  test("char entropy: uniform alphabet maxes out, repetition collapses to 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh"),        // 8 distinct chars, uniform → 3 bits
+      (2L, "aaaaaaaa"),        // single char → 0 bits
+      (3L, "日本語テキスト"),     // no printable ASCII → n=0, ent=0
+      (4L, "")).toDF("doc_id", "text")
+    val out = Pretrain.textCharEntropy(spark, "/root/testdata/sf0.001") // warm plan
+    val rows = docs.select(col("doc_id"),
+        graft.functions.CharEntropy.charEntropy(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_printable"),
+        round(col("st.ent").cast("double"), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(rows(1L) == ((8, 3.0)))
+    assert(rows(2L) == ((8, 0.0)))
+    assert(rows(3L) == ((0, 0.0)))
+    assert(rows(4L) == ((0, 0.0)))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_printable", "char_entropy"))
+  }
+
+  test("char entropy kernel stays inside whole-stage codegen (no ScalaUDF, map-only)") {
+    val df = Pretrain.textCharEntropy(spark, Sf)
+    df.collect() // resolve AQE so executedPlan shows codegen spans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    // `*(n)` prefixes mark whole-stage-codegen spans in the rendered plan
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+    // single exchange allowed: the final orderBy
+    assert("Exchange".r.findAllIn(plan).length <= 2, plan)
+  }
+
+  test("dsir weight table broadcasts (bucket stream never wide-shuffles)") {
+    val plan = Pretrain.pipelineDsirWeight(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
