@@ -224,6 +224,19 @@ object Events {
       .orderBy(col("n_events"))
   }
 
+  /** Exact daily heavy hitters: top-3 event types per day. Aggregate
+    * first (partial+final, #(day × type) rows), rank the tiny result —
+    * exact and cheap while the key space is bounded; the unbounded-key
+    * sibling is the sketch path (sketch_daily_uniques family). */
+  def eventsHeavyHitters(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("day"))
+        .orderBy(col("cnt").desc, col("event_type"))))
+      .where(col("rk") <= 3)
+      .orderBy(col("day"), col("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
     "sketch_daily_uniques" -> (sketchDailyUniques _),
@@ -233,7 +246,8 @@ object Events {
     "q_json_funcs" -> (qJsonFuncs _),
     "events_funnel" -> (eventsFunnel _),
     "events_user_paths" -> (eventsUserPaths _),
-    "events_session_stats" -> (eventsSessionStats _)
+    "events_session_stats" -> (eventsSessionStats _),
+    "events_heavy_hitters" -> (eventsHeavyHitters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +393,19 @@ object Events {
         |  round(CAST(sum(dur_us) AS DOUBLE) / count(*) / 1000000.0, 6)
         |    AS mean_dur_s,
         |  round(CAST(max(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_dur_s
-        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
+
+    "events_heavy_hitters" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT day, event_type, cnt,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY cnt DESC, event_type) AS rk
+        |  FROM d
+        |)
+        |SELECT day, event_type, cnt, rk FROM r
+        |WHERE rk <= 3 ORDER BY day, rk""".stripMargin
   )
 }

@@ -46,7 +46,19 @@ object Pretrain {
     dsirWeight(documents(s, d))
 
   def dsirWeight(docs: DataFrame, buckets: Int = 8192,
-                 alpha: Double = 0.5): DataFrame = {
+                 alpha: Double = 0.5): DataFrame =
+    dsirLogweights(docs, buckets, alpha)
+      .select(col("doc_id"), col("n_grams"),
+        // round the DECIMAL sum, then cast — no trailing division here,
+        // so double-first rounding would sit exactly on 6 dp boundaries
+        round(col("lw"), 6).cast(DoubleType).as("dsir_logweight"))
+      .orderBy(col("doc_id"))
+
+  /** Shared DSIR kernel: per-doc EXACT decimal log-weight `lw` (sum of
+    * 9 dp-rounded bucket log-ratios) + bigram count. [[dsirWeight]]
+    * reports it; [[dsirSample]] draws the resampled corpus from it. */
+  def dsirLogweights(docs: DataFrame, buckets: Int = 8192,
+                     alpha: Double = 0.5): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("lang"),
         split(lower(col("text")), "\\s+").as("ws"))
@@ -72,12 +84,31 @@ object Pretrain {
           .cast(DecimalType(28, 9)).as("w"))
     bg.join(broadcast(w), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        // round the DECIMAL sum, then cast — no trailing division here,
-        // so double-first rounding would sit exactly on 6 dp boundaries
-        round(sum(col("w")), 6).cast(DoubleType).as("dsir_logweight"))
-      .orderBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("lw"))
   }
+
+  /** DSIR importance RESAMPLING — the step the weights exist for (Xie
+    * et al. 2023 §3: sample k docs without replacement ∝ exp(log w)).
+    * Implemented as Gumbel-top-k (Vieira 2014): key_i = log w_i + G_i
+    * with G_i = -ln(-ln(u_i)) and u_i a seeded md5 uniform — the top-k
+    * keys ARE a weighted sample without replacement, drawn in one
+    * TakeOrdered pass with no sequential draws and no driver state.
+    * u_i = (h24 + 0.5) / 2^24 is exact in binary (power-of-two divisor),
+    * so the oracle replays the draw decision-for-decision. */
+  def pipelineDsirSample(s: SparkSession, d: String): DataFrame =
+    dsirSample(documents(s, d))
+
+  def dsirSample(docs: DataFrame, k: Int = 500, seed: Int = 42): DataFrame =
+    dsirLogweights(docs)
+      .select(col("doc_id"),
+        (col("lw").cast(DoubleType) -
+          log(-log((conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":" + seed))), 1, 6), 16, 10).cast(DoubleType) + 0.5) /
+            16777216.0))).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("key"), 6).as("sample_key"))
+      .orderBy(col("doc_id"))
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): score every doc with the in-engine unigram LM
@@ -166,8 +197,76 @@ object Pretrain {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE tokenizer fit (Sennrich et al. 2016, arXiv:1508.07909): learn
+    * the first `nMerges` byte-pair merges of the corpus — the
+    * tokenizer-training step of a pretraining pipeline, run on the
+    * engine instead of a single machine.
+    *
+    * Standard-practice shape: the corpus reduces ONCE to the distinct
+    * word-frequency table (the only corpus-wide shuffle — BPE statistics
+    * are identical on (word, count) pairs); every merge iteration then
+    * runs on vocab-sized data (pair explode + argmax + map-only merge
+    * rewrite), so at 100 TB each of the ~30k production iterations
+    * touches ~10⁸ vocab rows, never the corpus. The argmax draw is one
+    * collect()ed row per step (bounded driver state, deterministic
+    * tie-break count desc → pair asc). The merge rewrite is a greedy
+    * leftmost `aggregate` HOF pass — "aaa" + (a,a) → [aa, a], exactly
+    * reference BPE. Stops early when no pair repeats. */
+  def pipelineBpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMerges(documents(s, d), s)
+
+  def bpeMerges(docs: DataFrame, spark: SparkSession,
+                nMerges: Int = 12): DataFrame = {
+    import spark.implicits._
+    def lit0(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    var vocab = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      // (?=.) forbids the end-of-string split point — Spark split keeps
+      // trailing empties (limit -1), which would plant a phantom "" symbol
+      .select(split(col("w"), "(?!^)(?=.)").as("syms"), col("cnt"))
+      .cache()
+    val merges = collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val top = vocab
+        .select(explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms) - 1), " +
+            "(a, b) -> struct(a AS a, b AS b))")).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .where(col("c") > 1)
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, a, b, c))
+        val old = vocab
+        vocab = old.withColumn("syms", expr(
+          s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
+             |IF(size(acc) > 0 AND element_at(acc, -1) = ${lit0(a)}
+             |     AND x = ${lit0(b)},
+             |   concat(slice(acc, 1, size(acc) - 1), array(${lit0(a + b)})),
+             |   concat(acc, array(x))))""".stripMargin)).cache()
+        vocab.count() // materialize before dropping the parent cache
+        old.unpersist()
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("step", "left", "right", "freq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_dsir_weight" -> (pipelineDsirWeight _),
+    "pipeline_dsir_sample" -> (pipelineDsirSample _),
+    "pipeline_bpe_merges" -> (pipelineBpeMerges _),
     "quality_ccnet_bucket" -> (qualityCcnetBucket _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_char_entropy" -> (textCharEntropy _)
@@ -199,6 +298,39 @@ object Pretrain {
         |  CAST(round(sum(w.w), 6) AS DOUBLE) AS dsir_logweight
         |FROM bg JOIN w ON bg.b = w.b
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_dsir_sample" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 6)) AS BIGINT) % 8192 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+        |    FROM (SELECT doc_id, lang,
+        |            regexp_split_to_array(lower(text), '\s+') AS ws
+        |          FROM documents), UNNEST(range(1, len(ws))) AS u(i)
+        |  )
+        |), cr AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+        |ct AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT count(*) AS tr,
+        |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM bg),
+        |w AS (
+        |  SELECT cr.b,
+        |    CAST(round(ln(
+        |      ((COALESCE(ct.ct, 0) + 0.5) / (tt + 0.5 * 8192)) /
+        |      ((cr.cr + 0.5) / (tr + 0.5 * 8192))), 9) AS DECIMAL(28,9)) AS w
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+        |), lw AS (
+        |  SELECT doc_id, sum(w.w) AS lw
+        |  FROM bg JOIN w ON bg.b = w.b GROUP BY doc_id
+        |), keyed AS (
+        |  SELECT doc_id,
+        |    CAST(lw AS DOUBLE) - ln(-ln(
+        |      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |        1, 6)) AS BIGINT) + 0.5) / 16777216.0)) AS key
+        |  FROM lw
+        |)
+        |SELECT doc_id, round(key, 6) AS sample_key
+        |FROM (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 500)
+        |ORDER BY doc_id""".stripMargin,
     "quality_ccnet_bucket" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w

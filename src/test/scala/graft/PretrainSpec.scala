@@ -122,6 +122,53 @@ class PretrainSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length <= 2, plan)
   }
 
+  test("dsir sample: k docs out, weight-biased toward the target slice") {
+    import spark.implicits._
+    val en = (1 to 40).map(i => (i.toLong, "the cat sat on the mat", "en"))
+    val de = (41 to 80).map(i => (i.toLong, "der hund lief durch den wald", "de"))
+    val docs = (en ++ de).toDF("doc_id", "text", "lang")
+    val picked = Pretrain.dsirSample(docs, k = 20, seed = 42)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 20)
+    assert(picked.toSeq == picked.sorted.toSeq) // output ordered by doc_id
+    // 40/40 split but all target mass on en bigrams: expect the draw to
+    // lean heavily en (prob of en-minority under the weights ~ 0)
+    val enPicked = picked.count(_ <= 40)
+    assert(enPicked > 10, s"importance draw picked only $enPicked/20 en docs")
+    // deterministic: same seed, same draw
+    val again = Pretrain.dsirSample(docs, k = 20, seed = 42)
+      .collect().map(_.getLong(0))
+    assert(again.toSeq == picked.toSeq)
+  }
+
+  test("bpe merges: classic corpus learns the expected first merges greedily") {
+    import spark.implicits._
+    // hug×10 pug×5 pun×12 bun×4 hugs×5  (hand-checkable BPE example)
+    val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Pretrain.bpeMerges(docs, spark, nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pair counts: (u,g)=20, (u,n)=16, (h,u)=15, (p,u)=17 →
+    //   step1 (u,g,20); then (p,u)=17? no — after ug: (h,ug)=15,(p,ug)=5,
+    //   (p,u)=12,(u,n)=16,(b,u)=4 → step2 (u,n,16); step3 (h,ug,15)
+    assert(out(0) == ((1, "u", "g", 20L)), out.mkString(","))
+    assert(out(1) == ((2, "u", "n", 16L)), out.mkString(","))
+    assert(out(2) == ((3, "h", "ug", 15L)), out.mkString(","))
+  }
+
+  test("bpe merges: greedy leftmost rewrite does not re-merge its own output") {
+    import spark.implicits._
+    // "aaa"×3: pair (a,a) counts 6; after merge words become [aa, a] —
+    // leftmost greedy, no overlap — so (aa,a) now counts 3
+    val docs = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val out = Pretrain.bpeMerges(docs, spark, nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) == ((1, "a", "a", 6L)), out.mkString(","))
+    assert(out(1) == ((2, "aa", "a", 3L)), out.mkString(","))
+  }
+
   test("dsir weight table broadcasts (bucket stream never wide-shuffles)") {
     val plan = Pretrain.pipelineDsirWeight(spark, Sf)
       .queryExecution.executedPlan.toString
