@@ -40,7 +40,11 @@ object Bench {
     // round 10: the bucketed range join — one of the two queries the
     // timestamp-vintage regression silently killed; benched so the
     // temporal-join path has a tracked number like stream_sessionize
-    "q_range_join")
+    "q_range_join",
+    // round 10 (cont.): the DSIR selection pass — token-stream-shaped
+    // like the logprob entries but with the broadcast bucket-table
+    // scoring join; tracks the new pretraining-selection family
+    "pipeline_dsir_weight")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

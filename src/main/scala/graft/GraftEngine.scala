@@ -200,7 +200,18 @@ object GraftEngine {
           window = p.int("window", 128), overlap = p.int("overlap", 32))),
       "pipeline_pack_sequences" -> ((s, d, p) =>
         Sharding.packSequences(Tables.documents(s, d),
-          budget = p.long("budget", Sharding.TokenBudget)))
+          budget = p.long("budget", Sharding.TokenBudget))),
+      "pipeline_dsir_weight" -> ((s, d, p) =>
+        graft.operators.Pretrain.dsirWeight(Tables.documents(s, d),
+          buckets = p.int("buckets", 8192),
+          alpha = p.double("alpha", 0.5),
+          targetLang = p.str("targetLang", "en"))),
+      "pipeline_dsir_sample" -> ((s, d, p) =>
+        graft.operators.Pretrain.dsirSample(Tables.documents(s, d),
+          k = p.int("k", 500), seed = p.int("seed", 42))),
+      "pipeline_bpe_merges" -> ((s, d, p) =>
+        graft.operators.Pretrain.bpeMerges(Tables.documents(s, d), s,
+          nMerges = p.int("nMerges", 12)))
     )
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.GraftInternals
 
-import graft.functions.{CellResidual, HyperplaneCodes, HyperplaneProbes, LangStats, MinHashBuckets, MinHashSignature, NearestCells, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
+import graft.functions.{CellResidual, CharEntropy, HyperplaneCodes, HyperplaneProbes, LangStats, MinHashBuckets, MinHashSignature, NearestCells, NgramHashes, NgramHashesPos, RollingFingerprint, SimHash64, TextStats, VecCosine, VecDot, VecL2Sq}
 
 /** SQL registration of graft's native expressions, two ways:
   *
@@ -75,6 +75,7 @@ object GraftExtensions {
     },
     "text_stats" -> { args => TextStats(args.head) },
     "lang_stats" -> { args => LangStats(args.head) },
+    "char_entropy" -> { args => CharEntropy(args.head) },
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "vec_cosine" -> { args => VecCosine(args(0), args(1)) },
     "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) },

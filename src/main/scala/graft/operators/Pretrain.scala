@@ -31,9 +31,11 @@ object Pretrain {
     *
     * Scale shape — the whole point of DSIR's hashing trick: the bigram
     * stream reduces to a bucket id map-only on the scan (md5 → 24-bit →
-    * mod B, replayed exactly by the oracle); the two count vectors are
-    * ≤B rows each (partial-agg shuffles B rows per partition, not the
-    * corpus); the per-bucket log-ratio table is ≤B rows and BROADCAST
+    * mod B, replayed exactly by the oracle); raw and target counts come
+    * out of ONE ≤B-row aggregation pass (count + target-indicator sum —
+    * partial agg shuffles B rows per partition, not the corpus), and the
+    * grand totals reduce that table, never the corpus, so the stats
+    * phase is exactly one scan; the log-ratio table is ≤B rows, BROADCAST
     * onto the bucket stream, so the scoring pass never shuffles tokens —
     * per-doc weights come out of one partial+final agg keyed by doc_id.
     * At 100 TB the only corpus-wide exchange is the per-doc agg itself.
@@ -46,8 +48,8 @@ object Pretrain {
     dsirWeight(documents(s, d))
 
   def dsirWeight(docs: DataFrame, buckets: Int = 8192,
-                 alpha: Double = 0.5): DataFrame =
-    dsirLogweights(docs, buckets, alpha)
+                 alpha: Double = 0.5, targetLang: String = "en"): DataFrame =
+    dsirLogweights(docs, buckets, alpha, targetLang)
       .select(col("doc_id"), col("n_grams"),
         // round the DECIMAL sum, then cast — no trailing division here,
         // so double-first rounding would sit exactly on 6 dp boundaries
@@ -58,7 +60,8 @@ object Pretrain {
     * 9 dp-rounded bucket log-ratios) + bigram count. [[dsirWeight]]
     * reports it; [[dsirSample]] draws the resampled corpus from it. */
   def dsirLogweights(docs: DataFrame, buckets: Int = 8192,
-                     alpha: Double = 0.5): DataFrame = {
+                     alpha: Double = 0.5,
+                     targetLang: String = "en"): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("lang"),
         split(lower(col("text")), "\\s+").as("ws"))
@@ -68,18 +71,25 @@ object Pretrain {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("g")), 1, 6), 16, 10).cast(LongType)
           % buckets).as("b"))
-    val rawCnt = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtCnt = bg.where(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = bg.agg(count(lit(1)).as("tr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
-    // every bucket in the stream exists in rawCnt (raw = all docs), so
-    // the left side of this join is total; ct is null off-target
-    val w = rawCnt.join(tgtCnt, Seq("b"), "left")
-      .crossJoin(broadcast(totals))
+    // raw + target counts in ONE aggregation pass (count + indicator
+    // sum) — three separate aggs would tokenize the corpus three times;
+    // the grand totals then reduce the ≤B-row count table, not the
+    // corpus, so the whole stats phase is a single corpus scan
+    val cnt = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    // grand totals via a global window over the ≤B-row count table —
+    // one PARTITION of ≤8192 rows by construction. A separate
+    // cnt.agg(...) branch looks cheaper but rebuilds the lineage, and
+    // AQE's exchange reuse does not unify the rebuilt stats stage
+    // (verified: two live corpus scans in the executed plan), so the
+    // window is what actually keeps the stats phase at one scan.
+    val tot = Window.partitionBy(lit(1))
+    val w = cnt
+      .withColumn("tr", sum(col("cr")).over(tot))
+      .withColumn("tt", sum(col("ct")).over(tot))
       .select(col("b"),
         round(log(
-          ((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + alpha * buckets)) /
+          ((col("ct") + alpha) / (col("tt") + alpha * buckets)) /
             ((col("cr") + alpha) / (col("tr") + alpha * buckets))), 9)
           .cast(DecimalType(28, 9)).as("w"))
     bg.join(broadcast(w), Seq("b"))
@@ -118,19 +128,27 @@ object Pretrain {
     * keep-the-head curation gate.
     *
     * Scale shape: scoring is the smoothed-logprob pass (corpus tokens
-    * never shuffle); the tercile boundaries are a ≤#langs-row aggregate
-    * (exact percentile here for oracle-checkability —
-    * q_approx_percentile is the documented sketch path at 100 TB)
-    * broadcast back onto the scored stream, so bucket assignment is
-    * map-only. */
+    * never shuffle); the tercile boundaries are per-lang window
+    * aggregates over the scored rows (exact percentile here for
+    * oracle-checkability — q_approx_percentile is the documented
+    * sketch path at 100 TB), so the scoring pipeline runs exactly once
+    * and bucket assignment happens in the same pass. */
   def qualityCcnetBucket(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val scored = TextAnalysis.unigramLogprobSmoothed(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val bounds = scored.groupBy(col("lang")).agg(
-      expr("percentile(mean_logprob, 0.3333333333333333D)").as("q1"),
-      expr("percentile(mean_logprob, 0.6666666666666666D)").as("q2"))
-    scored.join(broadcast(bounds), Seq("lang"))
+    // per-lang boundaries as window aggregates over the scored rows —
+    // ONE lineage, so the whole scoring pipeline runs once (a separate
+    // groupBy(lang) branch would recompute it; AQE exchange reuse does
+    // not unify the rebuilt stages). Exact percentile state is per-lang
+    // and memory-bound either way — the sketch path at 100 TB is
+    // q_approx_percentile's family.
+    val wLang = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("q1",
+        expr("percentile(mean_logprob, 0.3333333333333333D)").over(wLang))
+      .withColumn("q2",
+        expr("percentile(mean_logprob, 0.6666666666666666D)").over(wLang))
       .select(col("doc_id"), col("lang"), col("mean_logprob"),
         when(col("mean_logprob") >= col("q2"), "head")
           .when(col("mean_logprob") >= col("q1"), "middle")
@@ -165,9 +183,13 @@ object Pretrain {
       .select(col("doc_id"),
         xxhash64(col("t.p")).as("hp"),
         xxhash64(col("t.p"), col("t.c")).as("hb"))
-    val cb = bg.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
-    val cp = bg.groupBy(col("hp")).agg(count(lit(1)).as("cp"))
-    bg.join(cb, Seq("hb")).join(cp, Seq("hp"))
+    // one corpus-wide count keyed by (prefix, bigram); the prefix
+    // totals come from a window over the vocab-sized pair table (same
+    // lineage — a separate groupBy(hp) branch would re-tokenize the
+    // corpus, AQE exchange reuse does not unify the rebuilt stage)
+    val pairCnt = bg.groupBy(col("hp"), col("hb")).agg(count(lit(1)).as("cb"))
+      .withColumn("cp", sum(col("cb")).over(Window.partitionBy(col("hp"))))
+    bg.join(pairCnt, Seq("hp", "hb"))
       .select(col("doc_id"),
         round(log(col("cb") / col("cp")), 9).cast(DecimalType(28, 9)).as("lp"))
       .groupBy(col("doc_id"))

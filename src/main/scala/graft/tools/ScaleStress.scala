@@ -98,6 +98,10 @@ object ScaleStress {
         docs.where(col("doc_id") % 97 === 0)))
     time("unigram logprob")(
       graft.operators.TextAnalysis.unigramLogprob(docs))
+    time("dsir weights")(
+      graft.operators.Pretrain.dsirWeight(docs))
+    time("bigram logprob")(
+      graft.operators.Pretrain.bigramLogprob(docs))
     time("z-order write") {
       graft.sources.Sources.writeZOrdered(
         orders, s"$base/orders_z.parquet",

@@ -30,6 +30,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getInt(8) == 2)  // 3 words → 2 distinct 2-grams
     assert(row.getDouble(9) == 11.0 && row.getDouble(10) == 1.0 &&
       row.getDouble(11) == 25.0)
+    // char_entropy: 8 distinct uniform chars → exactly 3 bits
+    val ce = spark.sql(
+      """SELECT char_entropy('abcdefgh').n_printable AS np,
+        |  CAST(round(char_entropy('abcdefgh').ent, 6) AS DOUBLE) AS e
+        |""".stripMargin).collect()(0)
+    assert(ce.getInt(0) == 8 && ce.getDouble(1) == 3.0)
   }
 
   test("matrix kernels run from spark.sql with array-literal matrices") {

@@ -169,9 +169,18 @@ class PretrainSpec extends SparkSpec {
     assert(out(1) == ((2, "aa", "a", 3L)), out.mkString(","))
   }
 
-  test("dsir weight table broadcasts (bucket stream never wide-shuffles)") {
-    val plan = Pretrain.pipelineDsirWeight(spark, Sf)
-      .queryExecution.executedPlan.toString
+  test("dsir weight table broadcasts; the whole op is two corpus scans") {
+    val df = Pretrain.pipelineDsirWeight(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // stats (ONE pass: count + indicator sum + window totals on the
+    // ≤B-row table) + scoring = exactly 2 live scans. A third scan
+    // means a rebuilt stats lineage — the shape AQE exchange reuse
+    // silently fails to unify (observed before the window rewrite).
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = "FileScan".r.findAllIn(finalPlan).length
+    assert(scans <= 2, s"$scans corpus scans — stats lineage duplicated:\n" +
+      finalPlan.take(3000))
   }
 }

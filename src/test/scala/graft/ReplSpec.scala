@@ -98,6 +98,14 @@ class ReplSpec extends SparkSpec {
     assert(err2.getMessage.contains("takes no parameters"), err2.getMessage)
   }
 
+  test("DSIR selection reaches SQL through the pipeline view with a custom k") {
+    Repl.eval(spark, s"pipeline pipeline_dsir_sample $Sf k=25 seed=7", ".")
+    val n = GraftEngine.sql(spark,
+      "select count(*) as n from graft_pipeline_dsir_sample")
+      .collect().head.getLong(0)
+    assert(n == 25, s"k=25 must select exactly 25 docs, got $n")
+  }
+
   test("index DDL: build, status, delete-takedown, compact, vacuum via the REPL") {
     val dir = java.nio.file.Files.createTempDirectory("graft_repl_ddl").toString
     // build from the embeddings table, then probe it through the
