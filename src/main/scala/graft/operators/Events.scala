@@ -237,6 +237,26 @@ object Events {
       .where(col("rk") <= 3)
       .orderBy(col("day"), col("rk"))
 
+  /** Last-touch attribution: every purchase credits the most recent
+    * STRICTLY-preceding view by the same user — the running-state form
+    * (one ordered window carrying the last view timestamp), not a
+    * self-join: the naive events⋈events by user explodes on active
+    * users, while the window is one shuffle on user_id and a single
+    * ordered pass. Purchases with no prior view drop (nothing to
+    * credit). Latency stays in exact integer micros. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        last(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(w).as("view_ts"))
+      .where(col("event_type") === "purchase" && col("view_ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("latency_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
     "sketch_daily_uniques" -> (sketchDailyUniques _),
@@ -247,7 +267,8 @@ object Events {
     "events_funnel" -> (eventsFunnel _),
     "events_user_paths" -> (eventsUserPaths _),
     "events_session_stats" -> (eventsSessionStats _),
-    "events_heavy_hitters" -> (eventsHeavyHitters _)
+    "events_heavy_hitters" -> (eventsHeavyHitters _),
+    "events_attribution" -> (eventsAttribution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,6 +427,19 @@ object Events {
         |  FROM d
         |)
         |SELECT day, event_type, cnt, rk FROM r
-        |WHERE rk <= 3 ORDER BY day, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY day, rk""".stripMargin,
+
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_ts
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  epoch_us(ts) - epoch_us(view_ts) AS latency_us
+        |FROM t WHERE event_type = 'purchase' AND view_ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin
   )
 }

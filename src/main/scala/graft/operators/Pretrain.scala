@@ -61,8 +61,25 @@ object Pretrain {
     * reports it; [[dsirSample]] draws the resampled corpus from it. */
   def dsirLogweights(docs: DataFrame, buckets: Int = 8192,
                      alpha: Double = 0.5,
-                     targetLang: String = "en"): DataFrame = {
-    val bg = docs
+                     targetLang: String = "en"): DataFrame =
+    scoreDsir(docs, fitDsirWeights(docs, buckets, alpha, targetLang), buckets)
+
+  /** Score docs against an already-FITTED weight table — the online
+    * half of the fit/score split. The weight table is the persisted
+    * DSIR "model" (≤B rows — write it once, broadcast it forever);
+    * scoring is one corpus pass + a broadcast join + the per-doc agg,
+    * which is what lets a streaming gate (EventStreams.dsirGateStream)
+    * admit micro-batches against weights fitted offline. */
+  def scoreDsir(docs: DataFrame, weights: DataFrame,
+                buckets: Int = 8192): DataFrame =
+    bucketStream(docs, buckets)
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("lw"))
+
+  /** The hashed-bigram feature stream: (doc_id, lang, bucket). */
+  private def bucketStream(docs: DataFrame, buckets: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         split(lower(col("text")), "\\s+").as("ws"))
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -71,6 +88,14 @@ object Pretrain {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("g")), 1, 6), 16, 10).cast(LongType)
           % buckets).as("b"))
+
+  /** Fit the DSIR model: the ≤B-row per-bucket log-ratio table.
+    * Persist it with `.write.parquet(dir)` — that parquet IS the model
+    * a streaming gate scores against. */
+  def fitDsirWeights(docs: DataFrame, buckets: Int = 8192,
+                     alpha: Double = 0.5,
+                     targetLang: String = "en"): DataFrame = {
+    val bg = bucketStream(docs, buckets)
     // raw + target counts in ONE aggregation pass (count + indicator
     // sum) — three separate aggs would tokenize the corpus three times;
     // the grand totals then reduce the ≤B-row count table, not the
@@ -84,7 +109,7 @@ object Pretrain {
     // (verified: two live corpus scans in the executed plan), so the
     // window is what actually keeps the stats phase at one scan.
     val tot = Window.partitionBy(lit(1))
-    val w = cnt
+    cnt
       .withColumn("tr", sum(col("cr")).over(tot))
       .withColumn("tt", sum(col("ct")).over(tot))
       .select(col("b"),
@@ -92,9 +117,6 @@ object Pretrain {
           ((col("ct") + alpha) / (col("tt") + alpha * buckets)) /
             ((col("cr") + alpha) / (col("tr") + alpha * buckets))), 9)
           .cast(DecimalType(28, 9)).as("w"))
-    bg.join(broadcast(w), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("lw"))
   }
 
   /** DSIR importance RESAMPLING — the step the weights exist for (Xie

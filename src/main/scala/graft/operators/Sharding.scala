@@ -377,6 +377,39 @@ object Sharding {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("lang"))
 
+  /** Per-column dataset profile — the `ANALYZE TABLE` report a
+    * pipeline reads before writing partitioning/bucketing config:
+    * null count, exact distinct count, and min/max (rendered as
+    * strings so one report schema fits every column type) for every
+    * column, in ONE scan: the multi-column distinct compiles to a
+    * single Expand (#cols row-multiply) + paired partial/final aggs,
+    * and the per-column stats unpivot via stack from the one-row agg —
+    * no per-column scan loop. Exact distinct on a text column is the
+    * memory-heavy piece at 100 TB; the sketch swap is
+    * approx_count_distinct (q_approx_count_distinct family) with the
+    * rest of the report unchanged. */
+  def pipelineProfile(s: SparkSession, d: String): DataFrame =
+    profileTable(documents(s, d))
+
+  def profileTable(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val cols = df.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast(StringType).as(s"mn_$c"),
+      max(col(c)).cast(StringType).as(s"mx_$c")) }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_s, max_s)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shuffle" -> (pipelineShuffle _),
     "pipeline_split" -> (pipelineSplit _),
@@ -388,7 +421,8 @@ object Sharding {
     "pipeline_fingerprint" -> (pipelineFingerprint _),
     "pipeline_sample_stratified" -> (pipelineSample _),
     "pipeline_mixture" -> (pipelineMixture _),
-    "pipeline_chunk" -> (pipelineChunk _)
+    "pipeline_chunk" -> (pipelineChunk _),
+    "pipeline_profile" -> (pipelineProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -572,6 +606,41 @@ object Sharding {
         |    AS min_digest,
         |  max(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
         |    AS max_digest
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nn_doc_id,
+        |    count(DISTINCT doc_id) AS nd_doc_id,
+        |    CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
+        |    CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn_text,
+        |    count(DISTINCT text) AS nd_text,
+        |    min(text) AS mn_text, max(text) AS mx_text,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nn_lang,
+        |    count(DISTINCT lang) AS nd_lang,
+        |    min(lang) AS mn_lang, max(lang) AS mx_lang,
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nn_source,
+        |    count(DISTINCT source) AS nd_source,
+        |    min(source) AS mn_source, max(source) AS mx_source,
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nn_n_chars,
+        |    count(DISTINCT n_chars) AS nd_n_chars,
+        |    CAST(min(n_chars) AS VARCHAR) AS mn_n_chars,
+        |    CAST(max(n_chars) AS VARCHAR) AS mx_n_chars
+        |  FROM documents
+        |)
+        |SELECT 'doc_id' AS column_name, n_rows, nn_doc_id AS n_nulls,
+        |  nd_doc_id AS n_distinct, mn_doc_id AS min_s, mx_doc_id AS max_s
+        |FROM a
+        |UNION ALL SELECT 'text', n_rows, nn_text, nd_text, mn_text, mx_text
+        |FROM a
+        |UNION ALL SELECT 'lang', n_rows, nn_lang, nd_lang, mn_lang, mx_lang
+        |FROM a
+        |UNION ALL SELECT 'source', n_rows, nn_source, nd_source, mn_source,
+        |  mx_source FROM a
+        |UNION ALL SELECT 'n_chars', n_rows, nn_n_chars, nd_n_chars,
+        |  mn_n_chars, mx_n_chars FROM a
+        |ORDER BY column_name""".stripMargin
   )
 }

@@ -303,6 +303,39 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming DSIR admission gate — the data-SELECTION twin of
+    * [[ingestGate]], riding the persisted DSIR model
+    * (graft.operators.Pretrain.fitDsirWeights written to parquet):
+    * each micro-batch of documents scores against the ≤B-row weight
+    * table (one pass over the batch + a broadcast join) and only docs
+    * with log-weight ≥ the threshold land. Fit offline on the curated
+    * target, gate the crawl firehose online — weights never refit in
+    * the hot path (re-run fit + swap the directory to update, exactly
+    * the AnnIndex quantizer discipline). Docs with <2 tokens carry no
+    * bigram evidence and are NOT admitted. Output is exactly-once by
+    * batchId-keyed overwrite (as [[foreachBatchSink]]). */
+  def dsirGateStream(docs: DataFrame, weightsDir: String, outDir: String,
+                     checkpointDir: String, minLogweight: Double = 0.0,
+                     buckets: Int = 8192): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val w = s.read.parquet(weightsDir)
+          val scored = graft.operators.Pretrain.scoreDsir(batch.toDF(), w, buckets)
+            .select(col("doc_id"),
+              round(col("lw"), 6).cast(DoubleType).as("dsir_logweight"))
+            .where(col("dsir_logweight") >= minLogweight)
+          batch.join(scored, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** foreachBatch sink: the escape hatch for targets without a native
     * streaming sink (JDBC upserts, multi-table fan-out, partitioned
     * lakehouse layouts). Exactly-once comes from idempotence, not the

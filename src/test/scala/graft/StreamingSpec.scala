@@ -184,6 +184,35 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L), s"expected only the clean doc, kept=$kept")
   }
 
+  test("streaming DSIR gate admits against persisted weights, matches the batch twin") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dsirgate").toString
+    val fit = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat", "en")) ++
+      (21 to 40).map(i => (i.toLong, "der hund lief durch den wald", "de")))
+      .toDF("doc_id", "text", "lang")
+    graft.operators.Pretrain.fitDsirWeights(fit)
+      .write.mode("overwrite").parquet(s"$base/weights")
+    val in = Seq(
+      (101L, "the cat sat on the mat", "en"),   // target-like → admitted
+      (102L, "der hund lief durch den wald", "de"), // off-target → dropped
+      (103L, "x", "en"))                        // no bigram evidence → dropped
+      .toDF("doc_id", "text", "lang")
+    in.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(in.schema).parquet(s"$base/in")
+    val q = EventStreams.dsirGateStream(stream, s"$base/weights",
+      s"$base/out", s"$base/ckpt", minLogweight = 0.0)
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(101L), s"expected only the target-like doc: $admitted")
+    // online/offline can't drift: the batch twin on the same weights
+    val w = spark.read.parquet(s"$base/weights")
+    val batchAdmit = graft.operators.Pretrain.scoreDsir(in, w)
+      .where(round(col("lw"), 6).cast("double") >= 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == batchAdmit, s"stream $admitted != batch $batchAdmit")
+  }
+
   test("foreachBatch sink lands every event exactly once, idempotently") {
     val base = java.nio.file.Files.createTempDirectory("graft_febs").toString
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
