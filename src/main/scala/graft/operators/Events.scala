@@ -257,6 +257,27 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Full cohort-retention matrix: users grouped by first-seen day,
+    * activity counted at each day offset 0..7 — the triangle chart
+    * events_retention (next-day only) is one diagonal of. The cohort
+    * day attaches via a per-user window MIN over the distinct
+    * (user, day) table — single lineage, one events scan, no
+    * first-day self-join. Offsets are exact integer day diffs. */
+  def eventsCohortMatrix(s: SparkSession, d: String,
+                         maxOffset: Int = 7): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+    days
+      .select(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .where(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
     "sketch_daily_uniques" -> (sketchDailyUniques _),
@@ -268,7 +289,9 @@ object Events {
     "events_user_paths" -> (eventsUserPaths _),
     "events_session_stats" -> (eventsSessionStats _),
     "events_heavy_hitters" -> (eventsHeavyHitters _),
-    "events_attribution" -> (eventsAttribution _)
+    "events_attribution" -> (eventsAttribution _),
+    "events_cohort_matrix" -> ((s: SparkSession, d: String) =>
+      eventsCohortMatrix(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,6 +463,19 @@ object Events {
         |SELECT event_id, user_id,
         |  epoch_us(ts) - epoch_us(view_ts) AS latency_us
         |FROM t WHERE event_type = 'purchase' AND view_ts IS NOT NULL
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "events_cohort_matrix" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort
+        |  FROM d
+        |)
+        |SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+        |  count(*) AS n_users
+        |FROM c WHERE date_diff('day', cohort, day) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
   )
 }

@@ -151,6 +151,26 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Exact cosine RANGE search: every corpus vector within `threshold`
+    * of each query — the radius form of [[simTopkBruteforce]] (recall
+    * mining, policy screens: "give me EVERYTHING this close", where a
+    * top-k budget would truncate dense neighborhoods arbitrarily). Same
+    * broadcast-queries map-side scoring, but the range predicate makes
+    * the shuffle carry only matches — output-bound, not k·|Q|-bound.
+    * The LSH/IVF family is the sub-linear scale path (bucket, probe,
+    * exact-rescore ≥ threshold); this exact form is its
+    * oracle-checkable twin, bit-stable cosine like the top-k path. */
+  def simRangeSearch(s: SparkSession, d: String,
+                     threshold: Double = 0.4): DataFrame = {
+    val emb = embeddings(s, d)
+    emb.crossJoin(broadcast(queriesSet(emb)))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .where(col("score") >= threshold)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   /** Append per-query recall vs the exact brute-force top-k, so the ANN
     * quality number is driver-visible in the gate output (not just row
     * counts). Diagnostic join: the exact twin runs at test scale; at
@@ -888,7 +908,8 @@ object Similarity {
     "dedup_embed_exact" -> ((s: SparkSession, d: String) => dedupEmbedExact(s, d)),
     "sim_knn_graph_exact" -> ((s: SparkSession, d: String) =>
       simKnnGraphExact(s, d)),
-    "sim_knn_graph" -> ((s: SparkSession, d: String) => simKnnGraph(s, d))
+    "sim_knn_graph" -> ((s: SparkSession, d: String) => simKnnGraph(s, d)),
+    "sim_range_search" -> ((s: SparkSession, d: String) => simRangeSearch(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -927,6 +948,22 @@ object Similarity {
         |)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, score
         |FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+
+    "sim_range_search" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id < $NumQueries
+        |), s AS (
+        |  SELECT q_id, e.vec_id,
+        |    list_dot_product(qe, list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+        |      / (sqrt(list_dot_product(qe, qe))
+        |         * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))))) AS score
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id
+        |)
+        |SELECT q_id, vec_id, score FROM s
+        |WHERE score >= 0.4 ORDER BY q_id, vec_id""".stripMargin,
     // sim_ann_lsh is probabilistic — covered by the recall-vs-bruteforce
     // ScalaTest instead of a SQL oracle.
 

@@ -272,6 +272,36 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  /** Top-k TF-IDF terms per document — the sparse lexical "embedding"
+    * (keyword extraction, lexical retrieval features, the classic
+    * BM25-precursor representation). One tokenization pass: tf comes
+    * from the (doc, term) groupBy; df is a per-term WINDOW count over
+    * that already-reduced table (same single-lineage discipline as the
+    * DSIR totals — a separate groupBy(term) branch would re-tokenize
+    * the corpus); N broadcasts as a metadata-only count(*) one-row agg.
+    * Per-doc top-k ranks the ROUNDED score with a total tie-break, so
+    * the cut is oracle-stable. */
+  def textTfidfVectors(s: SparkSession, d: String): DataFrame =
+    tfidfVectors(documents(s, d))
+
+  def tfidfVectors(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("n"))
+    tf.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n") / col("df")), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_length_stats" -> (textLengthStats _),
     "text_langid" -> (textLangid _),
@@ -281,7 +311,8 @@ object TextAnalysis {
     "text_top_tokens" -> (textTopTokens _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_unigram_logprob_smoothed" -> (textUnigramLogprobSmoothed _),
-    "text_bm25_search" -> (textBm25Search _)
+    "text_bm25_search" -> (textBm25Search _),
+    "text_tfidf_vectors" -> (textTfidfVectors _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,6 +449,29 @@ object TextAnalysis {
         |SELECT doc_id, CAST(sum(sc) AS DOUBLE) AS bm25,
         |  count(*) AS n_terms_hit
         |FROM sc GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_tfidf_vectors" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), x AS (
+        |  SELECT doc_id, term, tf,
+        |    count(*) OVER (PARTITION BY term) AS df
+        |  FROM tf
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, round(tf * ln(n / df), 6) AS tfidf
+        |  FROM x CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tfidf
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
   )
 }
