@@ -278,6 +278,31 @@ object Events {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** Per-user RFM table (recency / frequency / monetary) — the
+    * segmentation input of lifecycle analytics: seconds since the
+    * user's last event (against the corpus-max reference time),
+    * purchase count, and decimal-exact purchase value. One events scan
+    * into the per-user agg; the reference time attaches as a global
+    * window MAX over the ALREADY-REDUCED per-user table (single
+    * lineage; at extreme user counts swap the single-partition window
+    * for a two-stage max — partition maxima, then one row each). */
+  def eventsRfm(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(when(col("event_type") === "purchase", 1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2)))).as("mon_dec"))
+    perUser
+      .withColumn("ref_us",
+        max(col("last_us")).over(Window.partitionBy(lit(1))))
+      .select(col("user_id"),
+        expr("(ref_us - last_us) div 1000000").as("recency_s"),
+        col("frequency"),
+        coalesce(col("mon_dec").cast(DoubleType), lit(0.0)).as("monetary"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
     "sketch_daily_uniques" -> (sketchDailyUniques _),
@@ -291,7 +316,8 @@ object Events {
     "events_heavy_hitters" -> (eventsHeavyHitters _),
     "events_attribution" -> (eventsAttribution _),
     "events_cohort_matrix" -> ((s: SparkSession, d: String) =>
-      eventsCohortMatrix(s, d))
+      eventsCohortMatrix(s, d)),
+    "events_rfm" -> (eventsRfm _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -476,6 +502,21 @@ object Events {
         |SELECT cohort, date_diff('day', cohort, day) AS day_offset,
         |  count(*) AS n_users
         |FROM c WHERE date_diff('day', cohort, day) <= 7
-        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+
+    "events_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(epoch_us(ts)) AS last_us,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS mon_dec
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |  (max(last_us) OVER () - last_us) // 1000000 AS recency_s,
+        |  frequency,
+        |  coalesce(CAST(mon_dec AS DOUBLE), 0.0) AS monetary
+        |FROM u ORDER BY user_id""".stripMargin
   )
 }

@@ -410,6 +410,39 @@ object Sharding {
       .orderBy(col("column_name"))
   }
 
+  /** Deterministic source-INTERLEAVED training order: within each
+    * source, docs take a seeded-md5 permutation rank r (the
+    * [[globalShuffle]] discipline); global position then lays rounds
+    * out r=0 of every source, r=1 of every source, … — the mixture
+    * scheduling that keeps every training window source-balanced
+    * instead of merely globally shuffled (a run of one source can
+    * still appear in a plain shuffle; never here).
+    *
+    * No global sort and no giant base table: rows before round r is
+    * CLOSED-FORM — Σ_s min(r, |s|) — computed map-side against the
+    * broadcast one-row per-source size list (an aggregate HOF), and
+    * the within-round offset is a row_number over ≤#sources rows per
+    * round. Two corpus scans (sizes + ranked), both column-pruned. */
+  def sourceInterleave(docs: DataFrame, seed: Long = 42L): DataFrame = {
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + seed))).as("h"))
+      .withColumn("r", (row_number().over(wSrc) - 1).cast(LongType))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      .agg(collect_list(struct(col("source"), col("sz"))).as("szs"))
+    val wIn = Window.partitionBy(col("r")).orderBy(col("source"), col("doc_id"))
+    ranked.crossJoin(broadcast(sizes))
+      .withColumn("base",
+        expr("aggregate(szs, 0L, (acc, x) -> acc + least(r, x.sz))"))
+      .select(col("doc_id"), col("source"),
+        (col("base") + row_number().over(wIn)).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def pipelineInterleave(s: SparkSession, d: String): DataFrame =
+    sourceInterleave(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shuffle" -> (pipelineShuffle _),
     "pipeline_split" -> (pipelineSplit _),
@@ -422,7 +455,9 @@ object Sharding {
     "pipeline_sample_stratified" -> (pipelineSample _),
     "pipeline_mixture" -> (pipelineMixture _),
     "pipeline_chunk" -> (pipelineChunk _),
-    "pipeline_profile" -> (pipelineProfile _)
+    "pipeline_profile" -> (pipelineProfile _),
+    "pipeline_interleave" -> ((s: SparkSession, d: String) =>
+      pipelineInterleave(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -641,6 +676,23 @@ object Sharding {
         |  mx_source FROM a
         |UNION ALL SELECT 'n_chars', n_rows, nn_n_chars, nd_n_chars,
         |  mn_n_chars, mx_n_chars FROM a
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+
+    "pipeline_interleave" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, source, h,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      - 1 AS BIGINT) AS r
+        |  FROM t
+        |), sz AS (SELECT source, count(*) AS sz FROM documents GROUP BY source)
+        |SELECT doc_id, source,
+        |  (SELECT sum(least(ranked.r, sz.sz)) FROM sz)
+        |    + row_number() OVER (PARTITION BY r ORDER BY source, doc_id)
+        |    AS pos
+        |FROM ranked ORDER BY doc_id""".stripMargin
   )
 }
