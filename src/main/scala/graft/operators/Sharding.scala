@@ -379,34 +379,54 @@ object Sharding {
 
   /** Per-column dataset profile — the `ANALYZE TABLE` report a
     * pipeline reads before writing partitioning/bucketing config:
-    * null count, exact distinct count, and min/max (rendered as
-    * strings so one report schema fits every column type) for every
-    * column, in ONE scan: the multi-column distinct compiles to a
-    * single Expand (#cols row-multiply) + paired partial/final aggs,
-    * and the per-column stats unpivot via stack from the one-row agg —
-    * no per-column scan loop. Exact distinct on a text column is the
-    * memory-heavy piece at 100 TB; the sketch swap is
-    * approx_count_distinct (q_approx_count_distinct family) with the
-    * rest of the report unchanged. */
+    * null count, exact distinct count, and a range stat (value range
+    * for numeric columns, LENGTH range for strings — the stats real
+    * ANALYZE keeps; extremal full strings don't scale and aren't
+    * useful) for every column, in ONE scan.
+    *
+    * Every aggregation buffer is numeric BY CONSTRUCTION so the whole
+    * report stays in HashAggregate: string distinct counts run over
+    * the md5 split into two 64-bit halves (injective on the digest, so
+    * the count equals distinct-md5 — which is what the oracle counts),
+    * never over raw strings, whose immutable buffers would demote the
+    * multi-distinct Expand to a SortAggregate that SORTS the full text
+    * column (observed; same pathology pipeline_fingerprint's digest
+    * extremes hit in round 6). The sketch swap at 100 TB is
+    * approx_count_distinct with the rest of the report unchanged. */
   def pipelineProfile(s: SparkSession, d: String): DataFrame =
     profileTable(documents(s, d))
 
   def profileTable(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.StringType
-    val cols = df.schema.fieldNames.toSeq
-    val aggs = cols.flatMap { c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast(StringType).as(s"mn_$c"),
-      max(col(c)).cast(StringType).as(s"mx_$c")) }
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val isStr = f.dataType == StringType
+      // three ≤48-bit hex slices cover the whole digest (injective) and
+      // stay inside signed-long range — a 16-hex-char half can exceed
+      // Long.MaxValue and ANSI cast throws on it
+      val (d1, d2, d3) =
+        if (isStr)
+          (conv(substring(md5(c), 1, 11), 16, 10).cast(LongType),
+            conv(substring(md5(c), 12, 11), 16, 10).cast(LongType),
+            conv(substring(md5(c), 23, 10), 16, 10).cast(LongType))
+        else (c.cast(LongType), lit(0L), lit(0L))
+      val v = if (isStr) length(c).cast(DoubleType) else c.cast(DoubleType)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_${f.name}"),
+        countDistinct(d1, d2, d3).as(s"nd_${f.name}"),
+        min(v).as(s"mn_${f.name}"),
+        max(v).as(s"mx_${f.name}"))
+    }
+    val cols = fields.map(_.name)
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = cols.map(c =>
       s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
     one.select(col("n_rows"), expr(
         s"stack(${cols.size}, $stackArgs) AS " +
-          "(column_name, n_nulls, n_distinct, min_s, max_s)"))
+          "(column_name, n_nulls, n_distinct, min_v, max_v)"))
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_s"), col("max_s"))
+        col("n_distinct"), col("min_v"), col("max_v"))
       .orderBy(col("column_name"))
   }
 
@@ -648,25 +668,28 @@ object Sharding {
         |  SELECT count(*) AS n_rows,
         |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nn_doc_id,
         |    count(DISTINCT doc_id) AS nd_doc_id,
-        |    CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
-        |    CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+        |    CAST(min(doc_id) AS DOUBLE) AS mn_doc_id,
+        |    CAST(max(doc_id) AS DOUBLE) AS mx_doc_id,
         |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn_text,
-        |    count(DISTINCT text) AS nd_text,
-        |    min(text) AS mn_text, max(text) AS mx_text,
+        |    count(DISTINCT md5(text)) AS nd_text,
+        |    CAST(min(length(text)) AS DOUBLE) AS mn_text,
+        |    CAST(max(length(text)) AS DOUBLE) AS mx_text,
         |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nn_lang,
-        |    count(DISTINCT lang) AS nd_lang,
-        |    min(lang) AS mn_lang, max(lang) AS mx_lang,
+        |    count(DISTINCT md5(lang)) AS nd_lang,
+        |    CAST(min(length(lang)) AS DOUBLE) AS mn_lang,
+        |    CAST(max(length(lang)) AS DOUBLE) AS mx_lang,
         |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nn_source,
-        |    count(DISTINCT source) AS nd_source,
-        |    min(source) AS mn_source, max(source) AS mx_source,
+        |    count(DISTINCT md5(source)) AS nd_source,
+        |    CAST(min(length(source)) AS DOUBLE) AS mn_source,
+        |    CAST(max(length(source)) AS DOUBLE) AS mx_source,
         |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nn_n_chars,
         |    count(DISTINCT n_chars) AS nd_n_chars,
-        |    CAST(min(n_chars) AS VARCHAR) AS mn_n_chars,
-        |    CAST(max(n_chars) AS VARCHAR) AS mx_n_chars
+        |    CAST(min(n_chars) AS DOUBLE) AS mn_n_chars,
+        |    CAST(max(n_chars) AS DOUBLE) AS mx_n_chars
         |  FROM documents
         |)
         |SELECT 'doc_id' AS column_name, n_rows, nn_doc_id AS n_nulls,
-        |  nd_doc_id AS n_distinct, mn_doc_id AS min_s, mx_doc_id AS max_s
+        |  nd_doc_id AS n_distinct, mn_doc_id AS min_v, mx_doc_id AS max_v
         |FROM a
         |UNION ALL SELECT 'text', n_rows, nn_text, nd_text, mn_text, mx_text
         |FROM a
