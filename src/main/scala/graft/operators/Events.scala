@@ -303,6 +303,22 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Burst/bot screen: users whose event rate spikes inside any single
+    * minute — the abuse signal raw daily volumes can't see. Two
+    * hash-agg levels, both shrinking: (user, minute) counts, then the
+    * per-user peak; the flag threshold marks users whose peak minute
+    * holds ≥ `burst` events. All-integer output. */
+  def eventsBotFlags(s: SparkSession, d: String,
+                     burst: Long = 5L): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(col("cnt")).as("peak_minute_cnt"),
+        sum(col("cnt")).as("n_events"))
+      .withColumn("flagged", col("peak_minute_cnt") >= burst)
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
     "sketch_daily_uniques" -> (sketchDailyUniques _),
@@ -317,7 +333,9 @@ object Events {
     "events_attribution" -> (eventsAttribution _),
     "events_cohort_matrix" -> ((s: SparkSession, d: String) =>
       eventsCohortMatrix(s, d)),
-    "events_rfm" -> (eventsRfm _)
+    "events_rfm" -> (eventsRfm _),
+    "events_bot_flags" -> ((s: SparkSession, d: String) =>
+      eventsBotFlags(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -517,6 +535,16 @@ object Events {
         |  (max(last_us) OVER () - last_us) // 1000000 AS recency_s,
         |  frequency,
         |  coalesce(CAST(mon_dec AS DOUBLE), 0.0) AS monetary
-        |FROM u ORDER BY user_id""".stripMargin
+        |FROM u ORDER BY user_id""".stripMargin,
+
+    "events_bot_flags" ->
+      """WITH m AS (
+        |  SELECT user_id, date_trunc('minute', ts) AS minute,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, max(cnt) AS peak_minute_cnt,
+        |  sum(cnt) AS n_events, max(cnt) >= 5 AS flagged
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

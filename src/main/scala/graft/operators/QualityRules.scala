@@ -248,13 +248,35 @@ object QualityRules {
   def qualityDomainGate(s: SparkSession, d: String): DataFrame =
     domainGate(documents(s, d))
 
+  /** Per-source exact-duplication rate — the corpus-health report that
+    * decides WHERE dedup effort goes (a source at 40% dup rate gets a
+    * crawl fix, not just a filter). One hash-agg scan: distinct texts
+    * count over md5 long-slices (numeric buffers, same discipline as
+    * pipeline_profile), never raw strings. */
+  def qualityDedupRate(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(
+          conv(substring(md5(col("text")), 1, 11), 16, 10).cast("long"),
+          conv(substring(md5(col("text")), 12, 11), 16, 10).cast("long"),
+          conv(substring(md5(col("text")), 23, 10), 16, 10).cast("long"))
+          .as("n_distinct"),
+        round((lit(1.0) - countDistinct(
+          conv(substring(md5(col("text")), 1, 11), 16, 10).cast("long"),
+          conv(substring(md5(col("text")), 12, 11), 16, 10).cast("long"),
+          conv(substring(md5(col("text")), 23, 10), 16, 10).cast("long"))
+          .cast("double") / count(lit(1))), 6).as("dup_rate"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_domain_gate" -> (qualityDomainGate _),
     "text_pii_redact" -> (textPiiRedact _),
     "quality_gopher_rules" -> (qualityGopherRules _),
     "quality_repetition" -> (qualityRepetition _),
     "dedup_paragraph" -> (dedupParagraph _),
-    "pipeline_contamination" -> (pipelineContamination _)
+    "pipeline_contamination" -> (pipelineContamination _),
+    "quality_dedup_rate" -> (qualityDedupRate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +396,13 @@ object QualityRules {
         |SELECT g.doc_id, count(DISTINCT g.ng) AS n_contam
         |FROM g JOIN ev USING (ng)
         |WHERE g.doc_id % 97 <> 0
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "quality_dedup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+        |    AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }
