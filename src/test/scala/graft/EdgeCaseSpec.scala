@@ -112,6 +112,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!admitted.contains(100L) && admitted.contains(101L), admitted.toString)
   }
 
+  test("pretraining-selection operators survive hostile docs") {
+    import graft.operators.Pretrain
+    val withLang = hostile.withColumn("lang",
+      when(col("doc_id") <= 3, "en").otherwise("zh"))
+    // DSIR: empty/whitespace/single-word docs carry no bigram and drop;
+    // the rest score without throwing
+    val w = Pretrain.dsirWeight(withLang).collect()
+    assert(w.nonEmpty && w.forall(r => !r.isNullAt(2)))
+    // bigram LM: only multi-token docs appear
+    val bg = Pretrain.bigramLogprob(hostile).collect().map(_.getLong(0)).toSet
+    assert(!bg.contains(1L) && !bg.contains(3L))
+    // char entropy: CJK-only doc degrades to (0, 0.0), nothing throws
+    val ce = Pretrain.textCharEntropy(spark, Sf)
+    assert(ce.columns.length == 3)
+    val hostileEnt = hostile.select(col("doc_id"),
+        graft.functions.CharEntropy.charEntropy(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_printable"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hostileEnt(4L) == 0 && hostileEnt(1L) == 0)
+    // BPE on hostile corpus: single-char and CJK words fit, no throw
+    val merges = Pretrain.bpeMerges(hostile, spark, nMerges = 3).collect()
+    assert(merges.length <= 3)
+  }
+
+  test("profile/interleave reports survive hostile docs incl. nulls") {
+    import spark.implicits._
+    import graft.operators.Sharding
+    val docs = Seq(
+      (1L, "", Some("s1")), (2L, "abc", None), (3L, "abc", Some("s2")))
+      .toDF("doc_id", "text", "source")
+    val prof = Sharding.profileTable(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(prof("source") == ((1L, 2L))) // 1 null, 2 distinct non-null
+    assert(prof("text")._2 == 2L)        // "" and "abc"
+    val il = Sharding.sourceInterleave(
+        docs.na.fill("s0", Seq("source")))
+      .collect().map(_.getLong(2)).sorted
+    assert(il.toSeq == Seq(1L, 2L, 3L)) // positions are a permutation
+  }
+
   test("shuffle/bucket/sample operators survive hostile docs incl. null lang") {
     import spark.implicits._
     import graft.operators.Sharding
