@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** SQL front-end with reference-dialect compatibility
   * (cite: reference src/parser, and the .slt suites in
@@ -205,10 +206,39 @@ object GraftEngine {
         graft.operators.Pretrain.dsirWeight(Tables.documents(s, d),
           buckets = p.int("buckets", 8192),
           alpha = p.double("alpha", 0.5),
-          targetLang = p.str("targetLang", "en"))),
+          targetLang = p.str("targetLang", "en"),
+          hashMode = p.str("hash", "md5"))),
       "pipeline_dsir_sample" -> ((s, d, p) =>
         graft.operators.Pretrain.dsirSample(Tables.documents(s, d),
-          k = p.int("k", 500), seed = p.int("seed", 42))),
+          k = p.int("k", 500), seed = p.int("seed", 42),
+          hashMode = p.str("hash", "md5"))),
+      // hash=md5 (gate default, oracle-replayable) | xxhash64 (the
+      // production path at 100 TB — one codegen'd 64-bit hash in the
+      // hot loop instead of a 128-bit digest + hex decode). Same knob
+      // name across every permutation/draw operator.
+      "pipeline_shuffle" -> ((s, d, p) =>
+        Sharding.globalShuffle(Tables.documents(s, d),
+          seed = p.long("seed", 42L), prefixLen = p.int("prefixLen", 2),
+          hashMode = p.str("hash", "md5")).orderBy(col("shuffle_pos"))),
+      "pipeline_split" -> ((s, d, p) =>
+        Sharding.assignSplits(Tables.documents(s, d),
+          seed = p.long("seed", 42L), hashMode = p.str("hash", "md5"))),
+      "pipeline_mixture" -> ((s, d, p) =>
+        Sharding.mixCorpus(Tables.documents(s, d),
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
+          seed = p.long("seed", 42L), hashMode = p.str("hash", "md5"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("lang"))),
+      "pipeline_interleave" -> ((s, d, p) =>
+        Sharding.sourceInterleave(Tables.documents(s, d),
+          seed = p.long("seed", 42L), prefixLen = p.int("prefixLen", 2),
+          hashMode = p.str("hash", "md5"))),
+      "pipeline_sample_per_group" -> ((s, d, p) =>
+        Sharding.samplePerGroup(Tables.documents(s, d),
+          k = p.int("k", 20), seed = p.long("seed", 42L),
+          hashMode = p.str("hash", "md5"))),
       "pipeline_bpe_merges" -> ((s, d, p) =>
         graft.operators.Pretrain.bpeMerges(Tables.documents(s, d), s,
           nMerges = p.int("nMerges", 12)))

@@ -47,6 +47,13 @@ object Verify {
     // world) instead of output dirs (open world — crashes vanish)
     Files.writeString(Paths.get(s"$outDir/queries_keys.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // producer-side provenance twin of the checker's __meta__ record:
+    // which Spark/Java built these dumps (oracle-harness divergences
+    // are version-sensitive — round 10's were)
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"spark": ${q(spark.version)}, "scala": ${q(
+        scala.util.Properties.versionNumberString)}, "java": ${q(
+        System.getProperty("java.version"))}}""")
     spark.stop()
   }
 }

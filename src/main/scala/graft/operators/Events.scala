@@ -281,21 +281,25 @@ object Events {
   /** Per-user RFM table (recency / frequency / monetary) — the
     * segmentation input of lifecycle analytics: seconds since the
     * user's last event (against the corpus-max reference time),
-    * purchase count, and decimal-exact purchase value. One events scan
-    * into the per-user agg; the reference time attaches as a global
-    * window MAX over the ALREADY-REDUCED per-user table (single
-    * lineage; at extreme user counts swap the single-partition window
-    * for a two-stage max — partition maxima, then one row each). */
+    * purchase count, and decimal-exact purchase value. The reference
+    * time is a TWO-STAGE global max straight off the events scan
+    * (per-partition partial maxima → one-row final agg → 1-row
+    * broadcast) — never a single-partition window over the per-user
+    * table (billions of rows at 100 TB through one task, the round-10
+    * review's finding) and never a shuffle: the ref branch is a
+    * column-pruned (ts-only) scan-agg. Plan-pinned in
+    * PlanRegressionSpec: zero Window nodes, ref side broadcast. */
   def eventsRfm(s: SparkSession, d: String): DataFrame = {
-    val perUser = events(s, d)
+    val ev = events(s, d)
+    val perUser = ev
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(when(col("event_type") === "purchase", 1)).as("frequency"),
         sum(when(col("event_type") === "purchase",
           col("value").cast(DecimalType(18, 2)))).as("mon_dec"))
+    val ref = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
     perUser
-      .withColumn("ref_us",
-        max(col("last_us")).over(Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(ref))
       .select(col("user_id"),
         expr("(ref_us - last_us) div 1000000").as("recency_s"),
         col("frequency"),
@@ -544,7 +548,7 @@ object Events {
         |  FROM events GROUP BY 1, 2
         |)
         |SELECT user_id, max(cnt) AS peak_minute_cnt,
-        |  sum(cnt) AS n_events, max(cnt) >= 5 AS flagged
+        |  CAST(sum(cnt) AS BIGINT) AS n_events, max(cnt) >= 5 AS flagged
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

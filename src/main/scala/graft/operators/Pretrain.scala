@@ -48,8 +48,9 @@ object Pretrain {
     dsirWeight(documents(s, d))
 
   def dsirWeight(docs: DataFrame, buckets: Int = 8192,
-                 alpha: Double = 0.5, targetLang: String = "en"): DataFrame =
-    dsirLogweights(docs, buckets, alpha, targetLang)
+                 alpha: Double = 0.5, targetLang: String = "en",
+                 hashMode: String = "md5"): DataFrame =
+    dsirLogweights(docs, buckets, alpha, targetLang, hashMode)
       .select(col("doc_id"), col("n_grams"),
         // round the DECIMAL sum, then cast — no trailing division here,
         // so double-first rounding would sit exactly on 6 dp boundaries
@@ -61,8 +62,10 @@ object Pretrain {
     * reports it; [[dsirSample]] draws the resampled corpus from it. */
   def dsirLogweights(docs: DataFrame, buckets: Int = 8192,
                      alpha: Double = 0.5,
-                     targetLang: String = "en"): DataFrame =
-    scoreDsir(docs, fitDsirWeights(docs, buckets, alpha, targetLang), buckets)
+                     targetLang: String = "en",
+                     hashMode: String = "md5"): DataFrame =
+    scoreDsir(docs, fitDsirWeights(docs, buckets, alpha, targetLang, hashMode),
+      buckets, hashMode)
 
   /** Score docs against an already-FITTED weight table — the online
     * half of the fit/score split. The weight table is the persisted
@@ -71,37 +74,58 @@ object Pretrain {
     * which is what lets a streaming gate (EventStreams.dsirGateStream)
     * admit micro-batches against weights fitted offline. */
   def scoreDsir(docs: DataFrame, weights: DataFrame,
-                buckets: Int = 8192): DataFrame =
-    bucketStream(docs, buckets)
+                buckets: Int = 8192, hashMode: String = "md5"): DataFrame =
+    bucketStream(docs, buckets, hashMode)
       .join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("lw"))
 
   /** The hashed-bigram feature stream: (doc_id, lang, bucket). */
-  private def bucketStream(docs: DataFrame, buckets: Int): DataFrame =
+  private def bucketStream(docs: DataFrame, buckets: Int,
+                           hashMode: String = "md5"): DataFrame = {
+    // bucket hash: md5 hex prefix for the oracle-replayable gate;
+    // xxhash64+pmod (one codegen'd hash, no hex decode) in production
+    val bCol = hashMode match {
+      case "md5" =>
+        conv(substring(md5(col("g")), 1, 6), 16, 10).cast(LongType) % buckets
+      case "xxhash64" => pmod(xxhash64(col("g")), lit(buckets.toLong))
+      case other => throw new IllegalArgumentException(
+        s"unknown hash mode '$other' — expected md5 or xxhash64")
+    }
     docs
       .select(col("doc_id"), col("lang"),
         split(lower(col("text")), "\\s+").as("ws"))
       .select(col("doc_id"), col("lang"), explode(expr(
         "filter(transform(ws, (w, i) -> IF(i = 0, NULL, " +
           "concat(element_at(ws, i), ' ', w))), x -> x IS NOT NULL)")).as("g"))
-      .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast(LongType)
-          % buckets).as("b"))
+      .select(col("doc_id"), col("lang"), bCol.as("b"))
+  }
 
   /** Fit the DSIR model: the ≤B-row per-bucket log-ratio table.
     * Persist it with `.write.parquet(dir)` — that parquet IS the model
     * a streaming gate scores against. */
   def fitDsirWeights(docs: DataFrame, buckets: Int = 8192,
                      alpha: Double = 0.5,
-                     targetLang: String = "en"): DataFrame = {
-    val bg = bucketStream(docs, buckets)
+                     targetLang: String = "en",
+                     hashMode: String = "md5"): DataFrame = {
+    val bg = bucketStream(docs, buckets, hashMode)
     // raw + target counts in ONE aggregation pass (count + indicator
     // sum) — three separate aggs would tokenize the corpus three times;
     // the grand totals then reduce the ≤B-row count table, not the
-    // corpus, so the whole stats phase is a single corpus scan
-    val cnt = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+    // corpus, so the whole stats phase is a single corpus scan.
+    // The fitted model carries ALL B bucket rows — buckets unseen at
+    // fit time get cr=ct=0 and smooth to ln((tr+αB)/(tt+αB)), so a
+    // streaming gate scoring NOVEL content (dsirGateStream's inner
+    // join on b) applies DSIR's alpha-smoothed unseen-bucket ratio
+    // instead of silently dropping the evidence. Batch fit+score on
+    // the same corpus is unchanged: every scored bigram's bucket has
+    // cr ≥ 1 by construction, so the zero rows never join.
+    val seen = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"),
       sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val cnt = docs.sparkSession.range(buckets).toDF("b")
+      .join(seen, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
     // grand totals via a global window over the ≤B-row count table —
     // one PARTITION of ≤8192 rows by construction. A separate
     // cnt.agg(...) branch looks cheaper but rebuilds the lineage, and
@@ -130,17 +154,29 @@ object Pretrain {
   def pipelineDsirSample(s: SparkSession, d: String): DataFrame =
     dsirSample(documents(s, d))
 
-  def dsirSample(docs: DataFrame, k: Int = 500, seed: Int = 42): DataFrame =
-    dsirLogweights(docs)
+  def dsirSample(docs: DataFrame, k: Int = 500, seed: Int = 42,
+                 hashMode: String = "md5"): DataFrame = {
+    // u_i: 24 uniform bits over a power-of-two divisor in both modes,
+    // so the draw is exact in binary either way
+    val u = hashMode match {
+      case "md5" =>
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":" + seed))), 1, 6), 16, 10).cast(DoubleType) + 0.5) /
+          16777216.0
+      case "xxhash64" =>
+        (pmod(xxhash64(col("doc_id").cast("string"), lit(seed)),
+          lit(16777216L)).cast(DoubleType) + 0.5) / 16777216.0
+      case other => throw new IllegalArgumentException(
+        s"unknown hash mode '$other' — expected md5 or xxhash64")
+    }
+    dsirLogweights(docs, hashMode = hashMode)
       .select(col("doc_id"),
-        (col("lw").cast(DoubleType) -
-          log(-log((conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit(":" + seed))), 1, 6), 16, 10).cast(DoubleType) + 0.5) /
-            16777216.0))).as("key"))
+        (col("lw").cast(DoubleType) - log(-log(u))).as("key"))
       .orderBy(col("key").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), round(col("key"), 6).as("sample_key"))
       .orderBy(col("doc_id"))
+  }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): score every doc with the in-engine unigram LM
@@ -150,27 +186,31 @@ object Pretrain {
     * keep-the-head curation gate.
     *
     * Scale shape: scoring is the smoothed-logprob pass (corpus tokens
-    * never shuffle); the tercile boundaries are per-lang window
-    * aggregates over the scored rows (exact percentile here for
-    * oracle-checkability — q_approx_percentile is the documented
-    * sketch path at 100 TB), so the scoring pipeline runs exactly once
-    * and bucket assignment happens in the same pass. */
+    * never shuffle); the scored (doc_id, lang, mean_logprob)
+    * projection — ~24 B/doc — localCheckpoints once so both consumers
+    * read the materialized rows instead of re-running the scoring
+    * pipeline (exchange reuse does not unify the rebuilt stages).
+    * Tercile boundaries are EXACT but never hold a corpus-sized
+    * partition: scores reduce to per-(lang, value) frequencies first —
+    * mean_logprob rounds to 6 dp, so the frequency table is bounded by
+    * the score grid (≤ ~10⁷ rows/lang at ANY corpus size), then one
+    * weighted `percentile(score, q, cnt)` per lang reproduces the
+    * whole-corpus percentile exactly (identical value→count state).
+    * The ≤#langs boundary table broadcast-joins back. The round-10
+    * review's corpus-sized `Window.partitionBy(lang)` is gone —
+    * PlanRegressionSpec pins the window-free shape. */
   def qualityCcnetBucket(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val scored = TextAnalysis.unigramLogprobSmoothed(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    // per-lang boundaries as window aggregates over the scored rows —
-    // ONE lineage, so the whole scoring pipeline runs once (a separate
-    // groupBy(lang) branch would recompute it; AQE exchange reuse does
-    // not unify the rebuilt stages). Exact percentile state is per-lang
-    // and memory-bound either way — the sketch path at 100 TB is
-    // q_approx_percentile's family.
-    val wLang = Window.partitionBy(col("lang"))
+      .localCheckpoint()
+    val freq = scored.groupBy(col("lang"), col("mean_logprob"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = freq.groupBy(col("lang")).agg(
+      expr("percentile(mean_logprob, 0.3333333333333333D, cnt)").as("q1"),
+      expr("percentile(mean_logprob, 0.6666666666666666D, cnt)").as("q2"))
     scored
-      .withColumn("q1",
-        expr("percentile(mean_logprob, 0.3333333333333333D)").over(wLang))
-      .withColumn("q2",
-        expr("percentile(mean_logprob, 0.6666666666666666D)").over(wLang))
+      .join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("mean_logprob"),
         when(col("mean_logprob") >= col("q2"), "head")
           .when(col("mean_logprob") >= col("q1"), "middle")
@@ -300,6 +340,18 @@ object Pretrain {
              |   concat(acc, array(x))))""".stripMargin)).cache()
         vocab.count() // materialize before dropping the parent cache
         old.unpersist()
+        // truncate lineage periodically: each merge stacks one
+        // aggregate-HOF withColumn on the logical plan, and cache only
+        // substitutes InMemoryRelation at PHYSICAL planning — without
+        // truncation, analyzer/optimizer cost grows linearly and the
+        // docstring's ~30k production iterations hit the classic
+        // iterative-lineage blowup. localCheckpoint materializes the
+        // vocab-sized table and restarts the plan from it.
+        if (step % 8 == 0) {
+          val cp = vocab.localCheckpoint()
+          vocab.unpersist()
+          vocab = cp
+        }
         step += 1
       }
     }

@@ -248,6 +248,49 @@ class PlanRegressionSpec extends SparkSpec {
       s"ADC touched $probed of $allCells cells — no pruning margin")
   }
 
+  test("ccnet terciles: no window; boundaries aggregate + broadcast back") {
+    val df = SparkEntry.queries("quality_ccnet_bucket")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // round-10 finding: percentile over Window.partitionBy(lang)
+    // materialized every scored doc of a language in ONE partition.
+    // The fixed shape has no Window at all — boundaries come from a
+    // per-(lang, value) frequency reduction + weighted percentile agg,
+    // broadcast-joined back.
+    assert(!p.contains("Window"), s"corpus-sized window resurrected:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tercile boundary table must broadcast:\n$p")
+    assert(p.contains("percentile("), p)
+  }
+
+  test("rfm reference time: two-stage max, no single-partition window") {
+    val df = SparkEntry.queries("events_rfm")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // round-10 finding: max(last_us) OVER (PARTITION BY lit(1)) pushed
+    // the whole per-user table through one task. Fixed: partial maxima
+    // → one-row agg → 1-row broadcast; zero Window nodes.
+    assert(!p.contains("Window"), s"single-partition window resurrected:\n$p")
+    assert(p.contains("partial_max"), s"ref max not two-stage:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row reference must broadcast:\n$p")
+  }
+
+  test("interleave per-source rank is hex-prefix bucketed, never one window per source") {
+    val df = SparkEntry.queries("pipeline_interleave")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // round-10 finding: row_number() OVER (PARTITION BY source ORDER BY
+    // h, …) put each source's whole corpus slice in one task. The fixed
+    // rank windows partition by (source, bkt); only the tiny per-round
+    // window partitions by r. A window partitioned by source and
+    // ordered directly by h is the regressed shape.
+    assert("windowspecdefinition\\(source#\\d+, h#".r.findFirstIn(p).isEmpty,
+      s"per-source corpus-sized window resurrected:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, bkt#\\d+, h#".r
+      .findFirstIn(p).isDefined, s"bucketed rank window missing:\n$p")
+  }
+
   test("partitioned writes prune partitions on read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Sources.write(

@@ -102,5 +102,13 @@ print(f"FAIL {len(fails)}:")
 for f in fails:
     print("  ", f)
 if json_out:
+    # record the checker's own versions + compare mode so a divergence
+    # between two harnesses (the round-10 gate-red mystery) is
+    # diagnosable from the artifact alone
+    report["__meta__"] = {
+        "duckdb": duckdb.__version__, "pandas": pd.__version__,
+        "compare": "column-name-sorted, row-sorted, exact values",
+        "sf_dir": sf_dir,
+    }
     json.dump(report, open(json_out, "w"), indent=2, sort_keys=True)
 sys.exit(1 if fails else 0)
