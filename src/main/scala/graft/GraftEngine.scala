@@ -239,6 +239,19 @@ object GraftEngine {
         Sharding.samplePerGroup(Tables.documents(s, d),
           k = p.int("k", 20), seed = p.long("seed", 42L),
           hashMode = p.str("hash", "md5"))),
+      "pipeline_budget_cap" -> ((s, d, p) =>
+        Sharding.budgetCap(Tables.documents(s, d),
+          budget = p.long("budget", 1000L))),
+      "pipeline_epoch_plan" -> ((s, d, p) =>
+        Sharding.epochPlan(Tables.documents(s, d),
+          epochs = p.int("epochs", 3), seed = p.long("seed", 42L),
+          prefixLen = p.int("prefixLen", 2))),
+      "text_zipf_fit" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.textZipfFit(s, d,
+          k = p.int("k", 1000))),
+      "events_value_histogram" -> ((s, d, p) =>
+        graft.operators.Events.eventsValueHistogram(s, d,
+          width = p.double("width", 50.0))),
       "pipeline_bpe_merges" -> ((s, d, p) =>
         graft.operators.Pretrain.bpeMerges(Tables.documents(s, d), s,
           nMerges = p.int("nMerges", 12)))

@@ -323,7 +323,110 @@ object Events {
       .withColumn("flagged", col("peak_minute_cnt") >= burst)
       .orderBy(col("user_id"))
 
+  /** First-order Markov transition matrix over event types — the
+    * behavioural model behind next-action prediction and funnel-drop
+    * diagnosis: P(next event type | current event type), estimated
+    * MLE over every per-user consecutive pair.
+    *
+    * Scale shape: the lag window partitions by user (bounded by one
+    * user's history, never the corpus); pairs reduce immediately to
+    * the ≤|types|² transition table, whose row-share normalization
+    * windows over that tiny table. Deterministic pair order: ties on
+    * ts break by event_id (unique). */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", round(col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy(col("prev"))), 6))
+      .orderBy(col("prev"), col("cur"))
+  }
+
+  /** Per-user inter-arrival statistics — the cadence signal behind
+    * engagement scoring and bot screens (a human's gaps are heavy-
+    * tailed; a cron job's are constant). Gap multiset is order-
+    * invariant under timestamp ties (sorted-sequence differences), so
+    * the report is deterministic without a tie-break column. Same
+    * bounded per-user window as sessionization; the mean divides two
+    * EXACT integer sums so the rounded double matches DuckDB's. */
+  def eventsInterArrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .where(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast(DoubleType) /
+          (count(lit(1)) * 1000000.0), 6).as("mean_gap_s"),
+        (max(col("gap_us")) / lit(1000000L)).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** DAU/WAU stickiness per day — the retention headline metric.
+    * NO range join and no per-day rescan: the (day, user) distinct
+    * table is computed once, and each active day CONTRIBUTES itself to
+    * the 7 report days it falls inside (explode of a 7-element date
+    * sequence — map-only fan-out of the already-reduced actives
+    * table), so WAU is one countDistinct shuffle keyed by report day.
+    * Report days clamp to observed days via the semi join with the
+    * DAU side (a trailing window that ends after the data would
+    * otherwise report phantom days). */
+  def eventsDauStickiness(s: SparkSession, d: String): DataFrame = {
+    val da = events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+    val dau = da.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = da
+      .select(explode(expr(
+        "sequence(day, day + interval 6 days, interval 1 day)")).as("day"),
+        col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** Hour-of-day activity profile per event type — the seasonality
+    * fingerprint behind anomaly baselines and traffic shaping. One
+    * partial+final agg to ≤24×|types| rows; shares window over that
+    * tiny table. */
+  def eventsHourlyProfile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share", round(col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))), 6))
+      .orderBy(col("event_type"), col("hour"))
+
+  /** Fixed-width value histogram per event type — the distribution
+    * report a monitoring pipeline publishes (and the input to skew-
+    * aware budget decisions). Bucket assignment is map-only integer
+    * floor of an IEEE division both engines compute identically; one
+    * partial+final agg to (type × bucket) rows. */
+  def eventsValueHistogram(s: SparkSession, d: String,
+                           width: Double = 50.0): DataFrame =
+    events(s, d)
+      .where(col("value").isNotNull)
+      .withColumn("bucket", floor(col("value") / width).cast(LongType))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * width).as("bucket_lo"), col("cnt"))
+      .orderBy(col("event_type"), col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov" -> (eventsMarkov _),
+    "events_inter_arrival" -> (eventsInterArrival _),
+    "events_dau_stickiness" -> (eventsDauStickiness _),
+    "events_hourly_profile" -> (eventsHourlyProfile _),
+    "events_value_histogram" -> ((s: SparkSession, d: String) =>
+      eventsValueHistogram(s, d)),
     "events_anomaly" -> (eventsAnomaly _),
     "sketch_daily_uniques" -> (sketchDailyUniques _),
     "events_retention" -> (eventsRetention _),
@@ -549,6 +652,74 @@ object Events {
         |)
         |SELECT user_id, max(cnt) AS peak_minute_cnt,
         |  CAST(sum(cnt) AS BIGINT) AS n_events, max(cnt) >= 5 AS flagged
-        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_markov" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    event_type AS cur
+        |  FROM events
+        |), t AS (
+        |  SELECT prev, cur, count(*) AS cnt FROM p
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev, cur, cnt,
+        |  round(CAST(cnt AS DOUBLE) /
+        |    CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+        |FROM t ORDER BY prev, cur""".stripMargin,
+
+    "events_inter_arrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts) AS gap_us
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / (count(*) * 1000000.0), 6)
+        |    AS mean_gap_s,
+        |  max(gap_us) / 1000000 AS max_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_dau_stickiness" ->
+      """WITH da AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        |), dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau FROM da GROUP BY day
+        |), contrib AS (
+        |  SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |    INTERVAL 1 DAY)) AS day, user_id
+        |  FROM da
+        |), wau AS (
+        |  SELECT day, count(DISTINCT user_id) AS wau
+        |  FROM contrib GROUP BY day
+        |)
+        |SELECT day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    "events_hourly_profile" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, hour, cnt,
+        |  round(CAST(cnt AS DOUBLE) /
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+        |    AS share
+        |FROM h ORDER BY event_type, hour""".stripMargin,
+
+    "events_value_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS bucket
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, bucket, bucket * 50.0 AS bucket_lo,
+        |  count(*) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
   )
 }

@@ -786,6 +786,29 @@ object Relational {
         round(var_samp(col("l_quantity")), 4).as("var_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Per-group MODE (most frequent value) with a deterministic
+    * tie-break — the categorical summary statistic engines expose as
+    * mode()/any_value-with-count. Implemented as count-then-top-1 so
+    * both the result AND the tie rule (higher count, then
+    * lexicographically smaller value) are explicit and replayable:
+    * one partial+final agg to the tiny (group, value) table, top-1 via
+    * a rank filter that partial-limits (WindowGroupLimit) before the
+    * shuffle. */
+  def qModeStat(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("cnt").desc, col("o_orderpriority"))))
+      .where(col("rk") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"),
+        col("cnt").as("mode_cnt"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** ntile quartiles of customer balance within each nation — the
     * equal-frequency bucketing window function (deterministic here
     * because the order key (acctbal, custkey) is total). One shuffle on
@@ -862,6 +885,7 @@ object Relational {
     "q_string_agg" -> (qStringAgg _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_stats_agg" -> (qStatsAgg _),
+    "q_mode_stat" -> (qModeStat _),
     "q_window_ntile" -> (qWindowNtile _)
   )
 
@@ -1390,6 +1414,20 @@ object Relational {
         |  count(*) AS n
         |FROM customer WHERE c_custkey < 100
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q_mode_stat" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority) AS rk
+        |  FROM c
+        |)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  cnt AS mode_cnt
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,

@@ -516,7 +516,80 @@ object Sharding {
   def pipelineInterleave(s: SparkSession, d: String): DataFrame =
     sourceInterleave(documents(s, d))
 
+  /** Per-source token-budget admission: docs enter in (source, doc_id)
+    * order until the source's cumulative token count crosses `budget` —
+    * the "cap every source's contribution" step of mixture curation
+    * (complement of [[mixCorpus]]'s proportional sampler: hard caps,
+    * deterministic order, no draw). Same two-pass distributed prefix
+    * sum as sharding, keyed by (source, doc_id-range bucket): bucket
+    * subtotals → cumulative bases over the tiny subtotal frame →
+    * intra-bucket running sum, so a 100 TB source spreads across
+    * #buckets tasks. The straddling doc is admitted (cum counts the
+    * doc's own tokens; admission tests the PRE-doc offset). */
+  def budgetCap(docs: DataFrame, budget: Long = 1000L,
+                bucketWidth: Long = BucketWidth): DataFrame = {
+    val withTok = docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextStats.textStats(col("text"))
+          .getField("n_words").cast("long").as("n_tokens"),
+        coalesce(col("source"), lit(" <null>")).as("_sk"),
+        expr(s"doc_id DIV $bucketWidth").as("bkt"))
+    val subtotals = withTok.groupBy(col("_sk"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+    val wBase = Window.partitionBy(col("_sk")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = subtotals.select(col("_sk"), col("bkt"),
+      coalesce(sum(col("bkt_tokens")).over(wBase), lit(0L)).as("base"))
+    val wIn = Window.partitionBy(col("_sk"), col("bkt")).orderBy(col("doc_id"))
+    withTok
+      .join(broadcast(bases), Seq("_sk", "bkt"))
+      .withColumn("cum", col("base") + sum(col("n_tokens")).over(wIn))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"),
+        (col("cum") - col("n_tokens") < budget).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
+  def pipelineBudgetCap(s: SparkSession, d: String): DataFrame =
+    budgetCap(documents(s, d))
+
+  /** Multi-epoch training plan: epoch e orders the corpus by the
+    * seed+e permutation — E independent reshuffles in ONE plan, the
+    * schedule a multi-epoch run publishes up front so shard readers
+    * can prefetch. The epoch fan-out is a map-only explode of the
+    * already-pruned (doc_id) projection; each epoch's rank uses the
+    * same hex-prefix-bucketed two-pass prefix sum as [[globalShuffle]]
+    * with (epoch, bucket) as the partition key, so no epoch ever
+    * funnels through one task and epochs rank in parallel. */
+  def epochPlan(docs: DataFrame, epochs: Int = 3, seed: Long = 42L,
+                prefixLen: Int = 2): DataFrame = {
+    val withKey = docs
+      .select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"),
+        (col("epoch") + seed).cast("string"))))
+      .withColumn("bkt", substring(col("h"), 1, prefixLen))
+    val counts = withKey.groupBy(col("epoch"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+    val wBase = Window.partitionBy(col("epoch")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts.select(col("epoch"), col("bkt"),
+      coalesce(sum(col("n")).over(wBase), lit(0L)).as("base"))
+    val wIn = Window.partitionBy(col("epoch"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    withKey
+      .join(broadcast(bases), Seq("epoch", "bkt"))
+      .select(col("epoch"), col("doc_id"),
+        (col("base") + row_number().over(wIn)).as("pos"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  def pipelineEpochPlan(s: SparkSession, d: String): DataFrame =
+    epochPlan(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_budget_cap" -> (pipelineBudgetCap _),
+    "pipeline_epoch_plan" -> (pipelineEpochPlan _),
     "pipeline_shuffle" -> (pipelineShuffle _),
     "pipeline_split" -> (pipelineSplit _),
     "pipeline_length_buckets" -> (pipelineLengthBuckets _),
@@ -534,6 +607,37 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_budget_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - n_tokens < 1000 AS admitted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "pipeline_epoch_plan" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(generate_series(0, 2)) AS epoch
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(epoch + 42 AS VARCHAR)) AS h
+        |  FROM e
+        |)
+        |SELECT epoch, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM k ORDER BY epoch, pos""".stripMargin,
+
     // pipeline_sample_stratified is seeded-random — proportions are
     // asserted in ShardingSpec instead of a SQL oracle.
     // thresholds are literals (0.9/0.95 of the 24-bit space): e66666 =

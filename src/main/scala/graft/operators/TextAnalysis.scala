@@ -302,7 +302,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Per-language vocabulary concentration: vocab size, hapax count
+    * (terms occurring exactly once), and the hapax share — the
+    * vocabulary-growth signal that separates natural text (hapax-heavy,
+    * Heaps-law growth) from template/boilerplate corpora (tiny closed
+    * vocabularies). The corpus reduces to the (lang, term) count table
+    * in one pass (partial+final agg — tokens shuffle once as counts);
+    * everything after runs on vocab-sized data. */
+  def textHapaxShare(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_share", round(
+        col("n_hapax").cast(DoubleType) / col("vocab_size"), 6))
+      .orderBy(col("lang"))
+
+  /** Zipf-law fit per language: least-squares slope of ln(freq) on
+    * ln(rank) over the top-`k` tokens — natural language sits near −1;
+    * strong deviation flags synthetic/templated text. The corpus
+    * reduces once to (lang, term) counts; ranking windows over the
+    * vocab-sized table (rank ≤ k partial-limits via WindowGroupLimit);
+    * the regression consumes per-row ROUNDED decimal terms so the
+    * per-lang sums are order-free and DuckDB replays them exactly, with
+    * the one float division at the very end. */
+  def textZipfFit(s: SparkSession, d: String, k: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, d)
+      .select(col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val ranked = tf
+      .withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("term"))))
+      .where(col("rk") <= k)
+    val dec = DecimalType(28, 9)
+    val x = log(col("rk"))
+    val y = log(col("cnt"))
+    val terms = ranked.select(col("lang"),
+      round(x, 9).cast(dec).as("x"),
+      round(y, 9).cast(dec).as("y"),
+      round(x * y, 9).cast(dec).as("xy"),
+      round(x * x, 9).cast(dec).as("xx"))
+    terms.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+      .select(col("lang"), col("n_terms"),
+        round(
+          (col("n_terms") * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          (col("n_terms") * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)),
+          6).as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax_share" -> (textHapaxShare _),
+    "text_zipf_fit" -> ((s: SparkSession, d: String) => textZipfFit(s, d)),
     "text_length_stats" -> (textLengthStats _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -316,6 +379,49 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_hapax_share" ->
+      """WITH tf AS (
+        |  SELECT lang, term, count(*) AS cnt FROM (
+        |    SELECT lang,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents
+        |  ) WHERE length(term) > 0 GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS vocab_size,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS hapax_share
+        |FROM tf GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT lang, term, count(*) AS cnt FROM (
+        |    SELECT lang,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents
+        |  ) WHERE length(term) > 0 GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, term) AS rk
+        |  FROM tf QUALIFY rk <= 1000
+        |), t AS (
+        |  SELECT lang,
+        |    CAST(round(ln(rk), 9) AS DECIMAL(28,9)) AS x,
+        |    CAST(round(ln(cnt), 9) AS DECIMAL(28,9)) AS y,
+        |    CAST(round(ln(rk) * ln(cnt), 9) AS DECIMAL(28,9)) AS xy,
+        |    CAST(round(ln(rk) * ln(rk), 9) AS DECIMAL(28,9)) AS xx
+        |  FROM r
+        |)
+        |SELECT lang, count(*) AS n_terms,
+        |  round((count(*) * CAST(sum(xy) AS DOUBLE)
+        |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+        |    / (count(*) * CAST(sum(xx) AS DOUBLE)
+        |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6)
+        |    AS zipf_slope
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
     "text_length_stats" ->
       """WITH t AS (
         |  SELECT source,
