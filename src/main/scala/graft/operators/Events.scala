@@ -362,8 +362,12 @@ object Events {
       .where(col("gap_us").isNotNull)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"),
-        round(sum(col("gap_us")).cast(DoubleType) /
-          (count(lit(1)) * 1000000.0), 6).as("mean_gap_s"),
+        // UNROUNDED: one IEEE division of exact integers is identical
+        // in both engines; round(x, 6) is NOT (a boundary-adjacent
+        // quotient flipped Spark vs DuckDB at sf0.1 — the usual
+        // round-the-decimal discipline has no decimal here to round)
+        (sum(col("gap_us")).cast(DoubleType) /
+          (count(lit(1)) * 1000000.0)).as("mean_gap_s"),
         (max(col("gap_us")) / lit(1000000L)).as("max_gap_s"))
       .orderBy(col("user_id"))
   }
@@ -677,7 +681,7 @@ object Events {
         |  FROM events
         |)
         |SELECT user_id, count(*) AS n_gaps,
-        |  round(CAST(sum(gap_us) AS DOUBLE) / (count(*) * 1000000.0), 6)
+        |  CAST(sum(gap_us) AS DOUBLE) / (count(*) * 1000000.0)
         |    AS mean_gap_s,
         |  max(gap_us) / 1000000 AS max_gap_s
         |FROM g WHERE gap_us IS NOT NULL
