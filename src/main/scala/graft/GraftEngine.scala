@@ -249,6 +249,18 @@ object GraftEngine {
       "text_zipf_fit" -> ((s, d, p) =>
         graft.operators.TextAnalysis.textZipfFit(s, d,
           k = p.int("k", 1000))),
+      "dedup_prefix" -> ((s, d, p) =>
+        graft.operators.Dedup.dedupPrefix(Tables.documents(s, d),
+          k = p.int("k", 64))),
+      "events_funnel_windowed" -> ((s, d, p) =>
+        graft.operators.Events.eventsFunnelWindowed(s, d,
+          windowDays = p.int("windowDays", 7))),
+      "pipeline_pack_binned" -> ((s, d, p) =>
+        Sharding.packBinned(Tables.documents(s, d),
+          nBins = p.int("nBins", 8))),
+      "pipeline_layout_plan" -> ((s, d, p) =>
+        Sharding.layoutPlan(s, d,
+          targetBytes = p.long("targetBytes", 1L << 20))),
       "events_value_histogram" -> ((s, d, p) =>
         graft.operators.Events.eventsValueHistogram(s, d,
           width = p.double("width", 50.0))),

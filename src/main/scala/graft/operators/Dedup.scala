@@ -427,7 +427,31 @@ object Dedup {
       .orderBy(col("comp"))
   }
 
+  /** Shared-prefix duplicate groups: docs whose first `k` characters
+    * are identical — the boilerplate-header signature of scraped
+    * corpora (same template preamble, different tails), which full-text
+    * exact dedup misses and near-dup passes pay MinHash for. The
+    * shuffle carries the 16-byte digest of the PREFIX (never text);
+    * groups come from a partial+final agg, and membership attaches
+    * with a second pruned scan joined on the digest — an agg + join,
+    * NOT a window partitioned by the digest: a boilerplate prefix
+    * shared by millions of docs is exactly the skewed partition a
+    * per-group window would funnel through one task. */
+  def dedupPrefix(docs: DataFrame, k: Int = 64): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(substring(col("text"), 1, k)).as("ph"))
+    val groups = keyed.groupBy(col("ph"))
+      .agg(count(lit(1)).as("group_size"),
+        min(col("doc_id")).as("prefix_group"))
+      .where(col("group_size") > 1)
+    keyed.join(groups, Seq("ph"))
+      .select(col("doc_id"), col("prefix_group"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix" -> ((s: SparkSession, d: String) =>
+      dedupPrefix(documents(s, d))),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -473,6 +497,15 @@ object Dedup {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_prefix" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(substr(text, 1, 64)) AS ph FROM documents
+        |), g AS (
+        |  SELECT ph, count(*) AS group_size, min(doc_id) AS prefix_group
+        |  FROM k GROUP BY ph HAVING count(*) > 1
+        |)
+        |SELECT doc_id, prefix_group, group_size
+        |FROM k JOIN g USING (ph) ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,

@@ -424,7 +424,59 @@ object Events {
         (col("bucket") * width).as("bucket_lo"), col("cnt"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Conversion funnel with a bounded attribution window: each stage
+    * counts only within 7 days of the previous stage's first touch —
+    * the form marketing attribution actually uses (an unbounded funnel
+    * credits year-old views). Same shrinking-frame join shape as
+    * [[eventsFunnel]]; the window bound is one extra pushed predicate
+    * per stage, so the plan is identical plus a filter. */
+  def eventsFunnelWindowed(s: SparkSession, d: String,
+                           windowDays: Int = 7): DataFrame = {
+    val e = events(s, d)
+    val iv = expr(s"INTERVAL $windowDays DAYS")
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("t1") && col("ts") <= col("t1") + iv)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("t2") && col("ts") <= col("t2") + iv)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage"), col("n_users")))
+      .orderBy(col("stage"))
+  }
+
+  /** New-vs-returning daily split — the acquisition/retention headline
+    * every growth dashboard leads with. ONE events scan: the (day,
+    * user) distinct table carries its user's first-seen day as a
+    * window MIN over the per-user day list (bounded by one user's
+    * active days, never the corpus), then a per-day partial+final
+    * agg. */
+  def eventsNewVsReturning(s: SparkSession, d: String): DataFrame = {
+    val du = events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    du
+      .withColumn("first_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel_windowed" -> ((s: SparkSession, d: String) =>
+      eventsFunnelWindowed(s, d)),
+    "events_new_vs_returning" -> (eventsNewVsReturning _),
     "events_markov" -> (eventsMarkov _),
     "events_inter_arrival" -> (eventsInterArrival _),
     "events_dau_stickiness" -> (eventsDauStickiness _),
@@ -657,6 +709,44 @@ object Events {
         |SELECT user_id, max(cnt) AS peak_minute_cnt,
         |  CAST(sum(cnt) AS BIGINT) AS n_events, max(cnt) >= 5 AS flagged
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_funnel_windowed" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |    AND e.ts <= v.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |    AND e.ts <= c.t2 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS INTEGER) AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, count(*) FROM c
+        |UNION ALL SELECT 3, count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "events_new_vs_returning" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        |), f AS (
+        |  SELECT day, user_id,
+        |    min(day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM du
+        |), a AS (
+        |  SELECT day, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM f GROUP BY day
+        |)
+        |SELECT day, n_active, n_new, n_active - n_new AS n_returning
+        |FROM a ORDER BY day""".stripMargin,
 
     "events_markov" ->
       """WITH p AS (

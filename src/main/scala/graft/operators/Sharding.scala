@@ -587,7 +587,84 @@ object Sharding {
   def pipelineEpochPlan(s: SparkSession, d: String): DataFrame =
     epochPlan(documents(s, d))
 
+  /** Balanced bin packing by longest-processing-time round-robin:
+    * rank docs by token length (desc) and deal them across `nBins`
+    * bins — the classic LPT heuristic that keeps every training
+    * worker's token total within one max-doc of balance, versus the
+    * order-preserving [[shardByTokenBudget]] which optimizes
+    * contiguity instead. The global length rank is the two-pass
+    * prefix-sum shape keyed by the LENGTH VALUE itself (counts per
+    * distinct length — bounded; cumulative bases over that tiny frame;
+    * within-length rank by doc_id), so no corpus-sized window
+    * partition exists even though the rank is global. */
+  def packBinned(docs: DataFrame, nBins: Int = 8): DataFrame = {
+    val withTok = docs.select(col("doc_id"),
+      graft.functions.TextStats.textStats(col("text"))
+        .getField("n_words").cast("long").as("n_tokens"))
+    val counts = withTok.groupBy(col("n_tokens")).agg(count(lit(1)).as("n"))
+    val wBase = Window.orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts.select(col("n_tokens"),
+      coalesce(sum(col("n")).over(wBase), lit(0L)).as("base"))
+    val wIn = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    withTok
+      .join(broadcast(bases), Seq("n_tokens"))
+      .withColumn("rank", col("base") + row_number().over(wIn))
+      .withColumn("bin", ((col("rank") - 1) % nBins).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("bin"))
+  }
+
+  def pipelinePackBinned(s: SparkSession, d: String): DataFrame =
+    packBinned(documents(s, d))
+
+  /** Physical-layout recommendation — the step between ANALYZE
+    * ([[profileTable]]) and a write: estimated in-memory bytes per
+    * table from one single-pass agg (fixed widths for numerics,
+    * measured lengths for strings), then the file-count and
+    * power-of-two bucket-count a writer should target. All-integer
+    * arithmetic end to end (deterministic, oracle-replayed); the gate
+    * default budget is 1 MiB so the recommendation VARIES at test
+    * scales — production budget (128 MiB parquet row groups) is the
+    * `targetBytes` knob via pipelineView. */
+  def layoutPlan(s: SparkSession, d: String,
+                 targetBytes: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, IntegerType => IntT,
+      DoubleType => DblT, LongType => LngT, TimestampType, BooleanType}
+    def est(df: DataFrame, name: String): DataFrame = {
+      val width = df.schema.fields.map { f =>
+        f.dataType match {
+          case StringType => length(coalesce(col(f.name), lit(""))) + lit(4)
+          case IntT => lit(4)
+          case DblT | LngT | TimestampType => lit(8)
+          case BooleanType => lit(1)
+          case _ => lit(8)
+        }
+      }.reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(width.cast(LongType)).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"))
+    }
+    val all = Seq(
+      est(lineitem(s, d), "lineitem"), est(orders(s, d), "orders"),
+      est(events(s, d), "events"), est(documents(s, d), "documents"))
+      .reduce(_.unionAll(_))
+    all
+      .withColumn("target_files",
+        greatest(lit(1L), expr(s"(est_bytes + ${targetBytes - 1}) DIV $targetBytes")))
+      // bucket count: smallest power of two >= target_files (bucketed
+      // tables rescale by factor-of-two splits/merges)
+      .withColumn("bucket_count",
+        when(expr("target_files & (target_files - 1)") === 0L, col("target_files"))
+          .otherwise(expr("shiftleft(1L, length(bin(target_files)))")))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_binned" -> (pipelinePackBinned _),
+    "pipeline_layout_plan" -> ((s: SparkSession, d: String) =>
+      layoutPlan(s, d)),
     "pipeline_budget_cap" -> (pipelineBudgetCap _),
     "pipeline_epoch_plan" -> (pipelineEpochPlan _),
     "pipeline_shuffle" -> (pipelineShuffle _),
@@ -607,6 +684,61 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pack_binned" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+        |  FROM t
+        |)
+        |SELECT CAST((rank - 1) % 8 AS INTEGER) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // width formulas mirror the Spark-side schema estimate exactly:
+    // 8 B per bigint/double/timestamp, 4 B per int, len+4 per string
+    "pipeline_layout_plan" ->
+      """WITH li AS (
+        |  SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+        |    CAST(sum(76 + length(coalesce(l_returnflag, ''))
+        |      + length(coalesce(l_linestatus, ''))) AS BIGINT) AS est_bytes
+        |  FROM lineitem
+        |), o AS (
+        |  SELECT 'orders', count(*),
+        |    CAST(sum(40 + length(coalesce(o_orderstatus, ''))
+        |      + length(coalesce(o_orderpriority, ''))) AS BIGINT)
+        |  FROM orders
+        |), e AS (
+        |  SELECT 'events', count(*),
+        |    CAST(sum(40 + length(coalesce(event_type, ''))
+        |      + length(coalesce(props, ''))) AS BIGINT)
+        |  FROM events
+        |), d AS (
+        |  SELECT 'documents', count(*),
+        |    CAST(sum(28 + length(coalesce(text, ''))
+        |      + length(coalesce(lang, ''))
+        |      + length(coalesce(source, ''))) AS BIGINT)
+        |  FROM documents
+        |), u AS (
+        |  SELECT * FROM li UNION ALL SELECT * FROM o
+        |  UNION ALL SELECT * FROM e UNION ALL SELECT * FROM d
+        |), f AS (
+        |  SELECT table_name, n_rows, est_bytes,
+        |    greatest(CAST(1 AS BIGINT),
+        |      (est_bytes + 1048575) // 1048576) AS target_files
+        |  FROM u
+        |)
+        |SELECT table_name, n_rows, est_bytes, target_files,
+        |  CASE WHEN (target_files & (target_files - 1)) = 0
+        |    THEN target_files
+        |    ELSE CAST(1 AS BIGINT) << length(bin(target_files)) END
+        |    AS bucket_count
+        |FROM f ORDER BY table_name""".stripMargin,
+
     "pipeline_budget_cap" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -886,7 +886,43 @@ object Similarity {
   def simCentroids(s: SparkSession, d: String): DataFrame =
     centroids(embeddings(s, d))
 
+  /** K-means E-step against the label centroids: assign every vector to
+    * its nearest centroid by cosine and report the fit — the clustering
+    * health check of semantic curation (a vector whose nearest centroid
+    * is not its own label is in the wrong cluster, the SemDeDup prune
+    * candidate). Scale shape: the centroid table is (#labels × dim)
+    * rows rebuilt into #labels vectors and BROADCAST; scoring is
+    * map-only over the corpus (explode ×#labels); the per-vector argmax
+    * is a row_number window over #labels rows per partition. Cosine
+    * follows the repo's bit-stable discipline: left-to-right IEEE
+    * double accumulation, identical in DuckDB's list_dot_product. */
+  def simClusterAssign(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cvec = centroids(emb)
+      .groupBy(col("label")).agg(
+        expr("transform(array_sort(collect_list(struct(dim, centroid)))," +
+          " x -> x.centroid)").as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val scored = emb
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+      .crossJoin(broadcast(cvec))
+      .withColumn("score",
+        dot("ev", "cv") / (sqrt(dot("ev", "ev")) * sqrt(dot("cv", "cv"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("c_label"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
+        col("score"), (col("c_label") === col("label")).as("label_match"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cluster_assign" -> (simClusterAssign _),
     "sim_centroids" -> (simCentroids _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
@@ -925,6 +961,41 @@ object Similarity {
         |    AS centroid,
         |  count(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // same DECIMAL(18,6)-summed centroids as sim_centroids, same
+    // bit-stable left-to-right cosine as sim_topk_bruteforce
+    "sim_cluster_assign" ->
+      """WITH t AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |      AS centroid
+        |  FROM t GROUP BY 1, 2
+        |), cv AS (
+        |  SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
+        |  FROM c GROUP BY label
+        |), s AS (
+        |  SELECT e.vec_id, e.label, cv.c_label,
+        |    list_dot_product(ev, cv.cv)
+        |      / (sqrt(list_dot_product(ev, ev))
+        |         * sqrt(list_dot_product(cv.cv, cv.cv))) AS score
+        |  FROM (SELECT vec_id, label,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |        FROM embeddings) e
+        |  CROSS JOIN cv
+        |), r AS (
+        |  SELECT vec_id, label, c_label, score,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, c_label) AS rk
+        |  FROM s
+        |)
+        |SELECT vec_id, label, c_label AS assigned, score,
+        |  c_label = label AS label_match
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     // Bit-stable vs Spark: both sides accumulate the dot product
     // left-to-right in IEEE double (floats widen exactly), so the raw

@@ -363,7 +363,25 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Sentence segmentation stats per doc: sentence count (terminator-
+    * run split — the whitespace-tokenizer-grade heuristic; a real
+    * segmenter is a model, not an engine op) and exact words-per-
+    * sentence. Map-only over the scan; the quotient of two exact
+    * integers ships UNROUNDED (one IEEE division, bit-identical in
+    * both engines — the round-11 determinism rule). */
+  def textSentences(s: SparkSession, d: String): DataFrame = {
+    val nSent = size(split(col("text"), "[.!?]+\\s+")).cast(LongType)
+    val nWords = graft.functions.TextStats.textStats(col("text"))
+      .getField("n_words").cast(LongType)
+    documents(s, d)
+      .select(col("doc_id"), nSent.as("n_sentences"), nWords.as("n_words"))
+      .withColumn("words_per_sentence",
+        col("n_words").cast(DoubleType) / col("n_sentences"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sentences" -> (textSentences _),
     "text_hapax_share" -> (textHapaxShare _),
     "text_zipf_fit" -> ((s: SparkSession, d: String) => textZipfFit(s, d)),
     "text_length_stats" -> (textLengthStats _),
@@ -379,6 +397,17 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_sentences" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '[.!?]+\s+')) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE)
+        |    / len(regexp_split_to_array(text, '[.!?]+\s+'))
+        |    AS words_per_sentence
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_hapax_share" ->
       """WITH tf AS (
         |  SELECT lang, term, count(*) AS cnt FROM (

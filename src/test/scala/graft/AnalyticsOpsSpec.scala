@@ -98,6 +98,79 @@ class AnalyticsOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("prefix dedup groups genuinely share their 64-char prefix") {
+    val g = graft.operators.Dedup.dedupPrefix(documents(spark, Sf))
+    val withText = g.join(documents(spark, Sf), Seq("doc_id"))
+      .select(col("prefix_group"), substring(col("text"), 1, 64).as("p"))
+      .collect().groupBy(_.getLong(0))
+    assert(withText.nonEmpty, "no prefix groups at this SF — vacuous")
+    withText.foreach { case (grp, rows) =>
+      assert(rows.map(_.getString(1)).distinct.length == 1,
+        s"group $grp mixes prefixes")
+    }
+  }
+
+  test("windowed funnel is dominated by the unbounded funnel per stage") {
+    val un = Events.eventsFunnel(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wi = Events.eventsFunnelWindowed(spark, Sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (1 to 3).foreach { st =>
+      assert(wi(st) <= un(st), s"stage $st windowed ${wi(st)} > ${un(st)}")
+    }
+    assert(wi(1) == un(1), "stage 1 has no prior stage to window against")
+  }
+
+  test("new + returning = active; day-1 users are all new") {
+    val nr = Events.eventsNewVsReturning(spark, Sf).collect()
+    nr.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+    }
+    assert(nr.head.getLong(3) == 0, "earliest day must have 0 returning")
+  }
+
+  test("binned packing balances token totals across bins") {
+    val docs = documents(spark, Sf)
+    val bins = Sharding.packBinned(docs, nBins = 8).collect()
+    assert(bins.length == 8)
+    val toks = bins.map(_.getLong(2))
+    val maxDoc = docs.select(
+      max(size(split(lower(col("text")), "\\s+")))).collect()(0).getInt(0)
+    // LPT round-robin bound: spread across bins ≤ a handful of max docs
+    assert(toks.max - toks.min <= 4L * maxDoc,
+      s"bins unbalanced: ${toks.toSeq} (max doc $maxDoc)")
+    assert(toks.sum == docs.select(sum(size(split(lower(col("text")),
+      "\\s+")).cast("long"))).collect()(0).getLong(0))
+  }
+
+  test("layout plan: files >= 1, buckets are powers of two >= files") {
+    val lp = Sharding.layoutPlan(spark, Sf).collect()
+    assert(lp.length == 4)
+    lp.foreach { r =>
+      val (files, buckets) = (r.getLong(3), r.getLong(4))
+      assert(files >= 1)
+      assert(buckets >= files)
+      assert((buckets & (buckets - 1)) == 0, s"$buckets not a power of 2")
+    }
+  }
+
+  test("cluster assign: one row per vector, valid cosine, real argmax") {
+    // NOTE: the synthetic labels are NOT cosine-separable (measured
+    // ~37% self-assignment), so agreement rate is a property of the
+    // data, not the operator — the invariants below are what the
+    // E-step itself guarantees; argmax VALUE correctness is pinned by
+    // the DuckDB oracle.
+    val ca = graft.operators.Similarity.simClusterAssign(spark, Sf)
+    val emb = graft.Tables.embeddings(spark, Sf)
+    assert(ca.count() == emb.count(), "exactly one assignment per vector")
+    assert(ca.where(col("score") < -1.0001 || col("score") > 1.0001)
+      .count() == 0, "cosine out of range")
+    assert(ca.select("assigned").distinct().count() > 1,
+      "degenerate: everything assigned to one centroid")
+    assert(ca.where(col("label_match") =!= (col("assigned") === col("label")))
+      .count() == 0)
+  }
+
   test("mode stat picks the true per-group maximum count") {
     val m = SparkEntry.queries("q_mode_stat")(spark, Sf).collect()
     val counts = graft.Tables.orders(spark, Sf)
