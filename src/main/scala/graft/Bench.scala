@@ -44,7 +44,12 @@ object Bench {
     // round 10 (cont.): the DSIR selection pass — token-stream-shaped
     // like the logprob entries but with the broadcast bucket-table
     // scoring join; tracks the new pretraining-selection family
-    "pipeline_dsir_weight")
+    "pipeline_dsir_weight",
+    // round 11: the two operators whose SHAPE changed this round (the
+    // de-windowed ccnet terciles and the bucketed interleave rank) —
+    // benched so a resurrected corpus-sized window shows up as a
+    // number, not just a failed plan assertion
+    "quality_ccnet_bucket", "pipeline_interleave")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
