@@ -252,6 +252,12 @@ object GraftEngine {
       "dedup_prefix" -> ((s, d, p) =>
         graft.operators.Dedup.dedupPrefix(Tables.documents(s, d),
           k = p.int("k", 64))),
+      "dedup_containment" -> ((s, d, p) =>
+        graft.operators.Dedup.containmentPairs(Tables.documents(s, d),
+          threshold = p.double("threshold", 0.8))),
+      "events_ab_assign" -> ((s, d, p) =>
+        graft.operators.Events.eventsAbAssign(s, d,
+          experiment = p.str("experiment", "exp1"))),
       "events_funnel_windowed" -> ((s, d, p) =>
         graft.operators.Events.eventsFunnelWindowed(s, d,
           windowDays = p.int("windowDays", 7))),

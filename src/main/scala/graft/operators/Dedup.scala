@@ -260,6 +260,56 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Directional n-gram CONTAINMENT pairs: |A∩B| / |A| ≥ t — the
+    * subset-duplicate detector symmetric Jaccard misses (a doc pasted
+    * inside a longer one scores high containment but low Jaccard).
+    * Same machinery as [[ngramJaccardPairs]] — hashed shingles, df
+    * cap, rarest-first prefix filter, array verification — with the
+    * containment-form prefix bound (only the CONTAINED side prunes to
+    * a prefix; the container side keeps full postings, since a huge B
+    * cannot lower c(A→B)), and the asymmetric score is an unrounded
+    * exact-integer quotient. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       maxDf: Long = MaxPostings): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g0 = docs
+      .select(col("doc_id"),
+        explode(graft.functions.HashFunctions.ngramHashes(col("text"), 3)).as("sh"))
+    val dfs = g0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val blocked = dfs.where(col("df") > maxDf).select(col("sh"))
+    val g = g0.join(blocked, Seq("sh"), "left_anti")
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ranked = g.join(dfs, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, Seq("doc_id"))
+    val prefixA = ranked
+      .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id").as("id1"), col("sh"))
+    val cand = prefixA
+      .join(g.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+      .where(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val docArrs = g.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("arr"),
+        count(lit(1)).as("n"))
+    cand
+      .join(docArrs.select(col("doc_id").as("id1"), col("arr").as("a1"),
+        col("n").as("n1")), Seq("id1"))
+      .join(docArrs.select(col("doc_id").as("id2"), col("arr").as("a2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("a1"), col("a2"))).cast("long")
+          .cast(DoubleType) / col("n1")).as("containment"))
+      .where(col("containment") >= threshold)
+      .select(col("id1").as("contained_id"), col("id2").as("container_id"),
+        col("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d))
+
   /** Exact-substring duplicated-span detection (Lee et al. 2021,
     * arXiv:2107.06499) at k-token window resolution: a token is part of
     * a duplicated span iff it sits inside some k-token window whose text
@@ -459,6 +509,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_simhash_clusters" -> (dedupSimhashClusters _),
@@ -587,6 +638,33 @@ object Dedup {
     // Exact Jaccard is SQL-expressible in DuckDB with list lambdas; the
     // MinHash/SimHash queries are probabilistic candidate generators and
     // are covered by ScalaTest with planted duplicates instead.
+    "dedup_containment" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w) - 2),
+        |         i -> array_to_string(list_slice(w, i, i + 2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END)) AS sh
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, sh FROM g0
+        |  WHERE sh NOT IN (
+        |    SELECT sh FROM g0 GROUP BY sh HAVING count(*) > $MaxPostings)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1 AS contained_id, id2 AS container_id,
+        |  CAST(c AS DOUBLE) / s1.n AS containment
+        |FROM inter JOIN sz s1 ON inter.id1 = s1.doc_id
+        |WHERE CAST(c AS DOUBLE) / s1.n >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCtes
         |SELECT id1, id2, jac FROM pairs

@@ -473,7 +473,32 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Deterministic A/B experiment assignment + per-arm conversion
+    * readout: users hash into arms by the seeded md5 draw (a pure
+    * function of user_id — stable across sessions, devices, and
+    * reshards, which rand() bucketing is not), then one partial+final
+    * agg yields arm sizes, purchaser counts, and the conversion rate
+    * (unrounded exact-integer quotient). */
+  def eventsAbAssign(s: SparkSession, d: String,
+                     experiment: String = "exp1"): DataFrame = {
+    val arm = when(substring(md5(concat(col("user_id").cast("string"),
+      lit(":" + experiment))), 1, 1) < "8", "A").otherwise("B")
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .select(arm.as("arm"), col("converted"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast(DoubleType) / col("n_users"))
+      .orderBy(col("arm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_assign" -> ((s: SparkSession, d: String) =>
+      eventsAbAssign(s, d)),
     "events_funnel_windowed" -> ((s: SparkSession, d: String) =>
       eventsFunnelWindowed(s, d)),
     "events_new_vs_returning" -> (eventsNewVsReturning _),
@@ -709,6 +734,23 @@ object Events {
         |SELECT user_id, max(cnt) AS peak_minute_cnt,
         |  CAST(sum(cnt) AS BIGINT) AS n_events, max(cnt) >= 5 AS flagged
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_ab_assign" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':exp1'),
+        |      1, 1) < '8' THEN 'A' ELSE 'B' END AS arm,
+        |    converted
+        |  FROM u
+        |)
+        |SELECT arm, count(*) AS n_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(converted) AS DOUBLE) / count(*) AS conv_rate
+        |FROM a GROUP BY arm ORDER BY arm""".stripMargin,
 
     "events_funnel_windowed" ->
       """WITH v AS (

@@ -786,6 +786,31 @@ object Relational {
         round(var_samp(col("l_quantity")), 4).as("var_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Higher-order array functions over a real tokenized column —
+    * filter / transform+aggregate / slice in ONE codegen'd projection
+    * (the reference has no array type at all; this is the Spark SQL
+    * surface an engine user reaches for instead of a UDF). Map-only. */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_tokens"),
+        size(expr("filter(ws, w -> length(w) > 7)")).cast(LongType)
+          .as("n_long"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("sum_len"),
+        array_join(slice(col("ws"), 1, 3), " ").as("head3"))
+      .orderBy(col("doc_id"))
+
+  /** Regex scalar surface: extract-first and match-count over the text
+    * column with an engine-portable pattern (digit runs — identical
+    * semantics in Java regex and RE2). Map-only inside codegen. */
+  def qRegexFuncs(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+        regexp_count(col("text"), lit("[0-9]+")).cast(LongType).as("n_nums"))
+      .orderBy(col("doc_id"))
+
   /** Per-group MODE (most frequent value) with a deterministic
     * tie-break — the categorical summary statistic engines expose as
     * mode()/any_value-with-count. Implemented as count-then-top-1 so
@@ -886,6 +911,8 @@ object Relational {
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_mode_stat" -> (qModeStat _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_regex_funcs" -> (qRegexFuncs _),
     "q_window_ntile" -> (qWindowNtile _)
   )
 
@@ -1414,6 +1441,27 @@ object Relational {
         |  count(*) AS n
         |FROM customer WHERE c_custkey < 100
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ws, w -> length(w) > 7)) AS BIGINT)
+        |    AS n_long,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+        |    AS sum_len,
+        |  array_to_string(list_slice(ws, 1, 3), ' ') AS head3
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |  coalesce(regexp_extract(text, '[0-9]+'), '') AS first_num,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+        |    AS n_nums
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mode_stat" ->
       """WITH c AS (

@@ -661,7 +661,47 @@ object Sharding {
       .orderBy(col("table_name"))
   }
 
+  /** CDC MERGE (upsert + delete) of a change batch into a snapshot —
+    * the compaction step between [[Dedup.datasetDiff]] (what changed)
+    * and the next corpus version. One shuffle on the key (full outer
+    * join snapshot × changes), change wins, deletes drop; at 100 TB a
+    * table format (Delta/Iceberg) does this storage-side, and this
+    * operator IS that MERGE's dataflow. The gate derives a
+    * deterministic change batch from the snapshot itself (ids ≡0 mod
+    * 10 update, ≡7 delete, ≡3 insert under ids+10⁷) so the oracle
+    * replays it. */
+  def mergeUpsert(snapshot: DataFrame, changes: DataFrame): DataFrame =
+    snapshot.select(col("doc_id"), col("text").as("s_text"))
+      .join(changes.select(col("doc_id"), col("op"), col("c_text")),
+        Seq("doc_id"), "full_outer")
+      .where(coalesce(col("op"), lit("K")) =!= "D")
+      .select(col("doc_id"),
+        when(col("op") === "U", lit("update"))
+          .when(col("op") === "I", lit("insert"))
+          .otherwise(lit("keep")).as("action"),
+        coalesce(col("c_text"), col("s_text")).as("text"))
+      .select(col("doc_id"), col("action"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        md5(col("text")).as("digest"))
+      .orderBy(col("doc_id"))
+
+  def pipelineMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val snap = documents(s, d)
+    val changes =
+      snap.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("U").as("op"),
+          concat(lit("edited: "), substring(col("text"), 1, 50)).as("c_text"))
+      .unionAll(snap.where(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("c_text")))
+      .unionAll(snap.where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), lit("I").as("op"),
+          concat(lit("new: "), substring(col("text"), 1, 40)).as("c_text")))
+    mergeUpsert(snap, changes)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_merge_upsert" -> (pipelineMergeUpsert _),
     "pipeline_pack_binned" -> (pipelinePackBinned _),
     "pipeline_layout_plan" -> ((s: SparkSession, d: String) =>
       layoutPlan(s, d)),
@@ -684,6 +724,28 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_merge_upsert" ->
+      """WITH c AS (
+        |  SELECT doc_id, 'U' AS op,
+        |    'edited: ' || substr(text, 1, 50) AS c_text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'D', NULL FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'I', 'new: ' || substr(text, 1, 40)
+        |  FROM documents WHERE doc_id % 10 = 3
+        |), m AS (
+        |  SELECT coalesce(s.doc_id, c.doc_id) AS doc_id, c.op,
+        |    coalesce(c.c_text, s.text) AS text
+        |  FROM documents s FULL OUTER JOIN c ON s.doc_id = c.doc_id
+        |  WHERE coalesce(c.op, 'K') <> 'D'
+        |)
+        |SELECT doc_id,
+        |  CASE op WHEN 'U' THEN 'update' WHEN 'I' THEN 'insert'
+        |    ELSE 'keep' END AS action,
+        |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS digest
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "pipeline_pack_binned" ->
       """WITH t AS (
         |  SELECT doc_id,

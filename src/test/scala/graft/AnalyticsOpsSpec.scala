@@ -171,6 +171,47 @@ class AnalyticsOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("containment: exact dups score 1.0 both ways; score in (0,1]") {
+    val c = graft.operators.Dedup.containmentPairs(documents(spark, Sf))
+    assert(c.where(col("containment") <= 0.0 || col("containment") > 1.0001)
+      .count() == 0)
+    // exact text duplicates (known present) must appear in both
+    // directions at containment 1.0
+    val dupPair = documents(spark, Sf).as("a")
+      .join(documents(spark, Sf).as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).limit(1).collect()
+    if (dupPair.nonEmpty) {
+      val (x, y) = (dupPair(0).getLong(0), dupPair(0).getLong(1))
+      assert(c.where(col("contained_id") === x &&
+        col("container_id") === y && col("containment") > 0.999).count() == 1)
+      assert(c.where(col("contained_id") === y &&
+        col("container_id") === x).count() == 1)
+    }
+  }
+
+  test("merge upsert: deletes gone, updates rewritten, inserts present") {
+    val m = Sharding.pipelineMergeUpsert(spark, Sf)
+    val snap = documents(spark, Sf)
+    assert(m.where(col("doc_id") % 10 === 7 &&
+      col("doc_id") < 10000000L).count() == 0, "deletes survived")
+    val nIns = snap.where(col("doc_id") % 10 === 3).count()
+    assert(m.where(col("action") === "insert").count() == nIns)
+    val nUpd = snap.where(col("doc_id") % 10 === 0).count()
+    assert(m.where(col("action") === "update").count() == nUpd)
+    assert(m.where(col("action") === "update" &&
+      col("n_chars") > 58).count() == 0, "updated text not truncated")
+  }
+
+  test("A/B assignment is a partition of the user base, both arms live") {
+    val ab = Events.eventsAbAssign(spark, Sf).collect()
+    assert(ab.map(_.getString(0)).sorted.toSeq == Seq("A", "B"))
+    val users = graft.Tables.events(spark, Sf)
+      .select("user_id").distinct().count()
+    assert(ab.map(_.getLong(1)).sum == users)
+    ab.foreach(r => assert(r.getLong(1) > 0))
+  }
+
   test("mode stat picks the true per-group maximum count") {
     val m = SparkEntry.queries("q_mode_stat")(spark, Sf).collect()
     val counts = graft.Tables.orders(spark, Sf)
