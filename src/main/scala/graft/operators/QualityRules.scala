@@ -271,6 +271,7 @@ object QualityRules {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_domain_gate" -> (qualityDomainGate _),
+    "pipeline_waterfall" -> (pipelineWaterfall _),
     "text_pii_redact" -> (textPiiRedact _),
     "quality_gopher_rules" -> (qualityGopherRules _),
     "quality_repetition" -> (qualityRepetition _),
@@ -279,7 +280,81 @@ object QualityRules {
     "quality_dedup_rate" -> (qualityDedupRate _)
   )
 
+  /** Curation WATERFALL: cumulative survival through the quality gates
+    * per source — the report every curation run publishes (how many
+    * docs does each successive gate cost, and where). Gates compose
+    * the operators already in the engine: (1) the Gopher rule
+    * conjunction, (2) exact-dup keeper-ship (doc is the min-id of its
+    * text-digest group — the dedup_exact discipline: only the 16-byte
+    * digest shuffles), (3) PII-free (zero email/IP/long-number
+    * matches). ONE corpus scan feeds the flag projection; the keeper
+    * map is a digest-keyed agg joined back; final report is one
+    * partial+final agg to #sources rows, shares as unrounded exact
+    * quotients. */
+  def pipelineWaterfall(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val flagged = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(col("text")).as("h"), gopherKeep(col("text")).as("g1"))
+      .join(keepers, Seq("h"))
+      .withColumn("g2", col("g1") && col("doc_id") === col("keeper"))
+      .withColumn("g3", col("g2") &&
+        regexp_count(col("text"), lit(EmailPat)) +
+        regexp_count(col("text"), lit(Ipv4Pat)) +
+        regexp_count(col("text"), lit(LongNumPat)) === 0)
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n_gopher"),
+        sum(when(col("g2"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("g3"), 1L).otherwise(0L)).as("n_clean"))
+      .withColumn("survival_rate",
+        col("n_clean").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_total"))
+      .orderBy(col("source"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_waterfall" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(lower(text), '\\s+') AS w,
+        |    md5(text) AS h
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, source, text, h,
+        |    (CAST(len(w) AS INTEGER) BETWEEN 10 AND 100000)
+        |    AND (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+        |         / len(w) BETWEEN 2.0 AND 12.0)
+        |    AND CAST(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$$')))
+        |        AS DOUBLE) / len(w) < 0.3
+        |    AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |        AS DOUBLE) / len(w) > 0.7
+        |    AND len(list_filter(w, x -> x IN ('the','and','of','to','in')))
+        |        >= 1 AS g1
+        |  FROM t
+        |), k AS (
+        |  SELECT h, min(doc_id) AS keeper FROM t GROUP BY h
+        |), g AS (
+        |  SELECT f.source, f.g1,
+        |    f.g1 AND f.doc_id = k.keeper AS g2,
+        |    f.g1 AND f.doc_id = k.keeper
+        |      AND len(regexp_extract_all(f.text, '$EmailPat'))
+        |        + len(regexp_extract_all(f.text, '$Ipv4Pat'))
+        |        + len(regexp_extract_all(f.text, '$LongNumPat')) = 0 AS g3
+        |  FROM f JOIN k USING (h)
+        |), a AS (
+        |  SELECT source, count(*) AS n_total,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+        |    CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |    CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |  FROM g GROUP BY source
+        |)
+        |SELECT source, n_total, n_gopher, n_unique, n_clean,
+        |  CAST(n_clean AS DOUBLE) / n_total AS survival_rate
+        |FROM a ORDER BY source""".stripMargin,
+
     "quality_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w

@@ -336,6 +336,59 @@ object EventStreams {
       }
       .start()
 
+  /** Fit the anomaly BASELINE the streaming gate scores against: one
+    * row per event_type with the mean/std of its daily volume —
+    * persist with `.write.parquet(dir)`; that parquet IS the model
+    * (refit offline on a schedule and swap by directory, the
+    * AnnIndex-quantizer / DSIR-weights discipline). */
+  def fitAnomalyBaseline(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(avg(col("cnt")).as("mean_cnt"),
+        stddev_samp(col("cnt")).as("std_cnt"))
+
+  /** Streaming volume-anomaly gate: score each micro-batch's
+    * per-(event_type, day) counts against the persisted baseline and
+    * emit only the anomalous rows (|z| ≥ `zThreshold`) — the online
+    * half of [[graft.operators.Events.eventsAnomaly]]'s trailing-
+    * window batch form. The baseline is a ≤|types|-row broadcast;
+    * scoring is one partial+final count per micro-batch. Zero-variance
+    * baselines yield null z and never alert (the batch twin's rule).
+    * Exactly-once by batchId-keyed overwrite. */
+  def anomalyGateStream(events: DataFrame, baselineDir: String,
+                        outDir: String, checkpointDir: String,
+                        zThreshold: Double = 3.0): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val base = s.read.parquet(baselineDir)
+          scoreAnomaly(batch.toDF(), base, zThreshold)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Batch twin of the stream scoring — shared so StreamingSpec can
+    * pin online/offline parity. */
+  def scoreAnomaly(events: DataFrame, baseline: DataFrame,
+                   zThreshold: Double = 3.0): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(baseline), Seq("event_type"))
+      .withColumn("z",
+        when(col("std_cnt") > 0.0,
+          (col("cnt") - col("mean_cnt")) / col("std_cnt")))
+      .where(abs(col("z")) >= zThreshold)
+      .select(col("event_type"), col("day"), col("cnt"), col("z"))
+
   /** foreachBatch sink: the escape hatch for targets without a native
     * streaming sink (JDBC upserts, multi-table fan-out, partitioned
     * lakehouse layouts). Exactly-once comes from idempotence, not the

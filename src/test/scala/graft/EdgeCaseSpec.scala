@@ -174,4 +174,57 @@ class EdgeCaseSpec extends SparkSpec {
       docs.where(col("doc_id") <= 2), docs.where(col("doc_id") > 2)).collect()
     assert(inc.length == 3, "distinct hostile texts all admitted")
   }
+
+  test("round-11 operators survive hostile docs incl. nulls") {
+    import spark.implicits._
+    import graft.operators.{Sharding, TextAnalysis}
+    val docs = Seq(
+      (1L, "", Some("s1"), Some("en")),
+      (2L, "   ", None, Some("en")),
+      (3L, "word", Some("s2"), None),
+      (4L, "数据处理引擎没有空格的文本", Some("s1"), Some("zh")),
+      (5L, "exact duplicate boilerplate text here now", Some("s2"), Some("en")),
+      (6L, "exact duplicate boilerplate text here now", Some("s2"), Some("en"))
+    ).toDF("doc_id", "text", "source", "lang")
+    // budget cap: null source is its own stratum, every doc reported,
+    // admission never throws
+    val bc = Sharding.budgetCap(docs, budget = 3L).collect()
+    assert(bc.length == 6)
+    assert(bc.map(_.getLong(0)).sorted.sameElements(1L to 6L))
+    // binned packing: token totals preserved across hostile docs
+    val pb = Sharding.packBinned(docs, nBins = 3)
+    assert(pb.agg(sum("n_docs")).collect()(0).getLong(0) == 6L)
+    // epoch plan: permutations survive empty/CJK docs
+    val ep = Sharding.epochPlan(docs, epochs = 2).collect()
+    assert(ep.count(_.getInt(0) == 0) == 6 && ep.count(_.getInt(0) == 1) == 6)
+    // prefix dedup: the byte-identical pair groups; nothing throws
+    val dp = Dedup.dedupPrefix(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dp.get(5L).contains(5L) && dp.get(6L).contains(5L))
+    // containment: exact dups contain each other at 1.0
+    val ct = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ct.exists(t => t._1 == 5L && t._2 == 6L && t._3 > 0.999))
+    // sentences: empty text yields 1 "sentence", no divide-by-zero NaN
+    val sent = docs.select(col("doc_id"),
+      size(split(col("text"), "[.!?]+\\s+")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sent(1L) == 1)
+    // zipf/hapax: null-lang docs form their own stratum, no throw
+    assert(TextAnalysis.textHapaxShare(spark, Sf).count() > 0)
+    val hz = docs.select(col("lang"),
+      explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("lang"), col("term")).count()
+    assert(hz.count() > 0)
+    // merge upsert: hostile snapshot merges without throwing
+    val merged = Sharding.mergeUpsert(
+      docs.select(col("doc_id"), col("text")),
+      Seq((3L, "U", Option("rewritten")), (4L, "D", None),
+        (99L, "I", Option("fresh")))
+        .toDF("doc_id", "op", "c_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!merged.contains(4L) && merged(99L) == "insert"
+      && merged(3L) == "update" && merged(5L) == "keep")
+  }
 }

@@ -310,4 +310,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"lost appends across the compact: missing ${(want -- got).take(5)}")
   }
+
+  test("anomaly gate stream alerts like the batch twin on the same baseline") {
+    val base = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    val ev = Tables.events(spark, Sf)
+    // baseline fitted on the corpus, then the SAME corpus streams
+    // through the gate — plus one planted burst day that must alert
+    EventStreams.fitAnomalyBaseline(ev)
+      .write.mode("overwrite").parquet(s"$base/baseline")
+    import spark.implicits._
+    val burst = Seq.tabulate(5000) { i =>
+      (9000000L + i, java.sql.Timestamp.valueOf("2024-06-15 12:00:00"),
+        1L, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val in = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props")).unionByName(burst)
+    in.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .parquet(s"$base/in")
+    val q = EventStreams.anomalyGateStream(stream, s"$base/baseline",
+      s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$base/out/batch_id=*")
+      .select("event_type", "day", "cnt").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed.exists { case (t, d, _) =>
+      t == "view" && d.toString.startsWith("2024-06-15") },
+      s"planted burst day not alerted: $streamed")
+    // online/offline parity on the same baseline
+    val batch = EventStreams.scoreAnomaly(
+      spark.read.parquet(s"$base/in"),
+      spark.read.parquet(s"$base/baseline"))
+      .select("event_type", "day", "cnt").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }
