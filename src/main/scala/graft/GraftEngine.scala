@@ -258,6 +258,9 @@ object GraftEngine {
       "events_ab_assign" -> ((s, d, p) =>
         graft.operators.Events.eventsAbAssign(s, d,
           experiment = p.str("experiment", "exp1"))),
+      "text_hashed_bow" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.hashedBow(Tables.documents(s, d),
+          dims = p.int("dims", 64))),
       "events_funnel_windowed" -> ((s, d, p) =>
         graft.operators.Events.eventsFunnelWindowed(s, d,
           windowDays = p.int("windowDays", 7))),

@@ -496,7 +496,42 @@ object Events {
       .orderBy(col("arm"))
   }
 
+  /** Event-type affinity (market-basket lift at user granularity):
+    * for each unordered type pair, how many users perform BOTH, and
+    * the lift n_both·N / (n_a·n_b) — >1 means the behaviours attract.
+    * No self-join of the events table: each user's distinct type set
+    * (≤|types| entries) collects once and its pair combinations emit
+    * via a higher-order expression inside codegen, so the shuffle
+    * carries ≤|types|²/2 pair rows per user, and the report reduces to
+    * ≤|types|² rows. The lift is an unrounded quotient of exact
+    * integers. */
+  def eventsTypeAffinity(s: SparkSession, d: String): DataFrame = {
+    val u = events(s, d).select(col("user_id"), col("event_type")).distinct()
+    val nUsers = u.select(countDistinct(col("user_id")).as("nu"))
+    val single = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = u
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+          |  transform(slice(ts, i + 2, greatest(size(ts) - i - 1, 0)),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(single.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(single.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        ((col("n_both") * col("nu")).cast(DoubleType) /
+          (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_type_affinity" -> (eventsTypeAffinity _),
     "events_ab_assign" -> ((s: SparkSession, d: String) =>
       eventsAbAssign(s, d)),
     "events_funnel_windowed" -> ((s: SparkSession, d: String) =>
@@ -734,6 +769,26 @@ object Events {
         |SELECT user_id, max(cnt) AS peak_minute_cnt,
         |  CAST(sum(cnt) AS BIGINT) AS n_events, max(cnt) >= 5 AS flagged
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_type_affinity" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), nu AS (SELECT count(DISTINCT user_id) AS nu FROM u),
+        |s AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM u a JOIN u b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_both,
+        |  CAST(n_both * nu AS DOUBLE) / (sa.n * sb.n) AS lift
+        |FROM p
+        |JOIN s sa ON p.type_a = sa.event_type
+        |JOIN s sb ON p.type_b = sb.event_type
+        |CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "events_ab_assign" ->
       """WITH u AS (

@@ -921,7 +921,54 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-separation report — the health metric on top of the
+    * E-step: per label, the mean cosine of members to their OWN
+    * centroid vs the mean of each member's BEST other centroid; the
+    * margin says whether the labels are separable at all (the gate
+    * corpus measures ≈ 0, which is exactly what AnalyticsOpsSpec's
+    * ~37 % self-assignment showed — now it's a number the operator
+    * reports instead of a surprise). Same broadcast-centroid map-only
+    * scan as [[simClusterAssign]]; per-vector cosines round to 9 dp
+    * DECIMAL before the per-label mean (order-free sums), one agg. */
+  def simLabelSeparation(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cvec = centroids(emb)
+      .groupBy(col("label")).agg(
+        expr("transform(array_sort(collect_list(struct(dim, centroid)))," +
+          " x -> x.centroid)").as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val dec = DecimalType(28, 9)
+    emb
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+      .crossJoin(broadcast(cvec))
+      .withColumn("score",
+        dot("ev", "cv") / (sqrt(dot("ev", "ev")) * sqrt(dot("cv", "cv"))))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        round(max(when(col("c_label") === col("label"), col("score"))), 9)
+          .cast(dec).as("own"),
+        round(max(when(col("c_label") =!= col("label"), col("score"))), 9)
+          .cast(dec).as("other"))
+      .groupBy(col("label"))
+      // UNROUNDED quotients (the round-11 determinism rule): the
+      // decimal sums are exactly representable doubles, so one IEEE
+      // division/subtraction is bit-identical in both engines —
+      // round() is the only operation that can diverge
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("own")).cast("double") / count(lit(1)))
+          .as("mean_own_cos"),
+        (sum(col("other")).cast("double") / count(lit(1)))
+          .as("mean_best_other_cos"))
+      .withColumn("margin",
+        col("mean_own_cos") - col("mean_best_other_cos"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_separation" -> (simLabelSeparation _),
     "sim_cluster_assign" -> (simClusterAssign _),
     "sim_centroids" -> (simCentroids _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
@@ -961,6 +1008,49 @@ object Similarity {
         |    AS centroid,
         |  count(*) AS n
         |FROM t GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // same centroid + cosine CTEs as sim_cluster_assign; 9 dp decimal
+    // per-vector rounds, then UNROUNDED mean quotients (exactly-
+    // representable decimal sums → bit-identical IEEE division)
+    "sim_label_separation" ->
+      """WITH t AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |      AS centroid
+        |  FROM t GROUP BY 1, 2
+        |), cv AS (
+        |  SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
+        |  FROM c GROUP BY label
+        |), s AS (
+        |  SELECT e.vec_id, e.label, cv.c_label,
+        |    list_dot_product(ev, cv.cv)
+        |      / (sqrt(list_dot_product(ev, ev))
+        |         * sqrt(list_dot_product(cv.cv, cv.cv))) AS score
+        |  FROM (SELECT vec_id, label,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |        FROM embeddings) e
+        |  CROSS JOIN cv
+        |), pv AS (
+        |  SELECT vec_id, label,
+        |    CAST(round(max(CASE WHEN c_label = label THEN score END), 9)
+        |      AS DECIMAL(28,9)) AS own,
+        |    CAST(round(max(CASE WHEN c_label <> label THEN score END), 9)
+        |      AS DECIMAL(28,9)) AS other
+        |  FROM s GROUP BY 1, 2
+        |), a AS (
+        |  SELECT label, count(*) AS n_vecs,
+        |    CAST(sum(own) AS DOUBLE) / count(*) AS mean_own_cos,
+        |    CAST(sum(other) AS DOUBLE) / count(*) AS mean_best_other_cos
+        |  FROM pv GROUP BY label
+        |)
+        |SELECT label, n_vecs, mean_own_cos, mean_best_other_cos,
+        |  mean_own_cos - mean_best_other_cos AS margin
+        |FROM a ORDER BY label""".stripMargin,
 
     // same DECIMAL(18,6)-summed centroids as sim_centroids, same
     // bit-stable left-to-right cosine as sim_topk_bruteforce

@@ -380,7 +380,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature-hashed bag-of-words (Weinberger et al. 2009, the hashing
+    * trick): each term hashes to one of `dims` buckets, per-doc bucket
+    * counts form the sparse fixed-width "embedding" a linear
+    * classifier or DSIR-style selector consumes — no vocabulary table,
+    * no OOV, byte-stable across corpora. Map-only hash + ONE
+    * partial+final agg; all-integer, so the oracle is exact. Sparse
+    * (doc_id, dim, cnt) rows out; the dense assembly is a per-doc
+    * collect the CONSUMER does (a dense 64-long array per doc would
+    * be corpus × dims cells through the shuffle for no information). */
+  def hashedBow(docs: DataFrame, dims: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 6), 16, 10).cast(LongType)
+          % dims).as("dim"))
+      .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("dim"))
+
+  def textHashedBow(s: SparkSession, d: String): DataFrame =
+    hashedBow(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hashed_bow" -> (textHashedBow _),
     "text_sentences" -> (textSentences _),
     "text_hapax_share" -> (textHapaxShare _),
     "text_zipf_fit" -> ((s: SparkSession, d: String) => textZipfFit(s, d)),
@@ -397,6 +421,18 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_hashed_bow" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(term), 1, 6)) AS BIGINT) % 64 AS dim,
+        |  count(*) AS cnt
+        |FROM t WHERE length(term) > 0
+        |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+
     "text_sentences" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '[.!?]+\s+')) AS BIGINT)

@@ -212,6 +212,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     ab.foreach(r => assert(r.getLong(1) > 0))
   }
 
+  test("hashed bow: dims bounded, counts cover every token") {
+    val bow = graft.operators.TextAnalysis.textHashedBow(spark, Sf)
+    assert(bow.where(col("dim") < 0 || col("dim") >= 64).count() == 0)
+    val total = bow.agg(sum("cnt")).collect()(0).getLong(0)
+    val tokens = documents(spark, Sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .where(length(col("t")) > 0).count()
+    assert(total == tokens, s"bow counts $total != tokens $tokens")
+  }
+
+  test("label separation: margin consistent with cluster-assign agreement") {
+    val sep = graft.operators.Similarity.simLabelSeparation(spark, Sf)
+      .collect()
+    assert(sep.length == 10)
+    sep.foreach { r =>
+      assert(r.getDouble(4) == r.getDouble(2) - r.getDouble(3))
+      assert(math.abs(r.getDouble(2)) <= 1.0001)
+    }
+    // the measured ~37% self-assignment implies margins near zero —
+    // this operator REPORTS that; margins must not claim separation
+    assert(sep.map(_.getDouble(4)).max < 0.5,
+      "synthetic labels suddenly separable — data changed?")
+  }
+
+  test("type affinity: symmetric coverage, lift consistent with counts") {
+    val af = Events.eventsTypeAffinity(spark, Sf).collect()
+    assert(af.nonEmpty)
+    af.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered")
+      assert(r.getLong(2) > 0)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
   test("mode stat picks the true per-group maximum count") {
     val m = SparkEntry.queries("q_mode_stat")(spark, Sf).collect()
     val counts = graft.Tables.orders(spark, Sf)
