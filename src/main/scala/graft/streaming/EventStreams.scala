@@ -356,7 +356,11 @@ object EventStreams {
     * window batch form. The baseline is a ≤|types|-row broadcast;
     * scoring is one partial+final count per micro-batch. Zero-variance
     * baselines yield null z and never alert (the batch twin's rule).
-    * Exactly-once by batchId-keyed overwrite. */
+    * Exactly-once by batchId-keyed overwrite. Counts are per
+    * micro-batch: if one calendar day spans many batches, front the
+    * gate with a watermarked daily window aggregation (the
+    * stream_window_agg plan) so each day arrives as one closed row —
+    * per-batch fragments would under-count the day and under-alert. */
   def anomalyGateStream(events: DataFrame, baselineDir: String,
                         outDir: String, checkpointDir: String,
                         zThreshold: Double = 3.0): org.apache.spark.sql.streaming.StreamingQuery =
