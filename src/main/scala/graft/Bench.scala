@@ -117,14 +117,22 @@ object Bench {
     def jtotal(f: ((String, (Double, Double, Double))) => Double): Double =
       perQuery.map(q => f(q)).filter(_ >= 0).sum
 
-    println(s"""{"metric":"total","value":${jtotal(_._2._1)},"unit":"sec"""" +
+    val json = s"""{"metric":"total","value":${jtotal(_._2._1)},"unit":"sec"""" +
       s""","queries":${jmap(_._2._1)}""" +
       s""","queries_median":${jmap(_._2._2)}""" +
       s""","queries_spread":${jmap(_._2._3)}""" +
       s""","total_median":${jtotal(_._2._2)}""" +
       s""","build_s":$buildS""" +
       s""","runs":$nRuns,"loadavg_before":"$loadBefore"""" +
-      s""","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+      s""","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
+    println(json)
+    // the machine-readable artifact must not depend on scraping sbt
+    // stdout (two rounds of drivers saw the JSON line truncated out of
+    // the captured tail): also write it to a file when asked
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   *     neighborhoods anywhere (unlike the large-star/small-star
   *     formulation, which materializes per-node neighbor lists and
   *     skew-bombs on exactly those hubs).
-  *   - every iteration ends in localCheckpoint(): lineage is truncated
+  *   - every iteration ends in [[Lineage.truncate]]: lineage is cut
   *     so the plan stays O(1) per round instead of growing with the
-  *     iteration count (on a real cluster, swap for checkpoint() to
-  *     reliable storage for fault tolerance across executor loss).
+  *     iteration count — reliable checkpoint() when a checkpoint dir
+  *     is configured (the production path: blocks survive executor
+  *     loss), localCheckpoint() otherwise.
   *   - dup-graph diameters are small in practice (clusters are
   *     near-cliques); maxIter bounds adversarial chains — with jumping,
   *     30 rounds covers ~2^29-length paths, ≫ any realistic dup chain
@@ -45,11 +46,11 @@ object Components {
       .union(pairs.select(t.as("a"), s.as("b")))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .transform(Lineage.truncate)
 
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+      .transform(Lineage.truncate)
 
     var done = edges.isEmpty
     var i = 0
@@ -69,7 +70,7 @@ object Components {
         .join(stepped.select(col("id").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("jump"), col("comp")).as("comp"))
-        .localCheckpoint()
+        .transform(Lineage.truncate)
       done = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .where(col("comp") =!= col("prev"))

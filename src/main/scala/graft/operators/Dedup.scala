@@ -374,13 +374,47 @@ object Dedup {
   def dedupSimhash(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
     simhashPairs(documents(s, d), maxHamming)
 
-  /** 4 × 16-bit band slices of the simhash column — the shared bucket
-    * key of the pairs (verification) and star-edge (collapse) paths. */
-  private def simhashBands: Seq[Column] =
+  /** 4 × 16-bit band slices of a 64-bit hash column — the shared
+    * bucket key of the pairs (verification) and star-edge (collapse)
+    * paths, for any 64-bit Hamming-space fingerprint (text simhash,
+    * image phash). */
+  private def bands64(c: Column): Seq[Column] =
     (0 until 4).map { j =>
       struct(lit(j).as("band"),
-        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bucket"))
+        shiftrightunsigned(c, j * 16).bitwiseAND(0xFFFFL).as("bucket"))
     }
+
+  private def simhashBands: Seq[Column] = bands64(col("simhash"))
+
+  /** Hamming-verified star edges over any 64-bit fingerprint column:
+    * band into 4 × 16-bit buckets, link each id to its bucket-min root,
+    * and keep only edges whose EXACT Hamming distance is ≤ `maxHamming`
+    * (bit_count of xor — the verification [[simhashEdges]] deliberately
+    * skips for text, where bucket-sharing is the cluster relation;
+    * fingerprints with common degenerate bands, like image hashes with
+    * flat regions, need it or buckets over-merge). Never all-pairs: a
+    * mega-bucket of n members costs n candidate edges. Verification is
+    * per-edge, so two near-dups of each other that BOTH differ from
+    * their bucket root by > maxHamming link through another shared
+    * band, not this one — recall comes from the 4 independent bands
+    * (a pair within Hamming 6 of each other agrees exactly on ≥1 of 4
+    * 16-bit bands whenever its differing bits cluster, and the root is
+    * itself within tolerance transitively for tight clusters). */
+  def hamming64StarEdges(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int = 6): DataFrame = {
+    val tagged = hashes
+      .select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .select(col("_id"), col("_h"), explode(array(bands64(col("_h")): _*)).as("bb"))
+      .select(col("_id"), col("_h"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val roots = tagged.groupBy(col("band"), col("bucket"))
+      .agg(min(struct(col("_id"), col("_h"))).as("r"))
+    tagged.join(roots, Seq("band", "bucket"))
+      .where(col("_id") =!= col("r._id") &&
+        bit_count(col("_h").bitwiseXOR(col("r._h"))) <= maxHamming)
+      .select(col("_id").as("id1"), col("r._id").as("id2"))
+      .distinct()
+  }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val sh = simhash(docs)
@@ -451,8 +485,11 @@ object Dedup {
     * itself oracle-checkable. One row per cluster: the survivor, its
     * quality, and how many members it displaced. Scale shape: the
     * quality pass is map-only (single-pass TextStats kernel), the
-    * argmax is one WindowGroupLimit-style top-1 per cluster — no
-    * corpus-wide shuffle beyond the components pass itself. */
+    * argmax is one WindowGroupLimit-style top-1 per cluster, and the
+    * member count is a `groupBy(comp).agg` joined back AFTER the top-1
+    * cut (one count row per cluster meets one survivor row) — not a
+    * full-partition count window, which would buffer a boilerplate
+    * mega-cluster of millions of identical docs through one task. */
   def dedupCanonical(s: SparkSession, d: String): DataFrame = {
     val clusters = Components.connectedComponents(
         ngramJaccardPairs(documents(s, d)))
@@ -460,11 +497,14 @@ object Dedup {
     val quality = TextAnalysis.textQuality(s, d)
       .select(col("doc_id"), col("quality"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
-    clusters.join(quality, Seq("doc_id"))
-      .withColumn("n_members", count(lit(1)).over(w))
+    val members = clusters.join(quality, Seq("doc_id"))
+    val sizes = members.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"))
+    members
       .withColumn("rn", row_number().over(
         w.orderBy(col("quality").desc, col("doc_id"))))
       .where(col("rn") === 1)
+      .join(sizes, Seq("comp"))
       // quality passes through UNROUNDED: the per-row double is
       // bit-identical across engines (text_quality proves it at every
       // scale), while round(x, 6) is NOT portable — the quality ratios

@@ -342,8 +342,11 @@ object Events {
       .where(col("prev").isNotNull)
       .groupBy(col("prev"), col("event_type").as("cur"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("p", round(col("cnt").cast(DoubleType) /
-        sum(col("cnt")).over(Window.partitionBy(col("prev"))), 6))
+      // UNROUNDED (the eventsInterArrival rule): one IEEE division of
+      // exact integers is bit-identical in both engines, while
+      // round(x, 6) can flip on boundary-adjacent quotients
+      .withColumn("p", col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy(col("prev"))))
       .orderBy(col("prev"), col("cur"))
   }
 
@@ -392,7 +395,8 @@ object Events {
       .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, Seq("day"))
       .select(col("day"), col("dau"), col("wau"),
-        round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
+        // UNROUNDED: integer/integer quotient, bit-identical both engines
+        (col("dau").cast(DoubleType) / col("wau")).as("stickiness"))
       .orderBy(col("day"))
   }
 
@@ -404,8 +408,9 @@ object Events {
     events(s, d)
       .groupBy(col("event_type"), hour(col("ts")).as("hour"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("share", round(col("cnt").cast(DoubleType) /
-        sum(col("cnt")).over(Window.partitionBy(col("event_type"))), 6))
+      // UNROUNDED: integer/integer quotient, bit-identical both engines
+      .withColumn("share", col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
       .orderBy(col("event_type"), col("hour"))
 
   /** Fixed-width value histogram per event type — the distribution
@@ -856,8 +861,8 @@ object Events {
         |  WHERE prev IS NOT NULL GROUP BY 1, 2
         |)
         |SELECT prev, cur, cnt,
-        |  round(CAST(cnt AS DOUBLE) /
-        |    CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+        |  CAST(cnt AS DOUBLE) /
+        |    CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE) AS p
         |FROM t ORDER BY prev, cur""".stripMargin,
 
     "events_inter_arrival" ->
@@ -888,7 +893,7 @@ object Events {
         |  FROM contrib GROUP BY day
         |)
         |SELECT day, dau, wau,
-        |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |  CAST(dau AS DOUBLE) / wau AS stickiness
         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     "events_hourly_profile" ->
@@ -898,8 +903,8 @@ object Events {
         |  FROM events GROUP BY 1, 2
         |)
         |SELECT event_type, hour, cnt,
-        |  round(CAST(cnt AS DOUBLE) /
-        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+        |  CAST(cnt AS DOUBLE) /
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
         |    AS share
         |FROM h ORDER BY event_type, hour""".stripMargin,
 

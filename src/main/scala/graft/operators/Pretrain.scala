@@ -19,6 +19,11 @@ import graft.Tables._
   */
 object Pretrain {
 
+  /** See [[Lineage.truncate]] — reliable checkpoint when a dir is
+    * configured (production), localCheckpoint otherwise (local). */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    Lineage.truncate(df)
+
   /** DSIR importance weight per document (Xie et al. 2023,
     * arXiv:2302.03169 "Data Selection for Language Models via
     * Importance Resampling"): score raw docs by how much their hashed
@@ -187,7 +192,8 @@ object Pretrain {
     *
     * Scale shape: scoring is the smoothed-logprob pass (corpus tokens
     * never shuffle); the scored (doc_id, lang, mean_logprob)
-    * projection — ~24 B/doc — localCheckpoints once so both consumers
+    * projection — ~24 B/doc — checkpoints once ([[Lineage.truncate]])
+    * so both consumers
     * read the materialized rows instead of re-running the scoring
     * pipeline (exchange reuse does not unify the rebuilt stages).
     * Tercile boundaries are EXACT but never hold a corpus-sized
@@ -203,7 +209,7 @@ object Pretrain {
     val docs = documents(s, d)
     val scored = TextAnalysis.unigramLogprobSmoothed(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .localCheckpoint()
+      .transform(truncateLineage)
     val freq = scored.groupBy(col("lang"), col("mean_logprob"))
       .agg(count(lit(1)).as("cnt"))
     val bounds = freq.groupBy(col("lang")).agg(
@@ -345,10 +351,11 @@ object Pretrain {
         // substitutes InMemoryRelation at PHYSICAL planning — without
         // truncation, analyzer/optimizer cost grows linearly and the
         // docstring's ~30k production iterations hit the classic
-        // iterative-lineage blowup. localCheckpoint materializes the
-        // vocab-sized table and restarts the plan from it.
+        // iterative-lineage blowup. truncateLineage materializes the
+        // vocab-sized table and restarts the plan from it (reliable
+        // checkpoint when a dir is configured, local otherwise).
         if (step % 8 == 0) {
-          val cp = vocab.localCheckpoint()
+          val cp = truncateLineage(vocab)
           vocab.unpersist()
           vocab = cp
         }

@@ -532,7 +532,7 @@ object Sharding {
       .select(col("doc_id"), col("source"),
         graft.functions.TextStats.textStats(col("text"))
           .getField("n_words").cast("long").as("n_tokens"),
-        coalesce(col("source"), lit(" <null>")).as("_sk"),
+        coalesce(col("source"), lit("\u0000<null>")).as("_sk"),
         expr(s"doc_id DIV $bucketWidth").as("bkt"))
     val subtotals = withTok.groupBy(col("_sk"), col("bkt"))
       .agg(sum(col("n_tokens")).as("bkt_tokens"))
@@ -566,8 +566,12 @@ object Sharding {
       .select(col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
-      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"),
-        (col("epoch") + seed).cast("string"))))
+      // seed and epoch hash as SEPARATE delimited fields: mixing them
+      // as (epoch + seed) aliases permutations across (seed, epoch)
+      // pairs — seed 42 epoch 1 would equal seed 43 epoch 0, breaking
+      // the independent-reshuffle guarantee for users sweeping seeds
+      .withColumn("h", md5(concat(col("doc_id").cast("string"),
+        lit(s":$seed:"), col("epoch").cast("string"))))
       .withColumn("bkt", substring(col("h"), 1, prefixLen))
     val counts = withKey.groupBy(col("epoch"), col("bkt"))
       .agg(count(lit(1)).as("n"))
@@ -593,22 +597,43 @@ object Sharding {
     * worker's token total within one max-doc of balance, versus the
     * order-preserving [[shardByTokenBudget]] which optimizes
     * contiguity instead. The global length rank is the two-pass
-    * prefix-sum shape keyed by the LENGTH VALUE itself (counts per
-    * distinct length — bounded; cumulative bases over that tiny frame;
-    * within-length rank by doc_id), so no corpus-sized window
-    * partition exists even though the rank is global. */
-  def packBinned(docs: DataFrame, nBins: Int = 8): DataFrame = {
+    * prefix-sum shape keyed by (length, doc_id-range bucket) — NOT by
+    * the length alone: in a truncation/chunk-dominated corpus one
+    * length value (every chunked doc is exactly the chunk size) holds
+    * most of the corpus, so a rank window partitioned by `n_tokens`
+    * would funnel it through one task. Instead the [[shardByTokenBudget]]
+    * two-level shape: cumulative bases ACROSS lengths over the
+    * #distinct-lengths reduction, cumulative bases across `doc_id DIV
+    * bucketWidth` sub-buckets WITHIN a length over the subtotal table
+    * (windows only ever see reduced count rows), and the row-level
+    * rank partitioned by (n_tokens, bkt) — identical global rank,
+    * bounded partitions everywhere. */
+  def packBinned(docs: DataFrame, nBins: Int = 8,
+                 bucketWidth: Long = BucketWidth): DataFrame = {
     val withTok = docs.select(col("doc_id"),
       graft.functions.TextStats.textStats(col("text"))
         .getField("n_words").cast("long").as("n_tokens"))
-    val counts = withTok.groupBy(col("n_tokens")).agg(count(lit(1)).as("n"))
-    val wBase = Window.orderBy(col("n_tokens").desc)
+      .withColumn("bkt", expr(s"doc_id DIV $bucketWidth"))
+    val subtotals = withTok.groupBy(col("n_tokens"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+    val lenCounts = subtotals.groupBy(col("n_tokens"))
+      .agg(sum(col("n")).as("len_n"))
+    val wLen = Window.orderBy(col("n_tokens").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = counts.select(col("n_tokens"),
-      coalesce(sum(col("n")).over(wBase), lit(0L)).as("base"))
-    val wIn = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    val lenBases = lenCounts.select(col("n_tokens"),
+      coalesce(sum(col("len_n")).over(wLen), lit(0L)).as("len_base"))
+    val wBkt = Window.partitionBy(col("n_tokens")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = subtotals
+      .select(col("n_tokens"), col("bkt"),
+        coalesce(sum(col("n")).over(wBkt), lit(0L)).as("bkt_base"))
+      .join(lenBases, Seq("n_tokens"))
+      .select(col("n_tokens"), col("bkt"),
+        (col("len_base") + col("bkt_base")).as("base"))
+    val wIn = Window.partitionBy(col("n_tokens"), col("bkt"))
+      .orderBy(col("doc_id"))
     withTok
-      .join(broadcast(bases), Seq("n_tokens"))
+      .join(broadcast(bases), Seq("n_tokens", "bkt"))
       .withColumn("rank", col("base") + row_number().over(wIn))
       .withColumn("bin", ((col("rank") - 1) % nBins).cast("int"))
       .groupBy(col("bin"))
@@ -823,8 +848,8 @@ object Sharding {
         |  FROM documents
         |), k AS (
         |  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
-        |    md5(CAST(doc_id AS VARCHAR) || ':' ||
-        |      CAST(epoch + 42 AS VARCHAR)) AS h
+        |    md5(CAST(doc_id AS VARCHAR) || ':42:' ||
+        |      CAST(epoch AS VARCHAR)) AS h
         |  FROM e
         |)
         |SELECT epoch, doc_id,

@@ -275,12 +275,15 @@ object TextAnalysis {
   /** Top-k TF-IDF terms per document — the sparse lexical "embedding"
     * (keyword extraction, lexical retrieval features, the classic
     * BM25-precursor representation). One tokenization pass: tf comes
-    * from the (doc, term) groupBy; df is a per-term WINDOW count over
-    * that already-reduced table (same single-lineage discipline as the
-    * DSIR totals — a separate groupBy(term) branch would re-tokenize
-    * the corpus); N broadcasts as a metadata-only count(*) one-row agg.
-    * Per-doc top-k ranks the ROUNDED score with a total tie-break, so
-    * the cut is oracle-stable. */
+    * from the (doc, term) groupBy; df is a `groupBy(term).agg` over
+    * that SAME reduced table joined back — NOT a per-term window: a
+    * stopword's term-partition is ~every doc in the corpus buffered
+    * through one task, while the agg gets partial map-side combine and
+    * bounded state, and ReuseExchange serves both branches from the
+    * one (doc, term) shuffle so the corpus still tokenizes once; N
+    * broadcasts as a metadata-only count(*) one-row agg. Per-doc top-k
+    * ranks the ROUNDED score with a total tie-break, so the cut is
+    * oracle-stable. */
   def textTfidfVectors(s: SparkSession, d: String): DataFrame =
     tfidfVectors(documents(s, d))
 
@@ -289,9 +292,10 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast(DoubleType).as("n"))
-    tf.crossJoin(broadcast(n))
+    tf.join(dfCounts, Seq("term"))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n") / col("df")), 6).as("tfidf"))
       .withColumn("rank", row_number().over(

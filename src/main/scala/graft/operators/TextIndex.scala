@@ -202,7 +202,7 @@ object TextIndex {
   /** Admit + commit: append the admitted docs' buckets so the NEXT
     * batch screens against them too. Returns the admitted docs.
     *
-    * The admission decision materializes ONCE (localCheckpoint):
+    * The admission decision materializes ONCE (Lineage.truncate):
     * without it, the append would run the full pipeline — bloom probe,
     * semi/anti joins, component collapse — and the caller's use of the
     * returned frame would run it all AGAIN, doubling the hot streaming
@@ -211,7 +211,7 @@ object TextIndex {
     * materialized batch is safe. */
   def ingest(s: SparkSession, batch: DataFrame, dir: String,
              expectedBatchBuckets: Long = 1L << 20): DataFrame = {
-    val admitted = admit(s, batch, dir, expectedBatchBuckets).localCheckpoint()
+    val admitted = Lineage.truncate(admit(s, batch, dir, expectedBatchBuckets))
     append(s, admitted, dir)
     admitted
   }

@@ -349,49 +349,70 @@ object EventStreams {
       .agg(avg(col("cnt")).as("mean_cnt"),
         stddev_samp(col("cnt")).as("std_cnt"))
 
-  /** Streaming volume-anomaly gate: score each micro-batch's
-    * per-(event_type, day) counts against the persisted baseline and
-    * emit only the anomalous rows (|z| ≥ `zThreshold`) — the online
-    * half of [[graft.operators.Events.eventsAnomaly]]'s trailing-
-    * window batch form. The baseline is a ≤|types|-row broadcast;
-    * scoring is one partial+final count per micro-batch. Zero-variance
-    * baselines yield null z and never alert (the batch twin's rule).
-    * Exactly-once by batchId-keyed overwrite. Counts are per
-    * micro-batch: if one calendar day spans many batches, front the
-    * gate with a watermarked daily window aggregation (the
-    * stream_window_agg plan) so each day arrives as one closed row —
-    * per-batch fragments would under-count the day and under-alert. */
+  /** Streaming volume-anomaly gate: score per-(event_type, day)
+    * counts against the persisted baseline and emit only the anomalous
+    * rows (|z| ≥ `zThreshold`) — the online half of
+    * [[graft.operators.Events.eventsAnomaly]]'s trailing-window batch
+    * form. The gate is FRONTED by a watermarked daily window
+    * aggregation (the stream_window_agg plan), so a calendar day that
+    * spans many micro-batches accumulates in the state store and
+    * arrives at the scorer as ONE closed row when the watermark passes
+    * the day's end — per-batch fragments can never under-count a day
+    * and under-alert (StreamingSpec splits one planted burst day
+    * across 3 batches and still gets the full-count alert). Days are
+    * scored exactly once, when they close; events later than
+    * `lateness` past the day boundary are dropped by the watermark.
+    * The baseline is a ≤|types|-row broadcast; scoring each batch of
+    * closed days is a map-only join. Zero-variance baselines yield
+    * null z and never alert (the batch twin's rule). Exactly-once by
+    * batchId-keyed overwrite. */
   def anomalyGateStream(events: DataFrame, baselineDir: String,
                         outDir: String, checkpointDir: String,
-                        zThreshold: Double = 3.0): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode("append")
+                        zThreshold: Double = 3.0,
+                        lateness: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("w.start").as("day"), col("cnt"))
+      .writeStream
+      .outputMode("append") // append = only CLOSED daily windows reach the sink
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val base = s.read.parquet(baselineDir)
-          scoreAnomaly(batch.toDF(), base, zThreshold)
+          scoreDailyCounts(batch.toDF(), base, zThreshold)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
         ()
       }
       .start()
 
-  /** Batch twin of the stream scoring — shared so StreamingSpec can
-    * pin online/offline parity. */
-  def scoreAnomaly(events: DataFrame, baseline: DataFrame,
-                   zThreshold: Double = 3.0): DataFrame =
-    events
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+  /** Score already-reduced (event_type, day, cnt) rows against the
+    * baseline — the shared tail of the stream gate (which feeds it
+    * closed daily windows) and [[scoreAnomaly]] (which feeds it a
+    * batch reduction), so StreamingSpec can pin online/offline parity. */
+  def scoreDailyCounts(counts: DataFrame, baseline: DataFrame,
+                       zThreshold: Double = 3.0): DataFrame =
+    counts
       .join(broadcast(baseline), Seq("event_type"))
       .withColumn("z",
         when(col("std_cnt") > 0.0,
           (col("cnt") - col("mean_cnt")) / col("std_cnt")))
       .where(abs(col("z")) >= zThreshold)
       .select(col("event_type"), col("day"), col("cnt"), col("z"))
+
+  /** Batch twin of the stream scoring: reduce to daily counts, then
+    * the same scoring tail the stream gate runs on closed windows. */
+  def scoreAnomaly(events: DataFrame, baseline: DataFrame,
+                   zThreshold: Double = 3.0): DataFrame =
+    scoreDailyCounts(
+      events
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      baseline, zThreshold)
 
   /** foreachBatch sink: the escape hatch for targets without a native
     * streaming sink (JDBC upserts, multi-table fan-out, partitioned

@@ -291,6 +291,52 @@ class PlanRegressionSpec extends SparkSpec {
       .findFirstIn(p).isDefined, s"bucketed rank window missing:\n$p")
   }
 
+  test("tfidf df: agg + join back, never a per-term count window") {
+    val df = SparkEntry.queries("text_tfidf_vectors")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // round-11 finding: count(1) OVER (PARTITION BY term) with an
+    // unbounded frame buffers a stopword's ~whole-corpus partition
+    // through one task. Fixed shape: df from groupBy(term).agg on the
+    // same reduced (doc, term) table, joined back — the only window
+    // left is the per-doc top-k rank.
+    assert("windowspecdefinition\\(term#".r.findFirstIn(p).isEmpty,
+      s"per-term df window resurrected:\n$p")
+    assert("windowspecdefinition\\(doc_id#".r.findFirstIn(p).isDefined,
+      s"per-doc top-k rank window missing:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      s"df aggregation not partial+final:\n$p")
+  }
+
+  test("binned packing rank is doc_id-sub-bucketed, never one window per length") {
+    val df = SparkEntry.queries("pipeline_pack_binned")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // round-11 finding: row_number() OVER (PARTITION BY n_tokens ORDER
+    // BY doc_id) funnels a chunk-dominated corpus (every chunked doc
+    // is exactly the chunk length) through one task. Fixed: the rank
+    // partitions by (n_tokens, doc_id DIV width); only count-table
+    // windows partition by the length alone.
+    assert("windowspecdefinition\\(n_tokens#\\d+L?, doc_id#".r
+      .findFirstIn(p).isEmpty,
+      s"per-length corpus-sized rank window resurrected:\n$p")
+    assert("windowspecdefinition\\(n_tokens#\\d+L?, bkt#\\d+L?, doc_id#".r
+      .findFirstIn(p).isDefined, s"sub-bucketed rank window missing:\n$p")
+  }
+
+  test("canonical selection: member counts agg + join; only window is the top-1") {
+    val df = SparkEntry.queries("dedup_canonical")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // round-11 finding: count(1) OVER (PARTITION BY comp) buffers a
+    // boilerplate mega-cluster through one task. Fixed: n_members from
+    // groupBy(comp).count joined to the WindowGroupLimit'd top-1.
+    assert(!p.contains("count(1) windowspecdefinition"),
+      s"full-partition member-count window resurrected:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-1 lost its partial group limit:\n$p")
+  }
+
   test("partitioned writes prune partitions on read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Sources.write(

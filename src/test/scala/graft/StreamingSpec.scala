@@ -312,35 +312,56 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("anomaly gate stream alerts like the batch twin on the same baseline") {
+    // ... even when the planted burst DAY is fragmented across 3
+    // micro-batches: the gate's watermarked daily window must
+    // accumulate the fragments in state and score the CLOSED day once
+    // with the full count — per-batch scoring would see three
+    // sub-threshold fragments and never alert (the round-11 caveat,
+    // now composed into the operator instead of documented).
     val base = java.nio.file.Files.createTempDirectory("graft_anom").toString
     val ev = Tables.events(spark, Sf)
-    // baseline fitted on the corpus, then the SAME corpus streams
-    // through the gate — plus one planted burst day that must alert
     EventStreams.fitAnomalyBaseline(ev)
       .write.mode("overwrite").parquet(s"$base/baseline")
     import spark.implicits._
-    val burst = Seq.tabulate(5000) { i =>
+    val corpus: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] = ev.select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+    val burst: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] = Seq.tabulate(5000) { i =>
       (9000000L + i, java.sql.Timestamp.valueOf("2024-06-15 12:00:00"),
         1L, "view", 1.0, "{}")
-    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val in = ev.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value"), col("props")).unionByName(burst)
-    in.write.mode("overwrite").parquet(s"$base/in")
-    val stream = spark.readStream
-      .schema(spark.read.parquet(s"$base/in").schema)
-      .parquet(s"$base/in")
+    }
+    // a lone far-future event advances the watermark past every real
+    // day so all of them close; its own day stays open and unscored
+    val sentinel = (9999999L,
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 1L, "view", 1.0, "{}")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)](spark)
+    val stream = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val q = EventStreams.anomalyGateStream(stream, s"$base/baseline",
       s"$base/out", s"$base/ckpt")
-    try q.processAllAvailable() finally q.stop()
+    try {
+      val slices = burst.grouped(2000).toSeq // 2000 + 2000 + 1000
+      assert(slices.size == 3)
+      ms.addData(corpus ++ slices(0)); q.processAllAvailable()
+      ms.addData(slices(1)); q.processAllAvailable()
+      ms.addData(slices(2)); q.processAllAvailable()
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
     val streamed = spark.read.parquet(s"$base/out/batch_id=*")
       .select("event_type", "day", "cnt").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
-    assert(streamed.exists { case (t, d, _) =>
-      t == "view" && d.toString.startsWith("2024-06-15") },
-      s"planted burst day not alerted: $streamed")
-    // online/offline parity on the same baseline
-    val batch = EventStreams.scoreAnomaly(
-      spark.read.parquet(s"$base/in"),
+    // the burst day alert carries the FULL day count across all 3
+    // fragments (plus any corpus events on that day — none at this SF)
+    assert(streamed.exists { case (t, d, c) =>
+      t == "view" && d.toString.startsWith("2024-06-15") && c == 5000L },
+      s"fragmented burst day not alerted at full count: $streamed")
+    // online/offline parity: batch twin over the same events (sans the
+    // never-closed sentinel day) on the same baseline
+    val batchIn = (corpus ++ burst).toSeq
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = EventStreams.scoreAnomaly(batchIn,
       spark.read.parquet(s"$base/baseline"))
       .select("event_type", "day", "cnt").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
