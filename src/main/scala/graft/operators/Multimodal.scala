@@ -72,48 +72,118 @@ object Multimodal {
       * ≈ 256 MB ARGB, a sane per-record bound. */
     val MaxPixels = 64L * 1024 * 1024
 
+    /** Sniff + bounded ImageIO read; None for non-images, undecodable
+      * blobs, and decompression bombs — shared by the feature decode
+      * below and the perceptual-hash path ([[imagePhashes]]). */
+    def decodeImage(blob: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
+      sniff(blob).flatMap { fmt =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          val img =
+            try {
+              reader.setInput(iis)
+              val (hw, hh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+              if (hw * hh > MaxPixels) return None
+              reader.read(0)
+            } finally { reader.dispose(); iis.close() }
+          Option(img).map(fmt -> _)
+        } catch { case _: Exception => None }
+      }
+
     def decode(blob: Array[Byte]): (String, Int, Int, Array[Float]) =
-      sniff(blob) match {
-        case Some(fmt) =>
-          try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(blob))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) return StubDecoder.decode(blob)
-            val reader = readers.next()
-            val img =
-              try {
-                reader.setInput(iis)
-                val (hw, hh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
-                if (hw * hh > MaxPixels) return StubDecoder.decode(blob)
-                reader.read(0)
-              } finally { reader.dispose(); iis.close() }
-            if (img == null) StubDecoder.decode(blob)
-            else {
-              val (w, h) = (img.getWidth, img.getHeight)
-              val hist = new Array[Float](8)
-              val (sx, sy) = (math.max(w / 64, 1), math.max(h / 64, 1))
-              var n = 0
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  val lum = (((rgb >> 16) & 0xff) * 299 +
-                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-                  hist(lum >> 5) += 1f
-                  n += 1
-                  x += sx
-                }
-                y += sy
-              }
-              var j = 0
-              while (j < 8) { hist(j) /= n; j += 1 }
-              (fmt, w, h, hist)
+      decodeImage(blob) match {
+        case Some((fmt, img)) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Float](8)
+          val (sx, sy) = (math.max(w / 64, 1), math.max(h / 64, 1))
+          var n = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              hist(lum >> 5) += 1f
+              n += 1
+              x += sx
             }
-          } catch { case _: Exception => StubDecoder.decode(blob) }
+            y += sy
+          }
+          var j = 0
+          while (j < 8) { hist(j) /= n; j += 1 }
+          (fmt, w, h, hist)
         case None => StubDecoder.decode(blob)
       }
+
+    /** 64-bit rotation-canonical average hash (aHash) — the perceptual
+      * image fingerprint behind near-dup IMAGE dedup. Mean luminance on
+      * an 8×8 block grid (block sums sampled with a bounded stride, so
+      * work per image is O(1) regardless of resolution); bit k = block k
+      * ≥ grid mean. Brightness/contrast shifts and re-encoding preserve
+      * the bits (aHash thresholds against the image's OWN mean); 90°
+      * rotations permute the grid, so the canonical hash is the
+      * unsigned-min over the 4 rotation variants — a rotated re-encode
+      * maps to the SAME 64 bits (exactly, when dims are block-aligned;
+      * within Hamming tolerance otherwise). */
+    def aHash64(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = Array.ofDim[Double](8, 8)
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val x0 = i * w / 8; val x1 = math.max((i + 1) * w / 8, x0 + 1)
+          val y0 = j * h / 8; val y1 = math.max((j + 1) * h / 8, y0 + 1)
+          val sx = math.max((x1 - x0) / 8, 1)
+          val sy = math.max((y1 - y0) / 8, 1)
+          var s = 0L
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              n += 1
+              x += sx
+            }
+            y += sy
+          }
+          lum(j)(i) = s.toDouble / n
+          i += 1
+        }
+        j += 1
+      }
+      var mean = 0.0
+      var r = 0
+      while (r < 8) { var c = 0; while (c < 8) { mean += lum(r)(c); c += 1 }; r += 1 }
+      mean /= 64
+      def hashOf(cell: (Int, Int) => Double): Long = {
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          if (cell(k / 8, k % 8) >= mean) bits |= (1L << k)
+          k += 1
+        }
+        bits
+      }
+      // the 4 rotations form a cyclic group on the grid: whichever
+      // orientation arrives, the variant SET is identical, so the
+      // unsigned min is orientation-invariant
+      Seq(
+        hashOf((r, c) => lum(r)(c)),
+        hashOf((r, c) => lum(7 - c)(r)),
+        hashOf((r, c) => lum(7 - r)(7 - c)),
+        hashOf((r, c) => lum(c)(7 - r)))
+        .reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+    }
   }
 
   /** Real decoder for WAV audio — pure RIFF chunk-walk, no codec needed
@@ -279,6 +349,54 @@ object Multimodal {
       }(enc)
   }
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** (doc_id, phash) for every blob that decodes as a REAL image —
+    * batched per-partition like [[decodeFeatures]] (map-only over the
+    * scan; blobs never shuffle; only the 8-byte hash flows downstream).
+    * Non-image and undecodable blobs are absent (no stub hash: a fake
+    * fingerprint would manufacture spurious near-dup clusters). */
+  def imagePhashes(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(phashSchema)
+    blobs.select(col("doc_id").cast(LongType), col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            ImageDecoder.decodeImage(r.getAs[Array[Byte]](1)).map {
+              case (_, img) => Row(r.getLong(0), ImageDecoder.aHash64(img))
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-dup IMAGE clusters over the perceptual hash — the multimodal
+    * plane of the dedup family (re-encoded, brightness-shifted, and
+    * 90°-rotated copies of an image collapse; distinct images don't).
+    * Pipeline: blobs → [[ImageDecoder.aHash64]] (map-only batched
+    * decode) → the SimHash banded star-edge machinery (4 × 16-bit band
+    * buckets; each doc links to its bucket-min root) with an exact
+    * Hamming ≤ `maxHamming` verification on every star edge — images
+    * share band buckets far more often than text simhashes (flat
+    * regions zero out whole bands), so unverified bucket-sharing would
+    * over-merge — then iterative connected components. Never all-pairs:
+    * a mega-bucket of n boilerplate images costs n edges. Output is one
+    * row per clustered image (docs with no verified near-dup are
+    * absent), (doc_id, phash, comp) with comp = min doc_id. */
+  def dedupImagePhash(s: SparkSession, d: String,
+                      maxHamming: Int = 6): DataFrame = {
+    val ph = imagePhashes(withBlobs(documents(s, d)))
+    val edges = Dedup.hamming64StarEdges(ph, "doc_id", "phash", maxHamming)
+    Components.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp"))
+      .join(ph, Seq("doc_id"))
+      .select(col("doc_id"), col("phash"), col("comp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end pipeline: blobs → batched decode → per-format stats
     * joined back against document metadata. */
   def mmPipeline(s: SparkSession, d: String): DataFrame = {
@@ -296,7 +414,9 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_pipeline" -> (mmPipeline _)
+    "mm_pipeline" -> (mmPipeline _),
+    "dedup_image_phash" -> ((s: SparkSession, d: String) =>
+      dedupImagePhash(s, d))
   )
 
   // Decode semantics live in the JVM stub — not SQL-expressible; covered

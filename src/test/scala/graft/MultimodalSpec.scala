@@ -106,6 +106,71 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() >= docs.count(), "every doc yields >= 1 frame")
   }
 
+  /** Render a PNG from a per-pixel color function — block-aligned
+    * 64×64 so the 8×8 aHash grid is exact under 90° rotation. */
+  private def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual hash: rotation/re-encode/brightness invariant, distinct images far apart") {
+    def hashOf(blob: Array[Byte]): Long =
+      Multimodal.ImageDecoder.decodeImage(blob) match {
+        case Some((_, img)) => Multimodal.ImageDecoder.aHash64(img)
+        case None => fail("planted PNG failed to decode")
+      }
+    val a = hashOf(png((x, _) => if (x < 32) 0x000000 else 0xffffff))
+    // the same image rotated 90° (vertical split → horizontal split),
+    // independently re-encoded through ImageIO
+    val aRot = hashOf(png((_, y) => if (y < 32) 0x000000 else 0xffffff))
+    // brightness-compressed copy: dark gray / light gray — aHash
+    // thresholds against the image's own mean, so bits are identical
+    val aDim = hashOf(png((x, _) => if (x < 32) 0x202020 else 0xe0e0e0))
+    val b = hashOf(png((x, y) => if (x + y < 64) 0x000000 else 0xffffff))
+    assert(a == aRot, f"rotation changed the canonical hash: $a%016x vs $aRot%016x")
+    assert(a == aDim, f"brightness shift changed the hash: $a%016x vs $aDim%016x")
+    val d = java.lang.Long.bitCount(a ^ b)
+    assert(d > 6, f"distinct images too close: hamming $d ($a%016x vs $b%016x)")
+  }
+
+  test("image near-dup clusters collapse planted twins, never distinct images") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, png((x, _) => if (x < 32) 0x000000 else 0xffffff)),
+      (2L, png((_, y) => if (y < 32) 0x000000 else 0xffffff)), // 90° twin
+      (3L, png((x, _) => if (x < 32) 0x202020 else 0xe0e0e0)), // dim twin
+      (4L, png((x, y) => if (x + y < 64) 0x000000 else 0xffffff)), // distinct
+      (5L, "not an image at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "blob")
+    val ph = Multimodal.imagePhashes(blobs)
+    val hashes = ph.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L),
+      s"non-image must yield no phash: ${hashes.keySet}")
+    val comps = graft.operators.Components.connectedComponents(
+        graft.operators.Dedup.hamming64StarEdges(ph, "doc_id", "phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.get(1L).contains(1L) && comps.get(2L).contains(1L) &&
+      comps.get(3L).contains(1L),
+      s"rotated/re-encoded/dimmed twins must co-cluster: $comps")
+    assert(!comps.contains(4L), s"distinct image must not cluster: $comps")
+  }
+
+  test("dedup_image_phash gate output clusters the corpus' flat PNGs deterministically") {
+    // withBlobs gives every 5th doc a flat gray PNG; flat images are
+    // perceptually identical (aHash is brightness-invariant), so the
+    // operator must put ALL of them in one cluster — a stable rows-only
+    // gate shape, and a mega-bucket stress for the star-edge path
+    val out = graft.operators.Multimodal.dedupImagePhash(spark, Sf)
+    val nPng = Tables.documents(spark, Sf)
+      .where(col("doc_id") % 5 === 0).count()
+    assert(out.count() == nPng, s"expected all $nPng PNGs clustered")
+    assert(out.select("comp").distinct().count() == 1)
+  }
+
   test("mm_pipeline aggregates stay consistent with the corpus") {
     val out = Multimodal.mmPipeline(spark, Sf)
     val total = out.agg(sum("n")).collect()(0).getLong(0)
