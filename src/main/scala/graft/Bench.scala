@@ -49,7 +49,11 @@ object Bench {
     // de-windowed ccnet terciles and the bucketed interleave rank) —
     // benched so a resurrected corpus-sized window shows up as a
     // number, not just a failed plan assertion
-    "quality_ccnet_bucket", "pipeline_interleave")
+    "quality_ccnet_bucket", "pipeline_interleave",
+    // round 12: same rule — the two operators whose shape changed this
+    // round (tfidf df de-windowed to agg+ReusedExchange-join; binned
+    // packing's rank sub-bucketed by doc_id range)
+    "text_tfidf_vectors", "pipeline_pack_binned")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

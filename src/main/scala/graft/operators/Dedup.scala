@@ -270,11 +270,21 @@ object Dedup {
     * cannot lower c(A→B)), and the asymmetric score is an unrounded
     * exact-integer quotient. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
-                       maxDf: Long = MaxPostings): DataFrame = {
+                       maxDf: Long = MaxPostings): DataFrame =
+    containmentOver(
+      docs.select(col("doc_id"),
+        explode(graft.functions.HashFunctions.ngramHashes(col("text"), 3)).as("sh")),
+      threshold, maxDf)
+
+  /** The containment engine behind [[containmentPairs]], over ANY
+    * (doc_id, sh) token-hash table — text n-grams, video frame
+    * signatures ([[Multimodal.dedupFrameContainment]]), whatever hashes
+    * to 8 bytes. Directional subset detection with the SSJoin-style
+    * prefix filter on the contained side; see containmentPairs for the
+    * scale argument. */
+  private[graft] def containmentOver(g0: DataFrame, threshold: Double,
+                                     maxDf: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g0 = docs
-      .select(col("doc_id"),
-        explode(graft.functions.HashFunctions.ngramHashes(col("text"), 3)).as("sh"))
     val dfs = g0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val blocked = dfs.where(col("df") > maxDf).select(col("sh"))
     val g = g0.join(blocked, Seq("sh"), "left_anti")

@@ -205,6 +205,23 @@ object Multimodal {
         blob(2) == 'F' && blob(3) == 'F' && blob(8) == 'W' &&
         blob(9) == 'A' && blob(10) == 'V' && blob(11) == 'E'
 
+    /** (offset, length) of the PCM data chunk — the bounds-checked RIFF
+      * walk shared by the metadata decode and [[audioFp64]]. None for
+      * malformed chunks (a data length past the blob end must never
+      * read out of bounds). */
+    def dataChunk(blob: Array[Byte]): Option[(Int, Int)] = {
+      if (!sniffs(blob)) return None
+      var i = 12
+      while (i + 8 <= blob.length) {
+        val id = new String(blob.slice(i, i + 4), "US-ASCII")
+        val len = le32(blob, i + 4)
+        if (len < 0 || i.toLong + 8 + len > blob.length) return None
+        if (id == "data") return Some((i + 8, len))
+        i += 8 + len + (len & 1)
+      }
+      None
+    }
+
     def decode(blob: Array[Byte]): (String, Int, Int, Array[Float]) = {
       if (!sniffs(blob)) return StubDecoder.decode(blob)
       var i = 12
@@ -349,6 +366,48 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit energy-envelope fingerprint for PCM WAV audio — the audio
+    * twin of [[ImageDecoder.aHash64]]. The bounded data-chunk prefix
+    * (≤64 Ki samples) splits into 64 equal segments; per segment, mean
+    * absolute deviation from the 8-bit midpoint (128) measures local
+    * energy; bit k = segment k's energy ≥ the envelope mean. Amplitude
+    * scaling multiplies every segment's energy by the same factor, so
+    * the bits — thresholded against the clip's OWN mean — survive
+    * re-mastering at a different volume, while a different loudness
+    * CONTOUR (speech vs music, a different burst pattern) flips many
+    * bits. None for
+    * non-WAV blobs: a fake fingerprint would manufacture clusters. */
+  def audioFp64(blob: Array[Byte]): Option[Long] = {
+    if (!WavDecoder.sniffs(blob)) return None
+    WavDecoder.dataChunk(blob).map { case (off, len) =>
+      val n = math.min(len, 65536)
+      val energy = new Array[Double](64)
+      val cnt = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val seg = (i.toLong * 64 / n).toInt
+        energy(seg) += math.abs((blob(off + i) & 0xff) - 128)
+        cnt(seg) += 1
+        i += 1
+      }
+      var mean = 0.0
+      var s = 0
+      while (s < 64) {
+        energy(s) = if (cnt(s) > 0) energy(s) / cnt(s) else 0.0
+        mean += energy(s)
+        s += 1
+      }
+      mean /= 64
+      var bits = 0L
+      var k = 0
+      while (k < 64) {
+        if (energy(k) >= mean) bits |= (1L << k)
+        k += 1
+      }
+      bits
+    }
+  }
+
   private val phashSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("phash", LongType, nullable = false)))
@@ -372,6 +431,71 @@ object Multimodal {
         }
       }(enc)
   }
+
+  private val afpSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false)))
+
+  /** (doc_id, afp) for every blob that parses as PCM WAV — batched
+    * per-partition like [[imagePhashes]]; non-audio blobs absent. */
+  def audioFingerprints(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(afpSchema)
+    blobs.select(col("doc_id").cast(LongType), col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            audioFp64(r.getAs[Array[Byte]](1)).map(Row(r.getLong(0), _))
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-dup AUDIO clusters over the energy-envelope fingerprint —
+    * the audio plane of the dedup family (volume-rescaled copies
+    * collapse — amplitude scaling preserves [[audioFp64]]'s bits;
+    * different loudness contours don't). Identical scale shape to
+    * [[dedupImagePhash]]: map-only batched fingerprint → banded
+    * Hamming-verified star edges → components; never all-pairs. */
+  def dedupAudioFp(s: SparkSession, d: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val fp = audioFingerprints(withBlobs(documents(s, d)))
+    val edges = Dedup.hamming64StarEdges(fp, "doc_id", "afp", maxHamming)
+    Components.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp"))
+      .join(fp, Seq("doc_id"))
+      .select(col("doc_id"), col("afp"), col("comp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-blob frame signature stream — the video-shaped decomposition:
+    * the blob slices into fixed `frameBytes` frames DECLARATIVELY
+    * (`substring` on the binary column + `xxhash64`, all inside
+    * whole-stage codegen — no UDF, no mapPartitions, bytes never leave
+    * the scan task), one (doc_id, sh) row per distinct frame hash. */
+  def frameSignatures(blobs: DataFrame, frameBytes: Int = 64): DataFrame =
+    blobs.select(col("doc_id"), col("blob"))
+      .where(length(col("blob")) > 0)
+      .select(col("doc_id"),
+        explode(expr(
+          s"sequence(0, CAST(ceil(length(blob) / ${frameBytes}D) AS INT) - 1)"))
+          .as("f"), col("blob"))
+      .select(col("doc_id"),
+        expr(s"xxhash64(substring(blob, f * $frameBytes + 1, $frameBytes))")
+          .as("sh"))
+      .distinct()
+
+  /** Directional frame-set containment — near-dup VIDEO detection:
+    * a clip whose frame set is ≥ `threshold` contained in another's is
+    * a trim/extension of it (the multimodal twin of dedup_containment,
+    * which catches text subsets the same way). Reuses the SSJoin
+    * prefix-filtered containment engine over the frame-signature table;
+    * never all-pairs, signatures shared by > maxDf blobs are blocked
+    * exactly like stop-grams. */
+  def dedupFrameContainment(s: SparkSession, d: String,
+                            threshold: Double = 0.8): DataFrame =
+    Dedup.containmentOver(
+      frameSignatures(withBlobs(documents(s, d))), threshold, 256L)
 
   /** Near-dup IMAGE clusters over the perceptual hash — the multimodal
     * plane of the dedup family (re-encoded, brightness-shifted, and
@@ -416,7 +540,11 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),
     "dedup_image_phash" -> ((s: SparkSession, d: String) =>
-      dedupImagePhash(s, d))
+      dedupImagePhash(s, d)),
+    "dedup_audio_fp" -> ((s: SparkSession, d: String) =>
+      dedupAudioFp(s, d)),
+    "dedup_frame_containment" -> ((s: SparkSession, d: String) =>
+      dedupFrameContainment(s, d))
   )
 
   // Decode semantics live in the JVM stub — not SQL-expressible; covered

@@ -292,7 +292,17 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // count(when(tf >= 1, 1)), not count(1): tf is a count, so every
+    // row passes and the value is identical — but the (unfoldable)
+    // reference to tf keeps the df branch's (doc, term) aggregate
+    // structurally IDENTICAL to the tf branch's, so ReuseExchange
+    // serves both from ONE shuffle and the corpus tokenizes once.
+    // (count(1) — or count(tf), which the optimizer rewrites to
+    // count(1) over the non-nullable column — lets column pruning
+    // strip tf, de-unifying the exchanges: a second full scan+explode
+    // of the corpus, observed in the executed plan.)
+    val dfCounts = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1L, 1)).as("df"))
     val n = docs.agg(count(lit(1)).cast(DoubleType).as("n"))
     tf.join(dfCounts, Seq("term"))
       .crossJoin(broadcast(n))

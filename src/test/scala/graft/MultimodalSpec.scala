@@ -159,6 +159,72 @@ class MultimodalSpec extends SparkSpec {
     assert(!comps.contains(4L), s"distinct image must not cluster: $comps")
   }
 
+  /** Genuine 8 kHz mono 8-bit PCM WAV whose sample i is `f(i)`. */
+  private def wav(n: Int)(f: Int => Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    bb.array() ++ Array.tabulate(n)(i => f(i).toByte)
+  }
+
+  test("audio fingerprint: volume-invariant, contour-sensitive; clusters collapse twins") {
+    import spark.implicits._
+    // burst envelope: loud in even 1024-sample blocks, quiet in odd —
+    // 64 segments of 1024 samples, alternating energy
+    val n = 65536
+    def burst(amp: Int)(i: Int): Int = {
+      val a = if ((i / 1024) % 2 == 0) amp else amp / 10
+      128 + (a * math.sin(i / 3.0)).toInt
+    }
+    val a = Multimodal.audioFp64(wav(n)(burst(100)))
+    val aQuiet = Multimodal.audioFp64(wav(n)(burst(40)))      // re-mastered
+    val b = Multimodal.audioFp64(wav(n)(i => burst(100)(i + 1024))) // opposite contour
+    assert(a.isDefined && aQuiet.isDefined && b.isDefined)
+    assert(a == aQuiet,
+      f"volume rescale changed the fingerprint: ${a.get}%016x vs ${aQuiet.get}%016x")
+    val d = java.lang.Long.bitCount(a.get ^ b.get)
+    assert(d > 6, f"opposite burst contour too close: hamming $d")
+    assert(Multimodal.audioFp64("not audio".getBytes("UTF-8")).isEmpty)
+    // end-to-end: twins co-cluster, the opposite-contour clip doesn't
+    val blobs = Seq(
+      (1L, wav(n)(burst(100))), (2L, wav(n)(burst(40))),
+      (3L, wav(n)(i => burst(100)(i + 1024))),
+      (4L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val fp = Multimodal.audioFingerprints(blobs)
+    assert(fp.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val comps = graft.operators.Components.connectedComponents(
+        graft.operators.Dedup.hamming64StarEdges(fp, "doc_id", "afp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.get(1L).contains(1L) && comps.get(2L).contains(1L),
+      s"re-mastered twin must co-cluster: $comps")
+    assert(!comps.contains(3L), s"distinct contour must not cluster: $comps")
+  }
+
+  test("frame containment: a trimmed clip is contained in its extension, codegen-only slicing") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    val a = Array.fill(256)(rng.nextInt().toByte)   // 4 frames of 64
+    val ext = a ++ Array.fill(128)(rng.nextInt().toByte) // + 2 frames
+    val c = Array.fill(256)(rng.nextInt().toByte)   // distinct
+    val blobs = Seq((1L, a), (2L, ext), (3L, c)).toDF("doc_id", "blob")
+    val sigs = Multimodal.frameSignatures(blobs)
+    // declarative slicing: the plan must carry no UDF / mapPartitions
+    val plan = sigs.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF") && !plan.contains("MapPartitions"),
+      s"frame slicing left codegen:\n$plan")
+    val pairs = graft.operators.Dedup.containmentOver(sigs, 0.8, 256L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.999),
+      s"trim must be contained in its extension: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"distinct blob must not pair: ${pairs.toSeq}")
+  }
+
   test("dedup_image_phash gate output clusters the corpus' flat PNGs deterministically") {
     // withBlobs gives every 5th doc a flat gray PNG; flat images are
     // perceptually identical (aHash is brightness-invariant), so the

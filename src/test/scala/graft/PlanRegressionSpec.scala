@@ -306,6 +306,11 @@ class PlanRegressionSpec extends SparkSpec {
       s"per-doc top-k rank window missing:\n$p")
     assert("partial_count".r.findFirstIn(p).isDefined,
       s"df aggregation not partial+final:\n$p")
+    // and the corpus must tokenize ONCE: the df branch reuses the tf
+    // branch's (doc, term) exchange (count(tf) keeps the aggregates
+    // structurally identical) instead of a second scan+explode
+    assert(p.contains("ReusedExchange"),
+      s"df branch re-tokenizes the corpus (no exchange reuse):\n$p")
   }
 
   test("binned packing rank is doc_id-sub-bucketed, never one window per length") {
