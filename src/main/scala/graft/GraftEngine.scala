@@ -275,7 +275,16 @@ object GraftEngine {
           width = p.double("width", 50.0))),
       "pipeline_bpe_merges" -> ((s, d, p) =>
         graft.operators.Pretrain.bpeMerges(Tables.documents(s, d), s,
-          nMerges = p.int("nMerges", 12)))
+          nMerges = p.int("nMerges", 12))),
+      "dedup_image_phash" -> ((s, d, p) =>
+        graft.operators.Multimodal.dedupImagePhash(s, d,
+          maxHamming = p.int("maxHamming", 6))),
+      "dedup_audio_fp" -> ((s, d, p) =>
+        graft.operators.Multimodal.dedupAudioFp(s, d,
+          maxHamming = p.int("maxHamming", 6))),
+      "dedup_frame_containment" -> ((s, d, p) =>
+        graft.operators.Multimodal.dedupFrameContainment(s, d,
+          threshold = p.double("threshold", 0.8)))
     )
   }
 

@@ -459,7 +459,8 @@ object Multimodal {
     * Hamming-verified star edges → components; never all-pairs. */
   def dedupAudioFp(s: SparkSession, d: String,
                    maxHamming: Int = 6): DataFrame = {
-    val fp = audioFingerprints(withBlobs(documents(s, d)))
+    // same consumed-thrice materialization as dedupImagePhash
+    val fp = Lineage.truncate(audioFingerprints(withBlobs(documents(s, d))))
     val edges = Dedup.hamming64StarEdges(fp, "doc_id", "afp", maxHamming)
     Components.connectedComponents(edges)
       .select(col("id").as("doc_id"), col("comp"))
@@ -512,7 +513,10 @@ object Multimodal {
     * absent), (doc_id, phash, comp) with comp = min doc_id. */
   def dedupImagePhash(s: SparkSession, d: String,
                       maxHamming: Int = 6): DataFrame = {
-    val ph = imagePhashes(withBlobs(documents(s, d)))
+    // materialize the 16-byte-per-image hash table once: it feeds the
+    // band roots, the edge join, and the cluster join-back — without
+    // truncation each consumer would re-decode every blob
+    val ph = Lineage.truncate(imagePhashes(withBlobs(documents(s, d))))
     val edges = Dedup.hamming64StarEdges(ph, "doc_id", "phash", maxHamming)
     Components.connectedComponents(edges)
       .select(col("id").as("doc_id"), col("comp"))

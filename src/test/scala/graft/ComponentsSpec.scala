@@ -63,4 +63,32 @@ class ComponentsSpec extends SparkSpec {
       assert(comps(edges) == unionFind(edges))
     }
   }
+
+  test("Lineage.truncate upgrades to reliable checkpointing when a dir is configured") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "suite precondition: no checkpoint dir configured yet")
+    // no dir → localCheckpoint; rows intact either way
+    val local = graft.operators.Lineage.truncate(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(local.count() == 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val reliable = graft.operators.Lineage.truncate(
+        Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+      assert(reliable.count() == 2)
+      // the production contract: blocks live ON THE CHECKPOINT FS (they
+      // survive executor loss), not merely in executor block managers
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).toSeq.flatten.flatMap(files)
+      assert(files(new java.io.File(dir)).nonEmpty,
+        s"reliable checkpoint wrote nothing under $dir")
+      // components still converge with reliable checkpoints in the loop
+      val m = comps(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally sc.setCheckpointDir(null) // Option(null) = None: restore
+  }
 }

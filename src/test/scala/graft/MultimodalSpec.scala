@@ -130,9 +130,12 @@ class MultimodalSpec extends SparkSpec {
     // brightness-compressed copy: dark gray / light gray — aHash
     // thresholds against the image's own mean, so bits are identical
     val aDim = hashOf(png((x, _) => if (x < 32) 0x202020 else 0xe0e0e0))
+    // downscaled copy: the block grid normalizes resolution away
+    val aSmall = hashOf(png((x, _) => if (x < 16) 0x000000 else 0xffffff, 32, 32))
     val b = hashOf(png((x, y) => if (x + y < 64) 0x000000 else 0xffffff))
     assert(a == aRot, f"rotation changed the canonical hash: $a%016x vs $aRot%016x")
     assert(a == aDim, f"brightness shift changed the hash: $a%016x vs $aDim%016x")
+    assert(a == aSmall, f"downscale changed the hash: $a%016x vs $aSmall%016x")
     val d = java.lang.Long.bitCount(a ^ b)
     assert(d > 6, f"distinct images too close: hamming $d ($a%016x vs $b%016x)")
   }
