@@ -332,10 +332,28 @@ object Sharding {
   /** Stratified sample: per-language keep fractions via one Bernoulli
     * draw per row (map-only, no shuffle). The correctness contract is
     * statistical (proportions), checked in ShardingSpec. */
+  /** Deterministic stratified Bernoulli sample: keep a doc of stratum
+    * `lang` iff the 24-bit prefix of md5(doc_id ':strat:' seed) falls
+    * under floor(frac·2²⁴) — the same hash-threshold draw as
+    * [[assignSplits]]/[[mixCorpus]] (salted differently, so samples
+    * don't correlate with splits). A pure function of the data:
+    * identical across partitionings, task retries, and cluster sizes,
+    * AND exactly replayable by the DuckDB oracle — none of which holds
+    * for `sampleBy`'s per-partition RNG streams. Strata absent from
+    * `fractions` drop (sampleBy's contract); map-only, no shuffle. */
   def sampleStratified(docs: DataFrame,
                        fractions: Map[String, Double],
-                       seed: Long = 42L): DataFrame =
-    docs.stat.sampleBy("lang", fractions, seed)
+                       seed: Long = 42L): DataFrame = {
+    val h = substring(md5(concat(col("doc_id").cast("string"),
+      lit(s":strat:$seed"))), 1, 6)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (lang, frac)) =>
+      val pass =
+        if (frac >= 1.0) lit(true)
+        else h < lit(f"${math.floor(frac * (1 << 24)).toLong}%06x")
+      acc || (col("lang") === lang && pass)
+    }
+    docs.where(keep)
+  }
 
   def pipelineSample(s: SparkSession, d: String): DataFrame =
     sampleStratified(documents(s, d),
@@ -857,11 +875,27 @@ object Sharding {
         |    AS BIGINT) AS pos
         |FROM k ORDER BY epoch, pos""".stripMargin,
 
-    // pipeline_sample_stratified is seeded-random — proportions are
-    // asserted in ShardingSpec instead of a SQL oracle.
-    // thresholds are literals (0.9/0.95 of the 24-bit space): e66666 =
-    // floor(0.9·2^24), f33333 = floor(0.95·2^24) — same values the
-    // Scala side formats
+    // stratified sampling is a deterministic md5-threshold draw since
+    // round 12, so it replays exactly: per-stratum thresholds are
+    // floor(frac·2^24) in hex — 800000 = 0.5, 400000 = 0.25,
+    // 199999 = floor(0.1·2^24) — same values the Scala side formats
+    "pipeline_sample_stratified" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':strat:42'), 1, 6) AS h
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_sampled FROM t
+        |WHERE (lang = 'de' AND h < '400000')
+        |   OR (lang = 'en' AND h < '800000')
+        |   OR (lang = 'es' AND h < '400000')
+        |   OR (lang = 'fr' AND h < '400000')
+        |   OR (lang = 'zh' AND h < '199999')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // split thresholds are literals (0.9/0.95 of the 24-bit space):
+    // e66666 = floor(0.9·2^24), f33333 = floor(0.95·2^24) — same
+    // values the Scala side formats
     "pipeline_split" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

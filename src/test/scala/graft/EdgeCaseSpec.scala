@@ -227,4 +227,64 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!merged.contains(4L) && merged(99L) == "insert"
       && merged(3L) == "update" && merged(5L) == "keep")
   }
+
+  test("round-12 multimodal dedup survives hostile blobs") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // empty blob, 1-byte blob, truncated PNG magic, 1×1 real PNG,
+    // extreme-aspect real PNG (narrower than the 8-block grid), WAV
+    // with a zero-length data chunk, WAV whose declared data length
+    // overruns the blob
+    val one = {
+      val img = new java.awt.image.BufferedImage(
+        1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val wide = {
+      val img = new java.awt.image.BufferedImage(
+        100, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 100) { img.setRGB(x, 0, 0xffffff); img.setRGB(x, 1, 0) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def wavHdr(dataLen: Int, actual: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      bb.array() ++ Array.fill(actual)(0x40.toByte)
+    }
+    val blobs = Seq(
+      (1L, Array.empty[Byte]), (2L, Array[Byte](0x42)),
+      (3L, Array[Byte](0x89.toByte, 'P', 'N')), (4L, one), (5L, wide),
+      (6L, wavHdr(0, 0)), (7L, wavHdr(5000, 10))
+    ).toDF("doc_id", "blob")
+    // image path: only the two real PNGs hash; nothing throws
+    val ph = Multimodal.imagePhashes(blobs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph.keySet == Set(4L, 5L), s"unexpected image hashes: $ph")
+    // audio path: the zero-length data chunk fingerprints (silence —
+    // all-zero energies, bits all set by the >= tie rule), the
+    // overrunning chunk is rejected by the bounds check, not read OOB
+    assert(Multimodal.audioFp64(wavHdr(0, 0)).isDefined)
+    assert(Multimodal.audioFp64(wavHdr(5000, 10)).isEmpty)
+    val af = Multimodal.audioFingerprints(blobs)
+      .collect().map(_.getLong(0)).toSet
+    assert(af == Set(6L), s"unexpected audio fingerprints: $af")
+    // frame slicing: empty blob yields no frames, short blobs hash
+    // their padded tail slice; nothing throws and ids stay sane
+    val fs = Multimodal.frameSignatures(blobs)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!fs.contains(1L) && fs.contains(2L), s"frame ids: $fs")
+    // star edges over a single-row hash table: no self-edges
+    val edges = graft.operators.Dedup.hamming64StarEdges(
+      Multimodal.imagePhashes(blobs), "doc_id", "phash")
+    assert(edges.where(col("id1") === col("id2")).isEmpty,
+      "star edges must never contain self-edges")
+  }
 }

@@ -105,9 +105,15 @@ class ShardingSpec extends SparkSpec {
     val fr = Map("en" -> 0.5, "de" -> 0.2)
     val a = Sharding.sampleStratified(docs, fr, seed = 7)
     val b = Sharding.sampleStratified(docs, fr, seed = 7)
-    assert(a.select("doc_id").collect().map(_.getLong(0)).toSet ==
-      b.select("doc_id").collect().map(_.getLong(0)).toSet,
+    val aIds = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aIds == b.select("doc_id").collect().map(_.getLong(0)).toSet,
       "same seed must give the same sample")
+    // round 12: the draw is a hash of the data, not an RNG stream —
+    // identical sample under a different partitioning (sampleBy's
+    // per-partition RNG fails exactly this)
+    val repart = Sharding.sampleStratified(docs.repartition(7), fr, seed = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == aIds, "sample must not depend on partitioning")
     val base = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = a.groupBy("lang").count().collect()
