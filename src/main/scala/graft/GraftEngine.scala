@@ -284,7 +284,9 @@ object GraftEngine {
           maxHamming = p.int("maxHamming", 6))),
       "dedup_frame_containment" -> ((s, d, p) =>
         graft.operators.Multimodal.dedupFrameContainment(s, d,
-          threshold = p.double("threshold", 0.8)))
+          threshold = p.double("threshold", 0.8))),
+      "quality_classifier" -> ((s, d, p) =>
+        graft.operators.QualityModel.qualityClassifierReport(s, d))
     )
   }
 
