@@ -131,6 +131,25 @@ object QualityModel {
           .as("q_score"))
   }
 
+  /** Persist the fitted model: one parquet table of (dim, w) rows plus
+    * the intercept as the reserved dim = −1 row — that table IS the
+    * model (refit offline and swap by directory: the DSIR-weights /
+    * ANN-quantizer discipline, consumed by the streaming gate). */
+  def saveModel(weights: DataFrame, intercept: Double, dir: String): Unit = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    weights.select(col("dim").cast("int"), col("w").cast("double"))
+      .unionByName(Seq((-1, intercept)).toDF("dim", "w"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  def loadModel(s: SparkSession, dir: String): (DataFrame, Double) = {
+    val t = s.read.parquet(dir)
+    val b = t.where(col("dim") === -1).select(col("w"))
+      .collect()(0).getDouble(0)
+    (t.where(col("dim") =!= -1), b)
+  }
+
   /** Gate report: fit on the corpus' own weak labels, score every doc,
     * and summarize per (lang, weak label) — mean learned score and the
     * share the 0.5 operating point would admit. The separation between

@@ -336,6 +336,36 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming model-based quality gate — the CLASSIFIER twin of
+    * [[dsirGateStream]], riding the persisted distilled model
+    * ([[graft.operators.QualityModel.saveModel]]): each micro-batch of
+    * documents scores declaratively against the ≤dims-row weight table
+    * (one hashed-tf pass + a broadcast join + sigmoid) and only docs
+    * with q_score ≥ `minScore` land. Fit offline on labeled exemplars,
+    * gate the crawl firehose online — the model never refits in the
+    * hot path (refit + swap the directory to update). Output is
+    * exactly-once by batchId-keyed overwrite. */
+  def qualityGateStream(docs: DataFrame, modelDir: String, outDir: String,
+                        checkpointDir: String, minScore: Double = 0.5):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val (w, b) = graft.operators.QualityModel.loadModel(s, modelDir)
+          val admitted = graft.operators.QualityModel
+            .scoreQuality(batch.toDF(), w, b)
+            .where(col("q_score") >= minScore)
+          batch.join(admitted, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** Fit the anomaly BASELINE the streaming gate scores against: one
     * row per event_type with the mean/std of its daily volume —
     * persist with `.write.parquet(dir)`; that parquet IS the model

@@ -311,6 +311,39 @@ class StreamingSpec extends SparkSpec {
       s"lost appends across the compact: missing ${(want -- got).take(5)}")
   }
 
+  test("quality gate stream admits like the batch scorer on the persisted model") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_qgate").toString
+    val rng = new scala.util.Random(17)
+    val good = (1L to 40L).map { i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog and " +
+        s"then runs to the woods in the morning light of day $i")
+    }
+    val bad = (101L to 140L).map { i =>
+      (i, Seq.fill(20)(rng.nextInt(100000).toString).mkString(" "))
+    }
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    // fit OFFLINE, persist, gate ONLINE against the directory
+    val (w, b) = graft.operators.QualityModel.fitQualityLr(docs, perClass = 100)
+    graft.operators.QualityModel.saveModel(w, b, s"$base/model")
+    docs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/in")
+    val q = EventStreams.qualityGateStream(stream, s"$base/model",
+      s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.read.parquet(s"$base/out/batch_id=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // online/offline parity on the persisted model
+    val (w2, b2) = graft.operators.QualityModel.loadModel(spark, s"$base/model")
+    val batchAdmitted = graft.operators.QualityModel.scoreQuality(docs, w2, b2)
+      .where(col("q_score") >= 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == batchAdmitted, s"stream $admitted != batch $batchAdmitted")
+    // and the gate actually separates: every good doc in, gibberish out
+    assert(good.map(_._1).toSet.subsetOf(admitted), "good docs rejected")
+    assert(bad.map(_._1).toSet.intersect(admitted).isEmpty, "gibberish admitted")
+  }
+
   test("anomaly gate stream alerts like the batch twin on the same baseline") {
     // ... even when the planted burst DAY is fragmented across 3
     // micro-batches: the gate's watermarked daily window must
