@@ -429,6 +429,46 @@ object Events {
         (col("bucket") * width).as("bucket_lo"), col("cnt"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Seasonal-naive forecast backtest per event type — the baseline
+    * every traffic forecast is judged against (and the capacity-
+    * planning sanity number itself): the hour-of-week profile fitted
+    * on days BEFORE `splitDay` predicts each observed test bucket, and
+    * per-type MAE reports how predictable the stream is. Buckets
+    * absent from the test window are unobserved, not zero (conditional
+    * MAE — mirrored by the oracle); test buckets whose (dow, hour)
+    * never occurred in training forecast 0. Scale shape: events reduce
+    * once to (type, day, dow, hour) counts (partial+final agg); the
+    * profile is a second agg over that ≤types×168-per-day reduction;
+    * the backtest joins profile (broadcast-sized) onto test buckets.
+    * Determinism: the profile is one exact BIGINT/BIGINT division;
+    * per-bucket errors round to 9 dp and sum as DECIMAL (the zipf
+    * discipline); mae ships as the unrounded quotient of that exact
+    * sum. */
+  def eventsForecastBaseline(s: SparkSession, d: String,
+                             splitDay: String = "2024-01-22"): DataFrame =
+    forecastBaseline(events(s, d), splitDay)
+
+  def forecastBaseline(ev: DataFrame,
+                       splitDay: String = "2024-01-22"): DataFrame = {
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val split = to_timestamp(lit(splitDay))
+    val prof = hourly.where(col("day") < split)
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg((sum(col("cnt")).cast(DoubleType) / count(lit(1))).as("fc"))
+    hourly.where(col("day") >= split)
+      .join(broadcast(prof), Seq("event_type", "dow", "hour"), "left")
+      .select(col("event_type"),
+        round(abs(col("cnt") - coalesce(col("fc"), lit(0.0))), 9)
+          .cast(DecimalType(28, 9)).as("err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        (sum(col("err")).cast(DoubleType) / count(lit(1))).as("mae"))
+      .orderBy(col("event_type"))
+  }
+
   /** Conversion funnel with a bounded attribution window: each stage
     * counts only within 7 days of the previous stage's first touch —
     * the form marketing attribution actually uses (an unbounded funnel
@@ -546,6 +586,8 @@ object Events {
     "events_inter_arrival" -> (eventsInterArrival _),
     "events_dau_stickiness" -> (eventsDauStickiness _),
     "events_hourly_profile" -> (eventsHourlyProfile _),
+    "events_forecast_baseline" -> ((s: SparkSession, d: String) =>
+      eventsForecastBaseline(s, d)),
     "events_value_histogram" -> ((s: SparkSession, d: String) =>
       eventsValueHistogram(s, d)),
     "events_anomaly" -> (eventsAnomaly _),
@@ -907,6 +949,26 @@ object Events {
         |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
         |    AS share
         |FROM h ORDER BY event_type, hour""".stripMargin,
+
+    "events_forecast_baseline" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    dayofweek(ts) AS dow, CAST(hour(ts) AS INTEGER) AS hour,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3, 4
+        |), prof AS (
+        |  SELECT event_type, dow, hour,
+        |    CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS fc
+        |  FROM hourly WHERE day < TIMESTAMP '2024-01-22'
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT h.event_type, count(*) AS n_buckets,
+        |  CAST(sum(CAST(round(abs(h.cnt - coalesce(p.fc, 0.0)), 9)
+        |    AS DECIMAL(28, 9))) AS DOUBLE) / count(*) AS mae
+        |FROM hourly h LEFT JOIN prof p
+        |  USING (event_type, dow, hour)
+        |WHERE h.day >= TIMESTAMP '2024-01-22'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_value_histogram" ->
       """WITH b AS (

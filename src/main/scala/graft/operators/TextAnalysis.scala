@@ -344,6 +344,44 @@ object TextAnalysis {
     * the regression consumes per-row ROUNDED decimal terms so the
     * per-lang sums are order-free and DuckDB replays them exactly, with
     * the one float division at the very end. */
+  /** Vocabulary coverage curve: what share of the corpus' TOKEN mass
+    * the top-k vocabulary entries cover, at the standard checkpoints —
+    * the number that sizes a tokenizer's vocab (BPE merge budget) and
+    * predicts OOV rates. Scale shape: the corpus reduces once to the
+    * (term, cnt) vocab table (partial+final agg — tokens shuffle as
+    * counts); the global rank is `row_number` filtered to ≤ max(k),
+    * which WindowGroupLimit partial-limits to 10 k rows PER TASK
+    * before the single-partition final — the full vocab never funnels
+    * through one task; checkpoints fan out of that ≤10 k-row table
+    * map-only, and the one-row token total broadcasts. Coverage ships
+    * as an unrounded quotient of exact BIGINTs (bit-identical both
+    * engines). */
+  def textVocabCoverage(s: SparkSession, d: String,
+                        ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val top = tf
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .where(col("rk") <= ks.max)
+    val total = tf.agg(sum(col("cnt")).as("total_tokens"))
+    top
+      .crossJoin(broadcast(total))
+      .select(explode(lit(ks.toArray)).as("k"), col("rk"), col("cnt"),
+        col("total_tokens"))
+      .where(col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("cnt")).as("covered_tokens"),
+        max(col("total_tokens")).as("total_tokens"))
+      .select(col("k"), col("covered_tokens"), col("total_tokens"),
+        (col("covered_tokens").cast(DoubleType) /
+          col("total_tokens")).as("coverage"))
+      .orderBy(col("k"))
+  }
+
   def textZipfFit(s: SparkSession, d: String, k: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = documents(s, d)
@@ -422,6 +460,8 @@ object TextAnalysis {
     "text_sentences" -> (textSentences _),
     "text_hapax_share" -> (textHapaxShare _),
     "text_zipf_fit" -> ((s: SparkSession, d: String) => textZipfFit(s, d)),
+    "text_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      textVocabCoverage(s, d)),
     "text_length_stats" -> (textLengthStats _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -435,6 +475,27 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |    FROM documents
+        |  ) WHERE length(term) > 0 GROUP BY term
+        |), top AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+        |  FROM tf
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tf
+        |), ks AS (
+        |  SELECT unnest([10, 100, 1000, 10000]) AS k
+        |)
+        |SELECT CAST(k AS INTEGER) AS k,
+        |  CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+        |  max(total_tokens) AS total_tokens,
+        |  CAST(sum(cnt) AS DOUBLE) / max(total_tokens) AS coverage
+        |FROM ks, top, tot WHERE rk <= k
+        |GROUP BY k ORDER BY k""".stripMargin,
+
     "text_hashed_bow" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -257,4 +257,47 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(cnt == best, s"$st mode cnt $cnt != max $best")
     }
   }
+
+  test("vocab coverage is monotone in k, bounded by 1, and exact at the head") {
+    val rows = graft.operators.TextAnalysis.textVocabCoverage(spark, Sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(10, 100, 1000, 10000))
+    val ks = Seq(10, 100, 1000, 10000)
+    ks.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(a)._3 <= rows(b)._3, s"coverage not monotone at $a->$b")
+    }
+    rows.values.foreach { case (cov, tot, share) =>
+      assert(cov <= tot && share <= 1.0 && share > 0.0)
+      assert(math.abs(share - cov.toDouble / tot) < 1e-15)
+    }
+    // head check against the independently-computed top-10 token mass
+    val top10 = graft.operators.TextAnalysis
+      .topTokens(Tables.documents(spark, Sf), 10)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(rows(10)._1 == top10, s"${rows(10)._1} != top-10 mass $top10")
+  }
+
+  test("forecast baseline: perfectly periodic stream has zero MAE; corpus MAE finite") {
+    import spark.implicits._
+    // same count for every (dow, hour) bucket in train and test: 1
+    // event per hour, every hour, two weeks train + one week test
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = (0 until 21 * 24).map { h =>
+      (h.toLong, new java.sql.Timestamp(start + h * 3600L * 1000),
+        1L, "tick", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rep = graft.operators.Events.forecastBaseline(ev, "2024-01-15")
+      .collect()
+    assert(rep.length == 1)
+    assert(rep(0).getDouble(2) == 0.0,
+      s"periodic stream must forecast exactly: mae=${rep(0).getDouble(2)}")
+    // corpus: every type reports, MAE >= 0 and finite
+    val corpus = graft.operators.Events.eventsForecastBaseline(spark, Sf)
+      .collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN)
+    }
+  }
 }
