@@ -286,7 +286,16 @@ object GraftEngine {
         graft.operators.Multimodal.dedupFrameContainment(s, d,
           threshold = p.double("threshold", 0.8))),
       "quality_classifier" -> ((s, d, p) =>
-        graft.operators.QualityModel.qualityClassifierReport(s, d))
+        graft.operators.QualityModel.qualityClassifierReport(s, d)),
+      // scoring view over a PERSISTED model (the `model fit quality`
+      // DDL's output) — the batch twin of qualityGateStream
+      "quality_score" -> ((s, d, p) => {
+        val dir = p.str("modelDir", "")
+        require(dir.nonEmpty, "quality_score needs modelDir=<dir>")
+        val (w, b) = graft.operators.QualityModel.loadModel(s, dir)
+        graft.operators.QualityModel.scoreQuality(
+          Tables.documents(s, d), w, b)
+      })
     )
   }
 

@@ -141,6 +141,50 @@ object Repl {
     out
   }
 
+  /** Model lifecycle DDL — the distilled-quality-classifier twin of
+    * the index DDL:
+    * {{{
+    *   model <fit|status> quality <modelDir> [dataDir] [key=value ...]
+    * }}}
+    * `fit` trains on `dataDir`'s documents (weak Gopher labels,
+    * deterministic per-class sample; knobs dims, perClass, maxIter,
+    * seed) and persists the weight table at `modelDir`; `status` reads
+    * it back. Scoring composes through
+    * `pipeline quality_score <dataDir> modelDir=<modelDir>`. */
+  def evalModel(spark: org.apache.spark.sql.SparkSession, rest: String,
+                baseDir: String): String = {
+    import graft.operators.QualityModel
+    val toks = rest.trim.split("\\s+")
+    require(toks.length >= 3,
+      "syntax: model <fit|status> quality <modelDir> [dataDir] [key=value ...]")
+    val (verb, kind, dir) = (toks(0).toLowerCase, toks(1).toLowerCase, toks(2))
+    require(kind == "quality", s"unknown model kind '$kind' — expected quality")
+    val (kvs, positional) = toks.drop(3).partition(_.contains("="))
+    require(positional.length <= 1,
+      s"unexpected arguments ${positional.drop(1).mkString(" ")}")
+    val dataDir = positional.headOption.getOrElse(baseDir)
+    val p = new GraftEngine.Params(s"model $verb $kind",
+      kvs.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+    val out = verb match {
+      case "fit" =>
+        val (w, b) = QualityModel.fitQualityLr(
+          Tables.documents(spark, dataDir),
+          dims = p.int("dims", QualityModel.Dims),
+          perClass = p.int("perClass", 2000),
+          maxIter = p.int("maxIter", 25),
+          seed = p.long("seed", 42L))
+        QualityModel.saveModel(w, b, dir)
+        f"fitted quality model at $dir (weights=${w.count()}, intercept=$b%.6f)"
+      case "status" =>
+        val (w, b) = QualityModel.loadModel(spark, dir)
+        f"quality model at $dir: weights=${w.count()} intercept=$b%.6f"
+      case _ => throw new IllegalArgumentException(
+        s"unknown model verb '$verb' — expected fit|status")
+    }
+    p.requireAllRead()
+    out
+  }
+
   /** One REPL step: `explain <query>` → formatted physical plan (beyond
     * the reference's surface — its optimizer is a no-op; on Spark the
     * plan IS the performance story); `pipeline <name> [dataDir]
@@ -158,6 +202,8 @@ object Repl {
         .explainString(org.apache.spark.sql.execution.FormattedMode)
     else if (t.toLowerCase.startsWith("index "))
       evalIndex(spark, t.drop(6), baseDir)
+    else if (t.toLowerCase.startsWith("model "))
+      evalModel(spark, t.drop(6), baseDir)
     else if (t.toLowerCase.startsWith("pipeline ")) {
       val args = t.drop(9).trim.split("\\s+")
       val (kvs, positional) = args.tail.partition(_.contains("="))

@@ -210,6 +210,29 @@ class ReplSpec extends SparkSpec {
       s"tombstoned id 7 still served by the PQ index")
   }
 
+  test("model DDL: fit, status, and a scoring view over the persisted model") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    val fitMsg = Repl.eval(spark,
+      s"model fit quality $dir/m perClass=200 maxIter=5", Sf)
+    assert(fitMsg.contains("fitted quality model"), fitMsg)
+    val status = Repl.eval(spark, s"model status quality $dir/m", Sf)
+    assert(status.contains("weights=") && status.contains("intercept="), status)
+    // scoring composes through the pipeline-view surface + plain SQL
+    val view = Repl.eval(spark,
+      s"pipeline quality_score $Sf modelDir=$dir/m", Sf)
+    assert(view.contains("registered view"), view)
+    val n = GraftEngine.sql(spark,
+      "select count(*) from graft_quality_score where q_score >= 0", Sf)
+      .collect()(0).getLong(0)
+    assert(n == Tables.documents(spark, Sf).count(),
+      "every doc must score through the persisted model")
+    // unknown knob must fail loudly, not silently run defaults
+    val err = intercept[IllegalArgumentException] {
+      Repl.eval(spark, s"model fit quality $dir/m2 prClass=5", Sf)
+    }
+    assert(err.getMessage.contains("prClass"), err.getMessage)
+  }
+
   test("render truncates past MaxRows and shows nulls as NULL") {
     import spark.implicits._
     val big = spark.range(500).toDF("id")
