@@ -349,13 +349,14 @@ object TextAnalysis {
     * the number that sizes a tokenizer's vocab (BPE merge budget) and
     * predicts OOV rates. Scale shape: the corpus reduces once to the
     * (term, cnt) vocab table (partial+final agg — tokens shuffle as
-    * counts); the global rank is `row_number` filtered to ≤ max(k),
-    * which WindowGroupLimit partial-limits to 10 k rows PER TASK
-    * before the single-partition final — the full vocab never funnels
-    * through one task; checkpoints fan out of that ≤10 k-row table
-    * map-only, and the one-row token total broadcasts. Coverage ships
-    * as an unrounded quotient of exact BIGINTs (bit-identical both
-    * engines). */
+    * counts); the global head comes from `TakeOrderedAndProject`
+    * (per-partition max(k)-row heaps merged on the driver — the
+    * topTokens shape, NOT a global rank window, whose final pass
+    * would funnel partitions×10 k rows through one task); the rank
+    * then windows over that ≤10 k-row result, checkpoints fan out of
+    * it map-only, and the one-row token total broadcasts. Coverage
+    * ships as an unrounded quotient of exact BIGINTs (bit-identical
+    * both engines). */
   def textVocabCoverage(s: SparkSession, d: String,
                         ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -364,9 +365,9 @@ object TextAnalysis {
       .where(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val top = tf
+      .orderBy(col("cnt").desc, col("term")).limit(ks.max)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cnt").desc, col("term"))))
-      .where(col("rk") <= ks.max)
     val total = tf.agg(sum(col("cnt")).as("total_tokens"))
     top
       .crossJoin(broadcast(total))

@@ -342,6 +342,12 @@ class PlanRegressionSpec extends SparkSpec {
       s"top-1 lost its partial group limit:\n$p")
   }
 
+  test("vocab coverage head is TakeOrdered; the vocab never feeds a global rank window") {
+    val p = plan("text_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global head must be per-partition heaps + driver merge:\n$p")
+  }
+
   test("partitioned writes prune partitions on read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Sources.write(
