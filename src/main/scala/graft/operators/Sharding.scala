@@ -728,6 +728,57 @@ object Sharding {
         md5(col("text")).as("digest"))
       .orderBy(col("doc_id"))
 
+  /** SCD Type-2 history build — the versioned companion of
+    * [[mergeUpsert]] (which keeps only the latest state): apply a
+    * stack of versioned change batches to a base snapshot and emit one
+    * row PER (key, version) with a [valid_from, valid_to) window and
+    * an is_current flag — the dimension-history table a lakehouse
+    * keeps so any past training run's exact inputs stay queryable
+    * ("as of version v"). Updates open a new interval and close the
+    * previous one; deletes close without opening (a key ending in a
+    * delete has no current row); inserts open at their version.
+    * Scale shape: one union of already-keyed rows, one lead() window
+    * partitioned by key — bounded by a key's own version count, never
+    * the corpus — and the digest projection is map-only; text never
+    * shuffles twice. */
+  def scd2Build(base: DataFrame, changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("v"))
+    base.select(col("doc_id"), lit(0L).as("v"), lit("U").as("op"),
+        col("text"))
+      .unionByName(changes.select(col("doc_id"), col("v"), col("op"),
+        col("c_text").as("text")))
+      .withColumn("valid_to", lead(col("v"), 1).over(w))
+      .where(col("op") =!= "D")
+      .select(col("doc_id"), col("v").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        md5(col("text")).as("digest"))
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
+  def pipelineScd2(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+    // deterministic three-batch change stack: v1 edits every 10th doc
+    // and inserts fresh keys, v2 re-edits half the edited and deletes
+    // every doc ≡ 7 (mod 10) — exercises multi-version keys, histories
+    // ending in delete, and singleton inserts
+    val changes =
+      base.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("v"), lit("U").as("op"),
+          concat(lit("v1: "), substring(col("text"), 1, 50)).as("c_text"))
+      .unionAll(base.where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 20000000L).as("doc_id"), lit(1L).as("v"),
+          lit("I").as("op"),
+          concat(lit("fresh: "), substring(col("text"), 1, 40)).as("c_text")))
+      .unionAll(base.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), lit(2L).as("v"), lit("U").as("op"),
+          concat(lit("v2: "), substring(col("text"), 1, 30)).as("c_text")))
+      .unionAll(base.where(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), lit(2L).as("v"), lit("D").as("op"),
+          lit(null).cast("string").as("c_text")))
+    scd2Build(base, changes)
+  }
+
   def pipelineMergeUpsert(s: SparkSession, d: String): DataFrame = {
     val snap = documents(s, d)
     val changes =
@@ -745,6 +796,7 @@ object Sharding {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_merge_upsert" -> (pipelineMergeUpsert _),
+    "pipeline_scd2" -> (pipelineScd2 _),
     "pipeline_pack_binned" -> (pipelinePackBinned _),
     "pipeline_layout_plan" -> ((s: SparkSession, d: String) =>
       layoutPlan(s, d)),
@@ -767,6 +819,66 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_scd2" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS v, 'U' AS op, text
+        |  FROM documents
+        |), changes AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS v, 'U' AS op,
+        |    'v1: ' || substr(text, 1, 50) AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, CAST(1 AS BIGINT), 'I',
+        |    'fresh: ' || substr(text, 1, 40)
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'U',
+        |    'v2: ' || substr(text, 1, 30)
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'D', NULL
+        |  FROM documents WHERE doc_id % 10 = 7
+        |), stacked AS (
+        |  SELECT *, lead(v) OVER (PARTITION BY doc_id ORDER BY v)
+        |    AS valid_to
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+        |)
+        |SELECT doc_id, v AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current,
+        |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS digest
+        |FROM stacked WHERE op <> 'D'
+        |ORDER BY doc_id, valid_from""".stripMargin,
+
+    "pipeline_scd2" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS v, 'U' AS op, text
+        |  FROM documents
+        |), changes AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS v, 'U' AS op,
+        |    'v1: ' || substr(text, 1, 50) AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, CAST(1 AS BIGINT), 'I',
+        |    'fresh: ' || substr(text, 1, 40)
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'U',
+        |    'v2: ' || substr(text, 1, 30)
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'D', NULL
+        |  FROM documents WHERE doc_id % 10 = 7
+        |), stacked AS (
+        |  SELECT *, lead(v) OVER (PARTITION BY doc_id ORDER BY v)
+        |    AS valid_to
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+        |)
+        |SELECT doc_id, v AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current,
+        |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS digest
+        |FROM stacked WHERE op <> 'D'
+        |ORDER BY doc_id, valid_from""".stripMargin,
+
     "pipeline_merge_upsert" ->
       """WITH c AS (
         |  SELECT doc_id, 'U' AS op,

@@ -128,6 +128,32 @@ class ShardingSpec extends SparkSpec {
     assert(got.keySet.subsetOf(fr.keySet), "unsampled strata must drop out")
   }
 
+  test("scd2 history: windows chain, deletes close, inserts open, one current per live key") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (1L, 1L, "U", "one-v1"), (1L, 2L, "U", "one-v2"), // two edits
+      (2L, 1L, "D", null),                              // delete
+      (9L, 1L, "I", "nine")                             // insert
+    ).toDF("doc_id", "v", "op", "c_text")
+    val rows = graft.operators.Sharding.scd2Build(base, changes)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+    val byKey = rows.groupBy(_._1)
+    // key 1: three versions chaining 0->1->2->current
+    assert(byKey(1L).sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, Some(1L), false), (1L, Some(2L), false), (2L, None, true)))
+    // key 2: base version closed by the delete, NO current row
+    assert(byKey(2L).toSeq == Seq((2L, 0L, Some(1L), false)))
+    // key 3: untouched base row stays current
+    assert(byKey(3L).toSeq == Seq((3L, 0L, None, true)))
+    // key 9: insert opens at its version, current
+    assert(byKey(9L).toSeq == Seq((9L, 1L, None, true)))
+    // invariant: every key has at most one current row
+    rows.groupBy(_._1).values.foreach(g => assert(g.count(_._4) <= 1))
+  }
+
   test("global shuffle is a permutation and the bucketed rank equals the global rank") {
     val docs = Tables.documents(spark, Sf)
     val out = Sharding.globalShuffle(docs).collect()
