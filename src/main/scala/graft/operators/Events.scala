@@ -429,6 +429,31 @@ object Events {
         (col("bucket") * width).as("bucket_lo"), col("cnt"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Per-user activity streaks — the gaps-and-islands decomposition
+    * (consecutive active days collapse into one [start, end] island):
+    * the engagement-streak feature behind retention scoring and
+    * "n-day streak" product mechanics. Classic two-window form, both
+    * windows partitioned by user (bounded by one user's distinct
+    * days, never the corpus): lag finds gap starts, a running sum of
+    * gap flags numbers the islands, one agg per (user, island).
+    * Day arithmetic in whole days via datediff — exact integers. */
+  def eventsActiveStreaks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .withColumn("gap",
+        when(datediff(col("day"), lag(col("day"), 1).over(w)) === 1, 0L)
+          .otherwise(1L))
+      .withColumn("streak", sum(col("gap")).over(wRun))
+      .groupBy(col("user_id"), col("streak"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+      .orderBy(col("user_id"), col("start_day"))
+  }
+
   /** Seasonal-naive forecast backtest per event type — the baseline
     * every traffic forecast is judged against (and the capacity-
     * planning sanity number itself): the hour-of-week profile fitted
@@ -588,6 +613,7 @@ object Events {
     "events_hourly_profile" -> (eventsHourlyProfile _),
     "events_forecast_baseline" -> ((s: SparkSession, d: String) =>
       eventsForecastBaseline(s, d)),
+    "events_active_streaks" -> (eventsActiveStreaks _),
     "events_value_histogram" -> ((s: SparkSession, d: String) =>
       eventsValueHistogram(s, d)),
     "events_anomaly" -> (eventsAnomaly _),
@@ -949,6 +975,27 @@ object Events {
         |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
         |    AS share
         |FROM h ORDER BY event_type, hour""".stripMargin,
+
+    "events_active_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN date_diff('day',
+        |        lag(day) OVER (PARTITION BY user_id ORDER BY day), day) = 1
+        |      THEN 0 ELSE 1 END AS gap
+        |  FROM days
+        |), streaks AS (
+        |  SELECT user_id, day,
+        |    sum(gap) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS streak
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |  count(*) AS n_days
+        |FROM streaks GROUP BY user_id, streak
+        |ORDER BY user_id, start_day""".stripMargin,
 
     "events_forecast_baseline" ->
       """WITH hourly AS (

@@ -278,6 +278,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows(10)._1 == top10, s"${rows(10)._1} != top-10 mass $top10")
   }
 
+  test("active streaks: islands cover the day set exactly, gaps split, corpus sane") {
+    val rows = graft.operators.Events.eventsActiveStreaks(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val dayMs = 24L * 3600 * 1000
+    rows.foreach { case (_, s, e, n) =>
+      // an island's length equals its day span — internal gaps would
+      // have split it into two islands
+      assert((e.getTime - s.getTime) / dayMs == n - 1,
+        s"island [$s, $e] span disagrees with n_days=$n")
+    }
+    // islands per user are disjoint and separated by >= 2 days
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2.getTime).toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert((b._2.getTime - a._3.getTime) / dayMs >= 2,
+            s"adjacent islands not separated: ${a._3} -> ${b._2}")
+        case _ =>
+      }
+    }
+    // total island days == total distinct active (user, day) pairs
+    val totalDays = Tables.events(spark, Sf)
+      .select(col("user_id"), date_trunc("day", col("ts"))).distinct().count()
+    assert(rows.map(_._4).sum == totalDays)
+  }
+
   test("forecast baseline: perfectly periodic stream has zero MAE; corpus MAE finite") {
     import spark.implicits._
     // same count for every (dow, hour) bucket in train and test: 1
