@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables._
 
@@ -662,6 +662,59 @@ object Sharding {
   def pipelinePackBinned(s: SparkSession, d: String): DataFrame =
     packBinned(documents(s, d))
 
+  /** Corpus length-concentration report: the Gini coefficient of the
+    * per-doc token-count distribution — the one-number answer to "is
+    * this corpus a few giant documents or many small ones", which
+    * drives chunking policy and shard-balance expectations (G≈0
+    * uniform lengths, G→1 a few docs hold all tokens). Uses the
+    * rank-sum identity G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with
+    * ranks ascending by (n_tokens, doc_id) — and the global rank is
+    * the SAME two-level bucketed prefix sum as [[packBinned]]
+    * (windows only ever see count rows, the row-level rank partitions
+    * by (length, doc_id-range)), proving that machinery generalizes
+    * beyond packing. Σ rank·x accumulates as DECIMAL(38,0) — exact
+    * where BIGINT would overflow at 10¹²-doc scale — and the final
+    * Gini is ONE double expression over exact integers, mirrored
+    * verbatim by the oracle. */
+  def lengthGini(docs: DataFrame,
+                 bucketWidth: Long = BucketWidth): DataFrame = {
+    val withTok = docs.select(col("doc_id"),
+      graft.functions.TextStats.textStats(col("text"))
+        .getField("n_words").cast("long").as("x"))
+      .withColumn("bkt", expr(s"doc_id DIV $bucketWidth"))
+    val subtotals = withTok.groupBy(col("x"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+    val lenCounts = subtotals.groupBy(col("x")).agg(sum(col("n")).as("len_n"))
+    val wLen = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lenBases = lenCounts.select(col("x"),
+      coalesce(sum(col("len_n")).over(wLen), lit(0L)).as("len_base"))
+    val wBkt = Window.partitionBy(col("x")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = subtotals
+      .select(col("x"), col("bkt"),
+        coalesce(sum(col("n")).over(wBkt), lit(0L)).as("bkt_base"))
+      .join(lenBases, Seq("x"))
+      .select(col("x"), col("bkt"),
+        (col("len_base") + col("bkt_base")).as("base"))
+    val wIn = Window.partitionBy(col("x"), col("bkt")).orderBy(col("doc_id"))
+    withTok
+      .join(broadcast(bases), Seq("x", "bkt"))
+      .withColumn("rk", col("base") + row_number().over(wIn))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("total_tokens"),
+        sum(col("rk").cast(DecimalType(38, 0)) * col("x")).as("srx"))
+      .select(col("n_docs"), col("total_tokens"),
+        ((lit(2.0) * col("srx").cast(DoubleType) -
+          (col("n_docs") + 1).cast(DoubleType) *
+            col("total_tokens").cast(DoubleType)) /
+          (col("n_docs").cast(DoubleType) *
+            col("total_tokens").cast(DoubleType))).as("gini"))
+  }
+
+  def pipelineLengthGini(s: SparkSession, d: String): DataFrame =
+    lengthGini(documents(s, d))
+
   /** Physical-layout recommendation — the step between ANALYZE
     * ([[profileTable]]) and a write: estimated in-memory bytes per
     * table from one single-pass agg (fixed widths for numerics,
@@ -797,6 +850,7 @@ object Sharding {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_merge_upsert" -> (pipelineMergeUpsert _),
     "pipeline_scd2" -> (pipelineScd2 _),
+    "pipeline_length_gini" -> (pipelineLengthGini _),
     "pipeline_pack_binned" -> (pipelinePackBinned _),
     "pipeline_layout_plan" -> ((s: SparkSession, d: String) =>
       layoutPlan(s, d)),
@@ -819,6 +873,21 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_length_gini" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS x
+        |  FROM documents
+        |), r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, doc_id) AS rk FROM t
+        |)
+        |SELECT count(*) AS n_docs, CAST(sum(x) AS BIGINT) AS total_tokens,
+        |  (2.0 * CAST(sum(rk * x) AS DOUBLE)
+        |     - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS gini
+        |FROM r""".stripMargin,
+
     "pipeline_scd2" ->
       """WITH base AS (
         |  SELECT doc_id, CAST(0 AS BIGINT) AS v, 'U' AS op, text
@@ -848,6 +917,21 @@ object Sharding {
         |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS digest
         |FROM stacked WHERE op <> 'D'
         |ORDER BY doc_id, valid_from""".stripMargin,
+
+    "pipeline_length_gini" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS x
+        |  FROM documents
+        |), r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, doc_id) AS rk FROM t
+        |)
+        |SELECT count(*) AS n_docs, CAST(sum(x) AS BIGINT) AS total_tokens,
+        |  (2.0 * CAST(sum(rk * x) AS DOUBLE)
+        |     - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS gini
+        |FROM r""".stripMargin,
 
     "pipeline_scd2" ->
       """WITH base AS (

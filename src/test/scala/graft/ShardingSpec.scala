@@ -154,6 +154,26 @@ class ShardingSpec extends SparkSpec {
     rows.groupBy(_._1).values.foreach(g => assert(g.count(_._4) <= 1))
   }
 
+  test("length gini: 0 for uniform lengths, near 1 for extreme concentration") {
+    import spark.implicits._
+    val uniform = (1L to 100L).map(i => (i, "a b c d e"))
+      .toDF("doc_id", "text")
+    val gU = graft.operators.Sharding.lengthGini(uniform)
+      .collect()(0).getDouble(2)
+    assert(math.abs(gU) < 1e-12, s"uniform corpus must have gini 0: $gU")
+    // 99 one-word docs + one 10000-word doc: nearly all mass in one doc
+    val skewed = ((1L to 99L).map(i => (i, "w")) :+
+      (100L, Seq.fill(10000)("w").mkString(" "))).toDF("doc_id", "text")
+    val gS = graft.operators.Sharding.lengthGini(skewed)
+      .collect()(0).getDouble(2)
+    assert(gS > 0.95, s"concentrated corpus must have gini near 1: $gS")
+    // bucketed rank invariance: a different bucket width gives the
+    // same statistic (the rank decomposition is exact, not approximate)
+    val gS2 = graft.operators.Sharding.lengthGini(skewed, bucketWidth = 7L)
+      .collect()(0).getDouble(2)
+    assert(gS == gS2, s"gini must not depend on bucketing: $gS vs $gS2")
+  }
+
   test("global shuffle is a permutation and the bucketed rank equals the global rank") {
     val docs = Tables.documents(spark, Sf)
     val out = Sharding.globalShuffle(docs).collect()
