@@ -846,6 +846,38 @@ object Relational {
           .orderBy(col("c_acctbal"), col("c_custkey"))).as("quartile"))
       .orderBy(col("c_custkey"))
 
+  /** Relative-position window functions percent_rank / cume_dist —
+    * the distribution half of the ranking family (ntile buckets,
+    * these give the exact position). Both are quotients of exact
+    * window integers, shipped UNROUNDED (bit-identical both engines);
+    * the tie column makes rank ties real so cume_dist ≠ percent_rank
+    * on them. Partitions bounded per nation. */
+  def qWindowPercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_mktsegment"))
+    customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Aggregate FILTER clauses — per-predicate conditional aggregation
+    * in ONE pass over the scan (the idiom that replaces N self-joins
+    * or N scans with one partial+final agg carrying N lightweight
+    * buffers). Decimal sums for determinism, counts as BIGINT. */
+  def qAggFilter(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_totalprice") > 200000.0, 1)).as("n_big"),
+        sum(when(col("o_orderstatus") === "O",
+          col("o_totalprice").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("open_total"))
+      .orderBy(col("o_orderpriority"))
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
@@ -913,7 +945,9 @@ object Relational {
     "q_mode_stat" -> (qModeStat _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_regex_funcs" -> (qRegexFuncs _),
-    "q_window_ntile" -> (qWindowNtile _)
+    "q_window_ntile" -> (qWindowNtile _),
+    "q_window_percentrank" -> (qWindowPercentRank _),
+    "q_agg_filter" -> (qAggFilter _)
   )
 
   /** DuckDB oracle SQL. Same aliases, same DECIMAL-exact aggregation,
@@ -1489,6 +1523,24 @@ object Relational {
       """SELECT c_custkey, c_nationkey,
         |  ntile(4) OVER (PARTITION BY c_nationkey
         |    ORDER BY c_acctbal, c_custkey) AS quartile
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_window_percentrank" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment,
+        |  percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_mktsegment) AS pr,
+        |  cume_dist() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_mktsegment) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

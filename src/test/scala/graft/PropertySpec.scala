@@ -271,4 +271,29 @@ class PropertySpec extends SparkSpec {
       assert(f1.nonEmpty && h1.length == 8)
     }
   }
+
+  test("aHash is 90°-rotation invariant for arbitrary block-aligned images") {
+    import graft.operators.Multimodal.ImageDecoder.aHash64
+    val rng = new scala.util.Random(31)
+    (0 until 50).foreach { trial =>
+      // random 64×64 grayscale pattern (block-aligned, so the 8×8 grid
+      // rotates exactly); rotate the raster 90° clockwise and demand
+      // the same canonical hash — for ANY image, not a planted one
+      val px = Array.fill(64, 64)(rng.nextInt(256))
+      def img(f: (Int, Int) => Int) = {
+        val im = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 64; x <- 0 until 64) {
+          val g = f(x, y); im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        im
+      }
+      val h0 = aHash64(img((x, y) => px(y)(x)))
+      val h90 = aHash64(img((x, y) => px(63 - x)(y)))
+      val h180 = aHash64(img((x, y) => px(63 - y)(63 - x)))
+      assert(h0 == h90 && h0 == h180,
+        f"trial $trial: rotation changed the canonical hash " +
+          f"($h0%016x / $h90%016x / $h180%016x)")
+    }
+  }
 }
