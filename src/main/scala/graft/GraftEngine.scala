@@ -287,6 +287,19 @@ object GraftEngine {
           threshold = p.double("threshold", 0.8))),
       "quality_classifier" -> ((s, d, p) =>
         graft.operators.QualityModel.qualityClassifierReport(s, d)),
+      "events_forecast_baseline" -> ((s, d, p) =>
+        graft.operators.Events.eventsForecastBaseline(s, d,
+          splitDay = p.str("splitDay", "2024-01-22"))),
+      "text_vocab_coverage" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.textVocabCoverage(s, d)),
+      "pipeline_length_gini" -> ((s, d, p) =>
+        graft.operators.Sharding.lengthGini(Tables.documents(s, d),
+          bucketWidth = p.long("bucketWidth",
+            graft.operators.Sharding.BucketWidth))),
+      "pipeline_scd2" -> ((s, d, p) =>
+        graft.operators.Sharding.pipelineScd2(s, d)),
+      "events_active_streaks" -> ((s, d, p) =>
+        graft.operators.Events.eventsActiveStreaks(s, d)),
       // scoring view over a PERSISTED model (the `model fit quality`
       // DDL's output) — the batch twin of qualityGateStream
       "quality_score" -> ((s, d, p) => {

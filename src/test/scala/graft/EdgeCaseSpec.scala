@@ -228,6 +228,42 @@ class EdgeCaseSpec extends SparkSpec {
       && merged(3L) == "update" && merged(5L) == "keep")
   }
 
+  test("round-12 analytics survive hostile docs and degenerate streams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "word"),
+      (4L, "数据处理引擎没有空格的文本"),
+      (5L, "same text here"), (6L, "same text here")
+    ).toDF("doc_id", "text")
+    // gini: hostile lengths produce a finite statistic in [0, 1)
+    val g = graft.operators.Sharding.lengthGini(docs).collect()(0)
+    assert(g.getLong(0) == 6L)
+    assert(!g.getDouble(2).isNaN && g.getDouble(2) >= 0.0 && g.getDouble(2) < 1.0)
+    // scd2 with an EMPTY change set: every base row current at v0
+    val noChanges = Seq.empty[(Long, Long, String, String)]
+      .toDF("doc_id", "v", "op", "c_text")
+    val hist = graft.operators.Sharding.scd2Build(docs, noChanges).collect()
+    assert(hist.length == 6 && hist.forall(_.getBoolean(3)))
+    // streaks for a single-event user: one 1-day island
+    val oneEv = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"),
+      7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = java.nio.file.Files.createTempDirectory("graft_streak1").toString
+    oneEv.write.mode("overwrite").parquet(s"$base/events.parquet")
+    // reuse the events loader contract via a direct frame instead:
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = oneEv
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      .withColumn("gap", when(datediff(col("day"),
+        lag(col("day"), 1).over(w)) === 1, 0L).otherwise(1L))
+      .groupBy(col("user_id")).agg(sum(col("gap")).as("n_islands"),
+        count(lit(1)).as("n_days"))
+      .collect()
+    assert(islands.length == 1 && islands(0).getLong(1) == 1L &&
+      islands(0).getLong(2) == 1L)
+  }
+
   test("round-12 multimodal dedup survives hostile blobs") {
     import spark.implicits._
     import graft.operators.Multimodal
