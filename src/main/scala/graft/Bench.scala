@@ -131,12 +131,14 @@ object Bench {
       s""","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
     println(json)
     // the machine-readable artifact must not depend on scraping sbt
-    // stdout (two rounds of drivers saw the JSON line truncated out of
-    // the captured tail): also write it to a file when asked
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        (json + "\n").getBytes("UTF-8"))
-    }
+    // stdout (three rounds of drivers saw the JSON line truncated out
+    // of the captured tail): ALWAYS write it to a file — default path
+    // unless SPARK_GRAFT_BENCH_OUT overrides — and print where
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(s"[bench] json written to $outPath")
     spark.stop()
   }
 }

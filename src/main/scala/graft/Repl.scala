@@ -165,24 +165,32 @@ object Repl {
     val dataDir = positional.headOption.getOrElse(baseDir)
     val p = new GraftEngine.Params(s"model $verb $kind",
       kvs.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
-    val out = verb match {
+    // read EVERY knob and run the unknown-key guard BEFORE any verb
+    // executes: a typo'd knob (prClass=5) must fail fast with no side
+    // effects, not train on defaults and persist a model first
+    val (dims, perClass, maxIter, seed, refDir) =
+      (p.int("dims", QualityModel.Dims), p.int("perClass", 2000),
+        p.int("maxIter", 25), p.long("seed", 42L), p.str("refDir", ""))
+    p.requireAllRead()
+    verb match {
       case "fit" =>
         val (w, b) = QualityModel.fitQualityLr(
           Tables.documents(spark, dataDir),
-          dims = p.int("dims", QualityModel.Dims),
-          perClass = p.int("perClass", 2000),
-          maxIter = p.int("maxIter", 25),
-          seed = p.long("seed", 42L))
-        QualityModel.saveModel(w, b, dir)
+          dims = dims, perClass = perClass, maxIter = maxIter, seed = seed)
+        QualityModel.saveModel(w, b, dir,
+          fitDocs = Some(Tables.documents(spark, dataDir)))
         f"fitted quality model at $dir (weights=${w.count()}, intercept=$b%.6f)"
       case "status" =>
         val (w, b) = QualityModel.loadModel(spark, dir)
         f"quality model at $dir: weights=${w.count()} intercept=$b%.6f"
+      case "maintain" =>
+        val rep = QualityModel.maintain(spark, dir,
+          Tables.documents(spark, if (refDir.isEmpty) dataDir else refDir))
+        f"quality model at $dir: drift=${rep.drift}%.6f " +
+          s"threshold=${rep.threshold} refitNeeded=${rep.refitNeeded}"
       case _ => throw new IllegalArgumentException(
-        s"unknown model verb '$verb' — expected fit|status")
+        s"unknown model verb '$verb' — expected fit|status|maintain")
     }
-    p.requireAllRead()
-    out
   }
 
   /** One REPL step: `explain <query>` → formatted physical plan (beyond

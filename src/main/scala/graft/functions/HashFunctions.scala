@@ -391,6 +391,50 @@ case class NgramHashesPos(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Membership kernel for [[AnyLongInBroadcast]] — static so whole-stage
+  * codegen calls it directly. */
+object SetKernels {
+  /** true iff any element of `arr` occurs in the SORTED long array
+    * `set` (binary search per element — O(|arr|·log|set|), no boxing,
+    * no per-row allocation). */
+  def anyIn(arr: ArrayData, set: Array[Long]): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** `any_long_in_broadcast(array<long>)` — true iff any array element is
+  * in a BROADCAST sorted-long set. The set rides as a
+  * `SparkContext.broadcast` handle (torrent-distributed once per
+  * executor), NOT a plan literal: plan size and codegen stay O(1) no
+  * matter how many members the set has — the fix for the
+  * contamination-gate anti-pattern where a million eval grams inlined
+  * as `lit(array)` bloat every micro-batch's plan. Driver memory is
+  * the same as a broadcast hash join's build side (which also
+  * materializes on the driver); lookup is exact, so batch/stream
+  * screen parity is bit-for-bit. */
+case class AnyLongInBroadcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "any_long_in_broadcast"
+  override protected def nullSafeEval(input: Any): Any =
+    SetKernels.anyIn(input.asInstanceOf[ArrayData], bc.value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("broadcastSet", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SetKernels.anyIn($c, (long[]) $bcRef.value())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AnyLongInBroadcast =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>)` → tf-weighted 64-bit SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -431,4 +475,11 @@ object HashFunctions {
   /** Column wrapper: ordered positional word-n-gram hashes. */
   def ngramHashesPos(text: Column, n: Int): Column =
     GraftInternals.column(NgramHashesPos(GraftInternals.expression(text), n))
+
+  /** Column wrapper: any array element present in a broadcast sorted
+    * long set. */
+  def anyLongInBroadcast(arr: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftInternals.column(
+      AnyLongInBroadcast(GraftInternals.expression(arr), bc))
 }

@@ -75,6 +75,17 @@ object QualityModel {
     // across partitionings and scales like every other draw here
     val counts = labeled.groupBy(col("label")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // a single-class weak-label corpus (all docs pass, or all fail, the
+    // Gopher gate) has nothing to distill: LR returns a degenerate
+    // ±Infinity-intercept model that would silently admit or reject
+    // EVERYTHING downstream — fail loudly instead of persisting it
+    require(counts.keySet == Set(0.0, 1.0),
+      s"quality-model fit needs both weak-label classes present; " +
+        s"Gopher gate produced only " +
+        s"${counts.keys.toSeq.sorted.mkString("{", ",", "}")} " +
+        "(class -> count: " +
+        counts.toSeq.sortBy(_._1).map { case (k, v) => s"$k -> $v" }
+          .mkString(", ") + ")")
     def thr(label: Double): String = {
       val n = counts.getOrElse(label, 0L)
       val frac = if (n == 0) 1.0 else math.min(1.0, perClass.toDouble / n)
@@ -134,20 +145,74 @@ object QualityModel {
   /** Persist the fitted model: one parquet table of (dim, w) rows plus
     * the intercept as the reserved dim = −1 row — that table IS the
     * model (refit offline and swap by directory: the DSIR-weights /
-    * ANN-quantizer discipline, consumed by the streaming gate). */
-  def saveModel(weights: DataFrame, intercept: Double, dir: String): Unit = {
+    * ANN-quantizer discipline, consumed by the streaming gate).
+    *
+    * Layout: `dir/weights` (the model) and, when `fitDocs` is given,
+    * `dir/snapshot` — the score-distribution histogram of the fit
+    * corpus (20 fixed buckets over [0,1]), the reference [[maintain]]
+    * compares live traffic against. The snapshot costs one scoring
+    * pass at save time (broadcast join + one agg — the same plan the
+    * scorer runs anyway) and is ≤20 rows on disk. */
+  def saveModel(weights: DataFrame, intercept: Double, dir: String,
+                fitDocs: Option[DataFrame] = None): Unit = {
     val spark = weights.sparkSession
     import spark.implicits._
     weights.select(col("dim").cast("int"), col("w").cast("double"))
       .unionByName(Seq((-1, intercept)).toDF("dim", "w"))
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/weights")
+    fitDocs.foreach { docs =>
+      scoreHistogram(scoreQuality(docs, weights, intercept))
+        .write.mode("overwrite").parquet(s"$dir/snapshot")
+    }
   }
 
   def loadModel(s: SparkSession, dir: String): (DataFrame, Double) = {
-    val t = s.read.parquet(dir)
+    val t = s.read.parquet(s"$dir/weights")
     val b = t.where(col("dim") === -1).select(col("w"))
       .collect()(0).getDouble(0)
     (t.where(col("dim") =!= -1), b)
+  }
+
+  /** 20-bucket histogram of q_score shares — the distribution
+    * fingerprint both the snapshot and [[maintain]]'s live side use.
+    * Scale shape: one partial+final agg over ≤21 keys (bucket 20 is
+    * the exact q_score = 1.0 edge, folded into 19). */
+  private def scoreHistogram(scored: DataFrame): DataFrame = {
+    val b = least(floor(col("q_score") * 20).cast("int"), lit(19))
+    scored.groupBy(b.as("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  final case class MaintainReport(drift: Double, threshold: Double,
+                                  refitNeeded: Boolean,
+                                  nLive: Long, nFit: Long)
+
+  /** Drift check — the [[AnnIndex.maintain]] twin for the quality
+    * model: score `docs` (live traffic) with the persisted model,
+    * histogram the scores, and compare against the fit-time snapshot
+    * by total-variation distance (½ Σ |share_live − share_fit| over
+    * the 20 buckets, ∈ [0,1]). TVD above `threshold` means the score
+    * distribution the 0.5 operating point was chosen against no
+    * longer describes the traffic — refit. Cost: one scoring pass
+    * over `docs` + two ≤20-row tables to the driver; the corpus never
+    * re-reads the fit sample. */
+  def maintain(s: SparkSession, dir: String, docs: DataFrame,
+               threshold: Double = 0.15): MaintainReport = {
+    val (w, b) = loadModel(s, dir)
+    val snapPath = s"$dir/snapshot"
+    require(new java.io.File(snapPath).exists ||
+      snapPath.contains("://"), // object-store paths can't File-probe
+      s"no fit snapshot at $snapPath — refit with saveModel(fitDocs=...)")
+    def shares(h: DataFrame): (Map[Int, Double], Long) = {
+      val rows = h.collect().map(r => r.getInt(0) -> r.getLong(1))
+      val total = rows.map(_._2).sum
+      (rows.map { case (k, n) => k -> n.toDouble / total }.toMap, total)
+    }
+    val (fitShares, nFit) = shares(s.read.parquet(snapPath))
+    val (liveShares, nLive) = shares(scoreHistogram(scoreQuality(docs, w, b)))
+    val drift = (0 until 20).map { k =>
+      math.abs(liveShares.getOrElse(k, 0.0) - fitShares.getOrElse(k, 0.0))
+    }.sum / 2.0
+    MaintainReport(drift, threshold, drift > threshold, nLive, nFit)
   }
 
   /** Gate report: fit on the corpus' own weak labels, score every doc,

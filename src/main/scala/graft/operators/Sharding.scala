@@ -918,51 +918,6 @@ object Sharding {
         |FROM stacked WHERE op <> 'D'
         |ORDER BY doc_id, valid_from""".stripMargin,
 
-    "pipeline_length_gini" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
-        |      AS x
-        |  FROM documents
-        |), r AS (
-        |  SELECT x, row_number() OVER (ORDER BY x, doc_id) AS rk FROM t
-        |)
-        |SELECT count(*) AS n_docs, CAST(sum(x) AS BIGINT) AS total_tokens,
-        |  (2.0 * CAST(sum(rk * x) AS DOUBLE)
-        |     - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE))
-        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS gini
-        |FROM r""".stripMargin,
-
-    "pipeline_scd2" ->
-      """WITH base AS (
-        |  SELECT doc_id, CAST(0 AS BIGINT) AS v, 'U' AS op, text
-        |  FROM documents
-        |), changes AS (
-        |  SELECT doc_id, CAST(1 AS BIGINT) AS v, 'U' AS op,
-        |    'v1: ' || substr(text, 1, 50) AS text
-        |  FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 20000000, CAST(1 AS BIGINT), 'I',
-        |    'fresh: ' || substr(text, 1, 40)
-        |  FROM documents WHERE doc_id % 10 = 3
-        |  UNION ALL
-        |  SELECT doc_id, CAST(2 AS BIGINT), 'U',
-        |    'v2: ' || substr(text, 1, 30)
-        |  FROM documents WHERE doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT doc_id, CAST(2 AS BIGINT), 'D', NULL
-        |  FROM documents WHERE doc_id % 10 = 7
-        |), stacked AS (
-        |  SELECT *, lead(v) OVER (PARTITION BY doc_id ORDER BY v)
-        |    AS valid_to
-        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
-        |)
-        |SELECT doc_id, v AS valid_from, valid_to,
-        |  valid_to IS NULL AS is_current,
-        |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS digest
-        |FROM stacked WHERE op <> 'D'
-        |ORDER BY doc_id, valid_from""".stripMargin,
-
     "pipeline_merge_upsert" ->
       """WITH c AS (
         |  SELECT doc_id, 'U' AS op,

@@ -203,22 +203,30 @@ object EventStreams {
   /** Streaming ingest admission — the stateless gates a crawl stream
     * passes BEFORE any stateful dedup: Gopher-style quality rules plus
     * a benchmark-contamination check, both pure map-side filters (no
-    * state store, no shuffle, no watermark needed). The eval set's
-    * distinct 8-gram hashes ride as a literal array — eval benchmarks
-    * are bounded by construction (the batch screen broadcasts the same
-    * index), so the driver-side collect is the honest pattern, not a
-    * scale hazard. Admitted docs flow on unchanged, ready for
-    * nearDedupStream. */
+    * state store, no shuffle, no watermark needed).
+    *
+    * The eval set's distinct 8-gram hashes ship as a
+    * `SparkContext.broadcast` sorted-long set probed by the native
+    * [[graft.functions.AnyLongInBroadcast]] kernel — the same
+    * inverted-index-as-broadcast shape the batch screen
+    * (QualityRules.contaminationScreen) uses, kept stateless per
+    * batch. The PLAN stays O(1) regardless of eval-suite size (a
+    * million-gram suite previously inlined as `lit(array)` made every
+    * micro-batch's plan and codegen proportional to it); driver
+    * memory is the broadcast build side, exactly like the batch
+    * twin's broadcast hash join, and the exact lookup keeps
+    * batch/stream parity bit-for-bit. Admitted docs flow on
+    * unchanged, ready for nearDedupStream. */
   def ingestGate(docs: DataFrame, evalDocs: DataFrame,
                  textCol: String = "text"): DataFrame = {
-    import graft.functions.HashFunctions.ngramHashes
+    import graft.functions.HashFunctions.{anyLongInBroadcast, ngramHashes}
     val evalGrams = evalDocs
       .select(explode(ngramHashes(col(textCol), 8)).as("ng"))
-      .distinct().collect().map(_.getLong(0))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val bc = docs.sparkSession.sparkContext.broadcast(evalGrams)
     docs
       .where(graft.operators.QualityRules.gopherKeep(col(textCol)))
-      .where(!arrays_overlap(ngramHashes(col(textCol), 8),
-        lit(evalGrams)))
+      .where(!anyLongInBroadcast(ngramHashes(col(textCol), 8), bc))
   }
 
   /** Streaming ANN serving — micro-batch probes against the PERSISTED

@@ -65,6 +65,54 @@ class QualityModelSpec extends SparkSpec {
       s"dot-product agg not partial+final:\n$p")
   }
 
+  test("single-class weak-label corpus fails the fit loudly, persists nothing") {
+    import spark.implicits._
+    // every doc passes the Gopher gate → one class → LR would return a
+    // degenerate ±∞-intercept model; the guard must throw instead
+    val allGood = (1L to 40L).map { i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog and " +
+        s"then runs off to the woods in the morning light of day $i")
+    }.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.fitQualityLr(allGood, perClass = 50, maxIter = 5)
+    }
+    assert(e.getMessage.contains("both weak-label classes"), e.getMessage)
+  }
+
+  test("maintain: stable traffic stays under the drift bar, a planted shift flips it") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val good = (1L to 60L).map { i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog and " +
+        s"then runs off to the woods in the morning light of day $i")
+    }
+    val bad = (101L to 160L).map { i =>
+      (i, Seq.fill(20)(rng.nextInt(100000).toString).mkString(" "))
+    }
+    val fitDocs = (good ++ bad).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qmaint").toString
+    val (w, b) = QualityModel.fitQualityLr(fitDocs, perClass = 100, maxIter = 25)
+    QualityModel.saveModel(w, b, s"$dir/m", fitDocs = Some(fitDocs))
+    // live traffic drawn from the fit distribution: no refit needed
+    val stable = QualityModel.maintain(spark, s"$dir/m", fitDocs)
+    assert(!stable.refitNeeded && stable.drift < 0.05,
+      s"stable traffic reported drifted: $stable")
+    // planted shift: traffic turns all-gibberish — the score histogram
+    // collapses into the low buckets and the trigger must flip
+    val shifted = (201L to 320L).map { i =>
+      (i, Seq.fill(20)(rng.nextInt(100000).toString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val drifted = QualityModel.maintain(spark, s"$dir/m", shifted)
+    assert(drifted.refitNeeded && drifted.drift > stable.drift,
+      s"planted distribution shift not flagged: $drifted")
+    // a model saved without a snapshot cannot silently pass maintain
+    QualityModel.saveModel(w, b, s"$dir/nosnap")
+    val miss = intercept[IllegalArgumentException] {
+      QualityModel.maintain(spark, s"$dir/nosnap", fitDocs)
+    }
+    assert(miss.getMessage.contains("no fit snapshot"), miss.getMessage)
+  }
+
   test("gate report carries both weak-label rows and a sane operating point") {
     val rep = QualityModel.qualityClassifierReport(spark, Sf).collect()
     assert(rep.nonEmpty)

@@ -226,11 +226,19 @@ class ReplSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(n == Tables.documents(spark, Sf).count(),
       "every doc must score through the persisted model")
+    // drift check through the DDL: same corpus the model was fitted on
+    // → no refit needed
+    val maint = Repl.eval(spark, s"model maintain quality $dir/m", Sf)
+    assert(maint.contains("drift=") && maint.contains("refitNeeded=false"),
+      maint)
     // unknown knob must fail loudly, not silently run defaults
     val err = intercept[IllegalArgumentException] {
       Repl.eval(spark, s"model fit quality $dir/m2 prClass=5", Sf)
     }
     assert(err.getMessage.contains("prClass"), err.getMessage)
+    // ...and fail BEFORE any side effect: no model dir may exist after
+    assert(!new java.io.File(s"$dir/m2").exists,
+      "typo'd fit persisted a default-fitted model")
   }
 
   test("render truncates past MaxRows and shows nulls as NULL") {

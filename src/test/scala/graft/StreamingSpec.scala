@@ -182,6 +182,19 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("ingest_gate").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L), s"expected only the clean doc, kept=$kept")
+    // plan hygiene: the eval grams must ride as a broadcast handle, not
+    // a plan literal — plan size must stay O(1) in the eval-suite size
+    val gated = EventStreams.ingestGate(stream, evalDocs)
+    val analyzed = gated.queryExecution.analyzed
+    val gramLiterals = analyzed.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+        if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => l
+    })
+    assert(gramLiterals.isEmpty,
+      s"eval grams inlined as plan literal(s): $gramLiterals")
+    assert(analyzed.expressions.exists(_.collectFirst {
+      case e: graft.functions.AnyLongInBroadcast => e
+    }.isDefined), "broadcast-set membership kernel missing from the plan")
   }
 
   test("streaming DSIR gate admits against persisted weights, matches the batch twin") {
