@@ -144,10 +144,37 @@ object GraftEngine {
   /** The parameterizable subset of the operator surface — the entries
     * whose underlying functions expose real knobs. Defaults of 0 mean
     * "derive from the corpus" wherever the DataFrame API does. */
+  /** The packing family's token-count source: `tokens=bpe:<modelDir>`
+    * attaches tokenizer-TRUE counts (Pretrain.bpeTokenCounts against a
+    * persisted merge table) as `n_tokens` before the operator runs, so
+    * shard/budget/mixture arithmetic uses real token counts instead of
+    * whitespace words — the difference between a correct and a
+    * wrong-by-construction budget on any non-space-delimited corpus. */
+  private def docsWithTokens(s: SparkSession, d: String,
+                             p: Params): DataFrame = {
+    val docs = Tables.documents(s, d)
+    p.str("tokens", "") match {
+      case "" => docs
+      case t if t.startsWith("bpe:") =>
+        graft.operators.Pretrain.bpeTokenCounts(docs, t.stripPrefix("bpe:"), s)
+      case other => throw new IllegalArgumentException(
+        s"unknown tokens mode '$other' — expected bpe:<modelDir>")
+    }
+  }
+
   private val parameterized:
       Map[String, (SparkSession, String, Params) => DataFrame] = {
     import graft.operators.{Sharding, Similarity, TextAnalysis}
     Map(
+      "pipeline_shard" -> ((s, d, p) =>
+        Sharding.shardByTokenBudget(docsWithTokens(s, d, p),
+          budget = p.long("budget", Sharding.TokenBudget))),
+      "text_bpe_encode" -> ((s, d, p) => {
+        val dir = p.str("modelDir", "")
+        if (dir.isEmpty) graft.operators.Pretrain.textBpeEncode(s, d)
+        else graft.operators.Pretrain.bpeEncode(Tables.documents(s, d),
+          graft.operators.Pretrain.loadBpeMerges(s, dir), s)
+      }),
       "sim_ann_lsh" -> ((s, d, p) =>
         Similarity.simAnnLsh(s, d, L = p.int("L", 0), b = p.int("b", 0))),
       "sim_ann_lsh_multiprobe" -> ((s, d, p) =>
@@ -200,7 +227,7 @@ object GraftEngine {
         Sharding.chunkDocuments(Tables.documents(s, d),
           window = p.int("window", 128), overlap = p.int("overlap", 32))),
       "pipeline_pack_sequences" -> ((s, d, p) =>
-        Sharding.packSequences(Tables.documents(s, d),
+        Sharding.packSequences(docsWithTokens(s, d, p),
           budget = p.long("budget", Sharding.TokenBudget))),
       "pipeline_dsir_weight" -> ((s, d, p) =>
         graft.operators.Pretrain.dsirWeight(Tables.documents(s, d),
@@ -224,7 +251,7 @@ object GraftEngine {
         Sharding.assignSplits(Tables.documents(s, d),
           seed = p.long("seed", 42L), hashMode = p.str("hash", "md5"))),
       "pipeline_mixture" -> ((s, d, p) =>
-        Sharding.mixCorpus(Tables.documents(s, d),
+        Sharding.mixCorpus(docsWithTokens(s, d, p),
           Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
           seed = p.long("seed", 42L), hashMode = p.str("hash", "md5"))
           .groupBy(col("lang"))
@@ -240,7 +267,7 @@ object GraftEngine {
           k = p.int("k", 20), seed = p.long("seed", 42L),
           hashMode = p.str("hash", "md5"))),
       "pipeline_budget_cap" -> ((s, d, p) =>
-        Sharding.budgetCap(Tables.documents(s, d),
+        Sharding.budgetCap(docsWithTokens(s, d, p),
           budget = p.long("budget", 1000L))),
       "pipeline_epoch_plan" -> ((s, d, p) =>
         Sharding.epochPlan(Tables.documents(s, d),

@@ -305,18 +305,41 @@ object Pretrain {
   def pipelineBpeMerges(s: SparkSession, d: String): DataFrame =
     bpeMerges(documents(s, d), s)
 
+  private def lit0(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** One greedy-leftmost merge pass over a `syms: array<string>` column:
+    * every adjacent (a, b) becomes the single symbol a+b, scanning left
+    * to right — "aaa" + (a,a) → [aa, a], exactly reference BPE. Shared
+    * verbatim by the FIT (vocab rewrite per learned merge) and the
+    * ENCODER ([[bpeEncodeVocab]]), so encode-parity with the fit's own
+    * internal state holds by construction. Map-only codegen'd HOF. */
+  private def mergePass(df: DataFrame, a: String, b: String): DataFrame =
+    df.withColumn("syms", expr(
+      s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
+         |IF(size(acc) > 0 AND element_at(acc, -1) = ${lit0(a)}
+         |     AND x = ${lit0(b)},
+         |   concat(slice(acc, 1, size(acc) - 1), array(${lit0(a + b)})),
+         |   concat(acc, array(x))))""".stripMargin))
+
+  /** Whitespace word split shared by fit, encode and the whitespace
+    * token counters — lowercased, empty tokens dropped. */
+  private def bpeWords(text: org.apache.spark.sql.Column) =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** A word as its initial character symbols. (?=.) forbids the
+    * end-of-string split point — Spark split keeps trailing empties
+    * (limit -1), which would plant a phantom "" symbol. */
+  private def charSyms(w: org.apache.spark.sql.Column) =
+    split(w, "(?!^)(?=.)")
+
   def bpeMerges(docs: DataFrame, spark: SparkSession,
                 nMerges: Int = 12): DataFrame = {
     import spark.implicits._
-    def lit0(s: String): String =
-      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     var vocab = docs
-      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-      .where(length(col("w")) > 0)
+      .select(explode(bpeWords(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
-      // (?=.) forbids the end-of-string split point — Spark split keeps
-      // trailing empties (limit -1), which would plant a phantom "" symbol
-      .select(split(col("w"), "(?!^)(?=.)").as("syms"), col("cnt"))
+      .select(charSyms(col("w")).as("syms"), col("cnt"))
       .cache()
     val merges = collection.mutable.Buffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -338,12 +361,7 @@ object Pretrain {
           top(0).getLong(2))
         merges += ((step, a, b, c))
         val old = vocab
-        vocab = old.withColumn("syms", expr(
-          s"""aggregate(syms, CAST(array() AS array<string>), (acc, x) ->
-             |IF(size(acc) > 0 AND element_at(acc, -1) = ${lit0(a)}
-             |     AND x = ${lit0(b)},
-             |   concat(slice(acc, 1, size(acc) - 1), array(${lit0(a + b)})),
-             |   concat(acc, array(x))))""".stripMargin)).cache()
+        vocab = mergePass(old, a, b).cache()
         vocab.count() // materialize before dropping the parent cache
         old.unpersist()
         // truncate lineage periodically: each merge stacks one
@@ -366,10 +384,150 @@ object Pretrain {
     merges.toSeq.toDF("step", "left", "right", "freq")
   }
 
+  /** Persist a fitted merge table ([[bpeMerges]] output) — that table
+    * IS the tokenizer (the DSIR-weights / ANN-quantizer discipline:
+    * refit offline, swap by directory). */
+  def saveBpeModel(merges: DataFrame, dir: String): Unit =
+    merges.write.mode("overwrite").parquet(dir)
+
+  /** Load the merge list in rank order. The collect is bounded by the
+    * MODEL size (≤ nMerges rows — ~30k in production, the PQ-LUT
+    * discipline), never the corpus. */
+  def loadBpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    s.read.parquet(dir).orderBy(col("step"))
+      .select(col("left"), col("right"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
+  /** ENCODE a distinct-word table against a fitted merge list — the
+    * other half of the tokenizer loop: [[bpeMerges]] FITS, this
+    * APPLIES. Each word splits to character symbols, then every merge
+    * runs as one greedy-leftmost [[mergePass]] in learned rank order —
+    * byte-for-byte the rewrite the fit runs on its own vocab, so
+    * encoding the fit corpus reproduces the fit's final vocab state
+    * exactly (PretrainSpec pins this against an independent reference
+    * implementation). A single pass per merge IS that merge's fixpoint
+    * under greedy-leftmost: merging (a,b) into the fresh symbol a+b can
+    * never create a new (a,b) adjacency.
+    *
+    * Scale shape: all passes run over the DISTINCT-WORD table (the
+    * same vocab-sized frame the fit iterates — at 100 TB ~10⁸ rows,
+    * never the corpus), map-only between lineage truncations every 64
+    * merges (the fit's iterative-lineage discipline; a 12-merge gate
+    * model stays one lazy plan). */
+  def bpeEncodeVocab(words: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    var vocab = words.select(col("w"), charSyms(col("w")).as("syms"))
+    var step = 1
+    for ((a, b) <- merges) {
+      vocab = mergePass(vocab, a, b)
+      if (step % 64 == 0) vocab = truncateLineage(vocab)
+      step += 1
+    }
+    vocab
+  }
+
+  /** Token-id space: a single-character symbol is its code point; the
+    * output of merge step k is `BpeMergeIdBase + k` — above the
+    * Unicode range (0x10FFFF), so char ids and merge ids can never
+    * collide. Deterministic from the model alone. */
+  val BpeMergeIdBase = 0x110000
+
+  /** (w, n_sub, ids): each distinct word's BPE token count and token
+    * ids. Multi-char symbols resolve through a broadcast join on the
+    * ≤nMerges-row symbol table (NOT a plan-literal map — the model can
+    * be ~30k entries); single chars are their code point via ascii().
+    * The explode runs over vocab rows × symbols — vocab-sized. */
+  def bpeEncodeVocabIds(words: DataFrame, merges: Seq[(String, String)],
+                        spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // two different merges CAN produce the same output string ((a,ab)
+    // and (aa,b) both yield "aab") — the id table must be unique per
+    // symbol or the join below would duplicate vocab rows; earliest
+    // step wins, deterministically
+    val symTable = merges.zipWithIndex
+      .map { case ((a, b), i) => (a + b, BpeMergeIdBase + i + 1) }
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).min) }
+      .toSeq.toDF("sym", "_mid")
+    bpeEncodeVocab(words, merges)
+      .select(col("w"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .join(broadcast(symTable), Seq("sym"), "left")
+      .select(col("w"), col("pos"),
+        coalesce(col("_mid"), ascii(col("sym"))).as("id"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_sub"),
+        transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id")).as("ids"))
+  }
+
+  /** Apply a fitted BPE tokenizer to documents: per doc, whitespace
+    * word count, true BPE token count, and the token-id sequence in
+    * document order. The corpus path is two shuffles — the word stream
+    * keyed by `w` onto the encoded vocab, and the per-doc agg — plus
+    * the final doc_id join-back; every merge iteration stayed on the
+    * vocab table. Docs with no words encode to zero tokens. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                spark: SparkSession): DataFrame = {
+    val words = docs.select(explode(bpeWords(col("text"))).as("w")).distinct()
+    val vocabIds = bpeEncodeVocabIds(words, merges, spark)
+    val perDoc = docs
+      .select(col("doc_id"),
+        posexplode(bpeWords(col("text"))).as(Seq("wpos", "w")))
+      .join(vocabIds, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("ids")))),
+          x => x.getField("ids"))).as("token_ids"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("token_ids"),
+          array().cast("array<int>")).as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Attach tokenizer-TRUE token counts to a documents frame as
+    * `n_tokens` (replacing any whitespace-word column a packing
+    * operator would otherwise derive): the `tokens=bpe:<modelDir>`
+    * knob of the shard/pack/budget/mixture family. Count-only — the
+    * id sequences never materialize; one vocab encode + one word-
+    * stream join + one per-doc sum. */
+  def bpeTokenCounts(docs: DataFrame, modelDir: String,
+                     spark: SparkSession): DataFrame = {
+    val merges = loadBpeMerges(spark, modelDir)
+    val words = docs.select(explode(bpeWords(col("text"))).as("w")).distinct()
+    val perWord = bpeEncodeVocab(words, merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    val counts = docs
+      .select(col("doc_id"), explode(bpeWords(col("text"))).as("w"))
+      .join(perWord, Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_tokens"))
+    docs.drop("n_tokens")
+      .join(counts, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
+  /** Gate entry: fit 12 merges on the corpus, then encode every doc
+    * with them — the closed tokenizer loop (fit → apply) in one plan.
+    * Rows-only (the fit's argmax draws are not SQL-expressible);
+    * semantics pinned by PretrainSpec against an independent scalar
+    * reference implementation. */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val merges = bpeMerges(docs, s).orderBy(col("step"))
+      .select(col("left"), col("right"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    bpeEncode(docs, merges, s)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_dsir_weight" -> (pipelineDsirWeight _),
     "pipeline_dsir_sample" -> (pipelineDsirSample _),
     "pipeline_bpe_merges" -> (pipelineBpeMerges _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "quality_ccnet_bucket" -> (qualityCcnetBucket _),
     "text_bigram_logprob" -> (textBigramLogprob _),
     "text_char_entropy" -> (textCharEntropy _)

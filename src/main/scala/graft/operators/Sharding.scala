@@ -66,16 +66,26 @@ object Sharding {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Per-doc token count for the packing/budget/mixture family: a
+    * PRE-ATTACHED `n_tokens` column wins — that's how tokenizer-TRUE
+    * counts arrive (Pretrain.bpeTokenCounts, reached from SQL as the
+    * `tokens=bpe:<modelDir>` pipelineView knob), without which every
+    * budget on a non-space-delimited corpus (CJK, code) is
+    * wrong-by-construction. Otherwise: whitespace words from the
+    * native single-pass kernel — byte-equivalent to
+    * size(split(lower(text), "\s+")) (PropertySpec) without
+    * materializing the word array per row. */
+  private def tokenCountCol(docs: DataFrame): org.apache.spark.sql.Column =
+    if (docs.columns.contains("n_tokens")) col("n_tokens").cast("long")
+    else graft.functions.TextStats.textStats(col("text"))
+      .getField("n_words").cast("long")
+
   /** Shared prefix-sum core: (doc_id, lang, n_tokens, cum) where cum is
     * the inclusive running token total within the lang stratum. */
   private def tokenPrefix(docs: DataFrame, bucketWidth: Long): DataFrame = {
     val withTok = docs
-      // n_words from the native single-pass kernel — byte-equivalent to
-      // size(split(lower(text), "\s+")) (PropertySpec) without
-      // materializing the word array per row
       .select(col("doc_id"), col("lang"),
-        graft.functions.TextStats.textStats(col("text"))
-          .getField("n_words").cast("long").as("n_tokens"),
+        tokenCountCol(docs).as("n_tokens"),
         // null-safe stratum key: an equi-join on a nullable lang would
         // silently drop null-lang docs (null = null never matches),
         // where the original single-window form kept them in one stratum
@@ -379,9 +389,7 @@ object Sharding {
     * not. */
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
                 seed: Long = 42L, hashMode: String = "md5"): DataFrame = {
-    val withTokens = docs.withColumn("n_tokens",
-      graft.functions.TextStats.textStats(col("text"))
-        .getField("n_words").cast("long"))
+    val withTokens = docs.withColumn("n_tokens", tokenCountCol(docs))
     val totals = withTokens.where(col("lang").isin(weights.keys.toSeq.map(lit): _*))
       .groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -548,8 +556,7 @@ object Sharding {
                 bucketWidth: Long = BucketWidth): DataFrame = {
     val withTok = docs
       .select(col("doc_id"), col("source"),
-        graft.functions.TextStats.textStats(col("text"))
-          .getField("n_words").cast("long").as("n_tokens"),
+        tokenCountCol(docs).as("n_tokens"),
         coalesce(col("source"), lit("\u0000<null>")).as("_sk"),
         expr(s"doc_id DIV $bucketWidth").as("bkt"))
     val subtotals = withTok.groupBy(col("_sk"), col("bkt"))

@@ -169,6 +169,89 @@ class PretrainSpec extends SparkSpec {
     assert(out(1) == ((2, "aa", "a", 3L)), out.mkString(","))
   }
 
+  /** Independent scalar reference: greedy-leftmost application of the
+    * merge list in rank order — the definition BPE encoding must
+    * satisfy, written without any engine machinery. */
+  private def refEncode(word: String,
+                        merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    for ((a, b) <- merges) {
+      val out = collection.mutable.Buffer.empty[String]
+      for (x <- syms) {
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = a + b
+        else out += x
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  private def refIds(syms: Seq[String],
+                     merges: Seq[(String, String)]): Seq[Int] =
+    syms.map { s =>
+      if (s.length == 1) s.codePointAt(0)
+      else Pretrain.BpeMergeIdBase + merges.indexWhere(m => m._1 + m._2 == s) + 1
+    }
+
+  test("bpe encode: fit-then-apply matches the independent reference on every word") {
+    import spark.implicits._
+    val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .mkString(" ")
+    val docs = Seq((1L, text), (2L, "hugs bun pun hug"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Pretrain.bpeMerges(docs, spark, nMerges = 3)
+      .orderBy(col("step")).collect()
+      .toSeq.map(r => (r.getString(1), r.getString(2)))
+    val got = Pretrain.bpeEncode(docs, merges, spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3))).toSeq
+    // doc 2 hand-checked: after (u,g),(u,n),(h,ug) — hugs=[hug,s],
+    // bun=[b,un], pun=[p,un], hug=[hug]
+    val words2 = Seq("hugs", "bun", "pun", "hug")
+    val exp2 = words2.flatMap(w => refIds(refEncode(w, merges), merges))
+    val got2 = got.find(_._1 == 2L).get
+    assert(got2._2 == 4L && got2._3 == exp2.size.toLong, got2)
+    assert(got2._4 == exp2, s"ids ${got2._4} != reference $exp2")
+    assert(refEncode("hugs", merges) == Seq("hug", "s"))
+    // empty doc: zero words, zero tokens, empty id array
+    val got3 = got.find(_._1 == 3L).get
+    assert(got3._2 == 0L && got3._3 == 0L && got3._4.isEmpty, got3)
+    // the fit corpus doc round-trips too (every word via the reference)
+    val words1 = text.split(" ").toSeq
+    val exp1 = words1.flatMap(w => refIds(refEncode(w, merges), merges))
+    assert(got.find(_._1 == 1L).get._4 == exp1)
+  }
+
+  test("bpe encode: a no-space doc collapses to 1 whitespace word but real bpe tokens") {
+    import spark.implicits._
+    // CJK stand-in: no whitespace anywhere — whitespace counting calls
+    // this ONE token; the tokenizer must see through it
+    val docs = Seq((1L, "abcabcabcabcabcabc"), (2L, "abc abc"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val byId = Pretrain.bpeEncode(docs, merges, spark).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(1L) == ((1L, 6L)), s"six 'abc' tokens expected: ${byId(1L)}")
+    assert(byId(2L) == ((2L, 2L)), byId(2L))
+  }
+
+  test("bpe token counts attach as n_tokens from a persisted model") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val fit = Seq((1L, "abcabc abcabc abc abc abc"))
+      .toDF("doc_id", "text")
+    Pretrain.saveBpeModel(Pretrain.bpeMerges(fit, spark, nMerges = 2), dir)
+    val loaded = Pretrain.loadBpeMerges(spark, dir)
+    assert(loaded == Seq(("a", "b"), ("ab", "c")), loaded)
+    val docs = Seq((1L, "abcabcabc", "zz"), (2L, "abc abc", "en"))
+      .toDF("doc_id", "text", "lang")
+    val counted = Pretrain.bpeTokenCounts(docs, dir, spark).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(counted == Map(1L -> 3L, 2L -> 2L), counted.toString)
+  }
+
   test("dsir weight table broadcasts; the whole op is two corpus scans") {
     val df = Pretrain.pipelineDsirWeight(spark, Sf)
     df.collect()

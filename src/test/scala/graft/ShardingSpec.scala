@@ -250,6 +250,38 @@ class ShardingSpec extends SparkSpec {
     assert(chunks.last.last == "t300")
   }
 
+  test("tokenizer-true counts move a shard boundary whitespace counting misses") {
+    import spark.implicits._
+    import graft.operators.Pretrain
+    // planted CJK stand-in: doc 2 is ONE whitespace word but six real
+    // tokens — under whitespace counts doc 3 still fits in shard 0;
+    // under bpe counts doc 2's true mass pushes doc 3 over the budget
+    val docs = Seq(
+      (1L, "x x x", "en"),
+      (2L, "abcabcabcabcabcabc", "en"), // 1 word, 6 bpe tokens (abc×6)
+      (3L, "y y y", "en")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpeshard").toString
+    val fit = Seq((1L, "abcabc abcabc abc abc abc")).toDF("doc_id", "text")
+    Pretrain.saveBpeModel(
+      Pretrain.bpeMerges(fit, spark, nMerges = 2), s"$dir/model")
+    def shards(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Sharding.shardByTokenBudget(d, budget = 8L).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    val ws = shards(docs)
+    assert(ws == Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"whitespace counts (3+1+3=7 <= 8) must keep one shard: $ws")
+    val bpe = shards(Pretrain.bpeTokenCounts(docs, s"$dir/model", spark))
+    assert(bpe == Map(1L -> 0L, 2L -> 0L, 3L -> 1L),
+      s"bpe counts (3+6=9 > 8) must push doc 3 into shard 1: $bpe")
+    // the same boundary move through the SQL-facing knob end-to-end
+    docs.write.mode("overwrite").parquet(s"$dir/data/documents.parquet")
+    GraftEngine.pipelineView(spark, "pipeline_shard", s"$dir/data",
+      Map("tokens" -> s"bpe:$dir/model", "budget" -> "8"))
+    val viaKnob = spark.table("graft_pipeline_shard").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(viaKnob == bpe, s"pipelineView knob drifted: $viaKnob != $bpe")
+  }
+
   test("length buckets: caps are powers of two covering every doc") {
     val docs = Tables.documents(spark, Sf)
     val out = Sharding.lengthBuckets(docs).collect()
