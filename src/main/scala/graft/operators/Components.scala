@@ -48,9 +48,13 @@ object Components {
       .distinct()
       .transform(Lineage.truncate)
 
+    // iteration checkpoints clean up behind themselves (keep=2: the
+    // done-probe below still reads the PREVIOUS round's labels); the
+    // edges checkpoint above is NOT chained — every round reads it
+    val chain = new Lineage.Chain(keep = 2)
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .transform(Lineage.truncate)
+      .transform(chain.truncate)
 
     var done = edges.isEmpty
     var i = 0
@@ -70,7 +74,7 @@ object Components {
         .join(stepped.select(col("id").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("jump"), col("comp")).as("comp"))
-        .transform(Lineage.truncate)
+        .transform(chain.truncate)
       done = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .where(col("comp") =!= col("prev"))

@@ -222,6 +222,25 @@ object Multimodal {
       None
     }
 
+    /** (audioFormat, channels, rate, bitsPerSample) from the fmt chunk
+      * — None when absent or malformed. audioFormat 1 = integer PCM;
+      * anything else (float, ADPCM, compressed) has a sample layout
+      * the byte-level walks here must NOT guess at. */
+    def fmtChunk(blob: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (!sniffs(blob)) return None
+      var i = 12
+      while (i + 8 <= blob.length) {
+        val id = new String(blob.slice(i, i + 4), "US-ASCII")
+        val len = le32(blob, i + 4)
+        if (len < 0 || i.toLong + 8 + len > blob.length) return None
+        if (id == "fmt " && len >= 16)
+          return Some((le16(blob, i + 8), le16(blob, i + 10),
+            le32(blob, i + 12), le16(blob, i + 22)))
+        i += 8 + len + (len & 1)
+      }
+      None
+    }
+
     def decode(blob: Array[Byte]): (String, Int, Int, Array[Float]) = {
       if (!sniffs(blob)) return StubDecoder.decode(blob)
       var i = 12
@@ -375,18 +394,33 @@ object Multimodal {
     * the bits — thresholded against the clip's OWN mean — survive
     * re-mastering at a different volume, while a different loudness
     * CONTOUR (speech vs music, a different burst pattern) flips many
-    * bits. None for
-    * non-WAV blobs: a fake fingerprint would manufacture clusters. */
+    * bits. Sample layout comes from the fmt chunk, not a guess:
+    * 8-bit integer PCM reads unsigned bytes off midpoint 128, 16-bit
+    * reads little-endian signed shorts off midpoint 0 — treating a
+    * 16-bit stream as bytes would interleave low/high bytes and break
+    * the amplitude-scaling invariance this fingerprint promises. None
+    * for non-WAV blobs and for non-integer-PCM or other sample widths
+    * (float/ADPCM/24-bit): a fake fingerprint would manufacture
+    * clusters. */
   def audioFp64(blob: Array[Byte]): Option[Long] = {
     if (!WavDecoder.sniffs(blob)) return None
+    val bits16 = WavDecoder.fmtChunk(blob) match {
+      case Some((1, _, _, 8))  => false
+      case Some((1, _, _, 16)) => true
+      case _                   => return None
+    }
     WavDecoder.dataChunk(blob).map { case (off, len) =>
-      val n = math.min(len, 65536)
+      val n = math.min(len / (if (bits16) 2 else 1), 65536)
       val energy = new Array[Double](64)
       val cnt = new Array[Int](64)
       var i = 0
       while (i < n) {
         val seg = (i.toLong * 64 / n).toInt
-        energy(seg) += math.abs((blob(off + i) & 0xff) - 128)
+        val amp =
+          if (bits16) math.abs(((blob(off + 2 * i) & 0xff) |
+            (blob(off + 2 * i + 1) << 8)).toShort.toDouble)
+          else math.abs((blob(off + i) & 0xff) - 128).toDouble
+        energy(seg) += amp
         cnt(seg) += 1
         i += 1
       }

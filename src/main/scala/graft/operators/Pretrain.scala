@@ -336,6 +336,10 @@ object Pretrain {
   def bpeMerges(docs: DataFrame, spark: SparkSession,
                 nMerges: Int = 12): DataFrame = {
     import spark.implicits._
+    // superseded every-8-step checkpoints delete themselves (Chain):
+    // a ~30k-iteration production fit would otherwise stack ~4k full
+    // vocab copies on the checkpoint FS
+    val fitChain = new Lineage.Chain(keep = 2)
     var vocab = docs
       .select(explode(bpeWords(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
@@ -373,7 +377,7 @@ object Pretrain {
         // vocab-sized table and restarts the plan from it (reliable
         // checkpoint when a dir is configured, local otherwise).
         if (step % 8 == 0) {
-          val cp = truncateLineage(vocab)
+          val cp = fitChain.truncate(vocab)
           vocab.unpersist()
           vocab = cp
         }
@@ -416,11 +420,12 @@ object Pretrain {
     * model stays one lazy plan). */
   def bpeEncodeVocab(words: DataFrame,
                      merges: Seq[(String, String)]): DataFrame = {
+    val chain = new Lineage.Chain(keep = 2)
     var vocab = words.select(col("w"), charSyms(col("w")).as("syms"))
     var step = 1
     for ((a, b) <- merges) {
       vocab = mergePass(vocab, a, b)
-      if (step % 64 == 0) vocab = truncateLineage(vocab)
+      if (step % 64 == 0) vocab = chain.truncate(vocab)
       step += 1
     }
     vocab

@@ -66,6 +66,23 @@ object Sharding {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** The prefix-sum family's base-table join-back. `bases` has
+    * ~n_docs/bucketWidth rows (~400k at 100 TB ≈ 25 B docs under the
+    * default 65536 width) — comfortably broadcast-able, and the
+    * explicit hint saves the probe-side exchange AQE's runtime
+    * conversion still pays. But a HARD hint bypasses AQE's size check:
+    * at ~10¹⁰⁺ docs (or a deliberately narrow bucketWidth) the driver
+    * would materialize a multi-GB broadcast or die. So the hint is a
+    * session knob, not a constant: `spark.graft.broadcastBases=off`
+    * drops it and lets AQE choose the join strategy from the observed
+    * base-table size — same results, no cliff (ScaleStress carries a
+    * hint-off leg showing the family flat at 10×; ShardingSpec pins
+    * output equality). Read at PLAN time, like every Spark conf. */
+  private def maybeBroadcastBases(bases: DataFrame): DataFrame =
+    if (bases.sparkSession.conf
+        .get("spark.graft.broadcastBases", "on") == "off") bases
+    else broadcast(bases)
+
   /** Per-doc token count for the packing/budget/mixture family: a
     * PRE-ATTACHED `n_tokens` column wins — that's how tokenizer-TRUE
     * counts arrive (Pretrain.bpeTokenCounts, reached from SQL as the
@@ -103,7 +120,7 @@ object Sharding {
     // pass 2: intra-bucket running sum (parallel across buckets) + base
     val wIn = Window.partitionBy(col("_lk"), col("bkt")).orderBy(col("doc_id"))
     withTok
-      .join(broadcast(bases), Seq("_lk", "bkt"))
+      .join(maybeBroadcastBases(bases), Seq("_lk", "bkt"))
       .withColumn("cum", col("base") + sum(col("n_tokens")).over(wIn))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum"))
   }
@@ -157,7 +174,7 @@ object Sharding {
       coalesce(sum(col("n")).over(wBase), lit(0L)).as("base"))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
     withKey
-      .join(broadcast(bases), Seq("bkt"))
+      .join(maybeBroadcastBases(bases), Seq("bkt"))
       .select(col("doc_id"),
         (col("base") + row_number().over(wIn)).as("shuffle_pos"))
   }
@@ -526,7 +543,7 @@ object Sharding {
     val wIn = Window.partitionBy(col("source"), col("bkt"))
       .orderBy(col("h"), col("doc_id"))
     val ranked = withKey
-      .join(broadcast(bases), Seq("source", "bkt"))
+      .join(maybeBroadcastBases(bases), Seq("source", "bkt"))
       .withColumn("r", col("rbase") + (row_number().over(wIn) - 1).cast(LongType))
     val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("sz"))
       .agg(collect_list(struct(col("source"), col("sz"))).as("szs"))
@@ -567,7 +584,7 @@ object Sharding {
       coalesce(sum(col("bkt_tokens")).over(wBase), lit(0L)).as("base"))
     val wIn = Window.partitionBy(col("_sk"), col("bkt")).orderBy(col("doc_id"))
     withTok
-      .join(broadcast(bases), Seq("_sk", "bkt"))
+      .join(maybeBroadcastBases(bases), Seq("_sk", "bkt"))
       .withColumn("cum", col("base") + sum(col("n_tokens")).over(wIn))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"),
         (col("cum") - col("n_tokens") < budget).as("admitted"))
@@ -607,7 +624,7 @@ object Sharding {
     val wIn = Window.partitionBy(col("epoch"), col("bkt"))
       .orderBy(col("h"), col("doc_id"))
     withKey
-      .join(broadcast(bases), Seq("epoch", "bkt"))
+      .join(maybeBroadcastBases(bases), Seq("epoch", "bkt"))
       .select(col("epoch"), col("doc_id"),
         (col("base") + row_number().over(wIn)).as("pos"))
       .orderBy(col("epoch"), col("pos"))
@@ -658,7 +675,7 @@ object Sharding {
     val wIn = Window.partitionBy(col("n_tokens"), col("bkt"))
       .orderBy(col("doc_id"))
     withTok
-      .join(broadcast(bases), Seq("n_tokens", "bkt"))
+      .join(maybeBroadcastBases(bases), Seq("n_tokens", "bkt"))
       .withColumn("rank", col("base") + row_number().over(wIn))
       .withColumn("bin", ((col("rank") - 1) % nBins).cast("int"))
       .groupBy(col("bin"))
@@ -706,7 +723,7 @@ object Sharding {
         (col("len_base") + col("bkt_base")).as("base"))
     val wIn = Window.partitionBy(col("x"), col("bkt")).orderBy(col("doc_id"))
     withTok
-      .join(broadcast(bases), Seq("x", "bkt"))
+      .join(maybeBroadcastBases(bases), Seq("x", "bkt"))
       .withColumn("rk", col("base") + row_number().over(wIn))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("x")).as("total_tokens"),

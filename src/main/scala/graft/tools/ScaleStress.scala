@@ -86,6 +86,19 @@ object ScaleStress {
     // prefixLen=3: 4096 buckets so the rank windows stay many-task
     time("global shuffle")(
       graft.operators.Sharding.globalShuffle(docs, prefixLen = 3))
+    // the same prefix-sum family with the hard broadcast hint DISABLED
+    // (spark.graft.broadcastBases=off): AQE picks the join strategy
+    // from observed sizes — the no-cliff path for ≫10¹⁰-doc corpora
+    // must stay flat vs the hinted legs above
+    spark.conf.set("spark.graft.broadcastBases", "off")
+    try {
+      time("token sharding (no hint)")(
+        graft.operators.Sharding.shardByTokenBudget(docs))
+      time("global shuffle (no hint)")(
+        graft.operators.Sharding.globalShuffle(docs, prefixLen = 3))
+      time("pack binned (no hint)")(
+        graft.operators.Sharding.packBinned(docs))
+    } finally spark.conf.unset("spark.graft.broadcastBases")
     time("length buckets")(
       graft.operators.Sharding.lengthBuckets(docs))
     time("exact jaccard pairs")(

@@ -30,4 +30,15 @@ object GraftInternals {
 
   def expressionInfo(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", name)
+
+  /** The reliable-checkpoint file backing a checkpoint()ed DataFrame —
+    * None for localCheckpoint (block-backed, GC-cleaned) or any
+    * non-checkpoint plan. Used by graft.operators.Lineage.Chain to
+    * delete superseded iteration checkpoints. */
+  def checkpointFile(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile
+      case _ => None
+    }
 }

@@ -91,4 +91,25 @@ class ComponentsSpec extends SparkSpec {
       assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     } finally sc.setCheckpointDir(null) // Option(null) = None: restore
   }
+
+  test("superseded iteration checkpoints delete themselves — bounded FS footprint") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_gc").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // a 40-node chain forces several pointer-jumping rounds — each
+      // truncates; without the Chain cleanup every round would leave a
+      // full labels copy on the checkpoint FS forever
+      val m = comps((0L until 39L).map(i => (i, i + 1)))
+      assert(m.size == 40 && m.values.toSet == Set(0L))
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten
+          .flatMap(c => if (c.getName.startsWith("rdd-")) Seq(c)
+                        else rddDirs(c))
+      val left = rddDirs(new java.io.File(dir))
+      // edges (unchained — read every round) + the Chain's keep=2
+      assert(left.size <= 3,
+        s"superseded checkpoints not cleaned: ${left.size} rdd dirs left")
+    } finally sc.setCheckpointDir(null)
+  }
 }

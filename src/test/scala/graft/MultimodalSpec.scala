@@ -208,6 +208,46 @@ class MultimodalSpec extends SparkSpec {
     assert(!comps.contains(3L), s"distinct contour must not cluster: $comps")
   }
 
+  /** Genuine 16-bit mono PCM WAV whose signed sample i is `f(i)`;
+    * `fmtTag` ≠ 1 renders the same layout under a non-PCM format tag. */
+  private def wav16(n: Int, fmtTag: Short = 1, bits: Short = 16)
+                   (f: Int => Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmtTag).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(bits)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) { bb.putShort(f(i).toShort); i += 1 }
+    bb.array()
+  }
+
+  test("audio fingerprint parses the fmt chunk: 16-bit PCM decodes as shorts, non-PCM is None") {
+    val n = 8192
+    def burst(amp: Int)(i: Int): Int =
+      if ((i / 1024) % 2 == 0) (amp * math.sin(i / 10.0)).toInt else amp / 20
+    // 16-bit re-master at a different volume: same envelope bits — this
+    // is exactly what byte-wise reading of interleaved lo/hi bytes broke
+    val a = Multimodal.audioFp64(wav16(n)(burst(20000)))
+    val aQuiet = Multimodal.audioFp64(wav16(n)(burst(4000)))
+    assert(a.isDefined && aQuiet.isDefined)
+    assert(a == aQuiet,
+      f"16-bit volume rescale changed the fp: ${a.get}%016x vs ${aQuiet.get}%016x")
+    // the same waveform SHAPE at 8 vs 16 bit agrees on the envelope
+    val a8 = Multimodal.audioFp64(wav(n)(i => 128 + burst(100)(i)))
+    assert(a8.isDefined && a == a8,
+      f"8/16-bit renders of one waveform disagree: ${a.get}%016x vs ${a8.get}%016x")
+    // non-integer-PCM (float tag 3) and 24-bit widths must yield None,
+    // not a garbage fingerprint
+    assert(Multimodal.audioFp64(wav16(n, fmtTag = 3)(burst(20000))).isEmpty,
+      "float-PCM WAV must not fingerprint")
+    assert(Multimodal.audioFp64(wav16(n, bits = 24)(burst(20000))).isEmpty,
+      "24-bit WAV must not fingerprint")
+  }
+
   test("frame containment: a trimmed clip is contained in its extension, codegen-only slicing") {
     import spark.implicits._
     val rng = new scala.util.Random(21)

@@ -282,6 +282,27 @@ class ShardingSpec extends SparkSpec {
     assert(viaKnob == bpe, s"pipelineView knob drifted: $viaKnob != $bpe")
   }
 
+  test("broadcastBases=off drops the hard hint, keeps results identical") {
+    val docs = Tables.documents(spark, Sf)
+    def run(): (Seq[(Long, Long)], org.apache.spark.sql.DataFrame) = {
+      val df = Sharding.shardByTokenBudget(docs)
+      (df.collect().toSeq.map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")), df)
+    }
+    val (withHint, dfHint) = run()
+    assert(dfHint.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isDefined, "default plan must carry the broadcast hint")
+    spark.conf.set("spark.graft.broadcastBases", "off")
+    try {
+      val (noHint, dfNo) = run()
+      assert(dfNo.queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.isEmpty, "hint-off plan must leave the join strategy to AQE")
+      assert(noHint == withHint, "hint knob changed results")
+    } finally spark.conf.unset("spark.graft.broadcastBases")
+  }
+
   test("length buckets: caps are powers of two covering every doc") {
     val docs = Tables.documents(spark, Sf)
     val out = Sharding.lengthBuckets(docs).collect()
