@@ -200,6 +200,38 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_sz", "_b0")
       .drop("_sz", "_b0")
 
+  /** Streaming IMAGE near-dup admission — the pixel-plane twin of
+    * [[nearDedupStream]]/[[embedDedupStream]], reusing the batch
+    * dedup_image_phash machinery (rotation-canonical aHash over the
+    * decoded pixel grid, 16-bit band buckets): key = the FIRST band of
+    * the canonical hash, deduped within the watermark. A re-encoded /
+    * rotated / brightness-shifted copy lands on the identical canonical
+    * hash (Hamming ≤ a few bits otherwise), so its first band matches
+    * and the copy drops with ONE long of state per live bucket;
+    * borderline variants defer to the batch banded-Hamming pass — the
+    * same single-band trade the text and embedding streams make, for
+    * the same state-store reason.
+    *
+    * Non-image / undecodable blobs hash to null and key on the full
+    * blob content instead (deduping only exact byte repeats of
+    * themselves); the `_isimg` discriminator keeps the two key spaces
+    * disjoint, so a blob hash can never collide an image band out of
+    * the stream. The decode rides the native image_ahash64 expression
+    * — stateless map-side, no UDF, blobs never shuffle (the state key
+    * is 16 bits + the discriminator). */
+  def imageDedupStream(blobs: DataFrame, tsCol: String = "ts",
+                       blobCol: String = "blob"): DataFrame =
+    blobs
+      .withColumn("_ph",
+        graft.functions.MediaFunctions.imageAHash64(col(blobCol)))
+      .withColumn("_isimg", col("_ph").isNotNull)
+      .withColumn("_b0", when(col("_isimg"),
+          col("_ph").bitwiseAND(lit(0xffffL)))
+        .otherwise(xxhash64(col(blobCol))))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("_isimg", "_b0")
+      .drop("_ph", "_isimg", "_b0")
+
   /** Streaming ingest admission — the stateless gates a crawl stream
     * passes BEFORE any stateful dedup: Gopher-style quality rules plus
     * a benchmark-contamination check, both pure map-side filters (no

@@ -197,6 +197,57 @@ class StreamingSpec extends SparkSpec {
     }.isDefined), "broadcast-set membership kernel missing from the plan")
   }
 
+  test("streaming image dedup drops rotated/re-encoded twins, keeps distinct images") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // NOT epoch 0: dropDuplicatesWithinWatermark's initial watermark is
+    // 0 ms, and rows at eventTime <= it are silently suppressed as late
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_imgdedup").toString
+    val blobs = Seq(
+      (1L, png((x, _) => if (x < 32) 0x000000 else 0xffffff)),     // original
+      (2L, png((_, y) => if (y < 32) 0x000000 else 0xffffff)),     // 90° twin
+      (3L, png((x, _) => if (x < 32) 0x202020 else 0xe0e0e0)),     // dim twin
+      (4L, png((x, y) => if (x + y < 64) 0x000000 else 0xffffff)), // distinct
+      (5L, "not an image".getBytes("UTF-8")),                      // passthrough
+      (6L, "not an image".getBytes("UTF-8")),                      // exact repeat
+      (7L, "another non-image".getBytes("UTF-8"))
+    ).toDF("doc_id", "blob").withColumn("ts", lit(ts))
+    blobs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(blobs.schema).parquet(s"$base/in")
+    val gated = EventStreams.imageDedupStream(stream)
+    // plan hygiene: the codec rides the native expression, not a UDF
+    assert(!gated.queryExecution.analyzed.toString.contains("UDF"),
+      "image hash left the declarative plan")
+    val q = gated.writeStream.format("memory").queryName("img_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("img_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // one survivor among {1,2,3} (identical canonical hash — order
+    // within a micro-batch is not contractual), 4 kept (distinct),
+    // one survivor among the byte-identical {5,6}, 7 kept
+    assert(kept.intersect(Set(1L, 2L, 3L)).size == 1,
+      s"twins must collapse to one survivor: $kept")
+    assert(kept.contains(4L), s"distinct image dropped: $kept")
+    assert(kept.intersect(Set(5L, 6L)).size == 1,
+      s"byte-identical non-images must collapse: $kept")
+    assert(kept.contains(7L), s"distinct non-image dropped: $kept")
+    // batch parity on the canonical hash: the stream's survivor set
+    // keys exactly like the batch phash table
+    val ph = graft.operators.Multimodal.imagePhashes(blobs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) == ph(2L) && ph(1L) == ph(3L) && ph(1L) != ph(4L),
+      s"batch hashes disagree with the stream's collapse: $ph")
+  }
+
   test("streaming DSIR gate admits against persisted weights, matches the batch twin") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_dsirgate").toString
