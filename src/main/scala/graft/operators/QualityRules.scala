@@ -224,6 +224,43 @@ object QualityRules {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate n-gram share per document (the Gopher/RefinedWeb
+    * "duplicated n-gram fraction" quality rule, Rae et al. 2021
+    * table A1; Penedo et al. 2023 §4.2): the share of a doc's
+    * positional word-8-grams that occur ≥2 times CORPUS-WIDE
+    * (occurrence-level, so a doc repeating its own boilerplate counts
+    * against itself too). High share = template spam / boilerplate
+    * farms that per-doc rules can't see.
+    *
+    * Scale shape — the tfidf discipline: the gram stream reduces to
+    * 8-byte hashes map-side via the native positional kernel (no gram
+    * strings materialize), aggregates once to (doc, gram, k), and the
+    * corpus-wide df table is a groupBy over that SAME reduced table
+    * joined back — the (doc, gram) exchange is reused (one tokenize,
+    * ReusedExchange), the join keys 8-byte grams, and the final agg
+    * is partial+final per doc. The oracle replays the definition with
+    * string grams; counts agree modulo 64-bit collisions, the same
+    * exposure pipeline_contamination carries. dup_share ships as the
+    * unrounded quotient of two exact ints — bit-identical in IEEE. */
+  def dupNgramShare(docs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.ngramHashesPos
+    val red = docs
+      .select(col("doc_id"), explode(ngramHashesPos(col("text"), n)).as("ng"))
+      .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("k"))
+    val dft = red.groupBy(col("ng")).agg(sum(col("k")).as("df"))
+    red.join(dft, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_grams"),
+        sum(when(col("df") >= 2, col("k")).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast(DoubleType) / col("n_grams"))
+          .as("dup_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityDupNgramShare(s: SparkSession, d: String): DataFrame =
+    dupNgramShare(documents(s, d))
+
   /** Domain-level quality gate (RefinedWeb/Dolma style): a document's
     * admission depends on its whole SOURCE's mean quality, not just its
     * own — boilerplate farms produce individually-plausible docs. Pass
@@ -277,7 +314,8 @@ object QualityRules {
     "quality_repetition" -> (qualityRepetition _),
     "dedup_paragraph" -> (dedupParagraph _),
     "pipeline_contamination" -> (pipelineContamination _),
-    "quality_dedup_rate" -> (qualityDedupRate _)
+    "quality_dedup_rate" -> (qualityDedupRate _),
+    "quality_dup_ngram_share" -> (qualityDupNgramShare _)
   )
 
   /** Curation WATERFALL: cumulative survival through the quality gates
@@ -454,6 +492,27 @@ object QualityRules {
         |  min(doc_id) AS first_doc
         |FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY df DESC, para_digest""".stripMargin,
+
+    "quality_dup_ngram_share" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS ng
+        |  FROM t
+        |), d AS (
+        |  SELECT ng, count(*) AS df FROM g GROUP BY ng
+        |)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_grams,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_share
+        |FROM g JOIN d USING (ng)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "pipeline_contamination" ->
       """WITH t AS (

@@ -456,7 +456,26 @@ object TextAnalysis {
   def textHashedBow(s: SparkSession, d: String): DataFrame =
     hashedBow(documents(s, d))
 
+  /** Per-doc DEFLATE compression ratio — the cheap redundancy signal
+    * real curation stacks run next to perplexity (CCNet's companions;
+    * Dolma ships one): boilerplate/template spam compresses far below
+    * natural prose (ratio → 0.1), random token soup barely compresses
+    * (ratio → 1). Native [[graft.functions.DeflateRatio]] kernel: one
+    * tight zlib loop per row inside whole-stage codegen, map-only at
+    * any corpus size, zero shuffles before the output sort. Rows-only
+    * (DuckDB has no deflate); semantics pinned by ScalaTest
+    * (repetitive < prose < gibberish ordering, empty-doc identity,
+    * determinism). */
+  def textCompressionRatio(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_text_bytes"),
+        round(graft.functions.DeflateRatio.deflateRatio(col("text")), 6)
+          .as("deflate_ratio"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compression_ratio" -> (textCompressionRatio _),
     "text_hashed_bow" -> (textHashedBow _),
     "text_sentences" -> (textSentences _),
     "text_hapax_share" -> (textHapaxShare _),

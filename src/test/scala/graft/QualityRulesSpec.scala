@@ -103,6 +103,32 @@ class QualityRulesSpec extends SparkSpec {
     assert(out(2L)._3 == 0.0 && out(2L)._4, s"diverse doc must pass: ${out(2L)}")
   }
 
+  test("dup n-gram share: repeated boilerplate counts, unique prose doesn't") {
+    import spark.implicits._
+    val boiler = "click here to subscribe to our amazing newsletter right now"
+    val docs = Seq(
+      // doc 1: boilerplate + unique tail — exactly the boilerplate's
+      // grams duplicate (they recur in doc 2)
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler iota kappa lambda mu nu xi omicron pi"),
+      // doc 3: fully unique 10-word prose — zero duplicated grams
+      (3L, "the quiet river bends east beyond the old stone bridge"),
+      // doc 4: self-repetition duplicates against ITSELF
+      (4L, ("spam ham " * 8).trim)
+    ).toDF("doc_id", "text")
+    val got = QualityRules.dupNgramShare(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // 18 words → 11 positional 8-grams; grams fully inside the 10-word
+    // boilerplate prefix: positions 1..3 → 3 dup grams
+    assert(got(1L)._1 == 11L && got(1L)._2 == 3L, got(1L).toString)
+    assert(got(2L) == got(1L), "symmetric twin must match")
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0, got(3L).toString)
+    // 16 words of "spam ham"×8 → 9 grams, all equal to each other
+    assert(got(4L)._1 == 9L && got(4L)._2 == 9L && got(4L)._3 == 1.0,
+      got(4L).toString)
+  }
+
   test("domain gate drops every doc of a low-mean source, keeps the rest") {
     import spark.implicits._
     val docs = Seq(

@@ -110,4 +110,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no corpus-side merge join:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
+
+  test("compression ratio orders repetitive < prose < gibberish; empty = 1; deterministic") {
+    import spark.implicits._
+    import graft.functions.DeflateRatio.deflateRatio
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(3)
+    val docs = Seq(
+      (1L, "spam ham " * 200),                                   // repetitive
+      (2L, ("the quick brown fox jumps over the lazy dog and " +
+        "wanders slowly home through the quiet evening fields ") * 20),
+      (3L, Array.fill(400)(rng.nextPrintableChar()).mkString),   // gibberish
+      (4L, "")
+    ).toDF("doc_id", "text")
+    def run(): Map[Long, Double] = docs
+      .select(col("doc_id"), deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = run()
+    assert(got(1L) < got(2L) && got(2L) < got(3L),
+      s"ordering violated: $got")
+    assert(got(1L) < 0.1, s"pure repetition must compress hard: ${got(1L)}")
+    assert(got(3L) > 0.7, s"random chars must barely compress: ${got(3L)}")
+    assert(got(4L) == 1.0, "empty doc is the identity ratio")
+    assert(run() == got, "deflate ratio must be deterministic")
+    // the gate entry stays inside whole-stage codegen, no UDF
+    val df = graft.operators.TextAnalysis.textCompressionRatio(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the compact plan string
+    assert(!plan.contains("UDF") && plan.contains("*("),
+      s"kernel left codegen:\n$plan")
+  }
 }
