@@ -53,7 +53,13 @@ object Bench {
     // round 12: same rule — the two operators whose shape changed this
     // round (tfidf df de-windowed to agg+ReusedExchange-join; binned
     // packing's rank sub-bucketed by doc_id range)
-    "text_tfidf_vectors", "pipeline_pack_binned")
+    "text_tfidf_vectors", "pipeline_pack_binned",
+    // round 13: the two new corpus-pass operators — the closed
+    // tokenizer loop (fit 12 merges + encode every doc: the vocab
+    // iteration + word-stream join shape) and the dup-gram share
+    // (tfidf-shaped double agg over positional gram hashes with a
+    // runtime-reused exchange)
+    "text_bpe_encode", "quality_dup_ngram_share")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
