@@ -434,14 +434,17 @@ object Pretrain {
   /** Token-id space: a single-character symbol is its code point; the
     * output of merge step k is `BpeMergeIdBase + k` — above the
     * Unicode range (0x10FFFF), so char ids and merge ids can never
-    * collide. Deterministic from the model alone. */
-  val BpeMergeIdBase = 0x110000
+    * collide. Deterministic from the model alone; shared with the
+    * native kernel ([[graft.functions.BpeCodec]]). */
+  val BpeMergeIdBase: Int = graft.functions.BpeCodec.MergeIdBase
 
   /** (w, n_sub, ids): each distinct word's BPE token count and token
-    * ids. Multi-char symbols resolve through a broadcast join on the
-    * ≤nMerges-row symbol table (NOT a plan-literal map — the model can
-    * be ~30k entries); single chars are their code point via ascii().
-    * The explode runs over vocab rows × symbols — vocab-sized. */
+    * ids — the DECLARATIVE encode path ([[bpeEncodeVocab]] + a
+    * broadcast join on the ≤nMerges-row symbol table; single chars
+    * are their code point via ascii()). The corpus operators run the
+    * native kernel instead ([[bpeEncode]]); this path is the
+    * byte-for-byte parity oracle PretrainSpec checks the kernel
+    * against, built verbatim from the fit's own rewrite. */
   def bpeEncodeVocabIds(words: DataFrame, merges: Seq[(String, String)],
                         spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -466,53 +469,42 @@ object Pretrain {
 
   /** Apply a fitted BPE tokenizer to documents: per doc, whitespace
     * word count, true BPE token count, and the token-id sequence in
-    * document order. The corpus path is two shuffles — the word stream
-    * keyed by `w` onto the encoded vocab, and the per-doc agg — plus
-    * the final doc_id join-back; every merge iteration stayed on the
-    * vocab table. Docs with no words encode to zero tokens. */
+    * document order — ONE map-only projection through the native
+    * [[graft.functions.BpeEncodeDoc]] kernel (the model rides a
+    * broadcast codec with a per-executor word→ids memo; a corpus'
+    * Zipf head pays the merge loop once per executor). Zero shuffles
+    * before the output sort — at 100 TB nothing about the encode
+    * touches the network. Semantics are the fit's own greedy
+    * rank-order rewrite; PretrainSpec pins kernel == the declarative
+    * [[bpeEncodeVocab]] HOF path == an independent scalar reference.
+    * Docs with no words encode to zero tokens. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 spark: SparkSession): DataFrame = {
-    val words = docs.select(explode(bpeWords(col("text"))).as("w")).distinct()
-    val vocabIds = bpeEncodeVocabIds(words, merges, spark)
-    val perDoc = docs
+    val bc = spark.sparkContext.broadcast(
+      new graft.functions.BpeCodec(merges))
+    docs
       .select(col("doc_id"),
-        posexplode(bpeWords(col("text"))).as(Seq("wpos", "w")))
-      .join(vocabIds, Seq("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).as("n_bpe_tokens"),
-        flatten(transform(
-          array_sort(collect_list(struct(col("wpos"), col("ids")))),
-          x => x.getField("ids"))).as("token_ids"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+        graft.functions.BpeFunctions.bpeEncode(col("text"), bc).as("e"))
       .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-        coalesce(col("token_ids"),
-          array().cast("array<int>")).as("token_ids"))
+        col("e.n_words").as("n_words"),
+        size(col("e.token_ids")).cast("long").as("n_bpe_tokens"),
+        col("e.token_ids").as("token_ids"))
       .orderBy(col("doc_id"))
   }
 
   /** Attach tokenizer-TRUE token counts to a documents frame as
     * `n_tokens` (replacing any whitespace-word column a packing
     * operator would otherwise derive): the `tokens=bpe:<modelDir>`
-    * knob of the shard/pack/budget/mixture family. Count-only — the
-    * id sequences never materialize; one vocab encode + one word-
-    * stream join + one per-doc sum. */
+    * knob of the shard/pack/budget/mixture family. Count-only through
+    * the [[graft.functions.BpeTokenCount]] kernel — memo'd per-word
+    * lengths, no id array ever built, map-only. */
   def bpeTokenCounts(docs: DataFrame, modelDir: String,
                      spark: SparkSession): DataFrame = {
-    val merges = loadBpeMerges(spark, modelDir)
-    val words = docs.select(explode(bpeWords(col("text"))).as("w")).distinct()
-    val perWord = bpeEncodeVocab(words, merges)
-      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
-    val counts = docs
-      .select(col("doc_id"), explode(bpeWords(col("text"))).as("w"))
-      .join(perWord, Seq("w"))
-      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("n_tokens"))
+    val bc = spark.sparkContext.broadcast(
+      new graft.functions.BpeCodec(loadBpeMerges(spark, modelDir)))
     docs.drop("n_tokens")
-      .join(counts, Seq("doc_id"), "left")
-      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("n_tokens",
+        graft.functions.BpeFunctions.bpeTokenCount(col("text"), bc))
   }
 
   /** Gate entry: fit 12 merges on the corpus, then encode every doc

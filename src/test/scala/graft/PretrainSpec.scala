@@ -224,6 +224,33 @@ class PretrainSpec extends SparkSpec {
     assert(got.find(_._1 == 1L).get._4 == exp1)
   }
 
+  test("bpe kernel == declarative HOF encode path on every fit-corpus word") {
+    import spark.implicits._
+    val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs") ++
+      Seq.fill(3)("aaaa")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Pretrain.bpeMerges(docs, spark, nMerges = 6)
+      .orderBy(col("step")).collect()
+      .toSeq.map(r => (r.getString(1), r.getString(2)))
+    // declarative reference: the fit's own chained-HOF rewrite over
+    // the distinct-word table + the symbol-id broadcast join
+    val words = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+    val declarative = Pretrain.bpeEncodeVocabIds(words, merges, spark)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](2)).toMap
+    // kernel: one doc per word, through the corpus encode
+    val kernel = Pretrain.bpeEncode(
+        declarative.keys.toSeq.zipWithIndex
+          .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text"),
+        merges, spark)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    declarative.keys.toSeq.zipWithIndex.foreach { case (w, i) =>
+      assert(kernel(i.toLong) == declarative(w),
+        s"kernel diverged on '$w': ${kernel(i.toLong)} vs ${declarative(w)}")
+    }
+  }
+
   test("bpe encode: a no-space doc collapses to 1 whitespace word but real bpe tokens") {
     import spark.implicits._
     // CJK stand-in: no whitespace anywhere — whitespace counting calls
