@@ -141,24 +141,30 @@ object Repl {
     out
   }
 
-  /** Model lifecycle DDL — the distilled-quality-classifier twin of
-    * the index DDL:
+  /** Model lifecycle DDL — the persisted-model twin of the index DDL:
     * {{{
-    *   model <fit|status> quality <modelDir> [dataDir] [key=value ...]
+    *   model <fit|status|maintain> quality <modelDir> [dataDir] [k=v ...]
+    *   model <fit|status> bpe <modelDir> [dataDir] [nMerges=N]
     * }}}
-    * `fit` trains on `dataDir`'s documents (weak Gopher labels,
+    * `quality` is the distilled classifier (weak Gopher labels,
     * deterministic per-class sample; knobs dims, perClass, maxIter,
-    * seed) and persists the weight table at `modelDir`; `status` reads
-    * it back. Scoring composes through
+    * seed; `maintain` reports score-distribution drift vs the fit
+    * snapshot). `bpe` fits the tokenizer's merge table on `dataDir`'s
+    * documents and persists it — the model the packing family's
+    * `tokens=bpe:<modelDir>` knob and `pipeline text_bpe_encode
+    * modelDir=<modelDir>` consume, so the full tokenizer loop is
+    * reachable without a Scala build. Scoring composes through
     * `pipeline quality_score <dataDir> modelDir=<modelDir>`. */
   def evalModel(spark: org.apache.spark.sql.SparkSession, rest: String,
                 baseDir: String): String = {
-    import graft.operators.QualityModel
+    import graft.operators.{Pretrain, QualityModel}
     val toks = rest.trim.split("\\s+")
     require(toks.length >= 3,
-      "syntax: model <fit|status> quality <modelDir> [dataDir] [key=value ...]")
+      "syntax: model <fit|status|maintain> <quality|bpe> <modelDir> " +
+        "[dataDir] [key=value ...]")
     val (verb, kind, dir) = (toks(0).toLowerCase, toks(1).toLowerCase, toks(2))
-    require(kind == "quality", s"unknown model kind '$kind' — expected quality")
+    require(kind == "quality" || kind == "bpe",
+      s"unknown model kind '$kind' — expected quality or bpe")
     val (kvs, positional) = toks.drop(3).partition(_.contains("="))
     require(positional.length <= 1,
       s"unexpected arguments ${positional.drop(1).mkString(" ")}")
@@ -168,6 +174,23 @@ object Repl {
     // read EVERY knob and run the unknown-key guard BEFORE any verb
     // executes: a typo'd knob (prClass=5) must fail fast with no side
     // effects, not train on defaults and persist a model first
+    if (kind == "bpe") {
+      val nMerges = p.int("nMerges", 12)
+      p.requireAllRead()
+      return verb match {
+        case "fit" =>
+          val merges = Pretrain.bpeMerges(
+            Tables.documents(spark, dataDir), spark, nMerges = nMerges)
+          Pretrain.saveBpeModel(merges, dir)
+          s"fitted bpe model at $dir (${merges.count()} merges)"
+        case "status" =>
+          val m = Pretrain.loadBpeMerges(spark, dir)
+          val head = m.take(3).map { case (a, b) => s"($a,$b)" }.mkString(" ")
+          s"bpe model at $dir: ${m.size} merges, first: $head"
+        case other => throw new IllegalArgumentException(
+          s"unknown bpe model verb '$other' — expected fit|status")
+      }
+    }
     val (dims, perClass, maxIter, seed, refDir) =
       (p.int("dims", QualityModel.Dims), p.int("perClass", 2000),
         p.int("maxIter", 25), p.long("seed", 42L), p.str("refDir", ""))

@@ -348,6 +348,31 @@ class PlanRegressionSpec extends SparkSpec {
       s"global head must be per-partition heaps + driver merge:\n$p")
   }
 
+  test("dup-gram share: df branch reuses the (doc, gram) exchange — one tokenize") {
+    val df = SparkEntry.queries("quality_dup_ngram_share")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the df table must come off the SAME (doc, gram) aggregate the
+    // probe side reads — a second scan+explode of the corpus is the
+    // tfidf round-11 regression shape in new clothes
+    assert(p.contains("ReusedExchange"),
+      s"df branch re-tokenizes the corpus (no exchange reuse):\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window belongs in this plan:\n$p")
+  }
+
+  test("bpe encode is map-only: no exchange before the output sort, no UDF") {
+    val df = SparkEntry.queries("text_bpe_encode")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the kernel encode must stay one projection over the scan: any
+    // hash exchange or join means the word-stream reassembly came back
+    assert(!p.contains("hashpartitioning"),
+      s"corpus encode shuffles (word-stream reassembly resurrected):\n$p")
+    assert(!p.contains("UDF(") && !p.contains("BatchEvalPython"),
+      s"encode left codegen:\n$p")
+  }
+
   test("partitioned writes prune partitions on read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Sources.write(

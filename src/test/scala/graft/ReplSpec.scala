@@ -241,6 +241,49 @@ class ReplSpec extends SparkSpec {
       "typo'd fit persisted a default-fitted model")
   }
 
+  test("bpe model DDL: fit + status + tokenizer-true sharding, all from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val base = java.nio.file.Files.createTempDirectory("graft_bpeddl").toString
+    // planted corpus: 'abc' merges are learnable; the CJK stand-in doc
+    // is one whitespace word but six bpe tokens
+    Seq(
+      (1L, "abcabc abcabc abc abc abc", "en"),
+      (2L, "abcabcabcabcabcabc", "zz"),
+      (3L, "x y z", "en"))
+      .toDF("doc_id", "text", "lang").withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$base/data/documents.parquet")
+    val fitMsg = Repl.eval(spark,
+      s"model fit bpe $base/m $base/data nMerges=2", ".")
+    assert(fitMsg.contains("fitted bpe model") && fitMsg.contains("2 merges"),
+      fitMsg)
+    val status = Repl.eval(spark, s"model status bpe $base/m", ".")
+    assert(status.contains("2 merges") && status.contains("(a,b)"), status)
+    // the tokenizer loop closes from SQL: encode view + packing knob
+    Repl.eval(spark,
+      s"pipeline text_bpe_encode $base/data modelDir=$base/m", ".")
+    val enc = GraftEngine.sql(spark,
+      "select doc_id, n_words, n_bpe_tokens from graft_text_bpe_encode " +
+        "order by doc_id", ".")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(2L) == ((1L, 6L)),
+      s"no-space doc must count 6 bpe tokens via the DDL-built model: $enc")
+    Repl.eval(spark,
+      s"pipeline pipeline_shard $base/data tokens=bpe:$base/m budget=6", ".")
+    val shards = spark.table("graft_pipeline_shard")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    // en stratum under bpe counts: doc 1 = 7 tokens, so doc 3 starts at
+    // offset 7 -> shard 1 (whitespace counts would say 5+3 = one shard)
+    assert(shards(1L) == 0L && shards(3L) == 1L,
+      s"bpe counts must move doc 3 past the 6-token budget: $shards")
+    // unknown knob fails fast, nothing persisted
+    val err = intercept[IllegalArgumentException] {
+      Repl.eval(spark, s"model fit bpe $base/m2 merges=2", ".")
+    }
+    assert(err.getMessage.contains("merges"), err.getMessage)
+    assert(!new java.io.File(s"$base/m2").exists)
+  }
+
   test("render truncates past MaxRows and shows nulls as NULL") {
     import spark.implicits._
     val big = spark.range(500).toDF("id")
