@@ -59,7 +59,11 @@ object Bench {
     // iteration + word-stream join shape) and the dup-gram share
     // (tfidf-shaped double agg over positional gram hashes with a
     // runtime-reused exchange)
-    "text_bpe_encode", "quality_dup_ngram_share")
+    "text_bpe_encode", "quality_dup_ngram_share",
+    // round 13b: corpus-order novelty (min-agg join-back over distinct
+    // gram hashes) and the conversion-lag histogram (two filtered
+    // per-user min legs + reduced-bucket cumulative window)
+    "text_ngram_novelty", "events_conversion_lag")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

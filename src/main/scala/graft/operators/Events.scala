@@ -600,7 +600,47 @@ object Events {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Conversion-lag distribution: whole hours from a user's FIRST view
+    * to their FIRST purchase strictly after it, bucketed, with the
+    * cumulative converter share per bucket — the time-to-convert curve
+    * product analytics reads next to the funnel (the funnel says HOW
+    * MANY convert; this says HOW LONG they take).
+    *
+    * Scale shape: two filtered min() aggs keyed by user (partial+final
+    * — the event stream shuffles once per leg as one row per user), an
+    * equi-join on user_id, then the histogram agg reduces converters to
+    * #buckets rows; the only window (cumulative share) runs over that
+    * reduced bucket table, bounded by the time range by construction.
+    * Lag is computed in exact epoch microseconds with integer floor
+    * division on both engines; cum_share ships as the unrounded
+    * quotient of two exact ints. */
+  def conversionLag(e: DataFrame): DataFrame = {
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).where(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_conv"))
+    val buckets = p
+      .select(expr("(unix_micros(t_conv) - unix_micros(t_view))" +
+        " div 3600000000").as("lag_hours"))
+      .groupBy(col("lag_hours")).agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy(col("lag_hours"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .select(col("lag_hours"), col("n_users"),
+        sum(col("n_users")).over(w).as("cum_users"),
+        (sum(col("n_users")).over(w).cast(DoubleType) /
+          sum(col("n_users")).over(all)).as("cum_share"))
+      .orderBy(col("lag_hours"))
+  }
+
+  def eventsConversionLag(s: SparkSession, d: String): DataFrame =
+    conversionLag(events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_conversion_lag" -> (eventsConversionLag _),
     "events_type_affinity" -> (eventsTypeAffinity _),
     "events_ab_assign" -> ((s: SparkSession, d: String) =>
       eventsAbAssign(s, d)),
@@ -635,6 +675,27 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), p AS (
+        |  SELECT e.user_id, v.t_view, min(e.ts) AS t_conv
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        |  GROUP BY e.user_id, v.t_view
+        |), b AS (
+        |  SELECT (epoch_us(t_conv) - epoch_us(t_view)) // 3600000000
+        |    AS lag_hours, count(*) AS n_users
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT lag_hours, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY lag_hours
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+        |  CAST(sum(n_users) OVER (ORDER BY lag_hours
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |  CAST(sum(n_users) OVER () AS DOUBLE) AS cum_share
+        |FROM b ORDER BY lag_hours""".stripMargin,
     "events_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt

@@ -474,7 +474,50 @@ object TextAnalysis {
           .as("deflate_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Per-document n-gram NOVELTY in corpus order (doc_id = ingestion
+    * order): the share of a doc's distinct word-8-grams first seen in
+    * THIS doc (corpus-wide min doc_id == this doc). The curve answers
+    * the crawl-growth question dedup rates can't — how much genuinely
+    * new content each increment contributes vs re-shuffled boilerplate
+    * (the marginal-utility diagnostic of Muennighoff et al. 2023,
+    * arXiv:2305.16264's repeated-data regime).
+    *
+    * Scale shape: grams reduce to 8-byte hashes map-side via the native
+    * distinct-gram kernel (no gram strings materialize); the corpus-wide
+    * first-doc table is a min() agg joined back on the 8-byte key, and
+    * the final agg is partial+final per doc. min(doc_id) is an
+    * ORDER-INSENSITIVE agg, so "first seen" needs no sort and no window
+    * anywhere. Both join sides tokenize from the scan independently — a
+    * deliberate trade vs quality_dup_ngram_share's reused (doc, gram)
+    * exchange: the kernel emits DISTINCT grams, so pre-reducing buys
+    * nothing, and re-tokenizing (map-side CPU over a column-pruned scan)
+    * is cheaper at 100 TB than a third full-gram-stream shuffle; AQE
+    * broadcasts the df-sized first-doc table when it fits and falls back
+    * to a shuffle join keyed on 8-byte grams when it doesn't. novelty
+    * ships as the unrounded quotient of two exact ints. Oracle replays
+    * the definition with string grams (agreement modulo 64-bit
+    * collisions, the contamination exposure). */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.ngramHashes
+    val red = docs
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("ng"))
+    val first = red.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+    red.join(first, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_distinct_grams"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_distinct_grams"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  def textNgramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNovelty(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_hashed_bow" -> (textHashedBow _),
     "text_sentences" -> (textSentences _),
@@ -495,6 +538,26 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 8
+        |    THEN list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' '))
+        |    ELSE [array_to_string(w, ' ')] END)) AS ng
+        |  FROM t
+        |), f AS (
+        |  SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY ng
+        |)
+        |SELECT g.doc_id, count(*) AS n_distinct_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS novelty
+        |FROM g JOIN f USING (ng)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     "text_vocab_coverage" ->
       """WITH tf AS (
         |  SELECT term, count(*) AS cnt FROM (

@@ -327,4 +327,32 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN)
     }
   }
+
+  test("conversion lag: floor-hour buckets, pre-view purchases excluded, cum share monotone to 1") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 09:00:00").getTime
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "view"),      // converts 30 min later -> bucket 0
+      (2L, ts(30), 10L, "purchase"),
+      (3L, ts(0), 11L, "view"),      // 90 min -> bucket 1
+      (4L, ts(90), 11L, "purchase"),
+      (5L, ts(0), 12L, "view"),      // exactly 2 h -> bucket 2
+      (6L, ts(120), 12L, "purchase"),
+      (7L, ts(60), 13L, "purchase"), // purchase BEFORE first view: no conv
+      (8L, ts(120), 13L, "view"),
+      (9L, ts(0), 14L, "view"))      // never converts
+      .map { case (id, t, u, et) => (id, t, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.conversionLag(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 1.0 / 3), (1L, 1L, 2L, 2.0 / 3), (2L, 1L, 3L, 1.0)),
+      s"got ${out.toSeq}")
+    // corpus: cum_share is monotone nondecreasing and ends exactly at 1
+    val corpus = Events.eventsConversionLag(spark, Sf).collect()
+      .map(_.getDouble(3))
+    assert(corpus.nonEmpty && corpus.last == 1.0)
+    assert(corpus.zip(corpus.tail).forall { case (a, b) => a <= b })
+  }
 }

@@ -141,4 +141,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("UDF") && plan.contains("*("),
       s"kernel left codegen:\n$plan")
   }
+
+  test("ngram novelty: first doc 1.0, verbatim repeat 0.0, half-new 0.5, no window in plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // one 8-gram, first seen here
+      (2L, "a b c d e f g h"),       // same gram -> nothing novel
+      (3L, "a b c d e f g h i"))     // grams [a..h] (old), [b..i] (new)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 1.0), (2L, 1L, 0L, 0.0), (3L, 2L, 1L, 0.5)),
+      s"got ${out.toSeq}")
+    // short doc (<8 words) contributes exactly one whole-doc gram
+    val short = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val so = TextAnalysis.ngramNovelty(short).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(so.toSeq == Seq((1L, 1L, 1.0), (2L, 1L, 0.0)))
+    // plan shape: min() agg + join-back — no Window node anywhere, and
+    // the (doc, gram) reduction feeds both sides (one tokenize)
+    val df = TextAnalysis.textNgramNovelty(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"novelty must not window:\n$plan")
+  }
 }
