@@ -323,4 +323,53 @@ class EdgeCaseSpec extends SparkSpec {
     assert(edges.where(col("id1") === col("id2")).isEmpty,
       "star edges must never contain self-edges")
   }
+
+  test("round-13 text operators survive hostile docs") {
+    import spark.implicits._
+    // BPE encode with an empty merge table = codepoint-level ids:
+    // nothing throws, CJK encodes per codepoint where whitespace
+    // word-counting collapses to one "word", identical docs agree
+    val enc = graft.operators.Pretrain.bpeEncode(hostile, Seq.empty, spark)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Int](3)))).toMap
+    assert(enc.size == 7)
+    assert(enc(4L)._1 == 1L, "no-space CJK is ONE whitespace word")
+    assert(enc(4L)._2 == 13L, "13 codepoints -> 13 unmerged ids")
+    assert(enc(5L) == enc(6L), "identical docs must encode identically")
+    assert(enc(3L)._3 == "word".map(_.toInt).toSeq)
+    // dup-gram share: empty and whitespace-only docs collapse to the
+    // same whole-doc gram (the split edge artifact) -> both duplicated;
+    // byte-identical boilerplate pair -> share exactly 1.0
+    val ds = QualityRules.dupNgramShare(hostile)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ds.size == 7 && ds.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(ds(1L) == 1.0 && ds(2L) == 1.0 && ds(5L) == 1.0 && ds(6L) == 1.0)
+    assert(ds(4L) == 0.0, "unique CJK doc shares nothing")
+    // deflate ratio: identity on empty, finite positive on CJK
+    val cr = hostile.select(col("doc_id"),
+      graft.functions.DeflateRatio.deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cr(1L) == 1.0)
+    assert(cr.values.forall(v => v > 0.0 && !v.isNaN && !v.isInfinite))
+    // novelty: every doc reports, shares bounded, the repeat pair is
+    // first-new then all-old
+    val nv = TextAnalysis.ngramNovelty(hostile)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nv.size == 7 && nv.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(nv(5L) == 1.0 && nv(6L) == 0.0)
+  }
+
+  test("conversion lag on degenerate streams: no views / no purchases / empty") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String, Long, String)]) =
+      rows.map { case (id, t, u, et) =>
+        (id, java.sql.Timestamp.valueOf(t), u, et, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val noPurch = ev(Seq((1L, "2024-01-01 10:00:00", 1L, "view")))
+    assert(graft.operators.Events.conversionLag(noPurch).isEmpty)
+    val noViews = ev(Seq((1L, "2024-01-01 10:00:00", 1L, "purchase")))
+    assert(graft.operators.Events.conversionLag(noViews).isEmpty)
+    assert(graft.operators.Events.conversionLag(
+      ev(Seq.empty)).isEmpty)
+  }
 }
