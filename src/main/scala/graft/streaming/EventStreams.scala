@@ -232,6 +232,36 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_isimg", "_b0")
       .drop("_ph", "_isimg", "_b0")
 
+  /** Streaming AUDIO near-dup admission — the waveform-plane twin of
+    * [[imageDedupStream]], reusing the batch dedup_audio_fp machinery
+    * (volume-rescale-invariant energy-envelope fingerprint over the
+    * RIFF data chunk, 16-bit band buckets): key = the first band of
+    * the fingerprint, deduped within the watermark. A re-rendered /
+    * volume-rescaled copy lands on the identical fingerprint, so its
+    * first band matches and the copy drops with ONE long of state per
+    * live bucket; borderline variants defer to the batch
+    * banded-Hamming pass — the single-band trade all the admission
+    * streams make, for the same state-store reason.
+    *
+    * Non-audio / unsupported-format blobs fingerprint to null and key
+    * on the full blob content instead (deduping only exact byte
+    * repeats of themselves); the `_isaud` discriminator keeps the two
+    * key spaces disjoint. The decode rides the native audio_fp64
+    * expression — stateless map-side, no UDF, blobs never shuffle
+    * (the state key is 16 bits + the discriminator). */
+  def audioDedupStream(blobs: DataFrame, tsCol: String = "ts",
+                       blobCol: String = "blob"): DataFrame =
+    blobs
+      .withColumn("_fp",
+        graft.functions.MediaFunctions.audioFp64(col(blobCol)))
+      .withColumn("_isaud", col("_fp").isNotNull)
+      .withColumn("_b0", when(col("_isaud"),
+          col("_fp").bitwiseAND(lit(0xffffL)))
+        .otherwise(xxhash64(col(blobCol))))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("_isaud", "_b0")
+      .drop("_fp", "_isaud", "_b0")
+
   /** Streaming ingest admission — the stateless gates a crawl stream
     * passes BEFORE any stateful dedup: Gopher-style quality rules plus
     * a benchmark-contamination check, both pure map-side filters (no

@@ -464,4 +464,58 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
+
+  test("streaming audio dedup drops re-mastered twins, keeps distinct clips") {
+    import spark.implicits._
+    def wav(f: Int => Int): Array[Byte] = {
+      val n = 65536
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(n)
+      bb.array() ++ Array.tabulate(n)(i => f(i).toByte)
+    }
+    def burst(amp: Int)(i: Int): Int = {
+      val a = if ((i / 1024) % 2 == 0) amp else amp / 10
+      128 + (a * math.sin(i / 3.0)).toInt
+    }
+    val orig = wav(burst(100))
+    val remaster = wav(burst(40))                     // volume rescale
+    val distinct = wav(i => burst(100)(i + 1024))     // opposite contour
+    // preconditions the stream key relies on: identical fp for the
+    // re-master, a DIFFERENT first band for the distinct contour
+    val fo = graft.operators.Multimodal.audioFp64(orig).get
+    assert(graft.operators.Multimodal.audioFp64(remaster).get == fo)
+    val fd = graft.operators.Multimodal.audioFp64(distinct).get
+    assert((fd & 0xffffL) != (fo & 0xffffL),
+      f"planted contours share a band — pick another contour: $fo%016x $fd%016x")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_auddedup").toString
+    val blobs = Seq(
+      (1L, orig), (2L, remaster), (3L, distinct),
+      (4L, "not audio".getBytes("UTF-8")),
+      (5L, "not audio".getBytes("UTF-8")),            // exact byte repeat
+      (6L, "другой blob".getBytes("UTF-8"))
+    ).toDF("doc_id", "blob").withColumn("ts", lit(ts))
+    blobs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(blobs.schema).parquet(s"$base/in")
+    val gated = EventStreams.audioDedupStream(stream)
+    assert(!gated.queryExecution.analyzed.toString.contains("UDF"),
+      "audio fingerprint left the declarative plan")
+    val q = gated.writeStream.format("memory").queryName("aud_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("aud_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 2L)).size == 1,
+      s"re-mastered twin must collapse to one survivor: $kept")
+    assert(kept.contains(3L), s"distinct clip dropped: $kept")
+    assert(kept.intersect(Set(4L, 5L)).size == 1,
+      s"byte-identical non-audio must collapse: $kept")
+    assert(kept.contains(6L), s"distinct non-audio dropped: $kept")
+  }
 }
