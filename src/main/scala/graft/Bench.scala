@@ -63,7 +63,11 @@ object Bench {
     // round 13b: corpus-order novelty (min-agg join-back over distinct
     // gram hashes) and the conversion-lag histogram (two filtered
     // per-user min legs + reduced-bucket cumulative window)
-    "text_ngram_novelty", "events_conversion_lag")
+    "text_ngram_novelty", "events_conversion_lag",
+    // round 13c: the cross-source gram-Jaccard matrix (distinct
+    // (source, gram) reduction + gram-keyed self-join) — the heaviest
+    // new shape this round
+    "pipeline_source_overlap")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

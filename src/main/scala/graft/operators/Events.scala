@@ -639,8 +639,42 @@ object Events {
   def eventsConversionLag(s: SparkSession, d: String): DataFrame =
     conversionLag(events(s, d))
 
+  /** User-tenure survival curve: S(t) = share of users whose observed
+    * tenure (days between first and last event) is ≥ t — the
+    * discrete-time survival report behind every retention model
+    * (retention answers "came back on D+1?"; this answers "how long do
+    * users LAST?").
+    *
+    * Scale shape: one per-user min/max agg (partial+final — the event
+    * stream shuffles once as one row per user), a tenure histogram agg
+    * to #tenure-days rows, and the reverse-cumulative windows run over
+    * that reduced bucket table, bounded by the corpus time range by
+    * construction. survival ships as the unrounded quotient of two
+    * exact ints. */
+  def tenureSurvival(e: DataFrame): DataFrame = {
+    val ten = e.groupBy(col("user_id"))
+      .agg(datediff(date_trunc("day", max(col("ts"))),
+        date_trunc("day", min(col("ts")))).as("tenure_days"))
+    val buckets = ten.groupBy(col("tenure_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = Window.orderBy(col("tenure_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .select(col("tenure_days"), col("n_users"),
+        sum(col("n_users")).over(rev).as("n_surviving"),
+        (sum(col("n_users")).over(rev).cast(DoubleType) /
+          sum(col("n_users")).over(all)).as("survival"))
+      .orderBy(col("tenure_days"))
+  }
+
+  def eventsTenureSurvival(s: SparkSession, d: String): DataFrame =
+    tenureSurvival(events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_conversion_lag" -> (eventsConversionLag _),
+    "events_tenure_survival" -> (eventsTenureSurvival _),
     "events_type_affinity" -> (eventsTypeAffinity _),
     "events_ab_assign" -> ((s: SparkSession, d: String) =>
       eventsAbAssign(s, d)),
@@ -675,6 +709,22 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_tenure_survival" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(date_diff('day',
+        |    date_trunc('day', min(ts)), date_trunc('day', max(ts)))
+        |    AS INT) AS tenure_days
+        |  FROM events GROUP BY user_id
+        |), b AS (
+        |  SELECT tenure_days, count(*) AS n_users FROM u GROUP BY 1
+        |)
+        |SELECT tenure_days, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY tenure_days DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_surviving,
+        |  CAST(sum(n_users) OVER (ORDER BY tenure_days DESC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |  CAST(sum(n_users) OVER () AS DOUBLE) AS survival
+        |FROM b ORDER BY tenure_days""".stripMargin,
     "events_conversion_lag" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events

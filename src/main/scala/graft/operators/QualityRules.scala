@@ -306,7 +306,54 @@ object QualityRules {
           .cast("double") / count(lit(1))), 6).as("dup_rate"))
       .orderBy(col("source"))
 
+  /** Cross-source n-gram overlap matrix: distinct-word-8-gram Jaccard
+    * for every source pair — the re-crawl detector (a pair at
+    * Jaccard 0.9 is one crawl mirrored twice; per-source dup rates
+    * can't see it because each copy is internally clean). The report
+    * every mixture decision should consult before weighting "two"
+    * sources that are one.
+    *
+    * Scale shape: the corpus reduces ONCE to the distinct
+    * (source, 8-byte gram) table (map-side kernel hashes + one
+    * partial+final agg — raw grams never shuffle); the pair
+    * intersection is a self-join on the 8-byte gram key whose output
+    * is bounded by #sources² rows per gram (sources are ~1e2-1e3 at
+    * any corpus size — the gram's source LIST is small even when its
+    * df is millions); per-source sizes are a #sources-row broadcast;
+    * the full #pairs grid comes from a broadcast self-cross of that
+    * tiny size table, so zero-overlap pairs report too. jaccard ships
+    * as the unrounded quotient of exact ints via inclusion-exclusion.
+    * Oracle replays with string grams (64-bit-collision exposure, the
+    * contamination discipline). */
+  def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.ngramHashes
+    val sg = docs
+      .select(col("source"), explode(ngramHashes(col("text"), n)).as("ng"))
+      .distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ov = sg.as("a").join(sg.as("b"), Seq("ng"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val grid = broadcast(sizes).as("s1")
+      .join(broadcast(sizes).as("s2"), col("s1.source") < col("s2.source"))
+      .select(col("s1.source").as("source_a"), col("s2.source").as("source_b"),
+        col("s1.n").as("grams_a"), col("s2.n").as("grams_b"))
+    grid.join(ov, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("grams_a"), col("grams_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
+          (col("grams_a") + col("grams_b") -
+            coalesce(col("n_common"), lit(0L)))).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def pipelineSourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlap(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_source_overlap" -> (pipelineSourceOverlap _),
     "quality_domain_gate" -> (qualityDomainGate _),
     "pipeline_waterfall" -> (pipelineWaterfall _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -354,6 +401,32 @@ object QualityRules {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipeline_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(CASE WHEN len(w) >= 8
+        |    THEN list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' '))
+        |    ELSE [array_to_string(w, ' ')] END)) AS ng
+        |  FROM t
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM g GROUP BY source
+        |), ov AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_common
+        |  FROM g a JOIN g b USING (ng) WHERE a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s1.source AS source_a, s2.source AS source_b,
+        |  CAST(s1.n AS BIGINT) AS grams_a, CAST(s2.n AS BIGINT) AS grams_b,
+        |  CAST(COALESCE(ov.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(COALESCE(ov.n_common, 0) AS DOUBLE) /
+        |    (s1.n + s2.n - COALESCE(ov.n_common, 0)) AS jaccard
+        |FROM sz s1 JOIN sz s2 ON s1.source < s2.source
+        |LEFT JOIN ov ON ov.source_a = s1.source AND ov.source_b = s2.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "pipeline_waterfall" ->
       s"""WITH t AS (
         |  SELECT doc_id, source, text,

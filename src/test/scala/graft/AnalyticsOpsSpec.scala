@@ -355,4 +355,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(corpus.nonEmpty && corpus.last == 1.0)
     assert(corpus.zip(corpus.tail).forall { case (a, b) => a <= b })
   }
+
+  test("tenure survival: exact curve on planted users, monotone nonincreasing on corpus") {
+    import spark.implicits._
+    def ev(id: Long, day: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(s"2024-02-$day 12:00:00"),
+        u, "view", 1.0, "{}")
+    val e = Seq(
+      ev(1L, "01", 10L),                      // tenure 0
+      ev(2L, "01", 11L), ev(3L, "03", 11L),   // tenure 2
+      ev(4L, "01", 12L), ev(5L, "02", 12L))   // tenure 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.tenureSurvival(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0, 1L, 3L, 1.0), (1, 1L, 2L, 2.0 / 3), (2, 1L, 1L, 1.0 / 3)),
+      s"got ${out.toSeq}")
+    // corpus: survival starts at exactly 1, never increases with tenure
+    val s = Events.eventsTenureSurvival(spark, Sf).collect()
+      .map(_.getDouble(3))
+    assert(s.nonEmpty && s.head == 1.0)
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+  }
 }

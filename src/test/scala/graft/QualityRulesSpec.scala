@@ -141,4 +141,26 @@ class QualityRulesSpec extends SparkSpec {
     // the verdict column carries the source mean, same for both docs
     assert(kept.forall(_.getDouble(2) == 7.0))
   }
+
+  test("source overlap: exact jaccard on planted mirror, zero pairs reported, no window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h", "srcA"),            // gram g1
+      (2L, "a b c d e f g h", "srcB"),            // g1 mirrored into B
+      (3L, "x y z q r s t u", "srcB"),            // B also has g2
+      (4L, "totally different words over here now ok", "srcC")) // g3
+      .toDF("doc_id", "text", "source")
+    val out = QualityRules.sourceOverlap(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.size == 3, s"need the full pair grid: ${out.keySet}")
+    assert(out(("srcA", "srcB")) == ((1L, 2L, 1L, 0.5)),
+      s"mirror pair wrong: ${out(("srcA", "srcB"))}")
+    assert(out(("srcA", "srcC"))._4 == 0.0 && out(("srcB", "srcC"))._4 == 0.0,
+      "disjoint sources must report jaccard 0, not vanish")
+    val df = QualityRules.pipelineSourceOverlap(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"overlap must not window:\n$plan")
+  }
 }
