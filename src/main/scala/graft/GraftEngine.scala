@@ -327,6 +327,18 @@ object GraftEngine {
         graft.operators.Sharding.pipelineScd2(s, d)),
       "events_active_streaks" -> ((s, d, p) =>
         graft.operators.Events.eventsActiveStreaks(s, d)),
+      "events_conversion_lag" -> ((s, d, p) =>
+        graft.operators.Events.conversionLag(Tables.events(s, d),
+          fromType = p.str("from", "view"),
+          toType = p.str("to", "purchase"))),
+      "events_tenure_survival" -> ((s, d, p) =>
+        graft.operators.Events.tenureSurvival(Tables.events(s, d))),
+      "text_ngram_novelty" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.ngramNovelty(
+          Tables.documents(s, d), n = p.int("n", 8))),
+      "pipeline_source_overlap" -> ((s, d, p) =>
+        graft.operators.QualityRules.sourceOverlap(
+          Tables.documents(s, d), n = p.int("n", 8))),
       // scoring view over a PERSISTED model (the `model fit quality`
       // DDL's output) — the batch twin of qualityGateStream
       "quality_score" -> ((s, d, p) => {

@@ -614,10 +614,11 @@ object Events {
     * Lag is computed in exact epoch microseconds with integer floor
     * division on both engines; cum_share ships as the unrounded
     * quotient of two exact ints. */
-  def conversionLag(e: DataFrame): DataFrame = {
-    val v = e.where(col("event_type") === "view")
+  def conversionLag(e: DataFrame, fromType: String = "view",
+                    toType: String = "purchase"): DataFrame = {
+    val v = e.where(col("event_type") === fromType)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val p = e.where(col("event_type") === "purchase")
+    val p = e.where(col("event_type") === toType)
       .join(v, Seq("user_id")).where(col("ts") > col("t_view"))
       .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_conv"))
     val buckets = p

@@ -111,6 +111,13 @@ object ScaleStress {
         docs.where(col("doc_id") % 97 === 0)))
     time("unigram logprob")(
       graft.operators.TextAnalysis.unigramLogprob(docs))
+    // cross-source gram Jaccard: the clone salt keeps texts distinct
+    // but sources repeat per copy, so the pair grid and the per-gram
+    // source lists stay realistic as the corpus grows
+    time("source overlap")(
+      graft.operators.QualityRules.sourceOverlap(docs))
+    time("ngram novelty")(
+      graft.operators.TextAnalysis.ngramNovelty(docs))
     time("dsir weights")(
       graft.operators.Pretrain.dsirWeight(docs))
     time("bigram logprob")(

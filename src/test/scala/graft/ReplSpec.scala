@@ -294,4 +294,30 @@ class ReplSpec extends SparkSpec {
       .toDF("id", "v")
     assert(Repl.render(nulls).contains("NULL"))
   }
+
+  test("round-13 analytics take knobs through the pipeline view") {
+    // conversion lag re-targeted at view->click: a DIFFERENT funnel leg
+    // than the gate default, so the curves must disagree somewhere
+    GraftEngine.pipelineView(spark, "events_conversion_lag", Sf,
+      Map("to" -> "click"))
+    val clicks = GraftEngine.sql(spark,
+      "select lag_hours, n_users from graft_events_conversion_lag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dflt = graft.operators.Events.eventsConversionLag(spark, Sf)
+      .select("lag_hours", "n_users")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clicks.nonEmpty)
+    assert(clicks != dflt,
+      s"view->click must trace a different lag curve than view->purchase")
+    // novelty at n=2: denser grams than the 8-gram default
+    GraftEngine.pipelineView(spark, "text_ngram_novelty", Sf,
+      Map("n" -> "2"))
+    val g2 = GraftEngine.sql(spark,
+      "select sum(n_distinct_grams) as n from graft_text_ngram_novelty")
+      .collect().head.getLong(0)
+    val g8 = graft.operators.TextAnalysis.textNgramNovelty(spark, Sf)
+      .agg(org.apache.spark.sql.functions.sum("n_distinct_grams"))
+      .collect().head.getLong(0)
+    assert(g2 > g8, s"2-grams must outnumber 8-grams: $g2 vs $g8")
+  }
 }
