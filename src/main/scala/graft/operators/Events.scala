@@ -673,7 +673,87 @@ object Events {
   def eventsTenureSurvival(s: SparkSession, d: String): DataFrame =
     tenureSurvival(events(s, d))
 
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned decomposition every growth team reads first: a user's week
+    * is `new` (first week ever seen), `retained` (also active the
+    * immediately-preceding calendar week), or `resurrected` (returned
+    * after a gap); `churned` for week w counts users active in week
+    * w−7d who did not return in w, so n_active(w−7d) =
+    * n_retained(w) + n_churned(w) holds by construction.
+    *
+    * Scale shape: events reduce to distinct (user, week) in one
+    * partial+final agg; the only per-row window is the per-user lag,
+    * bounded by a user's own active weeks (inherent to the
+    * semantics); the churn join-back is a self-join of the reduced
+    * weekly table (#weeks rows — broadcast by AQE). No corpus-wide
+    * windows anywhere. */
+  def lifecycleStates(e: DataFrame): DataFrame = {
+    val uw = e.select(col("user_id"),
+      date_trunc("week", col("ts")).as("week")).distinct()
+    val prev = lag(col("week"), 1)
+      .over(Window.partitionBy(col("user_id")).orderBy(col("week")))
+    val weekly = uw.withColumn("prev_week", prev)
+      .select(col("week"),
+        when(col("prev_week").isNull, "new")
+          .when(datediff(col("week"), col("prev_week")) === 7, "retained")
+          .otherwise("resurrected").as("state"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    weekly
+      .join(weekly.select(
+        (col("week") + expr("INTERVAL 7 DAY")).as("week"),
+        col("n_active").as("prev_active")), Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  def eventsLifecycleStates(s: SparkSession, d: String): DataFrame =
+    lifecycleStates(events(s, d))
+
+  /** Activity-concentration curve: for each per-user event count k,
+    * how many users have exactly k events, what share of USERS have
+    * ≥ k, and what share of all EVENTS those users contribute — the
+    * Lorenz/Pareto readout ("the top 1% of users generate x% of
+    * traffic") that sizes bot caps, rate limits, and skew handling.
+    *
+    * Scale shape: one per-user count (partial+final, one row per
+    * user), then a count-of-counts histogram agg to #distinct-count
+    * rows; both cumulative windows run over that reduced histogram
+    * only — NEVER a rank/ntile over the corpus-sized per-user table.
+    * Both shares ship as unrounded quotients of exact integers. */
+  def userConcentration(e: DataFrame): DataFrame = {
+    val hist = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("n_events")).agg(count(lit(1)).as("n_users"))
+    val rev = Window.orderBy(col("n_events").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .select(col("n_events"), col("n_users"),
+        (sum(col("n_users")).over(rev).cast(DoubleType) /
+          sum(col("n_users")).over(all)).as("user_share_ge"),
+        (sum(col("n_events") * col("n_users")).over(rev)
+          .cast(DoubleType) /
+          sum(col("n_events") * col("n_users")).over(all))
+          .as("event_share_ge"))
+      .orderBy(col("n_events"))
+  }
+
+  def eventsUserConcentration(s: SparkSession, d: String): DataFrame =
+    userConcentration(events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_lifecycle_states" -> (eventsLifecycleStates _),
+    "events_user_concentration" -> (eventsUserConcentration _),
     "events_conversion_lag" -> (eventsConversionLag _),
     "events_tenure_survival" -> (eventsTenureSurvival _),
     "events_type_affinity" -> (eventsTypeAffinity _),
@@ -710,6 +790,52 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_lifecycle_states" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events
+        |), st AS (
+        |  SELECT week,
+        |    CASE WHEN prev_week IS NULL THEN 'new'
+        |         WHEN date_diff('day', prev_week, week) = 7
+        |           THEN 'retained'
+        |         ELSE 'resurrected' END AS state
+        |  FROM (SELECT week,
+        |          lag(week) OVER (PARTITION BY user_id ORDER BY week)
+        |            AS prev_week
+        |        FROM uw)
+        |), weekly AS (
+        |  SELECT week, count(*) AS n_active,
+        |    count(*) FILTER (WHERE state = 'new') AS n_new,
+        |    count(*) FILTER (WHERE state = 'retained') AS n_retained,
+        |    count(*) FILTER (WHERE state = 'resurrected')
+        |      AS n_resurrected
+        |  FROM st GROUP BY week
+        |)
+        |SELECT w.week, CAST(w.n_active AS BIGINT) AS n_active,
+        |  CAST(w.n_new AS BIGINT) AS n_new,
+        |  CAST(w.n_retained AS BIGINT) AS n_retained,
+        |  CAST(w.n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(p.n_active, 0) - w.n_retained AS BIGINT)
+        |    AS n_churned
+        |FROM weekly w
+        |LEFT JOIN weekly p ON w.week = p.week + INTERVAL 7 DAY
+        |ORDER BY w.week""".stripMargin,
+    "events_user_concentration" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        |), h AS (
+        |  SELECT n_events, count(*) AS n_users FROM per GROUP BY 1
+        |)
+        |SELECT n_events, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY n_events DESC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |  CAST(sum(n_users) OVER () AS DOUBLE) AS user_share_ge,
+        |  CAST(sum(n_events * n_users) OVER (ORDER BY n_events DESC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |  CAST(sum(n_events * n_users) OVER () AS DOUBLE)
+        |    AS event_share_ge
+        |FROM h ORDER BY n_events""".stripMargin,
     "events_tenure_survival" ->
       """WITH u AS (
         |  SELECT user_id, CAST(date_diff('day',

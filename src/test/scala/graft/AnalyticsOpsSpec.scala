@@ -377,4 +377,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.head == 1.0)
     assert(s.zip(s.tail).forall { case (a, b) => a >= b })
   }
+
+  test("lifecycle states: new/retained/resurrected/churned on a planted 4-week timeline") {
+    import spark.implicits._
+    // weeks are Mondays: 2024-01-01 / 08 / 15 / 22
+    def ev(id: Long, day: String, u: Long) =
+      (id, java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00"),
+        u, "view", 1.0, "{}")
+    val e = Seq(
+      ev(1L, "01", 1L), ev(2L, "09", 1L), ev(3L, "23", 1L), // w1 w2 w4
+      ev(4L, "02", 2L),                                     // w1 only
+      ev(5L, "08", 3L), ev(6L, "16", 3L))                   // w2 w3
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.lifecycleStates(e).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 0L, 0L, 0L),
+      ("2024-01-08", 2L, 1L, 1L, 0L, 1L),  // u2 churned, u1 retained
+      ("2024-01-15", 1L, 0L, 1L, 0L, 1L),  // u1 churned, u3 retained
+      ("2024-01-22", 1L, 0L, 0L, 1L, 1L)), // u1 resurrects, u3 churns
+      s"got ${out.toSeq}")
+    // corpus: the accounting identity holds on every week
+    val c = Events.eventsLifecycleStates(spark, Sf).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"active != new+retained+resurrected at ${r.getTimestamp(0)}")
+    }
+    c.sliding(2).foreach { w =>
+      if (w.length == 2 &&
+        w(1).getTimestamp(0).getTime - w(0).getTimestamp(0).getTime ==
+          7L * 86400000L)
+        assert(w(0).getLong(1) == w(1).getLong(3) + w(1).getLong(5),
+          s"prev_active != retained+churned at ${w(1).getTimestamp(0)}")
+    }
+  }
+
+  test("user concentration: exact shares on planted counts, monotone on corpus") {
+    import spark.implicits._
+    def ev(id: Long, u: Long) =
+      (id, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+        u, "view", 1.0, "{}")
+    // u1: 3 events, u2: 3, u3: 1  -> hist {1 -> 1 user, 3 -> 2 users}
+    val e = Seq(ev(1L, 1L), ev(2L, 1L), ev(3L, 1L), ev(4L, 2L),
+      ev(5L, 2L), ev(6L, 2L), ev(7L, 3L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.userConcentration(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1.0, 1.0), (3L, 2L, 2.0 / 3, 6.0 / 7)),
+      s"got ${out.toSeq}")
+    // corpus: shares start at exactly 1 and never increase with k;
+    // the histogram reconstructs the event total
+    val c = Events.eventsUserConcentration(spark, Sf).collect()
+    assert(c.nonEmpty && c.head.getDouble(2) == 1.0 &&
+      c.head.getDouble(3) == 1.0)
+    val us = c.map(_.getDouble(2)); val es = c.map(_.getDouble(3))
+    assert(us.zip(us.tail).forall { case (a, b) => a >= b })
+    assert(es.zip(es.tail).forall { case (a, b) => a >= b })
+    val total = c.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(total == graft.Tables.events(spark, Sf).count())
+  }
 }
