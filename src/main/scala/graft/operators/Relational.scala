@@ -878,11 +878,70 @@ object Relational {
           .cast(DoubleType).as("open_total"))
       .orderBy(col("o_orderpriority"))
 
+  /** Value-extraction window functions first_value / last_value /
+    * nth_value over an explicit full frame — the "what did this
+    * partition start/end with" family that completes the ranking
+    * (rank/ntile) and offset (lead/lag) windows. The frame is pinned
+    * ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING on both engines:
+    * the default frame makes last_value degenerate (current row) and
+    * nth_value NULL until row n, the classic silent-wrong-answer.
+    * Per-customer partitions — bounded by a key's own orders. */
+  def qWindowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .where(col("o_custkey") < 150)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Bitwise aggregates bit_and / bit_or / bit_xor — order-independent
+    * (commutative, associative) single-pass partial+final aggregates,
+    * the flag-mask rollup shape (permission masks, feature bitmaps,
+    * xor-parity checks) that otherwise needs 64 count-filter legs. */
+  def qBitwiseAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linenumber"))
+      .agg(
+        expr("bit_and(l_orderkey)").as("mask_and"),
+        expr("bit_or(l_orderkey)").as("mask_or"),
+        expr("bit_xor(l_orderkey)").as("mask_xor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_linenumber"))
+
+  /** Argmax — "the orderkey of each customer's most expensive order"
+    * — as max-agg + equi-join-back + min tie-break. The tempting
+    * one-pass forms (max over a (price, key) struct, max_by) carry a
+    * struct aggregation buffer, which Tungsten's fixed-width hash
+    * aggregate cannot hold: they silently fall back to SortAggregate
+    * (sort-per-partition on the group key). This shape keeps every
+    * stage in HashAggregate codegen; ties on price break
+    * deterministically by MIN orderkey on both engines. */
+  def qMaxBy(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val m = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_totalprice")).as("best_price"))
+    o.join(m, Seq("o_custkey"))
+      .where(col("o_totalprice") === col("best_price"))
+      .groupBy(col("o_custkey"), col("best_price"))
+      .agg(min(col("o_orderkey")).as("best_key"))
+      .select(col("o_custkey"), col("best_key"), col("best_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_firstlast" -> (qWindowFirstLast _),
+    "q_bitwise_agg" -> (qBitwiseAgg _),
+    "q_max_by" -> (qMaxBy _),
     "q_scan_project" -> (qScanProject _),
     "q_filter" -> (qFilter _),
     "q_expr_arith" -> (qExprArith _),
@@ -1541,6 +1600,36 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2)))
         |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WHERE o_custkey < 150
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_bitwise_agg" ->
+      """SELECT l_linenumber,
+        |  CAST(bit_and(l_orderkey) AS BIGINT) AS mask_and,
+        |  CAST(bit_or(l_orderkey) AS BIGINT) AS mask_or,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS mask_xor,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_linenumber
+        |ORDER BY l_linenumber""".stripMargin,
+    "q_max_by" ->
+      """WITH m AS (
+        |  SELECT o_custkey, max(o_totalprice) AS best_price
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT o.o_custkey, min(o.o_orderkey) AS best_key,
+        |  m.best_price
+        |FROM orders o
+        |JOIN m ON o.o_custkey = m.o_custkey
+        |  AND o.o_totalprice = m.best_price
+        |GROUP BY o.o_custkey, m.best_price
+        |ORDER BY o.o_custkey""".stripMargin
   )
 }
