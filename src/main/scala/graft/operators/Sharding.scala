@@ -871,7 +871,47 @@ object Sharding {
     mergeUpsert(snap, changes)
   }
 
+  /** Key-skew profile for one (relation, key column): group-size
+    * distribution reduced to the numbers a planner acts on — n_rows,
+    * n_keys, the largest key's size, mean size, skew = max/mean, and
+    * the heaviest key's share of all rows. This is the pre-join
+    * diagnostic that decides salting / AQE skew-join / broadcast: skew
+    * ≈ 1 is uniform, skew ≫ 1 means one key dominates a shuffle
+    * partition at any cluster width.
+    *
+    * Scale shape: ONE partial+final count per key (the only pass over
+    * corpus rows), then a single-row agg over the key-size table.
+    * Quotients are exact-integer ratios computed in double —
+    * bit-identical across engines; no window, no sort, no collect. */
+  def keySkew(df: DataFrame, rel: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"))
+      .select(lit(rel).as("rel"), lit(keyCol).as("keycol"),
+        col("n_rows"), col("n_keys"), col("max_n"),
+        (col("n_rows").cast(DoubleType) / col("n_keys")).as("avg_n"),
+        ((col("max_n").cast(DoubleType) * col("n_keys")) / col("n_rows"))
+          .as("skew"),
+        (col("max_n").cast(DoubleType) / col("n_rows")).as("top1_share"))
+
+  /** The standing skew report over the join/partition keys this
+    * engine's own operators shuffle on. Six independent single-pass
+    * profiles, unioned — each leg is its own scan+agg, so the report
+    * parallelizes across legs and any leg can be dropped or added
+    * per-deployment via [[keySkew]]. */
+  def pipelineSkewStats(s: SparkSession, d: String): DataFrame =
+    Seq(
+      keySkew(events(s, d), "events", "user_id"),
+      keySkew(events(s, d), "events", "event_type"),
+      keySkew(orders(s, d), "orders", "o_custkey"),
+      keySkew(lineitem(s, d), "lineitem", "l_suppkey"),
+      keySkew(lineitem(s, d), "lineitem", "l_partkey"),
+      keySkew(documents(s, d), "documents", "source"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("rel"), col("keycol"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_skew_stats" -> (pipelineSkewStats _),
     "pipeline_merge_upsert" -> (pipelineMergeUpsert _),
     "pipeline_scd2" -> (pipelineScd2 _),
     "pipeline_length_gini" -> (pipelineLengthGini _),
@@ -897,6 +937,24 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_skew_stats" -> {
+      def leg(rel: String, keyCol: String): String =
+        s"""SELECT '$rel' AS rel, '$keyCol' AS keycol,
+           |  CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           |  CAST(max(n) AS BIGINT) AS max_n,
+           |  CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*) AS avg_n,
+           |  (CAST(CAST(max(n) AS BIGINT) AS DOUBLE) * count(*)) /
+           |    CAST(sum(n) AS BIGINT) AS skew,
+           |  CAST(CAST(max(n) AS BIGINT) AS DOUBLE) /
+           |    CAST(sum(n) AS BIGINT) AS top1_share
+           |FROM (SELECT count(*) AS n FROM $rel GROUP BY $keyCol)
+           |""".stripMargin
+      Seq(("events", "user_id"), ("events", "event_type"),
+        ("orders", "o_custkey"), ("lineitem", "l_suppkey"),
+        ("lineitem", "l_partkey"), ("documents", "source"))
+        .map { case (r, k) => leg(r, k) }
+        .mkString("", "UNION ALL\n", "ORDER BY rel, keycol")
+    },
     "pipeline_length_gini" ->
       """WITH t AS (
         |  SELECT doc_id,

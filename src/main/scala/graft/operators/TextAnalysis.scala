@@ -516,7 +516,55 @@ object TextAnalysis {
   def textNgramNovelty(s: SparkSession, d: String): DataFrame =
     ngramNovelty(documents(s, d))
 
+  /** Pointwise mutual information over adjacent token pairs — the
+    * collocation miner ("new york" vs "the the"): PMI =
+    * ln(p(ab) / (p(a)·p(b))) with unigram/bigram MLE over the whole
+    * corpus, reported for every pair seen ≥ minCount times. PMI ≫ 0
+    * flags multi-word expressions a tokenizer or stopword list should
+    * treat as units; PMI < 0 flags pairs rarer than chance.
+    *
+    * Scale shape: two map-only tokenization passes over the scan (one
+    * emits tokens, one emits adjacent pairs — no corpus-row shuffle
+    * carries raw text), each reduced by a partial+final count to
+    * vocab- / pair-table size; the unigram join-backs key on the token
+    * string against the ≤vocab-sized count table (AQE broadcasts it
+    * when small); the min-count filter prunes the pair tail before the
+    * joins. The PMI ratio is assembled in ONE double expression with
+    * identical association order on both engines, one ln() call,
+    * rounded to 9 dp (the logprob-family discipline). */
+  def pmiBigrams(docs: DataFrame, minCount: Int = 10): DataFrame = {
+    val ws = docs.select(split(lower(col("text")), "\\s+").as("ws"))
+    val uni = ws.select(explode(col("ws")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val nUni = uni.agg(sum(col("cu")).as("n_uni"))
+    val pairs = ws
+      .select(explode(expr(
+        """filter(transform(ws, (w, i) -> IF(i = 0, NULL,
+          |  struct(element_at(ws, i) AS a, w AS b))),
+          |  x -> x IS NOT NULL)""".stripMargin)).as("t"))
+      .groupBy(col("t.a").as("token_a"), col("t.b").as("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nBi = pairs.agg(sum(col("n_ab")).as("n_bi"))
+    pairs
+      .where(col("n_ab") >= minCount)
+      .join(uni.select(col("token").as("token_a"), col("cu").as("c_a")),
+        Seq("token_a"))
+      .join(uni.select(col("token").as("token_b"), col("cu").as("c_b")),
+        Seq("token_b"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        round(log(
+          ((col("n_ab").cast(DoubleType) * col("n_uni")) * col("n_uni")) /
+            ((col("c_a").cast(DoubleType) * col("c_b")) * col("n_bi"))),
+          9).as("pmi"))
+      .orderBy(col("token_a"), col("token_b"))
+  }
+
+  def textPmiBigrams(s: SparkSession, d: String): DataFrame =
+    pmiBigrams(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_bigrams" -> (textPmiBigrams _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_hashed_bow" -> (textHashedBow _),
@@ -538,6 +586,30 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w AS token, count(*) AS cu
+        |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1
+        |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_uni FROM uni),
+        |bg AS (
+        |  SELECT ws[i] AS token_a, ws[i+1] AS token_b
+        |  FROM t, UNNEST(range(1, len(ws))) AS u(i)
+        |), pr AS (
+        |  SELECT token_a, token_b, count(*) AS n_ab
+        |  FROM bg GROUP BY 1, 2
+        |), totb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM pr)
+        |SELECT p.token_a, p.token_b, p.n_ab,
+        |  round(ln(((CAST(p.n_ab AS DOUBLE) * n_uni) * n_uni) /
+        |    ((CAST(a.cu AS DOUBLE) * b.cu) * n_bi)), 9) AS pmi
+        |FROM pr p
+        |JOIN uni a ON p.token_a = a.token
+        |JOIN uni b ON p.token_b = b.token
+        |CROSS JOIN tot CROSS JOIN totb
+        |WHERE p.n_ab >= 10
+        |ORDER BY p.token_a, p.token_b""".stripMargin,
     "text_ngram_novelty" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w

@@ -440,4 +440,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     val total = c.map(r => r.getLong(0) * r.getLong(1)).sum
     assert(total == graft.Tables.events(spark, Sf).count())
   }
+
+  test("key skew: exact ratios on planted keys; uniform keys report skew 1") {
+    import spark.implicits._
+    val skewed = Seq("a", "a", "a", "b").toDF("k")
+    val r = Sharding.keySkew(skewed, "t", "k").collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((4L, 2L, 3L)))
+    assert(r.getDouble(5) == 2.0 && r.getDouble(6) == 1.5 &&
+      r.getDouble(7) == 0.75, r.toString)
+    val uniform = Seq("a", "a", "b", "b").toDF("k")
+    assert(Sharding.keySkew(uniform, "t", "k").collect()(0)
+      .getDouble(6) == 1.0)
+    // corpus report: every leg present, skew >= 1 by construction
+    val rep = Sharding.pipelineSkewStats(spark, Sf).collect()
+    assert(rep.length == 6)
+    rep.foreach(row => assert(row.getDouble(6) >= 1.0 - 1e-12,
+      row.toString))
+  }
+
+  test("PMI: an always-adjacent pair scores exactly ln(4) on a planted corpus") {
+    import spark.implicits._
+    // 20 docs of "x y": c(x)=c(y)=20, c(xy)=20, N_uni=40, N_bi=20
+    // PMI = ln((20*40*40)/(20*20*20)) = ln(4)
+    val docs = (1 to 20)
+      .map(i => (i.toLong, "x y", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.pmiBigrams(docs, minCount = 1).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) ==
+      (("x", "y", 20L)))
+    assert(r.getDouble(3) ==
+      BigDecimal(math.log(4.0)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+    // corpus: every reported pair cleared the min-count floor
+    val c = TextAnalysis.textPmiBigrams(spark, Sf).collect()
+    assert(c.nonEmpty && c.forall(_.getLong(2) >= 10))
+  }
 }
