@@ -751,7 +751,35 @@ object Events {
   def eventsUserConcentration(s: SparkSession, d: String): DataFrame =
     userConcentration(events(s, d))
 
+  /** Calendar-spine densification: the daily event count with MISSING
+    * days restored as explicit zero rows (flagged `filled`) — the gap
+    * fill every time-series consumer (forecasting, anomaly scoring,
+    * charting) needs before a window over time is trustworthy: a lag
+    * over a sparse table silently compares non-adjacent days.
+    *
+    * Scale shape: the corpus reduces to the #days count table
+    * (partial+final); the spine generates from a 1-row min/max agg via
+    * sequence+explode (#days rows by construction, never a corpus
+    * scan); the left join-back is reduced-table × reduced-table (AQE
+    * broadcasts). */
+  def dailyDense(e: DataFrame): DataFrame = {
+    val daily = e.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("filled"))
+      .orderBy(col("day"))
+  }
+
+  def eventsDailyDense(s: SparkSession, d: String): DataFrame =
+    dailyDense(events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_daily_dense" -> (eventsDailyDense _),
     "events_lifecycle_states" -> (eventsLifecycleStates _),
     "events_user_concentration" -> (eventsUserConcentration _),
     "events_conversion_lag" -> (eventsConversionLag _),
@@ -790,6 +818,20 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_daily_dense" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY)) AS day
+        |  FROM daily
+        |)
+        |SELECT s.day,
+        |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+        |  d.n_events IS NULL AS filled
+        |FROM spine s LEFT JOIN daily d USING (day)
+        |ORDER BY s.day""".stripMargin,
     "events_lifecycle_states" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week

@@ -934,11 +934,32 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Linear-regression aggregates regr_slope / regr_intercept /
+    * regr_r2 / regr_count — the one-pass OLS line fit per group
+    * (trend-per-segment without leaving SQL). Like q_stats_agg these
+    * are mergeable co-moment aggregates (ideal partial+final shape);
+    * outputs round coarsely enough (6 dp on the dimensionless slope
+    * and r², 2 dp on the ~1e4-magnitude intercept) that parallel-merge
+    * float ordering cannot reach the rounded digit. */
+  def qRegrAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6)
+          .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6)
+          .as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regr_agg" -> (qRegrAgg _),
     "q_window_firstlast" -> (qWindowFirstLast _),
     "q_bitwise_agg" -> (qBitwiseAgg _),
     "q_max_by" -> (qMaxBy _),
@@ -1601,6 +1622,15 @@ object Relational {
         |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_regr_agg" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2)
+        |    AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_window_firstlast" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER w AS first_price,

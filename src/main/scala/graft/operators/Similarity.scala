@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables._
 import graft.functions.VectorFunctions._
@@ -886,6 +886,40 @@ object Similarity {
   def simCentroids(s: SparkSession, d: String): DataFrame =
     centroids(embeddings(s, d))
 
+  /** Per-dimension distribution profile of the embedding space — mean,
+    * std, min, max per coordinate: the normalization readout that
+    * decides whitening, PQ subspace balance, and whether cosine vs dot
+    * is safe (a dimension with runaway variance dominates every
+    * distance; a dead dimension wastes an index byte).
+    *
+    * Scale shape: posexplode is map-only (corpus rows × dim, never
+    * shuffled raw — partial aggregation combines per partition before
+    * the #dims-row shuffle); ONE partial+final agg keyed by dim holds
+    * all five moments. Sums go through DECIMAL (exact, order-free);
+    * mean/std assemble in double with the identical association order
+    * on both engines — IEEE mult/div/sqrt are correctly rounded, so
+    * the unrounded outputs are bit-identical. */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).as("dim"),
+        col("e").cast(DoubleType).as("e"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("e").cast(DecimalType(18, 6))).as("s1"),
+        sum((col("e") * col("e")).cast(DecimalType(28, 12))).as("s2"),
+        min(col("e")).as("min_v"), max(col("e")).as("max_v"))
+      .select(col("dim"), col("n"),
+        (col("s1").cast(DoubleType) / col("n")).as("mean_v"),
+        sqrt((col("s2").cast(DoubleType) -
+          (col("s1").cast(DoubleType) * col("s1").cast(DoubleType)) /
+            col("n")) / (col("n") - 1)).as("std_v"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("dim"))
+
+  def simDimStats(s: SparkSession, d: String): DataFrame =
+    dimStats(embeddings(s, d))
+
   /** K-means E-step against the label centroids: assign every vector to
     * its nearest centroid by cosine and report the fit — the clustering
     * health check of semantic curation (a vector whose nearest centroid
@@ -970,6 +1004,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_label_separation" -> (simLabelSeparation _),
     "sim_cluster_assign" -> (simClusterAssign _),
+    "sim_dim_stats" -> (simDimStats _),
     "sim_centroids" -> (simCentroids _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
@@ -996,6 +1031,26 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_dim_stats" ->
+      """WITH t AS (
+        |  SELECT CAST(unnest(generate_series(1, len(embedding)))
+        |    AS INT) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |      AS e
+        |  FROM embeddings
+        |), a AS (
+        |  SELECT dim, count(*) AS n,
+        |    sum(CAST(e AS DECIMAL(18,6))) AS s1,
+        |    sum(CAST(e * e AS DECIMAL(28,12))) AS s2,
+        |    min(e) AS min_v, max(e) AS max_v
+        |  FROM t GROUP BY dim
+        |)
+        |SELECT dim, n, CAST(s1 AS DOUBLE) / n AS mean_v,
+        |  sqrt((CAST(s2 AS DOUBLE) -
+        |    (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n) / (n - 1))
+        |    AS std_v,
+        |  min_v, max_v
+        |FROM a ORDER BY dim""".stripMargin,
     "sim_centroids" ->
       """WITH t AS (
         |  SELECT label,

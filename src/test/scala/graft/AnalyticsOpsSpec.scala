@@ -477,4 +477,60 @@ class AnalyticsOpsSpec extends SparkSpec {
     val c = TextAnalysis.textPmiBigrams(spark, Sf).collect()
     assert(c.nonEmpty && c.forall(_.getLong(2) >= 10))
   }
+
+  test("daily dense: a planted 2-day gap fills with zero rows flagged filled") {
+    import spark.implicits._
+    def ev(id: Long, day: String) =
+      (id, java.sql.Timestamp.valueOf(s"2024-05-$day 09:00:00"),
+        1L, "view", 1.0, "{}")
+    // active 05-01 (2 events) and 05-04 (1) — 02/03 missing
+    val e = Seq(ev(1L, "01"), ev(2L, "01"), ev(3L, "04"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.dailyDense(e).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      ("2024-05-01", 2L, false), ("2024-05-02", 0L, true),
+      ("2024-05-03", 0L, true), ("2024-05-04", 1L, false)),
+      s"got ${out.toSeq}")
+    // corpus: spine is contiguous daily, totals reconcile
+    val c = Events.eventsDailyDense(spark, Sf).collect()
+    assert(c.map(_.getLong(1)).sum ==
+      graft.Tables.events(spark, Sf).count())
+    c.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(1).getTimestamp(0).getTime -
+          w(0).getTimestamp(0).getTime == 86400000L, "spine gap")
+    }
+  }
+
+  test("regr agg: a planted exact line fits slope/intercept/r2 exactly") {
+    import spark.implicits._
+    // y = 3x + 7, four points -> slope 3, intercept 7, r2 1
+    val li = Seq((1.0, 10.0), (2.0, 13.0), (3.0, 16.0), (4.0, 19.0))
+      .map { case (x, y) => ("A", x, y) }
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val r = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("regr_slope(l_extendedprice, l_quantity)"), 6)
+        .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .collect()(0)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((3.0, 7.0, 1.0)), r.toString)
+  }
+
+  test("dim stats: every embedding dimension profiles with finite moments") {
+    val d = graft.operators.Similarity.simDimStats(spark, Sf).collect()
+    val dims = graft.Tables.embeddings(spark, Sf)
+      .select(size(col("embedding"))).collect()(0).getInt(0)
+    assert(d.length == dims)
+    d.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(2) &&
+        r.getDouble(2) <= r.getDouble(5),
+        s"mean outside [min,max] at dim ${r.getInt(0)}")
+      assert(r.getDouble(3) > 0.0 && !r.getDouble(3).isNaN)
+    }
+  }
 }
