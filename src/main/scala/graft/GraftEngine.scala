@@ -333,6 +333,29 @@ object GraftEngine {
           toType = p.str("to", "purchase"))),
       "events_tenure_survival" -> ((s, d, p) =>
         graft.operators.Events.tenureSurvival(Tables.events(s, d))),
+      "events_lifecycle_states" -> ((s, d, p) =>
+        graft.operators.Events.lifecycleStates(Tables.events(s, d))),
+      "events_user_concentration" -> ((s, d, p) =>
+        graft.operators.Events.userConcentration(Tables.events(s, d))),
+      "events_daily_dense" -> ((s, d, p) =>
+        graft.operators.Events.dailyDense(Tables.events(s, d))),
+      "sim_dim_stats" -> ((s, d, p) =>
+        graft.operators.Similarity.dimStats(Tables.embeddings(s, d))),
+      "text_pmi_bigrams" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.pmiBigrams(Tables.documents(s, d),
+          minCount = p.int("minCount", 10))),
+      // rel=/key= re-target the skew profile at any one table column;
+      // without params the standing six-leg report runs
+      "pipeline_skew_stats" -> ((s, d, p) => {
+        val rel = p.str("rel", "")
+        if (rel.isEmpty) graft.operators.Sharding.pipelineSkewStats(s, d)
+        else {
+          val key = p.str("key", "")
+          require(key.nonEmpty, "pipeline_skew_stats needs key=<col>")
+          graft.operators.Sharding.keySkew(Tables.byName(s, d, rel),
+            rel, key)
+        }
+      }),
       "text_ngram_novelty" -> ((s, d, p) =>
         graft.operators.TextAnalysis.ngramNovelty(
           Tables.documents(s, d), n = p.int("n", 8))),

@@ -50,4 +50,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Name-keyed loader for API surfaces that take a table name as a
+    * string param (e.g. pipelineView's rel=). Routes `events` through
+    * its nanos-aware loader rather than the plain reader. */
+  def byName(s: SparkSession, d: String, name: String): DataFrame =
+    name match {
+      case "events" => events(s, d)
+      case "region" | "nation" | "customer" | "supplier" | "part" |
+           "orders" | "lineitem" | "documents" | "embeddings" =>
+        table(s, d, name)
+      case other =>
+        throw new IllegalArgumentException(s"unknown table: $other")
+    }
 }

@@ -911,9 +911,13 @@ object Similarity {
         min(col("e")).as("min_v"), max(col("e")).as("max_v"))
       .select(col("dim"), col("n"),
         (col("s1").cast(DoubleType) / col("n")).as("mean_v"),
-        sqrt((col("s2").cast(DoubleType) -
-          (col("s1").cast(DoubleType) * col("s1").cast(DoubleType)) /
-            col("n")) / (col("n") - 1)).as("std_v"),
+        // sample std needs n>1; ANSI mode turns the n=1 divisor into a
+        // hard error, so the undefined case is an explicit NaN
+        when(col("n") > 1,
+          sqrt((col("s2").cast(DoubleType) -
+            (col("s1").cast(DoubleType) * col("s1").cast(DoubleType)) /
+              col("n")) / (col("n") - 1)))
+          .otherwise(lit(Double.NaN)).as("std_v"),
         col("min_v"), col("max_v"))
       .orderBy(col("dim"))
 

@@ -372,4 +372,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Events.conversionLag(
       ev(Seq.empty)).isEmpty)
   }
+
+  test("lifecycle/concentration/dense on degenerate streams; PMI and skew on hostile inputs") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (id, t, u) =>
+        (id, java.sql.Timestamp.valueOf(t), u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val empty = ev(Seq.empty)
+    assert(graft.operators.Events.lifecycleStates(empty).isEmpty)
+    assert(graft.operators.Events.userConcentration(empty).isEmpty)
+    assert(graft.operators.Events.dailyDense(empty).isEmpty)
+    // one user, one event: new/active 1, churn 0; concentration trivially 1
+    val one = ev(Seq((1L, "2024-01-03 10:00:00", 9L)))
+    val lc = graft.operators.Events.lifecycleStates(one).collect()
+    assert(lc.length == 1 &&
+      (lc(0).getLong(1), lc(0).getLong(2), lc(0).getLong(5)) ==
+        ((1L, 1L, 0L)))
+    val uc = graft.operators.Events.userConcentration(one).collect()
+    assert(uc.length == 1 && uc(0).getDouble(2) == 1.0 &&
+      uc(0).getDouble(3) == 1.0)
+    assert(graft.operators.Events.dailyDense(one).count() == 1)
+    // PMI on the hostile corpus: min-count floor filters everything
+    // (each pair rare) at the default, nothing throws; at minCount=1
+    // the repeated boilerplate pairs surface with finite PMI
+    assert(TextAnalysis.pmiBigrams(
+      hostile.withColumn("lang", lit("en"))).isEmpty)
+    val p1 = TextAnalysis.pmiBigrams(
+      hostile.withColumn("lang", lit("en")), minCount = 1).collect()
+    assert(p1.nonEmpty &&
+      p1.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // skew on a null-bearing key column: nulls form their own group,
+    // report stays a single exact row
+    val nk = Seq(Some("a"), Some("a"), None, Some("b"))
+      .toDF("k")
+    val sk = graft.operators.Sharding.keySkew(nk, "t", "k").collect()(0)
+    assert(sk.getLong(2) == 4L && sk.getLong(3) == 3L &&
+      sk.getLong(4) == 2L, sk.toString)
+    // dim stats on a single vector: std is n-1 undefined -> NaN, not a crash
+    val oneVec = Seq((1L, Array(0.5f, -0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val ds = graft.operators.Similarity.dimStats(oneVec).collect()
+    assert(ds.length == 2 && ds.forall(r => r.getDouble(3).isNaN))
+  }
 }

@@ -320,4 +320,21 @@ class ReplSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(g2 > g8, s"2-grams must outnumber 8-grams: $g2 vs $g8")
   }
+
+  test("skew profile re-targets at any table column through the pipeline view") {
+    GraftEngine.pipelineView(spark, "pipeline_skew_stats", Sf,
+      Map("rel" -> "orders", "key" -> "o_orderpriority"))
+    val r = GraftEngine.sql(spark,
+      "select rel, keycol, n_keys from graft_pipeline_skew_stats")
+      .collect()
+    assert(r.length == 1 && r(0).getString(0) == "orders" &&
+      r(0).getString(1) == "o_orderpriority" && r(0).getLong(2) == 5L,
+      r.mkString(","))
+    // a rel= without key= must fail loudly, not profile something else
+    val e = intercept[IllegalArgumentException] {
+      GraftEngine.pipelineView(spark, "pipeline_skew_stats", Sf,
+        Map("rel" -> "orders"))
+    }
+    assert(e.getMessage.contains("key="))
+  }
 }
