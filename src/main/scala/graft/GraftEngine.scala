@@ -339,6 +339,11 @@ object GraftEngine {
         graft.operators.Events.userConcentration(Tables.events(s, d))),
       "events_daily_dense" -> ((s, d, p) =>
         graft.operators.Events.dailyDense(Tables.events(s, d))),
+      "events_cohort_ltv" -> ((s, d, p) =>
+        graft.operators.Events.cohortLtv(Tables.events(s, d))),
+      "text_ttr" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.typeTokenRatio(
+          Tables.documents(s, d))),
       "sim_dim_stats" -> ((s, d, p) =>
         graft.operators.Similarity.dimStats(Tables.embeddings(s, d))),
       "text_pmi_bigrams" -> ((s, d, p) =>

@@ -778,7 +778,46 @@ object Events {
   def eventsDailyDense(s: SparkSession, d: String): DataFrame =
     dailyDense(events(s, d))
 
+  /** Cohort LTV curve: for each signup cohort (first-event week) and
+    * cohort age in weeks, the week's summed event value, the running
+    * cumulative value, and cumulative value PER COHORT USER — the
+    * "how much is a week-w user worth by age a" readout that prices
+    * acquisition (events_cohort_matrix answers who RETURNS; this
+    * answers what they SPEND).
+    *
+    * Scale shape: one per-user min(ts) agg assigns cohorts (the only
+    * corpus-wide shuffle besides the user_id equi-join back), value
+    * sums reduce to the (#cohorts × #ages) grid with DECIMAL sums
+    * (order-free), the cumulative window runs over that reduced grid
+    * partitioned by cohort, and cohort sizes broadcast-join back.
+    * ltv ships as one IEEE division of exact decimal-sum doubles. */
+  def cohortLtv(e: DataFrame): DataFrame = {
+    val firstw = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = firstw.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val grid = e.join(firstw, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        expr("datediff(date_trunc('week', ts), cohort_week) div 7")
+          .cast("int").as("age_week"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("rev_dec"))
+    val w = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        col("rev_dec").cast(DoubleType).as("rev_w"),
+        (col("cum_dec").cast(DoubleType) / col("n_users")).as("ltv"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
+  def eventsCohortLtv(s: SparkSession, d: String): DataFrame =
+    cohortLtv(events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_daily_dense" -> (eventsDailyDense _),
     "events_lifecycle_states" -> (eventsLifecycleStates _),
     "events_user_concentration" -> (eventsUserConcentration _),
@@ -818,6 +857,27 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_cohort_ltv" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id
+        |), sz AS (
+        |  SELECT cohort_week, count(*) AS n_users FROM fw GROUP BY 1
+        |), grid AS (
+        |  SELECT fw.cohort_week,
+        |    CAST(date_diff('day', fw.cohort_week,
+        |      date_trunc('week', e.ts)) // 7 AS INT) AS age_week,
+        |    sum(CAST(e.value AS DECIMAL(18,2))) AS rev_dec
+        |  FROM events e JOIN fw USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT g.cohort_week, g.age_week, sz.n_users,
+        |  CAST(g.rev_dec AS DOUBLE) AS rev_w,
+        |  CAST(sum(g.rev_dec) OVER (PARTITION BY g.cohort_week
+        |    ORDER BY g.age_week ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |    sz.n_users AS ltv
+        |FROM grid g JOIN sz USING (cohort_week)
+        |ORDER BY g.cohort_week, g.age_week""".stripMargin,
     "events_daily_dense" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, count(*) AS n_events

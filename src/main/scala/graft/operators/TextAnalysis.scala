@@ -563,7 +563,31 @@ object TextAnalysis {
   def textPmiBigrams(s: SparkSession, d: String): DataFrame =
     pmiBigrams(documents(s, d))
 
+  /** Type-token ratio per document — lexical diversity (n_types /
+    * n_tokens): the cheap vocabulary-richness feature next to entropy
+    * and hapax share in every quality stack; near 0 = loops of the
+    * same words (boilerplate, keyword stuffing), near 1 = no reuse.
+    *
+    * Scale shape: ENTIRELY map-only — tokenize, size, array_distinct
+    * size, one division, all inside whole-stage codegen; no shuffle,
+    * no explode (the token array never leaves its row). The ratio is
+    * an unrounded exact-integer quotient. */
+  def typeTokenRatio(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_types"))
+      .withColumn("ttr",
+        col("n_types").cast(DoubleType) / col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  def textTtr(s: SparkSession, d: String): DataFrame =
+    typeTokenRatio(documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr" -> (textTtr _),
     "text_pmi_bigrams" -> (textPmiBigrams _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_compression_ratio" -> (textCompressionRatio _),
@@ -586,6 +610,15 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_ttr" ->
+      """SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+        |FROM (SELECT doc_id,
+        |        regexp_split_to_array(lower(text), '\s+') AS ws
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH t AS (
         |  SELECT regexp_split_to_array(lower(text), '\s+') AS ws

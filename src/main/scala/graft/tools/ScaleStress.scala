@@ -122,6 +122,8 @@ object ScaleStress {
       graft.operators.Pretrain.dsirWeight(docs))
     time("bigram logprob")(
       graft.operators.Pretrain.bigramLogprob(docs))
+    time("pmi bigrams")(
+      graft.operators.TextAnalysis.pmiBigrams(docs))
     time("z-order write") {
       graft.sources.Sources.writeZOrdered(
         orders, s"$base/orders_z.parquet",

@@ -521,6 +521,46 @@ class AnalyticsOpsSpec extends SparkSpec {
       ((3.0, 7.0, 1.0)), r.toString)
   }
 
+  test("cohort LTV: exact curve on a planted two-user cohort") {
+    import spark.implicits._
+    def ev(id: Long, day: String, u: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00"),
+        u, "purchase", v, "{}")
+    // both users join week of 2024-01-01; week 2 only user 1 spends
+    val e = Seq(
+      ev(1L, "02", 1L, 10.0), ev(2L, "10", 1L, 20.0),
+      ev(3L, "03", 2L, 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.cohortLtv(e).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 15.0, 7.5),
+      ("2024-01-01", 1, 2L, 20.0, 17.5)), s"got ${out.toSeq}")
+    // corpus: ltv is monotone nondecreasing within every cohort
+    val c = Events.eventsCohortLtv(spark, Sf).collect()
+      .groupBy(_.getTimestamp(0))
+    c.values.foreach { rows =>
+      val ltv = rows.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+  }
+
+  test("TTR: exact ratio on planted repetition, map-only bounds on corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "en", "s", 5L),
+      (2L, "x y z", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.typeTokenRatio(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 2.0 / 3), (2L, 3L, 3L, 1.0)),
+      s"got ${out.toSeq}")
+    val c = TextAnalysis.textTtr(spark, Sf).collect()
+    assert(c.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    assert(c.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
+
   test("dim stats: every embedding dimension profiles with finite moments") {
     val d = graft.operators.Similarity.simDimStats(spark, Sf).collect()
     val dims = graft.Tables.embeddings(spark, Sf)
