@@ -67,7 +67,12 @@ object Bench {
     // round 13c: the cross-source gram-Jaccard matrix (distinct
     // (source, gram) reduction + gram-keyed self-join) — the heaviest
     // new shape this round
-    "pipeline_source_overlap")
+    "pipeline_source_overlap",
+    // round 13d: the PMI collocation miner (two tokenization passes +
+    // vocab join-backs — a new double-pass text shape) and the cohort
+    // LTV grid (per-user cohort assignment + equi-join back + reduced
+    // cumulative window — the heaviest new events shape)
+    "text_pmi_bigrams", "events_cohort_ltv")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

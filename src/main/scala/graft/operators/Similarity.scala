@@ -959,6 +959,54 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding outlier scores — each vector's cosine to its OWN label
+    * centroid, z-scored against that label's score distribution: the
+    * mislabeled/noise detector of semantic curation (SemDeDup prunes
+    * near-DUPLICATES; this prunes the opposite tail — vectors that
+    * barely belong to their cluster at all). z < −2 flags the outlier.
+    *
+    * Scale shape: centroids reduce to (#labels × dim) and BROADCAST;
+    * scoring is map-only over the corpus; the per-label moment table
+    * (#labels rows, decimal sums of 9-dp-rounded scores — exact and
+    * order-free) broadcast-joins back; no window anywhere. z assembles
+    * in double with identical association order on both engines. */
+  def outlierScores(emb: DataFrame): DataFrame = {
+    val cvec = centroids(emb)
+      .groupBy(col("label")).agg(
+        expr("transform(array_sort(collect_list(struct(dim, centroid)))," +
+          " x -> x.centroid)").as("cv"))
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val scored = emb
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+      .join(broadcast(cvec), Seq("label"))
+      .withColumn("score", round(
+        dot("ev", "cv") / (sqrt(dot("ev", "ev")) * sqrt(dot("cv", "cv"))),
+        9))
+    val stats = scored.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        sum(col("score").cast(DecimalType(28, 9))).as("s1"),
+        sum((col("score") * col("score")).cast(DecimalType(38, 18)))
+          .as("s2"))
+      .select(col("label"),
+        (col("s1").cast(DoubleType) / col("n")).as("mu"),
+        when(col("n") > 1,
+          sqrt((col("s2").cast(DoubleType) -
+            (col("s1").cast(DoubleType) * col("s1").cast(DoubleType)) /
+              col("n")) / (col("n") - 1)))
+          .otherwise(lit(Double.NaN)).as("sigma"))
+    scored
+      .join(broadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"), col("score"),
+        round((col("score") - col("mu")) / col("sigma"), 9).as("z"))
+      .withColumn("is_outlier", col("z") < -2.0)
+      .orderBy(col("vec_id"))
+  }
+
+  def simOutlierScores(s: SparkSession, d: String): DataFrame =
+    outlierScores(embeddings(s, d))
+
   /** Cluster-separation report — the health metric on top of the
     * E-step: per label, the mean cosine of members to their OWN
     * centroid vs the mean of each member's BEST other centroid; the
@@ -1009,6 +1057,7 @@ object Similarity {
     "sim_label_separation" -> (simLabelSeparation _),
     "sim_cluster_assign" -> (simClusterAssign _),
     "sim_dim_stats" -> (simDimStats _),
+    "sim_outlier_scores" -> (simOutlierScores _),
     "sim_centroids" -> (simCentroids _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),
@@ -1035,6 +1084,46 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_outlier_scores" ->
+      """WITH t AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |      AS centroid
+        |  FROM t GROUP BY 1, 2
+        |), cv AS (
+        |  SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
+        |  FROM c GROUP BY label
+        |), s AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(list_dot_product(ev, cv.cv)
+        |      / (sqrt(list_dot_product(ev, ev))
+        |         * sqrt(list_dot_product(cv.cv, cv.cv))), 9) AS score
+        |  FROM (SELECT vec_id, label,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |        FROM embeddings) e
+        |  JOIN cv ON cv.c_label = e.label
+        |), st AS (
+        |  SELECT label, count(*) AS n,
+        |    sum(CAST(score AS DECIMAL(28,9))) AS s1,
+        |    sum(CAST(score * score AS DECIMAL(38,18))) AS s2
+        |  FROM s GROUP BY label
+        |), m AS (
+        |  SELECT label, CAST(s1 AS DOUBLE) / n AS mu,
+        |    sqrt((CAST(s2 AS DOUBLE) -
+        |      (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n) / (n - 1))
+        |      AS sigma
+        |  FROM st
+        |)
+        |SELECT s.vec_id, s.label, s.score,
+        |  round((s.score - m.mu) / m.sigma, 9) AS z,
+        |  round((s.score - m.mu) / m.sigma, 9) < -2.0 AS is_outlier
+        |FROM s JOIN m USING (label)
+        |ORDER BY s.vec_id""".stripMargin,
     "sim_dim_stats" ->
       """WITH t AS (
         |  SELECT CAST(unnest(generate_series(1, len(embedding)))

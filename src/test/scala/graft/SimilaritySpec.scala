@@ -338,4 +338,39 @@ class SimilaritySpec extends SparkSpec {
       (0, 1) -> (2.0, 2L), (0, 2) -> (4.0, 2L),
       (1, 1) -> (10.0, 1L), (1, 2) -> (0.0, 1L)), out.toString)
   }
+
+  test("outlier scores: planted anti-centroid vector flags; z standardizes per label") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, Sf)
+    // plant: the NEGATED label-3 centroid claims label 3 — cosine to the
+    // centroid ≈ −1 while members sit near +0.14, so z is deeply negative
+    // (the test-corpus clusters are loose; a mere relabel lands ≈ −1.3)
+    val c3 = Similarity.centroids(emb).where(col("label") === 3)
+      .orderBy(col("dim")).collect().map(_.getDouble(2).toFloat)
+    val victim = 999999L
+    val planted = emb.unionByName(
+      Seq((victim, c3.map(x => -x), 3)).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.outlierScores(planted).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val (vLabel, _, vz, vFlag) = byId(victim)
+    assert(vLabel == 3)
+    assert(vFlag && vz < -2.0, s"planted mislabel z=$vz not flagged")
+    // the victim is the WORST fit in its adopted label
+    val label3z = rows.filter(_.getInt(1) == 3).map(_.getDouble(3))
+    assert(vz == label3z.min, s"victim z=$vz not the label minimum")
+    // z is standardized within every label: mean ~ 0, sample std ~ 1
+    rows.groupBy(_.getInt(1)).foreach { case (lbl, rs) =>
+      val zs = rs.map(_.getDouble(3))
+      val mu = zs.sum / zs.length
+      val sd = math.sqrt(zs.map(z => (z - mu) * (z - mu)).sum / (zs.length - 1))
+      assert(math.abs(mu) < 1e-6, s"label $lbl z mean $mu")
+      assert(math.abs(sd - 1.0) < 1e-6, s"label $lbl z std $sd")
+    }
+    // clean corpus: no label's TYPICAL member flags — outliers are rare
+    val flagged = rows.count(_.getBoolean(4))
+    assert(flagged < rows.length / 10,
+      s"$flagged/${rows.length} flagged — z threshold degenerate")
+  }
 }
