@@ -361,6 +361,21 @@ object GraftEngine {
             rel, key)
         }
       }),
+      // rel= re-targets the per-column profile at any one table;
+      // without params the standing documents/events/orders report runs
+      "pipeline_column_profile" -> ((s, d, p) => {
+        val rel = p.str("rel", "")
+        if (rel.isEmpty)
+          graft.operators.Sharding.pipelineColumnProfile(s, d)
+        else graft.operators.Sharding.columnProfile(
+          Tables.byName(s, d, rel), rel)
+      }),
+      "q_salted_join" -> ((s, d, p) =>
+        graft.operators.ScaleJoins.qSaltedJoin(s, d)),
+      "q_bloom_semi_join" -> ((s, d, p) =>
+        graft.operators.ScaleJoins.qBloomSemiJoin(s, d)),
+      "sim_outlier_scores" -> ((s, d, p) =>
+        graft.operators.Similarity.outlierScores(Tables.embeddings(s, d))),
       "text_ngram_novelty" -> ((s, d, p) =>
         graft.operators.TextAnalysis.ngramNovelty(
           Tables.documents(s, d), n = p.int("n", 8))),

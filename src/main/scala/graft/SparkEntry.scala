@@ -12,7 +12,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Events.queries ++ Similarity.queries ++
       Multimodal.queries ++ GraftEngine.queries ++ Temporal.queries ++
       Curation.queries ++ Sharding.queries ++ QualityRules.queries ++
-      TextIndex.queries ++ Pretrain.queries ++ QualityModel.queries
+      TextIndex.queries ++ Pretrain.queries ++ QualityModel.queries ++
+      ScaleJoins.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +21,6 @@ object SparkEntry {
       TextAnalysis.oracles ++ Events.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ GraftEngine.oracles ++ Temporal.oracles ++
       Curation.oracles ++ Sharding.oracles ++ QualityRules.oracles ++
-      TextIndex.oracles ++ Pretrain.oracles ++ QualityModel.oracles
+      TextIndex.oracles ++ Pretrain.oracles ++ QualityModel.oracles ++
+      ScaleJoins.oracles
 }

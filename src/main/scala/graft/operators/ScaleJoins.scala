@@ -1,10 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftInternals
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType}
+
+import graft.Tables._
 
 /** Join shapes for hostile data distributions at cluster scale
   * (SURVEY.md §5). AQE's skew-join splitting (on in GraftSession)
@@ -122,4 +124,56 @@ object ScaleJoins {
       Literal(bytes, BinaryType), GraftInternals.expression(kh)))
     big.where(probe)
   }
+
+  /** Gate key: [[saltedJoin]] on the lineitem⋈supplier fact-dim join,
+    * reduced to per-nation revenue. The oracle is the PLAIN join — the
+    * whole point of the key is that salting is a physical rewrite with
+    * zero semantic footprint (same rows, same sums, any nSalts). Sums
+    * go through DECIMAL so the 8-way salt scatter can't reorder a
+    * double reduction into a different answer. */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    saltedJoin(li, sup, "l_suppkey", nSalts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Gate key: [[bloomReducedSemiJoin]] of a small part-batch against
+    * the lineitem corpus — "which of these parts has ever shipped?".
+    * Oracle is the plain IN-subquery: bloom reduction must be
+    * row-invisible (no false negatives; false positives die in the
+    * exact semi join). */
+  def qBloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val batch = part(s, d).where(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey"), col("p_name"))
+    val corpus = lineitem(s, d).select(col("l_partkey").as("p_partkey"))
+    bloomReducedSemiJoin(batch, corpus, Seq("p_partkey"),
+      expectedItems = 100000)
+      .orderBy(col("p_partkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_bloom_semi_join" -> (qBloomSemiJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+    "q_bloom_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey % 7 = 0
+        |  AND p_partkey IN (SELECT l_partkey FROM lineitem)
+        |ORDER BY p_partkey""".stripMargin)
 }

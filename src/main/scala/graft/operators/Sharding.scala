@@ -894,6 +894,41 @@ object Sharding {
           .as("skew"),
         (col("max_n").cast(DoubleType) / col("n_rows")).as("top1_share"))
 
+  /** Per-column completeness/cardinality profile of one relation —
+    * the other half of the data-quality readout ([[keySkew]] profiles
+    * group SIZES of a chosen key; this profiles every column's null
+    * rate and distinct count, the schema-drift and join-key-sanity
+    * check a pipeline runs before trusting a new drop).
+    *
+    * Scale shape: one partial+final agg PER COLUMN, each over a scan
+    * pruned to exactly that column (ReadSchema shows one field per
+    * leg) — legs run as independent jobs, so the profile parallelizes
+    * across columns and never materializes two columns at once.
+    * Quotients are exact-integer ratios in double. */
+  def columnProfile(df: DataFrame, rel: String): DataFrame =
+    df.columns.toSeq.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_notnull"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(rel).as("rel"), lit(c).as("colname"),
+          col("n_rows"),
+          (col("n_rows") - col("n_notnull")).as("n_null"),
+          col("n_distinct"),
+          ((col("n_rows") - col("n_notnull")).cast(DoubleType) /
+            col("n_rows")).as("null_frac"),
+          (col("n_distinct").cast(DoubleType) / col("n_rows"))
+            .as("distinct_frac"))
+    }.reduce(_.unionAll(_))
+
+  def pipelineColumnProfile(s: SparkSession, d: String): DataFrame =
+    Seq(
+      columnProfile(documents(s, d), "documents"),
+      columnProfile(events(s, d), "events"),
+      columnProfile(orders(s, d), "orders"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("rel"), col("colname"))
+
   /** The standing skew report over the join/partition keys this
     * engine's own operators shuffle on. Six independent single-pass
     * profiles, unioned — each leg is its own scan+agg, so the report
@@ -912,6 +947,7 @@ object Sharding {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_skew_stats" -> (pipelineSkewStats _),
+    "pipeline_column_profile" -> (pipelineColumnProfile _),
     "pipeline_merge_upsert" -> (pipelineMergeUpsert _),
     "pipeline_scd2" -> (pipelineScd2 _),
     "pipeline_length_gini" -> (pipelineLengthGini _),
@@ -937,6 +973,24 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_column_profile" -> {
+      def leg(rel: String, c: String): String =
+        s"""SELECT '$rel' AS rel, '$c' AS colname,
+           |  count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(count(*) - count($c) AS DOUBLE) / count(*) AS null_frac,
+           |  CAST(count(DISTINCT $c) AS DOUBLE) / count(*) AS distinct_frac
+           |FROM $rel""".stripMargin
+      val legs =
+        Seq("doc_id", "text", "lang", "source", "n_chars")
+          .map(leg("documents", _)) ++
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+          .map(leg("events", _)) ++
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority").map(leg("orders", _))
+      legs.mkString("", "\nUNION ALL\n", "\nORDER BY rel, colname")
+    },
     "pipeline_skew_stats" -> {
       def leg(rel: String, keyCol: String): String =
         s"""SELECT '$rel' AS rel, '$keyCol' AS keycol,

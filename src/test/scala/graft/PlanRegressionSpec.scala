@@ -385,4 +385,27 @@ class PlanRegressionSpec extends SparkSpec {
       s"partition filter not pruning directories:\n$p")
     assert(back.count() > 0)
   }
+
+  test("column profile legs each scan exactly one column (ReadSchema)") {
+    val p = plan("pipeline_column_profile")
+    // the profile is one agg PER COLUMN; a leg whose scan reads more
+    // than its own column would materialize the whole relation width
+    // once per column — at 100 TB, a #cols× full-corpus read
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(reads.nonEmpty, p)
+    val wide = reads.filter(_.split(",").length > 1)
+    assert(wide.isEmpty, s"profile legs scan multiple columns: $wide")
+  }
+
+  test("salted join splits hot keys; bloom semi probes before the exchange") {
+    val ps = plan("q_salted_join")
+    // the salt must reach the join key (an optimizer that collapses
+    // _salt re-concentrates the hot key in one task)
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(ps).isDefined ||
+      ps.contains("_salt"), s"salt column optimized away:\n$ps")
+    val pb = plan("q_bloom_semi_join")
+    assert(pb.contains("might_contain"),
+      s"bloom probe missing from the big-side scan:\n$pb")
+  }
 }

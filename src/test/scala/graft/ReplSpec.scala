@@ -337,4 +337,17 @@ class ReplSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("key="))
   }
+
+  test("column profile re-targets at any table through the pipeline view") {
+    GraftEngine.pipelineView(spark, "pipeline_column_profile", Sf,
+      Map("rel" -> "nation"))
+    val r = GraftEngine.sql(spark,
+      "select colname, n_rows, n_null, n_distinct " +
+        "from graft_pipeline_column_profile order by colname").collect()
+    assert(r.map(_.getString(0)).toSeq ==
+      Seq("n_name", "n_nationkey", "n_regionkey"), r.mkString(","))
+    // nation: 25 rows, all keys distinct, no nulls anywhere
+    assert(r.forall(x => x.getLong(1) == 25L && x.getLong(2) == 0L))
+    assert(r.find(_.getString(0) == "n_nationkey").get.getLong(3) == 25L)
+  }
 }
