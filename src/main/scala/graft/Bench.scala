@@ -72,7 +72,10 @@ object Bench {
     // vocab join-backs — a new double-pass text shape) and the cohort
     // LTV grid (per-user cohort assignment + equi-join back + reduced
     // cumulative window — the heaviest new events shape)
-    "text_pmi_bigrams", "events_cohort_ltv")
+    "text_pmi_bigrams", "events_cohort_ltv",
+    // round 13e: the 4-offset skipgram variant (4x the pair volume of
+    // the adjacent miner — the heaviest text shape in the suite)
+    "text_skipgram_pmi")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

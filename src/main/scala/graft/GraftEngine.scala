@@ -349,6 +349,10 @@ object GraftEngine {
       "text_pmi_bigrams" -> ((s, d, p) =>
         graft.operators.TextAnalysis.pmiBigrams(Tables.documents(s, d),
           minCount = p.int("minCount", 10))),
+      "text_skipgram_pmi" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.skipgramPmi(Tables.documents(s, d),
+          window = p.int("window", 4),
+          minCount = p.int("minCount", 10))),
       // rel=/key= re-target the skew profile at any one table column;
       // without params the standing six-leg report runs
       "pipeline_skew_stats" -> ((s, d, p) => {

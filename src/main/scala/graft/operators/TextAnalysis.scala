@@ -563,6 +563,52 @@ object TextAnalysis {
   def textPmiBigrams(s: SparkSession, d: String): DataFrame =
     pmiBigrams(documents(s, d))
 
+  /** Windowed-co-occurrence PMI (skipgram association, the
+    * word2vec/GloVe statistic): pairs are (w_i, w_{i+o}) for every
+    * offset 1 ≤ o ≤ window, not just adjacent — collocations that
+    * tolerate an intervening word ("new … york city") surface here
+    * and not in [[pmiBigrams]].
+    *
+    * Scale shape: identical to the bigram miner — pair emission is a
+    * per-row HOF (flatten of a window-sized transform, ≤ window·|doc|
+    * structs per doc, inside codegen; no self-join on position, which
+    * would shuffle the corpus's exploded token table TWICE), then
+    * partial+final counts, min-count pruning before the unigram
+    * join-backs, one ln() at 9 dp. */
+  def skipgramPmi(docs: DataFrame, window: Int = 4,
+                  minCount: Int = 10): DataFrame = {
+    val ws = docs.select(split(lower(col("text")), "\\s+").as("ws"))
+    val uni = ws.select(explode(col("ws")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val nUni = uni.agg(sum(col("cu")).as("n_uni"))
+    val pairs = ws
+      .select(explode(expr(
+        s"""flatten(transform(ws, (w, i) ->
+           |  filter(transform(sequence(1, $window), o ->
+           |    IF(i + o + 1 > size(ws), NULL,
+           |      struct(w AS a, element_at(ws, i + o + 1) AS b))),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("t"))
+      .groupBy(col("t.a").as("token_a"), col("t.b").as("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nPair = pairs.agg(sum(col("n_ab")).as("n_pair"))
+    pairs
+      .where(col("n_ab") >= minCount)
+      .join(uni.select(col("token").as("token_a"), col("cu").as("c_a")),
+        Seq("token_a"))
+      .join(uni.select(col("token").as("token_b"), col("cu").as("c_b")),
+        Seq("token_b"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nPair))
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        round(log(
+          ((col("n_ab").cast(DoubleType) * col("n_uni")) * col("n_uni")) /
+            ((col("c_a").cast(DoubleType) * col("c_b")) * col("n_pair"))),
+          9).as("pmi"))
+      .orderBy(col("token_a"), col("token_b"))
+  }
+
+  def textSkipgramPmi(s: SparkSession, d: String): DataFrame =
+    skipgramPmi(documents(s, d))
+
   /** Type-token ratio per document — lexical diversity (n_types /
     * n_tokens): the cheap vocabulary-richness feature next to entropy
     * and hapax share in every quality stack; near 0 = loops of the
@@ -589,6 +635,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ttr" -> (textTtr _),
     "text_pmi_bigrams" -> (textPmiBigrams _),
+    "text_skipgram_pmi" -> (textSkipgramPmi _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_hashed_bow" -> (textHashedBow _),
@@ -641,6 +688,32 @@ object TextAnalysis {
         |JOIN uni a ON p.token_a = a.token
         |JOIN uni b ON p.token_b = b.token
         |CROSS JOIN tot CROSS JOIN totb
+        |WHERE p.n_ab >= 10
+        |ORDER BY p.token_a, p.token_b""".stripMargin,
+    "text_skipgram_pmi" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w AS token, count(*) AS cu
+        |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1
+        |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_uni FROM uni),
+        |sg AS (
+        |  SELECT ws[i] AS token_a, ws[i+o] AS token_b
+        |  FROM t, UNNEST(range(1, len(ws))) AS u(i),
+        |       UNNEST([1, 2, 3, 4]) AS v(o)
+        |  WHERE i + o <= len(ws)
+        |), pr AS (
+        |  SELECT token_a, token_b, count(*) AS n_ab
+        |  FROM sg GROUP BY 1, 2
+        |), totp AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_pair FROM pr)
+        |SELECT p.token_a, p.token_b, p.n_ab,
+        |  round(ln(((CAST(p.n_ab AS DOUBLE) * n_uni) * n_uni) /
+        |    ((CAST(a.cu AS DOUBLE) * b.cu) * n_pair)), 9) AS pmi
+        |FROM pr p
+        |JOIN uni a ON p.token_a = a.token
+        |JOIN uni b ON p.token_b = b.token
+        |CROSS JOIN tot CROSS JOIN totp
         |WHERE p.n_ab >= 10
         |ORDER BY p.token_a, p.token_b""".stripMargin,
     "text_ngram_novelty" ->

@@ -262,6 +262,41 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_isaud", "_b0")
       .drop("_fp", "_isaud", "_b0")
 
+  /** Streaming VIDEO near-dup admission — the frame-set-plane twin of
+    * [[imageDedupStream]]/[[audioDedupStream]], reusing the batch
+    * dedup_frame_containment decomposition (fixed-width frame slices
+    * hashed declaratively — substring + xxhash64 in codegen): key =
+    * the MINIMUM frame hash, i.e. a one-permutation MinHash of the
+    * blob's frame SET. Re-encoded byte-identical copies and
+    * frame-REORDERED cuts land on the same min (the set is order-free)
+    * and drop with one long of state per live clip family; a trim
+    * keeps the min with probability ≈ its containment, so borderline
+    * partial overlaps defer to the batch prefix-filtered containment
+    * pass — the same single-band trade all the admission streams make.
+    *
+    * Empty blobs key on the hash of the empty byte string (deduping
+    * only their own exact repeats); the `_isvid` discriminator keeps
+    * the two key spaces disjoint. All map-side, no UDF; blobs never
+    * shuffle (the state key is one long + the discriminator). */
+  def videoDedupStream(blobs: DataFrame, tsCol: String = "ts",
+                       blobCol: String = "blob",
+                       frameBytes: Int = 64): DataFrame =
+    blobs
+      .withColumn("_isvid", length(col(blobCol)) > 0)
+      .withColumn("_mh", when(col("_isvid"), expr(
+        s"""aggregate(
+           |  transform(
+           |    sequence(0,
+           |      CAST(ceil(length($blobCol) / ${frameBytes}D) AS INT) - 1),
+           |    f -> xxhash64(substring($blobCol,
+           |      f * $frameBytes + 1, $frameBytes))),
+           |  CAST(9223372036854775807 AS BIGINT),
+           |  (acc, x) -> least(acc, x))""".stripMargin))
+        .otherwise(xxhash64(col(blobCol))))
+      .withWatermark(tsCol, "2 hours")
+      .dropDuplicatesWithinWatermark("_isvid", "_mh")
+      .drop("_isvid", "_mh")
+
   /** Streaming ingest admission — the stateless gates a crawl stream
     * passes BEFORE any stateful dedup: Gopher-style quality rules plus
     * a benchmark-contamination check, both pure map-side filters (no

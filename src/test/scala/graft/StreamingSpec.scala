@@ -248,6 +248,47 @@ class StreamingSpec extends SparkSpec {
       s"batch hashes disagree with the stream's collapse: $ph")
   }
 
+  test("streaming video dedup drops frame-reordered cuts, keeps distinct clips") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def frame(): Array[Byte] = { val b = new Array[Byte](64); rnd.nextBytes(b); b }
+    val (f1, f2, f3, f4) = (frame(), frame(), frame(), frame())
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_viddedup").toString
+    val blobs = Seq(
+      (1L, f1 ++ f2 ++ f3),            // original clip
+      (2L, f1 ++ f2 ++ f3),            // byte-identical re-ingest
+      (3L, f3 ++ f1 ++ f2),            // frame-REORDERED cut: same set
+      (4L, f4 ++ f2 ++ f3),            // distinct clip (new frame)
+      (5L, Array.empty[Byte]),         // empty blob passthrough
+      (6L, Array.empty[Byte])          // exact empty repeat
+    ).toDF("doc_id", "blob").withColumn("ts", lit(ts))
+    blobs.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(blobs.schema).parquet(s"$base/in")
+    val gated = EventStreams.videoDedupStream(stream)
+    assert(!gated.queryExecution.analyzed.toString.contains("UDF"),
+      "frame hashing left the declarative plan")
+    val q = gated.writeStream.format("memory").queryName("vid_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("vid_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 2L, 3L)).size == 1,
+      s"same-frame-set clips must collapse to one survivor: $kept")
+    assert(kept.contains(4L), s"distinct clip dropped: $kept")
+    assert(kept.intersect(Set(5L, 6L)).size == 1,
+      s"empty blobs must collapse to one survivor: $kept")
+    // batch parity: the stream's key IS the min of the batch
+    // frame-signature table — the two planes cannot drift
+    val mins = graft.operators.Multimodal.frameSignatures(blobs)
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.min(col("sh")).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mins(1L) == mins(2L) && mins(1L) == mins(3L) &&
+      mins(1L) != mins(4L),
+      s"batch min frame hash disagrees with the stream's collapse: $mins")
+  }
+
   test("streaming DSIR gate admits against persisted weights, matches the batch twin") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_dsirgate").toString

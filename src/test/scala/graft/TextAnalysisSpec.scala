@@ -166,4 +166,31 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"novelty must not window:\n$plan")
   }
+
+  test("skipgram PMI: window=1 IS bigram PMI; a gapped collocation needs window>1") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+    val bi = TextAnalysis.pmiBigrams(docs, minCount = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val sg1 = TextAnalysis.skipgramPmi(docs, window = 1, minCount = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(sg1 == bi, s"window-1 skipgram diverges from bigram PMI: " +
+      s"only-sg=${(sg1.keySet -- bi.keySet).take(3)} " +
+      s"only-bi=${(bi.keySet -- sg1.keySet).take(3)}")
+    // planted gapped collocation: "alpha <filler> omega" repeated —
+    // never adjacent, always within a 2-window
+    val planted = (1L to 30L)
+      .map(i => (i, s"alpha filler$i omega common words here"))
+      .toDF("doc_id", "text")
+    val biP = TextAnalysis.pmiBigrams(planted, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val sgP = TextAnalysis.skipgramPmi(planted, window = 2, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!biP.contains(("alpha", "omega")), "bigram can't see the gap")
+    assert(sgP.contains(("alpha", "omega")),
+      s"window-2 skipgram must mine the gapped pair: $sgP")
+  }
 }
