@@ -374,6 +374,9 @@ object GraftEngine {
         else graft.operators.Sharding.columnProfile(
           Tables.byName(s, d, rel), rel)
       }),
+      "dedup_minhash_calibration" -> ((s, d, p) =>
+        graft.operators.Dedup.minhashCalibration(Tables.documents(s, d),
+          nGram = p.int("n", 3))),
       "q_salted_join" -> ((s, d, p) =>
         graft.operators.ScaleJoins.qSaltedJoin(s, d)),
       "q_bloom_semi_join" -> ((s, d, p) =>

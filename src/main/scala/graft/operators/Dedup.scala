@@ -192,6 +192,44 @@ object Dedup {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy(col("doc_id"))
 
+  /** MinHash calibration report — per LSH candidate pair, the
+    * ESTIMATED Jaccard (share of agreeing signature slots, the number
+    * the banding threshold is derived from) next to the TRUE n-gram
+    * Jaccard (exact over the distinct shingle-hash sets) and their
+    * absolute error. This is the tuning readout for the whole LSH
+    * family: if |est − true| drifts, the band/row split no longer sits
+    * at the advertised ~0.7 s-curve midpoint and the dedup rate the
+    * pipeline reports is wrong.
+    *
+    * Scale shape: candidates come from the banded pair path (never
+    * all-pairs); each doc contributes ONE compact feature row (128
+    * longs of signature + its distinct shingle-hash array) and the
+    * pair table joins that features table twice on doc id; both
+    * Jaccards compute in place via zip_with/array_intersect inside
+    * codegen — no re-explosion, no per-shingle shuffle. */
+  def minhashCalibration(docs: DataFrame, nGram: Int = 3): DataFrame = {
+    val features = docs.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), nGram)).as("sig"),
+      graft.functions.HashFunctions.ngramHashes(col("text"), nGram).as("hs"))
+    minhashLshPairs(docs)
+      .join(features.select(col("doc_id").as("id1"),
+        col("sig").as("sig1"), col("hs").as("h1")), Seq("id1"))
+      .join(features.select(col("doc_id").as("id2"),
+        col("sig").as("sig2"), col("hs").as("h2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
+          .cast(DoubleType) / size(col("sig1"))).as("est_jaccard"),
+        (size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
+          (size(col("h1")) + size(col("h2")) -
+            size(array_intersect(col("h1"), col("h2")))))
+          .as("true_jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("true_jaccard")))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def dedupMinhashCalibration(s: SparkSession, d: String): DataFrame =
+    minhashCalibration(documents(s, d))
+
   /** Exact n-gram Jaccard join: inverted index on distinct shingles →
     * intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -558,6 +596,7 @@ object Dedup {
     "dedup_snapshot_diff" -> (dedupSnapshotDiff _),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
+    "dedup_minhash_calibration" -> (dedupMinhashCalibration _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_substring" -> (dedupSubstring _),

@@ -26,6 +26,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash calibration: est tracks true Jaccard on every candidate pair") {
+    val rows = Dedup.minhashCalibration(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // every planted near-identical pair is a candidate and both
+    // numbers agree it is a near-dup
+    (0L until 5L).foreach { id =>
+      val (est, tru, _) = rows.getOrElse((id, id + 100000),
+        fail(s"planted pair ($id) missing from calibration"))
+      assert(tru > 0.7, s"true jaccard $tru not near-dup for planted $id")
+      assert(est > 0.5, s"est jaccard $est implausibly low for planted $id")
+    }
+    // 128 permutations: the estimator is unbiased with std
+    // sqrt(J(1-J)/128) <= 0.045 — allow 6 sigma per pair, and the MEAN
+    // error across candidates must be far tighter
+    rows.foreach { case (ids, (_, _, err)) =>
+      assert(err < 0.27, s"pair $ids calibration error $err")
+    }
+    val meanErr = rows.values.map(_._3).sum / rows.size
+    assert(meanErr < 0.10, f"mean |est-true| $meanErr%.3f — banding broken")
+  }
+
   test("simhash finds planted near-duplicates within hamming 6") {
     // single-word edits: simhash is a small-edit detector — a one-word
     // change shifts each tf-weighted bit sum by at most 1
