@@ -374,6 +374,14 @@ object GraftEngine {
         else graft.operators.Sharding.columnProfile(
           Tables.byName(s, d, rel), rel)
       }),
+      "sim_ann_recall_curve" -> ((s, d, p) =>
+        graft.operators.Similarity.annRecallCurve(s, d,
+          probes = p.str("probes", "1,2,4,8,16")
+            .split(",").map(_.trim.toInt).toSeq)),
+      "pipeline_length_percentiles" -> ((s, d, p) =>
+        graft.operators.Sharding.pipelineLengthPercentiles(s, d)),
+      "dedup_cluster_size_hist" -> ((s, d, p) =>
+        graft.operators.Dedup.dedupClusterSizeHist(s, d)),
       "dedup_minhash_calibration" -> ((s, d, p) =>
         graft.operators.Dedup.minhashCalibration(Tables.documents(s, d),
           nGram = p.int("n", 3))),

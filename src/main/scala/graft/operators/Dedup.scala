@@ -230,6 +230,20 @@ object Dedup {
   def dedupMinhashCalibration(s: SparkSession, d: String): DataFrame =
     minhashCalibration(documents(s, d))
 
+  /** Duplicate-cluster size histogram — the shape report on top of the
+    * exact-Jaccard components (how MUCH boilerplate, and in what
+    * chunks: many pairs vs one mega-cluster drive opposite curation
+    * responses). Two shrinking hash-agg levels over the component ids
+    * (#docs-in-clusters → #clusters → #sizes rows); the recursive
+    * cluster oracle makes the histogram itself oracle-checkable. */
+  def dedupClusterSizeHist(s: SparkSession, d: String): DataFrame =
+    Components.connectedComponents(ngramJaccardPairs(documents(s, d)))
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** Exact n-gram Jaccard join: inverted index on distinct shingles →
     * intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -597,6 +611,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_minhash_calibration" -> (dedupMinhashCalibration _),
+    "dedup_cluster_size_hist" -> (dedupClusterSizeHist _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_substring" -> (dedupSubstring _),
@@ -762,6 +777,26 @@ object Dedup {
     // Connected components as a recursive transitive closure: UNION
     // (not UNION ALL) dedups rows each step, so the recursion reaches a
     // fixpoint once every reachable (a, b) has been seen.
+    "dedup_cluster_size_hist" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION
+        |  SELECT id2 AS a, id1 AS b FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comps AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS comp
+        |  FROM reach GROUP BY a
+        |), sizes AS (
+        |  SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,
         |edges AS (

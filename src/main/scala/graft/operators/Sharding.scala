@@ -921,6 +921,23 @@ object Sharding {
             .as("distinct_frac"))
     }.reduce(_.unionAll(_))
 
+  /** Per-source document-length quartiles (exact linear-interpolation
+    * percentiles over n_chars) — the length-distribution readout the
+    * packing/chunking family sizes its bins from; one exact
+    * percentile agg per source group, no window, no sort beyond the
+    * output ORDER BY. Exact percentile buffers a source's lengths in
+    * the agg state — right up to ~10⁸ rows per group; beyond that
+    * swap approx_percentile in, same plan shape. */
+  def pipelineLengthPercentiles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(n_chars, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.75D)"), 4).as("p75"),
+        round(expr("percentile(n_chars, 0.95D)"), 4).as("p95"))
+      .orderBy(col("source"))
+
   def pipelineColumnProfile(s: SparkSession, d: String): DataFrame =
     Seq(
       columnProfile(documents(s, d), "documents"),
@@ -948,6 +965,7 @@ object Sharding {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_skew_stats" -> (pipelineSkewStats _),
     "pipeline_column_profile" -> (pipelineColumnProfile _),
+    "pipeline_length_percentiles" -> (pipelineLengthPercentiles _),
     "pipeline_merge_upsert" -> (pipelineMergeUpsert _),
     "pipeline_scd2" -> (pipelineScd2 _),
     "pipeline_length_gini" -> (pipelineLengthGini _),
@@ -973,6 +991,13 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_length_percentiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_column_profile" -> {
       def leg(rel: String, c: String): String =
         s"""SELECT '$rel' AS rel, '$c' AS colname,

@@ -410,6 +410,29 @@ object Similarity {
       .transform(annWithRecall(s, d, _))
   }
 
+  /** IVF tuning curve — mean recall and mean candidate fraction as a
+    * function of nProbe, on one shared coarse quantizer (same seed,
+    * same sample fit, so per-query candidate sets NEST across levels
+    * and recall is monotone by construction). This is the knob-setting
+    * readout an ANN deployment publishes: pick the leftmost point on
+    * the curve meeting the recall SLO and you've also picked its cost.
+    * n_queries is per row because a query whose probed cells are empty
+    * at nProbe=1 has no candidates and drops from that level. */
+  def annRecallCurve(s: SparkSession, d: String,
+                     probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame =
+    probes.map { p =>
+      simAnnIvf(s, d, nProbe = p)
+        .select(col("q_id"), col("recall"), col("cand_frac")).distinct()
+        .agg(round(avg(col("recall")), 4).as("mean_recall"),
+          round(avg(col("cand_frac")), 4).as("mean_cand_frac"),
+          count(lit(1)).as("n_queries"))
+        .select(lit(p).as("nprobe"), col("mean_recall"),
+          col("mean_cand_frac"), col("n_queries"))
+    }.reduce(_.unionAll(_)).orderBy(col("nprobe"))
+
+  def simAnnRecallCurve(s: SparkSession, d: String): DataFrame =
+    annRecallCurve(s, d)
+
   /** IVF with the index AT REST — the 100 TB serving layout of
     * [[simAnnIvf]]. The cell assignments persist PARTITIONED BY CELL
     * (one directory per coarse cell, the on-disk twin of a FAISS
@@ -1058,6 +1081,7 @@ object Similarity {
     "sim_cluster_assign" -> (simClusterAssign _),
     "sim_dim_stats" -> (simDimStats _),
     "sim_outlier_scores" -> (simOutlierScores _),
+    "sim_ann_recall_curve" -> (simAnnRecallCurve _),
     "sim_centroids" -> (simCentroids _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh" -> ((s: SparkSession, d: String) => simAnnLsh(s, d)),

@@ -339,6 +339,19 @@ class SimilaritySpec extends SparkSpec {
       (1, 1) -> (10.0, 1L), (1, 2) -> (0.0, 1L)), out.toString)
   }
 
+  test("IVF recall curve: recall and cost both rise with nProbe") {
+    val rows = Similarity.annRecallCurve(spark, Sf, probes = Seq(1, 4, 16))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 4, 16), rows.mkString(","))
+    // same quantizer across levels → candidate sets nest → more probes
+    // can only help recall, and must cost more candidates
+    assert(rows.last._2 >= rows.head._2,
+      s"recall fell as probes grew: $rows")
+    assert(rows.map(_._3).sliding(2).forall(p => p(1) > p(0)),
+      s"candidate fraction must strictly grow with nProbe: $rows")
+    assert(rows.last._2 >= 0.5, s"16-probe recall implausibly low: $rows")
+  }
+
   test("outlier scores: planted anti-centroid vector flags; z standardizes per label") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
