@@ -374,6 +374,9 @@ object GraftEngine {
         else graft.operators.Sharding.columnProfile(
           Tables.byName(s, d, rel), rel)
       }),
+      "text_source_divergence" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.sourceDivergence(
+          Tables.documents(s, d))),
       "sim_ann_recall_curve" -> ((s, d, p) =>
         graft.operators.Similarity.annRecallCurve(s, d,
           probes = p.str("probes", "1,2,4,8,16")

@@ -593,6 +593,26 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** Robust dispersion per group: median + MAD (median absolute
+    * deviation from the median) — the outlier-resistant stats pair
+    * (std explodes on one bad row; MAD doesn't). Two exact percentile
+    * aggs with a #groups-row join between them; the group median is
+    * ROUNDED to 4 dp before it re-enters per-row arithmetic so the
+    * deviation inputs are bit-identical on both engines (an unrounded
+    * interpolated median may differ by 1 ulp and poison every
+    * deviation). */
+  def qMadRobust(s: SparkSession, d: String): DataFrame = {
+    val med = orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"))
+    orders(s, d).join(med, Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("median")), 4).as("median"),
+        round(expr("percentile(abs(o_totalprice - median), 0.5)"), 4)
+          .as("mad"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Sketch percentiles — the 100 TB path q_percentile's doc promises:
     * approx_percentile keeps a bounded t-digest-style summary per group
     * (mergeable partial aggregate, no per-group sort/materialization).
@@ -1006,6 +1026,7 @@ object Relational {
     "q_tpch_q15" -> (qTpchQ15 _),
     "q_window_frames" -> (qWindowFrames _),
     "q_percentile" -> (qPercentile _),
+    "q_mad_robust" -> (qMadRobust _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_pivot" -> (qPivot _),
@@ -1415,6 +1436,18 @@ object Relational {
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q_mad_robust" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.5), 4) AS median
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o.o_orderpriority, count(*) AS n,
+        |  round(max(m.median), 4) AS median,
+        |  round(quantile_cont(abs(o_totalprice - m.median), 0.5), 4) AS mad
+        |FROM orders o JOIN med m USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

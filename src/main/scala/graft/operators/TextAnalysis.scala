@@ -609,6 +609,60 @@ object TextAnalysis {
   def textSkipgramPmi(s: SparkSession, d: String): DataFrame =
     skipgramPmi(documents(s, d))
 
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions — the redundancy matrix behind mixture design: two
+    * sources with JS ≈ 0 are interchangeable (sampling both buys no
+    * diversity); JS → ln 2 means disjoint vocabularies. Exact over the
+    * full vocabularies: the inner join covers shared tokens, and each
+    * side's UNSHARED probability mass contributes exactly
+    * 0.5·(1−Σ_shared p)·ln 2 (its M-mixture is p/2), so nothing is
+    * dropped.
+    *
+    * Scale shape: one tokenize pass reduced to the (source, token)
+    * count table; the pair terms come from a token-keyed self-join of
+    * that REDUCED table (≤ vocab·sources rows — never the corpus), and
+    * the output is #source-pairs rows. Per-row JS terms are doubles
+    * with identical association order both engines, summed as
+    * DECIMAL(38,18) so partial-agg order can't move a digit; final
+    * assembly is one double expression, 9 dp. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val totals = tok.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val t = tok.join(totals, Seq("source"))
+    val a = t.select(col("source").as("src_a"), col("token"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = t.select(col("source").as("src_b"), col("token"),
+      col("c").as("cb"), col("n").as("nb"))
+    val pa = col("ca").cast(DoubleType) / col("na")
+    val pb = col("cb").cast(DoubleType) / col("nb")
+    // per-row KL terms are transcendental (ln), so rounding to 12 dp
+    // never lands on a decimal boundary where the two engines' round()
+    // could split; the shared/unshared MASS sums stay INTEGER (exact,
+    // order-free) and divide once per group
+    val term = round(
+      pa * log((pa * 2.0) / (pa + pb)) + pb * log((pb * 2.0) / (pa + pb)),
+      12)
+    a.join(b, Seq("token")).where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(term.cast(DecimalType(38, 12))).as("s"),
+        sum(col("ca")).as("ca_sh"), sum(col("cb")).as("cb_sh"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(
+          col("s").cast(DoubleType) * 0.5 +
+            ((lit(1.0) - col("ca_sh").cast(DoubleType) / col("na")) +
+              (lit(1.0) - col("cb_sh").cast(DoubleType) / col("nb"))) *
+              (0.5 * math.log(2.0)),
+          9).as("js_divergence"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def textSourceDivergence(s: SparkSession, d: String): DataFrame =
+    sourceDivergence(documents(s, d))
+
   /** Type-token ratio per document — lexical diversity (n_types /
     * n_tokens): the cheap vocabulary-richness feature next to entropy
     * and hapax share in every quality stack; near 0 = loops of the
@@ -636,6 +690,7 @@ object TextAnalysis {
     "text_ttr" -> (textTtr _),
     "text_pmi_bigrams" -> (textPmiBigrams _),
     "text_skipgram_pmi" -> (textSkipgramPmi _),
+    "text_source_divergence" -> (textSourceDivergence _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_hashed_bow" -> (textHashedBow _),
@@ -690,6 +745,36 @@ object TextAnalysis {
         |CROSS JOIN tot CROSS JOIN totb
         |WHERE p.n_ab >= 10
         |ORDER BY p.token_a, p.token_b""".stripMargin,
+    "text_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+'))
+        |    AS token
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+        |), t AS (
+        |  SELECT cnt.source, token, c, n FROM cnt JOIN tot USING (source)
+        |), sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(a.c AS DOUBLE) / a.n AS pa,
+        |    CAST(b.c AS DOUBLE) / b.n AS pb,
+        |    a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+        |  FROM t a JOIN t b ON a.token = b.token AND a.source < b.source
+        |)
+        |SELECT src_a, src_b, count(*) AS n_shared,
+        |  round(
+        |    CAST(sum(CAST(round(
+        |      pa * ln((pa * 2.0) / (pa + pb)) +
+        |      pb * ln((pb * 2.0) / (pa + pb)), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) * 0.5 +
+        |    ((1.0 - CAST(CAST(sum(ca) AS BIGINT) AS DOUBLE) / max(na)) +
+        |     (1.0 - CAST(CAST(sum(cb) AS BIGINT) AS DOUBLE) / max(nb))) *
+        |      (0.5 * ln(2)),
+        |    9) AS js_divergence
+        |FROM sh GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "text_skipgram_pmi" ->
       """WITH t AS (
         |  SELECT regexp_split_to_array(lower(text), '\s+') AS ws

@@ -167,6 +167,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"novelty must not window:\n$plan")
   }
 
+  test("source divergence: identical sources at 0; disjoint pairs share nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "s1"),
+      (2L, "alpha beta gamma alpha", "s2"),  // identical distribution
+      (3L, "alpha beta gamma gamma", "s3"),  // shifted distribution
+      (4L, "delta epsilon zeta", "s4")       // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.sourceDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(rows(("s1", "s2"))) < 1e-12,
+      s"identical sources must diverge 0: ${rows(("s1", "s2"))}")
+    val d13 = rows(("s1", "s3"))
+    assert(d13 > 0 && d13 < math.log(2.0),
+      s"shifted source must sit strictly inside (0, ln 2): $d13")
+    // JS is symmetric in construction: (s2,s3) ≡ (s1,s3)
+    assert(rows(("s2", "s3")) == d13, rows.toString)
+    // a disjoint-vocabulary pair shares no token and drops from the
+    // matrix (its JS is the ln 2 ceiling by definition)
+    assert(!rows.keySet.exists(k => k._1 == "s4" || k._2 == "s4"),
+      s"disjoint source leaked a shared-token row: ${rows.keySet}")
+  }
+
   test("skipgram PMI: window=1 IS bigram PMI; a gapped collocation needs window>1") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf)
