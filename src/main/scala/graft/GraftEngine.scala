@@ -374,6 +374,12 @@ object GraftEngine {
         else graft.operators.Sharding.columnProfile(
           Tables.byName(s, d, rel), rel)
       }),
+      "events_ab_significance" -> ((s, d, p) =>
+        graft.operators.Events.eventsAbSignificance(s, d,
+          experiment = p.str("experiment", "exp1"))),
+      "text_charclass_profile" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.charclassProfile(
+          Tables.documents(s, d))),
       "text_source_divergence" -> ((s, d, p) =>
         graft.operators.TextAnalysis.sourceDivergence(
           Tables.documents(s, d))),

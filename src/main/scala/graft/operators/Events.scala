@@ -566,6 +566,52 @@ object Events {
       .orderBy(col("arm"))
   }
 
+  /** Two-proportion z-test on the A/B assignment — the significance
+    * readout on top of [[eventsAbAssign]]'s per-arm conversion rates
+    * (a rate difference means nothing without its sampling error).
+    * z = (p_A − p_B) / sqrt(p̂(1−p̂)(1/n_A + 1/n_B)) with the pooled
+    * p̂; |z| > 1.96 ⇒ significant at α = 0.05.
+    *
+    * Scale shape: one per-user partial+final agg (the corpus pass),
+    * then FOUR conditional sums to a single row — the z assembles in
+    * one double expression over exact integers, identical association
+    * order both engines, unrounded. */
+  def eventsAbSignificance(s: SparkSession, d: String,
+                           experiment: String = "exp1"): DataFrame = {
+    val arm = when(substring(md5(concat(col("user_id").cast("string"),
+      lit(":" + experiment))), 1, 1) < "8", "A").otherwise("B")
+    val pooled = (col("x_a") + col("x_b")).cast(DoubleType) /
+      (col("n_a") + col("n_b"))
+    events(s, d)
+      .groupBy(col("user_id"))
+      // time-boxed conversion — purchased within the first day of the
+      // user's activity (ever-purchased saturates to 100% on any
+      // long-lived user base, making p̂(1−p̂) = 0 and z undefined);
+      // exact epoch-µs integers, the conversion_lag discipline
+      .agg(min(expr("unix_micros(ts)")).as("t0"),
+        min(when(col("event_type") === "purchase",
+          expr("unix_micros(ts)"))).as("tp"))
+      .select(col("user_id"),
+        when(col("tp").isNotNull &&
+          col("tp") < col("t0") + lit(86400000000L), 1L)
+          .otherwise(0L).as("converted"))
+      .select(arm.as("arm"), col("converted"))
+      .agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (col("x_a").cast(DoubleType) / col("n_a")).as("rate_a"),
+        (col("x_b").cast(DoubleType) / col("n_b")).as("rate_b"),
+        ((col("x_a").cast(DoubleType) / col("n_a") -
+          col("x_b").cast(DoubleType) / col("n_b")) /
+          sqrt((pooled * (lit(1.0) - pooled)) *
+            (lit(1.0) / col("n_a").cast(DoubleType) +
+              lit(1.0) / col("n_b").cast(DoubleType)))).as("z_score"))
+      .withColumn("significant", abs(col("z_score")) > 1.96)
+  }
+
   /** Event-type affinity (market-basket lift at user granularity):
     * for each unordered type pair, how many users perform BOTH, and
     * the lift n_both·N / (n_a·n_b) — >1 means the behaviours attract.
@@ -826,6 +872,8 @@ object Events {
     "events_type_affinity" -> (eventsTypeAffinity _),
     "events_ab_assign" -> ((s: SparkSession, d: String) =>
       eventsAbAssign(s, d)),
+    "events_ab_significance" -> ((s: SparkSession, d: String) =>
+      eventsAbSignificance(s, d)),
     "events_funnel_windowed" -> ((s: SparkSession, d: String) =>
       eventsFunnelWindowed(s, d)),
     "events_new_vs_returning" -> (eventsNewVsReturning _),
@@ -1203,6 +1251,44 @@ object Events {
         |CROSS JOIN nu
         |ORDER BY type_a, type_b""".stripMargin,
 
+    "events_ab_significance" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN min(CASE WHEN event_type = 'purchase'
+        |          THEN epoch_us(ts) END) IS NOT NULL
+        |      AND min(CASE WHEN event_type = 'purchase'
+        |          THEN epoch_us(ts) END) < min(epoch_us(ts)) + 86400000000
+        |      THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':exp1'),
+        |      1, 1) < '8' THEN 'A' ELSE 'B' END AS arm,
+        |    converted
+        |  FROM u
+        |), c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS x_b
+        |  FROM a
+        |)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(x_a AS DOUBLE) / n_a AS rate_a,
+        |  CAST(x_b AS DOUBLE) / n_b AS rate_b,
+        |  (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+        |    sqrt(((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |      (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))) *
+        |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |    AS z_score,
+        |  abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+        |    sqrt(((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |      (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))) *
+        |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+        |    > 1.96 AS significant
+        |FROM c""".stripMargin,
     "events_ab_assign" ->
       """WITH u AS (
         |  SELECT user_id,

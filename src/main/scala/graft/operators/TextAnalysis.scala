@@ -663,6 +663,38 @@ object TextAnalysis {
   def textSourceDivergence(s: SparkSession, d: String): DataFrame =
     sourceDivergence(documents(s, d))
 
+  /** Character-class profile per language — mean per-doc shares of
+    * letters / digits / whitespace / other (the cheap script-sanity
+    * readout: mojibake, binary spill, and markup-heavy docs all move
+    * `other`; a lang whose letter share collapses is mislabeled or
+    * corrupted). Per-doc shares are exact-integer quotients (class
+    * counts via regexp strip — map-only, codegen); the per-lang means
+    * ride the 9-dp-round → DECIMAL-sum discipline so partial-agg
+    * order can't move a digit. */
+  def charclassProfile(docs: DataFrame): DataFrame = {
+    def share(pattern: String): Column =
+      round((length(col("text")) -
+        length(regexp_replace(col("text"), pattern, ""))).cast(DoubleType) /
+        length(col("text")), 9)
+    val per = docs.where(length(col("text")) > 0)
+      .select(col("lang"),
+        share("[a-zA-Z]").as("s_alpha"),
+        share("[0-9]").as("s_digit"),
+        share("\\s").as("s_space"))
+      .withColumn("s_other",
+        round(lit(1.0) - col("s_alpha") - col("s_digit") - col("s_space"), 9))
+    def m(c: String): Column =
+      round(sum(col(c).cast(DecimalType(28, 9))).cast(DoubleType) /
+        count(lit(1)), 9).as("mean_" + c.drop(2))
+    per.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        m("s_alpha"), m("s_digit"), m("s_space"), m("s_other"))
+      .orderBy(col("lang"))
+  }
+
+  def textCharclassProfile(s: SparkSession, d: String): DataFrame =
+    charclassProfile(documents(s, d))
+
   /** Type-token ratio per document — lexical diversity (n_types /
     * n_tokens): the cheap vocabulary-richness feature next to entropy
     * and hapax share in every quality stack; near 0 = loops of the
@@ -691,6 +723,7 @@ object TextAnalysis {
     "text_pmi_bigrams" -> (textPmiBigrams _),
     "text_skipgram_pmi" -> (textSkipgramPmi _),
     "text_source_divergence" -> (textSourceDivergence _),
+    "text_charclass_profile" -> (textCharclassProfile _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_hashed_bow" -> (textHashedBow _),
@@ -745,6 +778,34 @@ object TextAnalysis {
         |CROSS JOIN tot CROSS JOIN totb
         |WHERE p.n_ab >= 10
         |ORDER BY p.token_a, p.token_b""".stripMargin,
+    "text_charclass_profile" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    round(CAST(length(text) -
+        |      length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text), 9) AS s_alpha,
+        |    round(CAST(length(text) -
+        |      length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text), 9) AS s_digit,
+        |    round(CAST(length(text) -
+        |      length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / length(text), 9) AS s_space
+        |  FROM documents WHERE length(text) > 0
+        |), p2 AS (
+        |  SELECT lang, s_alpha, s_digit, s_space,
+        |    round(1.0 - s_alpha - s_digit - s_space, 9) AS s_other
+        |  FROM per
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(s_alpha AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 9) AS mean_alpha,
+        |  round(CAST(sum(CAST(s_digit AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 9) AS mean_digit,
+        |  round(CAST(sum(CAST(s_space AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 9) AS mean_space,
+        |  round(CAST(sum(CAST(s_other AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 9) AS mean_other
+        |FROM p2 GROUP BY lang ORDER BY lang""".stripMargin,
     "text_source_divergence" ->
       """WITH tok AS (
         |  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+'))
