@@ -124,6 +124,14 @@ object ScaleStress {
       graft.operators.Pretrain.bigramLogprob(docs))
     time("pmi bigrams")(
       graft.operators.TextAnalysis.pmiBigrams(docs))
+    time("skipgram pmi")(
+      graft.operators.TextAnalysis.skipgramPmi(docs))
+    time("source divergence")(
+      graft.operators.TextAnalysis.sourceDivergence(docs))
+    time("column profile")(
+      graft.operators.Sharding.columnProfile(docs, "documents"))
+    time("minhash calibration")(
+      graft.operators.Dedup.minhashCalibration(docs))
     time("z-order write") {
       graft.sources.Sources.writeZOrdered(
         orders, s"$base/orders_z.parquet",
