@@ -13,7 +13,7 @@ object SparkEntry {
       Multimodal.queries ++ GraftEngine.queries ++ Temporal.queries ++
       Curation.queries ++ Sharding.queries ++ QualityRules.queries ++
       TextIndex.queries ++ Pretrain.queries ++ QualityModel.queries ++
-      ScaleJoins.queries
+      ScaleJoins.queries ++ graft.sources.Sources.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -22,5 +22,5 @@ object SparkEntry {
       Multimodal.oracles ++ GraftEngine.oracles ++ Temporal.oracles ++
       Curation.oracles ++ Sharding.oracles ++ QualityRules.oracles ++
       TextIndex.oracles ++ Pretrain.oracles ++ QualityModel.oracles ++
-      ScaleJoins.oracles
+      ScaleJoins.oracles ++ graft.sources.Sources.oracles
 }

@@ -170,4 +170,37 @@ object Sources {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Gate keys: format-roundtrip invisibility for every non-parquet
+    * source this layer supports — documents write out as csv / json /
+    * orc and read back THROUGH [[read]] with the explicit schema (the
+    * production path; inference is for exploration), and the oracle is
+    * the ORIGINAL parquet table. A lossy writer, a quoting bug, or a
+    * schema-coercion drift fails the hash, not a unit test's
+    * hand-picked rows. Output dir is keyed by (format, corpus path) so
+    * gate re-runs overwrite idempotently. */
+  private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(s, d)
+    val out = s"/tmp/graft_gate_rt_${fmt}_${math.abs(d.hashCode)}"
+    write(docs, out, Some(fmt))
+    read(s, out, Some(fmt), Some(docs.schema)).orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_roundtrip" -> ((s: SparkSession, d: String) =>
+      roundtrip(s, d, "csv")),
+    "q_json_roundtrip" -> ((s: SparkSession, d: String) =>
+      roundtrip(s, d, "json")),
+    "q_orc_roundtrip" -> ((s: SparkSession, d: String) =>
+      roundtrip(s, d, "orc")))
+
+  private val docsSql =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_csv_roundtrip" -> docsSql,
+    "q_json_roundtrip" -> docsSql,
+    "q_orc_roundtrip" -> docsSql)
 }
