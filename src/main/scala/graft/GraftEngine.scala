@@ -374,6 +374,13 @@ object GraftEngine {
         else graft.operators.Sharding.columnProfile(
           Tables.byName(s, d, rel), rel)
       }),
+      "events_wow_growth" -> ((s, d, p) =>
+        graft.operators.Events.eventsWowGrowth(s, d)),
+      "text_source_topterms" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.sourceTopTerms(Tables.documents(s, d),
+          k = p.int("k", 5), minLen = p.int("minLen", 4))),
+      "dedup_blob_exact" -> ((s, d, p) =>
+        graft.operators.Multimodal.dedupBlobExact(s, d)),
       "events_ab_significance" -> ((s, d, p) =>
         graft.operators.Events.eventsAbSignificance(s, d,
           experiment = p.str("experiment", "exp1"))),

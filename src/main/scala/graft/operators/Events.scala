@@ -566,6 +566,26 @@ object Events {
       .orderBy(col("arm"))
   }
 
+  /** Week-over-week growth — weekly active users and event volume
+    * with their WoW ratios: the topline trend report. One distinct
+    * reduction + one weekly agg (the only corpus passes); the lag
+    * window runs over the reduced #weeks-row table. Growth ratios are
+    * unrounded exact-integer quotients; week 1 reports null growth. */
+  def eventsWowGrowth(s: SparkSession, d: String): DataFrame = {
+    val wk = events(s, d)
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("week"))
+    wk.select(col("week"), col("wau"), col("n_events"),
+      (col("wau").cast(DoubleType) / lag(col("wau"), 1).over(w))
+        .as("wau_growth"),
+      (col("n_events").cast(DoubleType) / lag(col("n_events"), 1).over(w))
+        .as("events_growth"))
+      .orderBy(col("week"))
+  }
+
   /** Two-proportion z-test on the A/B assignment — the significance
     * readout on top of [[eventsAbAssign]]'s per-arm conversion rates
     * (a rate difference means nothing without its sampling error).
@@ -874,6 +894,7 @@ object Events {
       eventsAbAssign(s, d)),
     "events_ab_significance" -> ((s: SparkSession, d: String) =>
       eventsAbSignificance(s, d)),
+    "events_wow_growth" -> (eventsWowGrowth _),
     "events_funnel_windowed" -> ((s: SparkSession, d: String) =>
       eventsFunnelWindowed(s, d)),
     "events_new_vs_returning" -> (eventsNewVsReturning _),
@@ -1251,6 +1272,18 @@ object Events {
         |CROSS JOIN nu
         |ORDER BY type_a, type_b""".stripMargin,
 
+    "events_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT date_trunc('week', ts) AS week,
+        |    count(DISTINCT user_id) AS wau, count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT week, wau, n_events,
+        |  CAST(wau AS DOUBLE) / lag(wau) OVER (ORDER BY week)
+        |    AS wau_growth,
+        |  CAST(n_events AS DOUBLE) / lag(n_events) OVER (ORDER BY week)
+        |    AS events_growth
+        |FROM wk ORDER BY week""".stripMargin,
     "events_ab_significance" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -575,8 +575,27 @@ object Multimodal {
       .orderBy(col("format"), col("lang"))
   }
 
+  /** EXACT blob dedup — the byte-identity plane under the perceptual
+    * ones (a re-upload dedupes here for free before any decode runs):
+    * key = (xxhash64(blob), length) — the length pins the 1-in-2⁶⁴
+    * hash collision to equal-sized blobs only; keeper is the min
+    * doc_id, n_copies the evidence. One partial+final agg; blobs never
+    * shuffle (8-byte hash + length leave the scan). */
+  def blobExact(blobs: DataFrame): DataFrame =
+    blobs
+      .select(col("doc_id"), xxhash64(col("blob")).as("bh"),
+        length(col("blob")).as("blen"))
+      .groupBy(col("bh"), col("blen"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("blen"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  def dedupBlobExact(s: SparkSession, d: String): DataFrame =
+    blobExact(withBlobs(documents(s, d)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),
+    "dedup_blob_exact" -> (dedupBlobExact _),
     "dedup_image_phash" -> ((s: SparkSession, d: String) =>
       dedupImagePhash(s, d)),
     "dedup_audio_fp" -> ((s: SparkSession, d: String) =>

@@ -663,6 +663,44 @@ object TextAnalysis {
   def textSourceDivergence(s: SparkSession, d: String): DataFrame =
     sourceDivergence(documents(s, d))
 
+  /** Top distinctive terms PER SOURCE by source-level tf-idf — "what
+    * is each source about" (text_tfidf_vectors answers the per-DOC
+    * version; this is the corpus-catalog card). tf counts per
+    * (source, term); df = how many SOURCES carry the term, so a term
+    * every source shares scores ~0 no matter how frequent.
+    *
+    * Scale shape: one tokenize reduced to the (source, term) table;
+    * df is a partial+final agg over that REDUCED table; the top-k
+    * rank partitions by source and is WindowGroupLimit'd (per-task
+    * heaps — a source's vocab never buffers through one task). Score
+    * rounds to 9 dp BEFORE the rank so tie order is identical on both
+    * engines. */
+  def sourceTopTerms(docs: DataFrame, k: Int = 5,
+                     minLen: Int = 4): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(length(col("term")) >= minLen)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nSrc = tf.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term")).crossJoin(broadcast(nSrc))
+      .withColumn("tfidf", round(
+        col("tf").cast(DoubleType) *
+          log((lit(1.0) + col("n_sources")) / (lit(1.0) + col("df"))), 9))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("source"), col("rank"), col("term"), col("tf"),
+        col("df"), col("tfidf"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  def textSourceTopTerms(s: SparkSession, d: String): DataFrame =
+    sourceTopTerms(documents(s, d))
+
   /** Character-class profile per language — mean per-doc shares of
     * letters / digits / whitespace / other (the cheap script-sanity
     * readout: mojibake, binary spill, and markup-heavy docs all move
@@ -724,6 +762,7 @@ object TextAnalysis {
     "text_skipgram_pmi" -> (textSkipgramPmi _),
     "text_source_divergence" -> (textSourceDivergence _),
     "text_charclass_profile" -> (textCharclassProfile _),
+    "text_source_topterms" -> (textSourceTopTerms _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_hashed_bow" -> (textHashedBow _),
@@ -778,6 +817,32 @@ object TextAnalysis {
         |CROSS JOIN tot CROSS JOIN totb
         |WHERE p.n_ab >= 10
         |ORDER BY p.token_a, p.token_b""".stripMargin,
+    "text_source_topterms" ->
+      """WITH tf AS (
+        |  SELECT source, term, count(*) AS tf
+        |  FROM (SELECT source,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |        FROM documents)
+        |  WHERE length(term) >= 4
+        |  GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), ns AS (
+        |  SELECT count(DISTINCT source) AS n_sources FROM tf
+        |), scored AS (
+        |  SELECT tf.source, tf.term, tf.tf, df.df,
+        |    round(CAST(tf.tf AS DOUBLE) *
+        |      ln((1.0 + n_sources) / (1.0 + df.df)), 9) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN ns
+        |), ranked AS (
+        |  SELECT source, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored
+        |)
+        |SELECT source, rank, term, tf, df, tfidf FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     "text_charclass_profile" ->
       """WITH per AS (
         |  SELECT lang,

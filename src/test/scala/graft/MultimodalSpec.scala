@@ -293,4 +293,19 @@ class MultimodalSpec extends SparkSpec {
       .where(col("doc_id") % 5 === 0).count()
     assert(byFormat("png") == expected)
   }
+
+  test("blob exact dedup: byte-identical re-uploads collapse to the min id") {
+    import spark.implicits._
+    val b1 = Array[Byte](1, 2, 3, 4, 5)
+    val b2 = Array[Byte](9, 9, 9)
+    val blobs = Seq(
+      (10L, b1), (11L, b1.clone()),  // byte-identical pair
+      (12L, b2),                     // distinct
+      (13L, Array[Byte](1, 2, 3))    // prefix of b1 — must NOT collapse
+    ).toDF("doc_id", "blob")
+    val out = graft.operators.Multimodal.blobExact(blobs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out == Map(10L -> (5, 2L), 12L -> (3, 1L), 13L -> (3, 1L)),
+      out.toString)
+  }
 }
