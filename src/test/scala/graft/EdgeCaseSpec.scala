@@ -415,4 +415,64 @@ class EdgeCaseSpec extends SparkSpec {
     val ds = graft.operators.Similarity.dimStats(oneVec).collect()
     assert(ds.length == 2 && ds.forall(r => r.getDouble(3).isNaN))
   }
+
+  test("late-wave text operators survive hostile docs") {
+    import spark.implicits._
+    val h = hostile.withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("s"), (col("doc_id") % 2)))
+    // skipgram: single-word and CJK docs emit no pairs; boilerplate
+    // pairs surface at minCount=1 with finite PMI
+    val sg = TextAnalysis.skipgramPmi(h, window = 3, minCount = 1).collect()
+    assert(sg.nonEmpty &&
+      sg.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    assert(!sg.exists(r => r.getString(0) == "word" &&
+      r.getString(1) == "word"), "a 1-token doc cannot self-pair")
+    // source divergence: two identically-distributed sources diverge 0
+    val same = Seq((1L, "x y z", "a"), (2L, "x y z", "b"))
+      .toDF("doc_id", "text", "source")
+    val dv = TextAnalysis.sourceDivergence(same).collect()
+    assert(dv.length == 1 && math.abs(dv(0).getDouble(3)) < 1e-12)
+    assert(TextAnalysis.sourceDivergence(h).collect()
+      .forall(r => !r.getDouble(3).isNaN), "hostile divergence NaN'd")
+    // charclass: empty docs drop (not a divide-by-zero); CJK text is
+    // 100% 'other'
+    val cc = TextAnalysis.charclassProfile(
+      Seq((1L, "数据引擎", "zh"), (2L, "", "zh")).toDF("doc_id", "text", "lang"))
+      .collect()
+    assert(cc.length == 1 && cc(0).getLong(1) == 1L &&
+      cc(0).getDouble(5) == 1.0, cc.mkString(","))
+    // per-source top terms: min-length floor drops the junk; ranks
+    // stay 1..k dense per source, nothing throws
+    val tt = TextAnalysis.sourceTopTerms(h, k = 3, minLen = 4).collect()
+    assert(tt.groupBy(_.getString(0)).values
+      .forall(rs => rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length)))
+  }
+
+  test("late-wave profile/calibration/outlier operators survive degenerate input") {
+    import spark.implicits._
+    // column profile: an all-null column reports null_frac 1, 0 distinct
+    val nulls = Seq((1L, Option.empty[String]), (2L, None))
+      .toDF("id", "v")
+    val cp = graft.operators.Sharding.columnProfile(nulls, "t")
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(cp("v").getLong(3) == 2L && cp("v").getLong(4) == 0L &&
+      cp("v").getDouble(5) == 1.0)
+    assert(cp("id").getLong(3) == 0L && cp("id").getDouble(6) == 1.0)
+    // minhash calibration: byte-identical boilerplate calibrates to
+    // est = true = 1.0 with zero error
+    val cal = Dedup.minhashCalibration(hostile).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (e56, t56, err56) = cal((5L, 6L))
+    assert(e56 == 1.0 && t56 == 1.0 && err56 == 0.0, cal.toString)
+    // outlier scores: a single-member label has undefined sigma — its
+    // z is NaN and it must NOT flag (NaN < -2 is false), no throw
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1)  // lone member of label 1
+    ).toDF("vec_id", "embedding", "label")
+    val oz = graft.operators.Similarity.outlierScores(emb).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(oz(3L)._1.isNaN && !oz(3L)._2, oz.toString)
+  }
 }
