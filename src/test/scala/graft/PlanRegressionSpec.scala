@@ -398,6 +398,30 @@ class PlanRegressionSpec extends SparkSpec {
     assert(wide.isEmpty, s"profile legs scan multiple columns: $wide")
   }
 
+  test("source top-terms rank is WindowGroupLimit'd; score pre-rounded") {
+    val df = SparkEntry.queries("text_source_topterms")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-source top-k must run as per-task heaps — a source's
+    // vocab (millions of terms at corpus scale) never buffers through
+    // one window task
+    assert(p.contains("WindowGroupLimit"), s"top-k not group-limited:\n$p")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      s"no partial (map-side) group limit:\n$p")
+  }
+
+  test("skipgram pair emission is a per-row HOF, never a positional self-join") {
+    val df = SparkEntry.queries("text_skipgram_pmi")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // a pos-keyed self-join would shuffle the exploded token table
+    // twice; the shipped shape explodes window-bounded structs from
+    // each row and reduces BEFORE any join
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized join appeared in the pair path:\n$p")
+    assert("Generate explode".r.findFirstIn(p).isDefined, p)
+  }
+
   test("salted join splits hot keys; bloom semi probes before the exchange") {
     val ps = plan("q_salted_join")
     // the salt must reach the join key (an optimizer that collapses
