@@ -374,6 +374,10 @@ object GraftEngine {
         else graft.operators.Sharding.columnProfile(
           Tables.byName(s, d, rel), rel)
       }),
+      "text_readability" -> ((s, d, p) =>
+        graft.operators.TextAnalysis.readability(Tables.documents(s, d))),
+      "quality_near_dedup_rate" -> ((s, d, p) =>
+        graft.operators.QualityRules.nearDedupRate(Tables.documents(s, d))),
       "events_wow_growth" -> ((s, d, p) =>
         graft.operators.Events.eventsWowGrowth(s, d)),
       "text_source_topterms" -> ((s, d, p) =>

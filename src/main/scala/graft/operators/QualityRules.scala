@@ -306,6 +306,35 @@ object QualityRules {
           .cast("double") / count(lit(1))), 6).as("dup_rate"))
       .orderBy(col("source"))
 
+  /** Per-source NEAR-dup rate — the MinHash twin of
+    * [[qualityDedupRate]] (exact byte-identity misses every
+    * reformatted mirror; this reports what the near-dup collapse
+    * would actually remove, attributed to the source that pays it).
+    * Keeper = min doc_id of each star-edge component; singletons keep
+    * themselves. Components are the audited iterative
+    * pointer-jumping; everything after is two shrinking aggs. */
+  def nearDedupRate(docs: DataFrame): DataFrame = {
+    val comps = graft.operators.Components
+      .connectedComponents(graft.operators.Dedup.minhashLshEdges(docs))
+      .select(col("id").as("doc_id"), col("comp"))
+    val tagged = docs.select(col("doc_id"), col("source"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val keep = tagged.groupBy(col("comp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    tagged.join(keep, Seq("comp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("near_dup_rate",
+        lit(1.0) - col("n_kept").cast(DoubleType) / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  def qualityNearDedupRate(s: SparkSession, d: String): DataFrame =
+    nearDedupRate(graft.Tables.documents(s, d))
+
   /** Cross-source n-gram overlap matrix: distinct-word-8-gram Jaccard
     * for every source pair — the re-crawl detector (a pair at
     * Jaccard 0.9 is one crawl mirrored twice; per-source dup rates
@@ -362,6 +391,7 @@ object QualityRules {
     "dedup_paragraph" -> (dedupParagraph _),
     "pipeline_contamination" -> (pipelineContamination _),
     "quality_dedup_rate" -> (qualityDedupRate _),
+    "quality_near_dedup_rate" -> (qualityNearDedupRate _),
     "quality_dup_ngram_share" -> (qualityDupNgramShare _)
   )
 

@@ -663,6 +663,39 @@ object TextAnalysis {
   def textSourceDivergence(s: SparkSession, d: String): DataFrame =
     sourceDivergence(documents(s, d))
 
+  /** Flesch-Kincaid grade level per document — the classic
+    * readability score every curation stack carries beside the Gopher
+    * ratios: 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59.
+    * Syllables use the standard vowel-group heuristic (runs of
+    * [aeiou], min 1 per word) — crude but monotone in real syllable
+    * count and EXACTLY replayable in SQL, which a dictionary method
+    * is not.
+    *
+    * Scale shape: entirely map-only — the syllable sum is an
+    * aggregate HOF over the word array inside codegen (the array
+    * never leaves its row), sentence/word counts are the
+    * text_sentences rules; one per-row double expression, identical
+    * association order both engines, 6 dp. */
+  def readability(docs: DataFrame): DataFrame = {
+    val nSent = size(split(col("text"), "[.!?]+\\s+")).cast(LongType)
+    val nWords = size(split(lower(col("text")), "\\s+")).cast(LongType)
+    val nSyll = expr(
+      """aggregate(transform(split(lower(text), '\\s+'),
+        |  w -> BIGINT(greatest(size(split(w, '[aeiou]+')) - 1, 1))),
+        |  0L, (acc, x) -> acc + x)""".stripMargin)
+    docs
+      .select(col("doc_id"), nSent.as("n_sentences"),
+        nWords.as("n_words"), nSyll.as("n_syllables"))
+      .withColumn("fk_grade", round(
+        (col("n_words").cast(DoubleType) / col("n_sentences")) * 0.39 +
+          (col("n_syllables").cast(DoubleType) / col("n_words")) * 11.8 -
+          15.59, 6))
+      .orderBy(col("doc_id"))
+  }
+
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    readability(documents(s, d))
+
   /** Top distinctive terms PER SOURCE by source-level tf-idf — "what
     * is each source about" (text_tfidf_vectors answers the per-DOC
     * version; this is the corpus-catalog card). tf counts per
@@ -763,6 +796,7 @@ object TextAnalysis {
     "text_source_divergence" -> (textSourceDivergence _),
     "text_charclass_profile" -> (textCharclassProfile _),
     "text_source_topterms" -> (textSourceTopTerms _),
+    "text_readability" -> (textReadability _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_hashed_bow" -> (textHashedBow _),
@@ -817,6 +851,24 @@ object TextAnalysis {
         |CROSS JOIN tot CROSS JOIN totb
         |WHERE p.n_ab >= 10
         |ORDER BY p.token_a, p.token_b""".stripMargin,
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '[.!?]+\s+')) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(list_sum(list_transform(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      w -> greatest(len(regexp_split_to_array(w, '[aeiou]+')) - 1,
+        |        1))) AS BIGINT) AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  round((CAST(n_words AS DOUBLE) / n_sentences) * 0.39 +
+        |    (CAST(n_syllables AS DOUBLE) / n_words) * 11.8 - 15.59, 6)
+        |    AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_source_topterms" ->
       """WITH tf AS (
         |  SELECT source, term, count(*) AS tf

@@ -163,4 +163,31 @@ class QualityRulesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"overlap must not window:\n$plan")
   }
+
+  test("near-dedup rate attributes collapse to the source that pays it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"), lit("clean").as("source"))
+    // source 'dupey': 3 near-identical copies of a UNIQUE synthetic
+    // doc (a real corpus doc may have natural near-dups, pulling the
+    // keeper into 'clean' — global dedup semantics) + 1 unrelated doc
+    // — expected keep 2 of 4, rate 0.5
+    val seedText = (1 to 60).map(i => s"zyxq$i").mkString(" ")
+    val dupes = Seq(
+      (900001L, seedText + " tail one", "dupey"),
+      (900002L, seedText + " tail two", "dupey"),
+      (900003L, seedText + " tail three", "dupey"),
+      (900004L, "completely unrelated standalone document text", "dupey")
+    ).toDF("doc_id", "text", "source")
+    val rates = graft.operators.QualityRules
+      .nearDedupRate(base.where(col("doc_id") > 0).unionByName(dupes))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val (nd, rd) = rates("dupey")
+    assert(nd == 4L && rd == 0.5, s"dupey: $rates")
+    // the clean corpus may carry a few natural near-dups, but nothing
+    // like the planted half
+    assert(rates("clean")._2 < 0.2, s"clean source rate: $rates")
+  }
 }
