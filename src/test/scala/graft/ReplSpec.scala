@@ -338,6 +338,33 @@ class ReplSpec extends SparkSpec {
     assert(e.getMessage.contains("key="))
   }
 
+  test("late-wave view knobs: probes=, k=, experiment= reach the operators") {
+    import org.apache.spark.sql.functions._
+    // recall curve: a custom probe ladder yields exactly those rows
+    GraftEngine.pipelineView(spark, "sim_ann_recall_curve", Sf,
+      Map("probes" -> "2,8"))
+    val pr = GraftEngine.sql(spark,
+      "select nprobe from graft_sim_ann_recall_curve order by nprobe")
+      .collect().map(_.getInt(0)).toSeq
+    assert(pr == Seq(2, 8), pr.toString)
+    // top terms: k=2 caps every source's ranks at 2
+    GraftEngine.pipelineView(spark, "text_source_topterms", Sf,
+      Map("k" -> "2"))
+    val mx = GraftEngine.sql(spark,
+      "select max(rank) from graft_text_source_topterms")
+      .collect()(0).getInt(0)
+    assert(mx == 2, s"k=2 ignored: max rank $mx")
+    // ab significance: a different experiment salt re-splits the arms
+    GraftEngine.pipelineView(spark, "events_ab_significance", Sf,
+      Map("experiment" -> "exp2"))
+    val n2 = GraftEngine.sql(spark,
+      "select n_a from graft_events_ab_significance").collect()(0).getLong(0)
+    GraftEngine.pipelineView(spark, "events_ab_significance", Sf)
+    val n1 = GraftEngine.sql(spark,
+      "select n_a from graft_events_ab_significance").collect()(0).getLong(0)
+    assert(n1 != n2, s"experiment salt did not re-split arms: $n1 == $n2")
+  }
+
   test("column profile re-targets at any table through the pipeline view") {
     GraftEngine.pipelineView(spark, "pipeline_column_profile", Sf,
       Map("rel" -> "nation"))
