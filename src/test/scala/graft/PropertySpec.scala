@@ -296,4 +296,46 @@ class PropertySpec extends SparkSpec {
           f"($h0%016x / $h90%016x / $h180%016x)")
     }
   }
+
+  test("skipgram pair count obeys the window identity on arbitrary docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a doc of n tokens at window w emits exactly Σ_{o=1..w} max(0, n−o)
+    // pairs — any drift means the HOF emission clips or double-counts
+    val docs = samples(wordLists, 40).zipWithIndex
+      .filter(_._1.nonEmpty)
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val w = 3
+    val emitted = graft.operators.TextAnalysis
+      .skipgramPmi(df, window = w, minCount = 1)
+      .agg(sum(col("n_ab"))).collect()(0)
+    val got = if (emitted.isNullAt(0)) 0L else emitted.getLong(0)
+    val expected = docs.map { case (_, t) =>
+      val n = t.toLowerCase.split("\\s+").length
+      (1 to w).map(o => math.max(0, n - o).toLong).sum
+    }.sum
+    assert(got == expected, s"pairs $got != identity $expected")
+  }
+
+  test("JS divergence is bounded, symmetric in construction, zero on self") {
+    import spark.implicits._
+    val corpora = samples(wordLists, 30).filter(_.nonEmpty).take(8)
+    val docs = corpora.zipWithIndex.flatMap { case (ws, i) =>
+      Seq((i.toLong * 2, ws.mkString(" "), s"s$i"),
+        (i.toLong * 2 + 1, ws.reverse.mkString(" "), s"s${i}m"))  // mirror
+    }.toDF("doc_id", "text", "source")
+    val rows = graft.operators.TextAnalysis.sourceDivergence(docs).collect()
+    rows.foreach { r =>
+      val js = r.getDouble(3)
+      assert(!js.isNaN && js >= -1e-12 && js <= math.log(2.0) + 1e-12,
+        s"${r.getString(0)}/${r.getString(1)}: js $js out of [0, ln 2]")
+    }
+    // a source and its word-REVERSED mirror share the exact unigram
+    // distribution: their JS is 0 for every generated pair
+    val zero = rows.filter(r => r.getString(1) == r.getString(0) + "m")
+    assert(zero.nonEmpty)
+    zero.foreach(r => assert(math.abs(r.getDouble(3)) < 1e-9,
+      s"mirror pair diverged: ${r.getString(0)} ${r.getDouble(3)}"))
+  }
 }
