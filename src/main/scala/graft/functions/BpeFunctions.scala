@@ -55,18 +55,20 @@ final class BpeCodec(val merges: Seq[(String, String)]) extends Serializable {
     m
   }
 
-  /** Per-executor word → ids memo (bounded: cleared at 2^17 entries —
-    * a Zipf-headed corpus hits >99% of occurrences in a far smaller
-    * head). ConcurrentHashMap: one codec instance serves all task
-    * threads on an executor. */
-  @transient private lazy val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  /** Per-executor word → ids memo, two-generation segmented (bound:
+    * 2 × 2^16 entries). A full `clear()` at the bound would cold-
+    * restart the entire Zipf head for every task thread on the
+    * executor at each trip; the segmented memo instead rotates the
+    * young generation to old and PROMOTES old hits back to young, so
+    * a word referenced at least once per generation never recomputes
+    * across an eviction boundary — only the cold tail is dropped.
+    * One codec instance serves all task threads on an executor. */
+  @transient private lazy val memo = new BpeCodec.SegmentedMemo(1 << 16)
 
   def idsOf(word: String): Array[Int] = {
     val hit = memo.get(word)
     if (hit != null) return hit
     val computed = encodeWord(word)
-    if (memo.size > (1 << 17)) memo.clear()
     memo.put(word, computed)
     computed
   }
@@ -122,6 +124,41 @@ object BpeCodec {
   /** Must equal Pretrain.BpeMergeIdBase (0x110000 — above the Unicode
     * range, so merge ids never collide with code points). */
   val MergeIdBase = 0x110000
+
+  /** Two-generation bounded memo. The young generation fills to
+    * `segCap` and is then ROTATED to old (dropping the previous old)
+    * instead of cleared; a hit in old promotes the entry back to
+    * young. Consequence (pinned by PropertySpec): an entry referenced
+    * at least once per generation survives every eviction boundary —
+    * exactly the access pattern of a Zipf head — while the cold tail
+    * is bounded at 2 × segCap entries. ConcurrentHashMaps + a
+    * synchronized rotation; safe under all task threads of an
+    * executor sharing one codec. */
+  final class SegmentedMemo(segCap: Int) {
+    private type M = java.util.concurrent.ConcurrentHashMap[String, Array[Int]]
+    @volatile private var young: M = new M()
+    @volatile private var old: M = new M()
+
+    def get(word: String): Array[Int] = {
+      val hit = young.get(word)
+      if (hit != null) return hit
+      val prev = old.get(word)
+      if (prev != null) { put(word, prev); return prev } // promote
+      null
+    }
+
+    def put(word: String, ids: Array[Int]): Unit = {
+      val y = young
+      y.put(word, ids)
+      if (y.size > segCap) rotate(y)
+    }
+
+    private def rotate(full: M): Unit = synchronized {
+      // only the thread whose put actually filled the CURRENT young
+      // rotates; latecomers see `young ne full` and skip
+      if (young eq full) { old = full; young = new M() }
+    }
+  }
 }
 
 /** Static entry points for codegen. */

@@ -435,6 +435,37 @@ case class AnyLongInBroadcast(child: Expression,
     copy(child = newChild)
 }
 
+/** `bloom_might_contain_bc(long)` — probe a BROADCAST
+  * `org.apache.spark.util.sketch.BloomFilter` with a long hash.
+  * Same probe semantics as Spark's own `BloomFilterMightContain`
+  * (the expression InjectRuntimeFilter emits), but the filter rides a
+  * `SparkContext.broadcast` handle via `ctx.addReferenceObj` instead
+  * of a serialized-bytes plan Literal: plan size and codegen stay
+  * O(1) in filter size (a 1M-key/1% filter is ~1.2 MB — inlined as a
+  * Literal it is re-shipped and re-deserialized with every plan
+  * copy), and the filter deserializes ONCE per executor via the
+  * torrent broadcast, not once per plan transform. Codegen'd — no
+  * fence on the corpus-sized scan it guards. */
+case class BloomMightContainBroadcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain_bc"
+  override protected def nullSafeEval(input: Any): Any =
+    bc.value.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("broadcastBloom", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev,
+      c => s"((org.apache.spark.util.sketch.BloomFilter) $bcRef.value())" +
+        s".mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainBroadcast =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>)` → tf-weighted 64-bit SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -482,4 +513,11 @@ object HashFunctions {
       bc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftInternals.column(
       AnyLongInBroadcast(GraftInternals.expression(arr), bc))
+
+  /** Column wrapper: probe a broadcast bloom filter with a long hash. */
+  def bloomMightContain(hash: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    GraftInternals.column(
+      BloomMightContainBroadcast(GraftInternals.expression(hash), bc))
 }

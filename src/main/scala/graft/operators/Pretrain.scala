@@ -511,13 +511,22 @@ object Pretrain {
     * with them — the closed tokenizer loop (fit → apply) in one plan.
     * Rows-only (the fit's argmax draws are not SQL-expressible);
     * semantics pinned by PretrainSpec against an independent scalar
-    * reference implementation. */
+    * reference implementation.
+    *
+    * The gate projection ships `token_digest` — an xxhash64 over the
+    * id sequence's string form — INSTEAD of the raw `token_ids` array:
+    * the digest pins the full sequence content (any id anywhere flips
+    * it) while keeping every gate column scalar. The raw array stays
+    * on the API path ([[bpeEncode]], and the REPL's
+    * `pipeline text_bpe_encode modelDir=` view). */
   def textBpeEncode(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val merges = bpeMerges(docs, s).orderBy(col("step"))
       .select(col("left"), col("right"))
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
     bpeEncode(docs, merges, s)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        xxhash64(col("token_ids").cast(StringType)).as("token_digest"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,10 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.GraftInternals
-import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables._
 
@@ -66,10 +64,13 @@ object ScaleJoins {
     * the residual anti join into a broadcast, so nothing big ever
     * shuffles.
     *
-    * The probe is Spark's own native `BloomFilterMightContain` — the
-    * exact expression InjectRuntimeFilter emits for the joins where it
-    * DOES fire — over `xxhash64(key)`, with the filter built over the
-    * same hashes. Codegen'd, no per-row ser/de, and no codegen fence on
+    * The probe is the native [[graft.functions.BloomMightContainBroadcast]]
+    * — same semantics as the `BloomFilterMightContain` that Spark's
+    * InjectRuntimeFilter emits for the joins where it DOES fire, but
+    * the filter rides a broadcast handle instead of a serialized-bytes
+    * plan Literal (plan size O(1) in filter size) — over
+    * `xxhash64(key)`, with the filter built over the same hashes.
+    * Codegen'd, no per-row ser/de, and no codegen fence on
     * the one scan that touches 100 TB (a ScalaUDF probe would be both).
     * Hashing first is lossless for the reduction: a key maps to one
     * hash, the bloom has no false negatives over those hashes, and hash
@@ -101,8 +102,8 @@ object ScaleJoins {
       keys, "left_semi")
 
   /** The shared reduction: prune `big` map-side with a bloom filter
-    * built over `small`'s keys (Spark's native BloomFilterMightContain
-    * probe — codegen'd, no per-row ser/de on the corpus-sized scan).
+    * built over `small`'s keys (the native broadcast-handle probe —
+    * codegen'd, no per-row ser/de on the corpus-sized scan).
     * An EMPTY small side reduces big to nothing outright — correct for
     * both consumers (no small keys ⇒ no possible match) and necessary:
     * Spark's bloomFilter aggregate returns a null buffer over zero
@@ -115,14 +116,12 @@ object ScaleJoins {
     if (small.isEmpty) return big.where(lit(false))
     val bf = small.select(kh.as("_kh"))
       .stat.bloomFilter("_kh", expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    val probe = GraftInternals.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType), GraftInternals.expression(kh)))
-    big.where(probe)
+    // the filter rides a broadcast handle (torrent-shipped once per
+    // executor, deserialized once), NOT a serialized-bytes plan
+    // Literal: plan size stays O(1) in filter size — at a 1M-key
+    // batch the Literal form inlines ~1.2 MB into every plan copy
+    val bc = small.sparkSession.sparkContext.broadcast(bf)
+    big.where(graft.functions.HashFunctions.bloomMightContain(kh, bc))
   }
 
   /** Gate key: [[saltedJoin]] on the lineitem⋈supplier fact-dim join,

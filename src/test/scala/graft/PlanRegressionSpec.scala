@@ -431,5 +431,11 @@ class PlanRegressionSpec extends SparkSpec {
     val pb = plan("q_bloom_semi_join")
     assert(pb.contains("might_contain"),
       s"bloom probe missing from the big-side scan:\n$pb")
+    // the filter must ride a broadcast HANDLE, not a serialized-bytes
+    // plan Literal: a Literal probe prints the whole filter as one hex
+    // blob (~240k hex chars at the gate's 100k/1% sizing) — the plan
+    // string staying free of any large hex run IS the O(1) property
+    assert("0x[0-9A-Fa-f]{10000}".r.findFirstIn(pb).isEmpty,
+      "bloom filter inlined into the plan as a binary literal")
   }
 }

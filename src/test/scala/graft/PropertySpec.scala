@@ -338,4 +338,56 @@ class PropertySpec extends SparkSpec {
     zero.foreach(r => assert(math.abs(r.getDouble(3)) < 1e-9,
       s"mirror pair diverged: ${r.getString(0)} ${r.getDouble(3)}"))
   }
+
+  test("segmented BPE memo: a hot word survives every eviction boundary") {
+    // the full-clear memo recomputed the whole Zipf head at each trip;
+    // the segmented memo must keep an entry that is referenced at
+    // least once per generation alive FOREVER (reference identity —
+    // the promoted array is the same instance, never recomputed)
+    val memo = new graft.functions.BpeCodec.SegmentedMemo(64)
+    val hot = Array(1, 2, 3)
+    memo.put("hot", hot)
+    var i = 0
+    while (i < 10000) {
+      memo.put(s"cold_$i", Array(i))
+      if (i % 32 == 0) { // well within one generation (cap 64)
+        val got = memo.get("hot")
+        assert(got != null, s"hot word evicted at insertion $i")
+        assert(got eq hot, s"hot word recomputed (new array) at $i")
+      }
+      i += 1
+    }
+    // and a cold-tail word from thousands of insertions ago is gone
+    assert(memo.get("cold_0") == null, "memo is unbounded")
+  }
+
+  test("segmented BPE memo is safe under concurrent task threads") {
+    val memo = new graft.functions.BpeCodec.SegmentedMemo(128)
+    val hot = Array(7)
+    memo.put("hot", hot)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until 8).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var i = 0
+          while (i < 5000) {
+            memo.put(s"t${t}_$i", Array(i))
+            if (memo.get("hot") == null) { // re-seed like idsOf would
+              bad.incrementAndGet(); memo.put("hot", hot)
+            }
+            i += 1
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    // each thread touches "hot" every insertion — far more than once
+    // per generation, so it survives (a miss is only possible if a
+    // thread is descheduled across TWO full rotations between its two
+    // generation probes; tolerate noise, a miss just means one
+    // recompute, never corruption)
+    assert(bad.get() <= 2, s"hot word observed missing ${bad.get()} times")
+  }
 }
