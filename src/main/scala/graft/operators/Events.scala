@@ -637,7 +637,10 @@ object Events {
     * the lift n_both·N / (n_a·n_b) — >1 means the behaviours attract.
     * No self-join of the events table: each user's distinct type set
     * (≤|types| entries) collects once and its pair combinations emit
-    * via a higher-order expression inside codegen, so the shuffle
+    * via the native [[graft.functions.PairCombinations]] kernel (one
+    * tight upper-triangle loop inside whole-stage codegen — the
+    * equivalent lambda HOF is CodegenFallback and is kept only as the
+    * parity oracle in PairFunctionsSpec), so the shuffle
     * carries ≤|types|²/2 pair rows per user, and the report reduces to
     * ≤|types|² rows. The lift is an unrounded quotient of exact
     * integers. */
@@ -648,10 +651,8 @@ object Events {
     val pairs = u
       .groupBy(col("user_id"))
       .agg(sort_array(collect_set(col("event_type"))).as("ts"))
-      .select(explode(expr(
-        """flatten(transform(ts, (x, i) ->
-          |  transform(slice(ts, i + 2, greatest(size(ts) - i - 1, 0)),
-          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(explode(
+        graft.functions.PairFunctions.pairCombinations(col("ts"))).as("p"))
       .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
     pairs

@@ -569,12 +569,15 @@ object TextAnalysis {
     * tolerate an intervening word ("new … york city") surface here
     * and not in [[pmiBigrams]].
     *
-    * Scale shape: identical to the bigram miner — pair emission is a
-    * per-row HOF (flatten of a window-sized transform, ≤ window·|doc|
-    * structs per doc, inside codegen; no self-join on position, which
-    * would shuffle the corpus's exploded token table TWICE), then
-    * partial+final counts, min-count pruning before the unigram
-    * join-backs, one ln() at 9 dp. */
+    * Scale shape: identical to the bigram miner — pair emission is
+    * per-row through the native [[graft.functions.SkipgramPairs]]
+    * generator kernel (≤ window·|doc| structs per doc, one tight loop
+    * inside whole-stage codegen — the equivalent lambda-HOF emission
+    * is CodegenFallback and is kept only as the parity oracle in
+    * PairFunctionsSpec; no self-join on position, which would shuffle
+    * the corpus's exploded token table TWICE), then partial+final
+    * counts, min-count pruning before the unigram join-backs, one
+    * ln() at 9 dp. */
   def skipgramPmi(docs: DataFrame, window: Int = 4,
                   minCount: Int = 10): DataFrame = {
     val ws = docs.select(split(lower(col("text")), "\\s+").as("ws"))
@@ -582,12 +585,8 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cu"))
     val nUni = uni.agg(sum(col("cu")).as("n_uni"))
     val pairs = ws
-      .select(explode(expr(
-        s"""flatten(transform(ws, (w, i) ->
-           |  filter(transform(sequence(1, $window), o ->
-           |    IF(i + o + 1 > size(ws), NULL,
-           |      struct(w AS a, element_at(ws, i + o + 1) AS b))),
-           |    x -> x IS NOT NULL)))""".stripMargin)).as("t"))
+      .select(explode(
+        graft.functions.PairFunctions.skipgramPairs(col("ws"), window)).as("t"))
       .groupBy(col("t.a").as("token_a"), col("t.b").as("token_b"))
       .agg(count(lit(1)).as("n_ab"))
     val nPair = pairs.agg(sum(col("n_ab")).as("n_pair"))
@@ -671,18 +670,17 @@ object TextAnalysis {
     * count and EXACTLY replayable in SQL, which a dictionary method
     * is not.
     *
-    * Scale shape: entirely map-only — the syllable sum is an
-    * aggregate HOF over the word array inside codegen (the array
-    * never leaves its row), sentence/word counts are the
+    * Scale shape: entirely map-only — the syllable sum is the native
+    * [[graft.functions.SyllableCount]] kernel (one char walk per row
+    * inside whole-stage codegen; the equivalent `aggregate` HOF is
+    * CodegenFallback and is kept only as the parity oracle in
+    * PairFunctionsSpec), sentence/word counts are the
     * text_sentences rules; one per-row double expression, identical
     * association order both engines, 6 dp. */
   def readability(docs: DataFrame): DataFrame = {
     val nSent = size(split(col("text"), "[.!?]+\\s+")).cast(LongType)
     val nWords = size(split(lower(col("text")), "\\s+")).cast(LongType)
-    val nSyll = expr(
-      """aggregate(transform(split(lower(text), '\\s+'),
-        |  w -> BIGINT(greatest(size(split(w, '[aeiou]+')) - 1, 1))),
-        |  0L, (acc, x) -> acc + x)""".stripMargin)
+    val nSyll = graft.functions.PairFunctions.syllableCount(col("text"))
     docs
       .select(col("doc_id"), nSent.as("n_sentences"),
         nWords.as("n_words"), nSyll.as("n_syllables"))

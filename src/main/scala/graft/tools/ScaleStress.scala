@@ -126,6 +126,8 @@ object ScaleStress {
       graft.operators.TextAnalysis.pmiBigrams(docs))
     time("skipgram pmi")(
       graft.operators.TextAnalysis.skipgramPmi(docs))
+    time("readability")(
+      graft.operators.TextAnalysis.readability(docs))
     time("source divergence")(
       graft.operators.TextAnalysis.sourceDivergence(docs))
     time("column profile")(

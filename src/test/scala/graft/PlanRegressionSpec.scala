@@ -81,7 +81,9 @@ class PlanRegressionSpec extends SparkSpec {
     Seq("text_quality" -> "text_stats",
         "sim_topk_bruteforce" -> "vec_cosine",
         "dedup_minhash_lsh" -> "minhash_buckets",
-        "pipeline_contamination" -> "ngram_hashes")
+        "pipeline_contamination" -> "ngram_hashes",
+        "text_readability" -> "syllable_count",
+        "events_type_affinity" -> "pair_combinations")
       .foreach { case (q, kernel) =>
         val df = SparkEntry.queries(q)(spark, Sf)
         df.collect()
@@ -410,7 +412,7 @@ class PlanRegressionSpec extends SparkSpec {
       s"no partial (map-side) group limit:\n$p")
   }
 
-  test("skipgram pair emission is a per-row HOF, never a positional self-join") {
+  test("skipgram pair emission is a per-row codegen'd kernel, never a positional self-join") {
     val df = SparkEntry.queries("text_skipgram_pmi")(spark, Sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -420,6 +422,13 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-sized join appeared in the pair path:\n$p")
     assert("Generate explode".r.findFirstIn(p).isDefined, p)
+    // the pair emission is the native skipgram_pairs kernel and the
+    // Generate that explodes it stays inside a WholeStageCodegen span
+    // (the lambda-HOF form it replaced was CodegenFallback)
+    val gen = p.split("\n").filter(_.contains("skipgram_pairs("))
+    assert(gen.nonEmpty, s"native skipgram_pairs kernel missing:\n$p")
+    assert(gen.exists(_.contains("*(")),
+      s"skipgram_pairs runs outside codegen:\n${gen.mkString("\n")}")
   }
 
   test("salted join splits hot keys; bloom semi probes before the exchange") {
