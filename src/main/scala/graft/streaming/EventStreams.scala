@@ -110,14 +110,34 @@ object EventStreams {
     * aren't known up front and over-represented sources must be cut off
     * mid-flight. State per source is ONE long (tokens admitted); a doc
     * is admitted iff it still fits. flatMapGroupsWithState because no
-    * built-in stateful operator expresses admit-while-under-quota. */
+    * built-in stateful operator expresses admit-while-under-quota.
+    *
+    * `tokens` mirrors the batch packing family's knob: "" counts
+    * whitespace words; `bpe:<modelDir>` counts tokenizer-TRUE tokens
+    * through the native [[graft.functions.BpeTokenCount]] kernel (the
+    * fitted merge table rides a broadcast codec — plan size O(1), the
+    * count projection is map-only so the stream stays stateless before
+    * the keyed gate). Same wrong-by-construction argument as batch: a
+    * live-crawl cutoff counted in whitespace words admits ~N× too much
+    * of any non-space-delimited source before the quota trips. */
   def sourceBudget(docs: DataFrame, quota: Long,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   tokens: String = ""): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val withTok = docs.withColumn("_tok",
-      graft.functions.TextStats.textStats(col(textCol))
-        .getField("n_words").cast("long"))
+    val tokCol = tokens match {
+      case "" =>
+        graft.functions.TextStats.textStats(col(textCol))
+          .getField("n_words").cast("long")
+      case t if t.startsWith("bpe:") =>
+        val spark = docs.sparkSession
+        val bc = spark.sparkContext.broadcast(new graft.functions.BpeCodec(
+          graft.operators.Pretrain.loadBpeMerges(spark, t.stripPrefix("bpe:"))))
+        graft.functions.BpeFunctions.bpeTokenCount(col(textCol), bc)
+      case other => throw new IllegalArgumentException(
+        s"unknown tokens mode '$other' — expected bpe:<modelDir>")
+    }
+    val withTok = docs.withColumn("_tok", tokCol)
     val enc = Encoders.product[Admitted]
     val stateEnc = Encoders.product[BudgetState]
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =

@@ -161,6 +161,50 @@ class StreamingSpec extends SparkSpec {
     assert(aCum <= 10L, s"srcA cumulative $aCum exceeds quota")
   }
 
+  test("source budget under tokens=bpe counts tokenizer-true tokens and flips the cutoff") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_budget_bpe").toString
+    // fit a tiny merge table on a corpus sharing no characters with
+    // the planted docs, so their BPE token count is their char count
+    val fit = Seq((1L, "the cat sat on the mat the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    graft.operators.Pretrain.bpeMerges(fit, spark)
+      .write.mode("overwrite").parquet(s"$base/model")
+    // doc 1 is ONE whitespace word but EIGHT tokenizer tokens — the
+    // exact wrongness of a word-counted cutoff on a no-space script
+    val docs = Seq(
+      (1L, "xxxxxxxx", "srcA"),
+      (2L, "q w z", "srcA"),
+      (3L, "q w z q", "srcB")).toDF("doc_id", "text", "source")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    def run(tokens: String, name: String): Map[Long, Long] = {
+      val stream = spark.readStream.schema(docs.schema).parquet(s"$base/in")
+      val q = EventStreams.sourceBudget(stream, quota = 5L, tokens = tokens)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_tokens
+    }
+    // whitespace mode admits everything (srcA: 1 + 3 = 4 ≤ 5)
+    val words = run("", "budget_words")
+    assert(words.keySet == Set(1L, 2L, 3L), s"words mode: $words")
+    // tokenizer-true mode rejects the no-space doc (8 > 5), which in
+    // turn leaves room for doc 2 — the cutoff POINT moved, not just a
+    // count column
+    val bpe = run(s"bpe:$base/model", "budget_bpe")
+    assert(bpe.keySet == Set(2L, 3L), s"bpe mode: $bpe")
+    // batch parity: the stream's per-doc counts equal the batch
+    // packing knob's (same kernel, same broadcast codec discipline)
+    val batch = graft.operators.Pretrain
+      .bpeTokenCounts(docs, s"$base/model", spark)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    bpe.foreach { case (id, n) =>
+      assert(n == batch(id), s"doc $id: stream $n != batch ${batch(id)}")
+    }
+  }
+
   test("streaming ingest gate filters low-quality and contaminated docs statelessly") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
