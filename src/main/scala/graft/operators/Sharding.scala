@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -748,24 +748,30 @@ object Sharding {
     * default budget is 1 MiB so the recommendation VARIES at test
     * scales — production budget (128 MiB parquet row groups) is the
     * `targetBytes` knob via pipelineView. */
-  def layoutPlan(s: SparkSession, d: String,
-                 targetBytes: Long = 1L << 20): DataFrame = {
+  /** Estimated in-memory row width: fixed widths for numerics,
+    * measured lengths (+4 overhead) for strings — shared by
+    * [[layoutPlan]] and [[joinAdvice]], mirrored constant-for-constant
+    * by both oracles. */
+  private def rowWidth(df: DataFrame): Column = {
     import org.apache.spark.sql.types.{StringType, IntegerType => IntT,
       DoubleType => DblT, LongType => LngT, TimestampType, BooleanType}
-    def est(df: DataFrame, name: String): DataFrame = {
-      val width = df.schema.fields.map { f =>
-        f.dataType match {
-          case StringType => length(coalesce(col(f.name), lit(""))) + lit(4)
-          case IntT => lit(4)
-          case DblT | LngT | TimestampType => lit(8)
-          case BooleanType => lit(1)
-          case _ => lit(8)
-        }
-      }.reduce(_ + _)
+    df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType => length(coalesce(col(f.name), lit(""))) + lit(4)
+        case IntT => lit(4)
+        case DblT | LngT | TimestampType => lit(8)
+        case BooleanType => lit(1)
+        case _ => lit(8)
+      }
+    }.reduce(_ + _)
+  }
+
+  def layoutPlan(s: SparkSession, d: String,
+                 targetBytes: Long = 1L << 20): DataFrame = {
+    def est(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
-          sum(width.cast(LongType)).as("est_bytes"))
+          sum(rowWidth(df).cast(LongType)).as("est_bytes"))
         .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"))
-    }
     val all = Seq(
       est(lineitem(s, d), "lineitem"), est(orders(s, d), "orders"),
       est(events(s, d), "events"), est(documents(s, d), "documents"))
@@ -962,7 +968,72 @@ object Sharding {
       .reduce(_.unionAll(_))
       .orderBy(col("rel"), col("keycol"))
 
+  /** Join-strategy recommendation for one (relation, key) — the
+    * report that connects the skew DIAGNOSTIC ([[keySkew]]) to its
+    * TREATMENTS ([[ScaleJoins.saltedJoin]], `broadcast()`, plain
+    * shuffle). Per leg: the key-size profile plus the relation's
+    * estimated in-memory bytes ([[rowWidth]], the layoutPlan
+    * estimator) reduce to one row with
+    *
+    *   - `broadcast` when the whole relation fits a build side
+    *     (est_bytes ≤ broadcastBytes — skew is irrelevant if nothing
+    *     shuffles),
+    *   - `salt` when the hottest key exceeds skewMult × the floor
+    *     average, with salt_n = the least power of two ≥ the hot
+    *     key's multiple of average (capped at maxSalt) — the N that
+    *     spreads the hot key's rows back to ~average-sized tasks,
+    *   - `plain` otherwise.
+    *
+    * All-integer thresholds (the avg is an integer FLOOR ≥ 1, so the
+    * ratio never needs the max_n·n_keys product that would overflow
+    * BIGINT at 10¹⁰ rows) — the oracle replays every branch exactly.
+    * The gate default broadcastBytes is 1 MiB so strategies VARY at
+    * test scales; production (10 MiB = Spark's
+    * autoBroadcastJoinThreshold default) is the knob.
+    *
+    * Scale shape: one partial+final agg per leg (per-key count + byte
+    * subtotal in the same pass), then a single-row reduction — the
+    * advice for a 100 TB table costs one scan of it. */
+  def joinAdvice(df: DataFrame, rel: String, keyCol: String,
+                 broadcastBytes: Long = 1L << 20,
+                 skewMult: Long = 4L,
+                 maxSalt: Long = 64L): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(rowWidth(df).cast(LongType)).as("b"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"), sum(col("b")).as("est_bytes"))
+      .select(lit(rel).as("rel"), lit(keyCol).as("keycol"),
+        col("n_rows"), col("n_keys"), col("max_n"), col("est_bytes"))
+      .withColumn("_avg", greatest(expr("n_rows DIV n_keys"), lit(1L)))
+      .withColumn("_ratio", expr("(max_n + _avg - 1) DIV _avg"))
+      .withColumn("strategy",
+        when(col("est_bytes") <= broadcastBytes, lit("broadcast"))
+          .when(col("max_n") > col("_avg") * skewMult, lit("salt"))
+          .otherwise(lit("plain")))
+      .withColumn("salt_n",
+        when(col("strategy") === "salt",
+          least(lit(maxSalt),
+            when(expr("_ratio & (_ratio - 1)") === 0L, col("_ratio"))
+              .otherwise(expr("shiftleft(1L, length(bin(_ratio)))"))))
+          .otherwise(lit(0L)))
+      .drop("_avg", "_ratio")
+
+  /** Gate key: [[joinAdvice]] over the same six (relation, key) legs
+    * [[pipelineSkewStats]] profiles — the advisor a 100 TB operator
+    * reads before choosing a join plan. */
+  def pipelineJoinAdvisor(s: SparkSession, d: String): DataFrame =
+    Seq(
+      joinAdvice(events(s, d), "events", "user_id"),
+      joinAdvice(events(s, d), "events", "event_type"),
+      joinAdvice(orders(s, d), "orders", "o_custkey"),
+      joinAdvice(lineitem(s, d), "lineitem", "l_suppkey"),
+      joinAdvice(lineitem(s, d), "lineitem", "l_partkey"),
+      joinAdvice(documents(s, d), "documents", "source"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("rel"), col("keycol"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_join_advisor" -> (pipelineJoinAdvisor _),
     "pipeline_skew_stats" -> (pipelineSkewStats _),
     "pipeline_column_profile" -> (pipelineColumnProfile _),
     "pipeline_length_percentiles" -> (pipelineLengthPercentiles _),
@@ -991,6 +1062,49 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_join_advisor" -> {
+      // per-relation byte estimators: constant-for-constant the
+      // layoutPlan widths (fixed numerics + length(string)+4)
+      val widths = Map(
+        "events" -> "40 + length(coalesce(event_type, '')) + length(coalesce(props, ''))",
+        "orders" -> "40 + length(coalesce(o_orderstatus, '')) + length(coalesce(o_orderpriority, ''))",
+        "lineitem" -> ("76 + length(coalesce(l_returnflag, '')) " +
+          "+ length(coalesce(l_linestatus, ''))"),
+        "documents" -> ("28 + length(coalesce(text, '')) " +
+          "+ length(coalesce(lang, '')) + length(coalesce(source, ''))"))
+      def leg(rel: String, keyCol: String): String =
+        s"""SELECT '$rel' AS rel, '$keyCol' AS keycol,
+           |  CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           |  CAST(max(n) AS BIGINT) AS max_n,
+           |  CAST(sum(b) AS BIGINT) AS est_bytes
+           |FROM (SELECT count(*) AS n,
+           |        sum(${widths(rel)}) AS b
+           |      FROM $rel GROUP BY $keyCol)
+           |""".stripMargin
+      val u = Seq(("events", "user_id"), ("events", "event_type"),
+        ("orders", "o_custkey"), ("lineitem", "l_suppkey"),
+        ("lineitem", "l_partkey"), ("documents", "source"))
+        .map { case (r, k) => leg(r, k) }
+        .mkString("UNION ALL\n")
+      s"""WITH u AS (
+         |$u
+         |), v AS (
+         |  SELECT *, greatest(n_rows // n_keys, CAST(1 AS BIGINT)) AS avg_f
+         |  FROM u
+         |), w AS (
+         |  SELECT *, (max_n + avg_f - 1) // avg_f AS ratio FROM v
+         |)
+         |SELECT rel, keycol, n_rows, n_keys, max_n, est_bytes,
+         |  CASE WHEN est_bytes <= 1048576 THEN 'broadcast'
+         |       WHEN max_n > avg_f * 4 THEN 'salt'
+         |       ELSE 'plain' END AS strategy,
+         |  CAST(CASE
+         |    WHEN est_bytes <= 1048576 OR max_n <= avg_f * 4 THEN 0
+         |    ELSE least(64, CASE WHEN (ratio & (ratio - 1)) = 0 THEN ratio
+         |      ELSE CAST(1 AS BIGINT) << length(bin(ratio)) END)
+         |  END AS BIGINT) AS salt_n
+         |FROM w ORDER BY rel, keycol""".stripMargin
+    },
     "pipeline_length_percentiles" ->
       """SELECT source, count(*) AS n_docs,
         |  round(quantile_cont(n_chars, 0.25), 4) AS p25,

@@ -319,4 +319,38 @@ class ShardingSpec extends SparkSpec {
     }
     assert(totalDocs == docs.count())
   }
+
+  test("join advisor: a planted hot key flips the recommendation to salt with the right N") {
+    import spark.implicits._
+    // 10,000 rows, 901 keys, key 1 holds 9,100 rows (~91% — the skew
+    // regime saltedJoin exists for); a long payload pushes est_bytes
+    // past the 1 KiB broadcast bound so the salt branch is reachable
+    val pad = "x" * 100
+    val hot = (1L to 10000L).map(i =>
+      (if (i <= 9100) 1L else i, pad)).toDF("k", "payload")
+    val advHot = Sharding.joinAdvice(hot, "t", "k",
+      broadcastBytes = 1024L).collect()(0)
+    assert(advHot.getAs[String]("strategy") == "salt", s"$advHot")
+    // avg floor = 10000 DIV 901 = 11; ratio = ceil(9100/11) = 828 →
+    // next pow2 1024 → capped at 64
+    assert(advHot.getAs[Long]("salt_n") == 64L, s"$advHot")
+    // the same shape WITHOUT the hot key: uniform 10 rows/key → plain
+    val flat = (1L to 10000L).map(i => (i % 1000, pad)).toDF("k", "payload")
+    val advFlat = Sharding.joinAdvice(flat, "t", "k",
+      broadcastBytes = 1024L).collect()(0)
+    assert(advFlat.getAs[String]("strategy") == "plain", s"$advFlat")
+    assert(advFlat.getAs[Long]("salt_n") == 0L, s"$advFlat")
+    // and a table under the broadcast bound never salts, however skewed
+    val tiny = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"))
+      .toDF("k", "payload")
+    val advTiny = Sharding.joinAdvice(tiny, "t", "k").collect()(0)
+    assert(advTiny.getAs[String]("strategy") == "broadcast", s"$advTiny")
+    // mild skew (hot key = 2× avg on a big table) stays plain: salting
+    // pays a replication cost that 2× never justifies
+    val mild = ((1L to 9000L).map(i => (i % 1000, pad)) ++
+      (1L to 10L).map(_ => (1L, pad))).toDF("k", "payload")
+    val advMild = Sharding.joinAdvice(mild, "t", "k",
+      broadcastBytes = 1024L).collect()(0)
+    assert(advMild.getAs[String]("strategy") == "plain", s"$advMild")
+  }
 }
