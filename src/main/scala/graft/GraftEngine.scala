@@ -205,6 +205,9 @@ object GraftEngine {
       "dedup_incremental_near" -> ((s, d, p) =>
         graft.operators.TextIndex.dedupIncrementalNear(s, d,
           indexDir = p.str("indexDir", ""))),
+      "dedup_incremental_media" -> ((s, d, p) =>
+        graft.operators.MediaIndex.dedupIncrementalMedia(s, d,
+          indexDir = p.str("indexDir", ""))),
       "dedup_semantic" -> ((s, d, p) =>
         Similarity.dedupSemantic(s, d,
           threshold = p.double("threshold", 0.45))),

@@ -56,7 +56,7 @@ object Repl {
     * build). Syntax:
     *
     * {{{
-    * index <build|append|delete|compact|vacuum|status> <ann|pq|text>
+    * index <build|append|delete|compact|vacuum|status> <ann|pq|text|media>
     *       <indexDir> [dataDir] [key=value ...]
     * }}}
     *
@@ -70,14 +70,16 @@ object Repl {
     * `pipeline serve_ann_probe indexDir=<indexDir>`. */
   def evalIndex(spark: org.apache.spark.sql.SparkSession, rest: String,
                 baseDir: String): String = {
-    import graft.operators.{AnnIndex, TextIndex}
+    import graft.operators.{AnnIndex, MediaIndex, TextIndex}
     val toks = rest.trim.split("\\s+")
     require(toks.length >= 3,
       "syntax: index <build|append|delete|compact|vacuum|status> " +
-        "<ann|text> <indexDir> [dataDir] [key=value ...]")
+        "<ann|text|media> <indexDir> [dataDir] [key=value ...]")
     val (verb, kind, dir) = (toks(0).toLowerCase, toks(1).toLowerCase, toks(2))
-    require(kind == "ann" || kind == "pq" || kind == "text",
-      s"unknown index kind '$kind' — expected ann, pq or text")
+    require(kind == "ann" || kind == "pq" || kind == "text" || kind == "media",
+      s"unknown index kind '$kind' — expected ann, pq, text or media")
+    def mediaBlobs(dataDir: String) = graft.operators.Multimodal
+      .withBlobs(Tables.documents(spark, dataDir))
     val (kvs, positional) = toks.drop(3).partition(_.contains("="))
     require(positional.length <= 1,
       s"unexpected arguments ${positional.drop(1).mkString(" ")}")
@@ -100,6 +102,9 @@ object Repl {
       case ("build", "text") =>
         TextIndex.build(spark, Tables.documents(spark, dataDir), dir)
         s"built text index at $dir"
+      case ("build", "media") =>
+        MediaIndex.build(spark, mediaBlobs(dataDir), dir)
+        s"built media index at $dir"
       case ("append", "ann") =>
         AnnIndex.append(spark, Tables.embeddings(spark, dataDir), dir)
         s"appended embeddings from $dataDir into $dir"
@@ -109,10 +114,14 @@ object Repl {
       case ("append", "text") =>
         TextIndex.append(spark, Tables.documents(spark, dataDir), dir)
         s"appended documents from $dataDir into $dir"
+      case ("append", "media") =>
+        MediaIndex.append(spark, mediaBlobs(dataDir), dir)
+        s"appended media blobs from $dataDir into $dir"
       case ("delete", _) =>
         val ids = p.strings("ids", Seq.empty).map(_.toLong)
         require(ids.nonEmpty, "index delete needs ids=<id,id,...>")
         if (kind == "text") TextIndex.delete(spark, dir, ids)
+        else if (kind == "media") MediaIndex.delete(spark, dir, ids)
         else AnnIndex.delete(spark, dir, ids)
         s"tombstoned ${ids.length} id(s) in $dir"
       case ("compact", "ann" | "pq") =>
@@ -123,12 +132,18 @@ object Repl {
         val (before, after) = TextIndex.compact(spark, dir,
           smallFileBytes = p.long("smallFileBytes", 16L << 20))
         s"compacted $dir: live data files $before -> $after"
+      case ("compact", "media") =>
+        val (before, after) = MediaIndex.compact(spark, dir,
+          smallFileBytes = p.long("smallFileBytes", 16L << 20))
+        s"compacted $dir: live data files $before -> $after"
       case ("vacuum", _) =>
         val n = if (kind == "text") TextIndex.vacuum(spark, dir, p.long("graceMs", 0L))
+                else if (kind == "media") MediaIndex.vacuum(spark, dir, p.long("graceMs", 0L))
                 else AnnIndex.vacuum(spark, dir, p.long("graceMs", 0L))
         s"vacuumed $n orphan file(s) from $dir"
       case ("status", _) =>
         val st = if (kind == "text") TextIndex.status(spark, dir)
+                 else if (kind == "media") MediaIndex.status(spark, dir)
                  else AnnIndex.status(spark, dir)
         s"version=${st.version} built=${st.built} " +
           s"liveDataFiles=${st.liveDataFiles} " +

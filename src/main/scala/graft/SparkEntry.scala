@@ -12,7 +12,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Events.queries ++ Similarity.queries ++
       Multimodal.queries ++ GraftEngine.queries ++ Temporal.queries ++
       Curation.queries ++ Sharding.queries ++ QualityRules.queries ++
-      TextIndex.queries ++ Pretrain.queries ++ QualityModel.queries ++
+      TextIndex.queries ++ MediaIndex.queries ++ Pretrain.queries ++
+      QualityModel.queries ++
       ScaleJoins.queries ++ graft.sources.Sources.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,6 +22,7 @@ object SparkEntry {
       TextAnalysis.oracles ++ Events.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ GraftEngine.oracles ++ Temporal.oracles ++
       Curation.oracles ++ Sharding.oracles ++ QualityRules.oracles ++
-      TextIndex.oracles ++ Pretrain.oracles ++ QualityModel.oracles ++
+      TextIndex.oracles ++ MediaIndex.oracles ++ Pretrain.oracles ++
+      QualityModel.oracles ++
       ScaleJoins.oracles ++ graft.sources.Sources.oracles
 }

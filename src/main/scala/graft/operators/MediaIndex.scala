@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Persisted near-dup index for the MEDIA planes — the
+  * image/audio/video twin of [[TextIndex]], closing the last plane
+  * where incremental ingest had to re-fingerprint the standing corpus
+  * per batch (batch dedup: Multimodal.dedupImagePhash/dedupAudioFp/
+  * dedupFrameContainment; streaming: EventStreams' ephemeral-state
+  * admission — neither is an index AT REST).
+  *
+  * The index holds (doc_id, plane, band, bucket, h): one 64-bit
+  * fingerprint per blob (h), banded into the bucket rows the admission
+  * join keys on — ≤4 rows of ~40 B per blob, a vanishing fraction of
+  * media bytes; the blobs themselves are never read again after their
+  * signatures are written. Per plane:
+  *
+  *   - `audio` (RIFF/WAV sniff): [[Multimodal.audioFp64]] — the
+  *     energy-envelope fingerprint — banded 4 × 16 bits (the
+  *     Dedup.hamming64StarEdges band layout).
+  *   - `image` (decodable image): [[Multimodal.ImageDecoder.aHash64]]
+  *     — the rotation-canonical perceptual hash — banded 4 × 16 bits.
+  *   - `video` (any other blob, treated as a frame container): the MIN
+  *     frame-slice xxhash64 — a one-permutation MinHash of the frame
+  *     SET (order-invariant: re-cut clips collapse), one band whose
+  *     bucket is the full hash. Trims keep the key with probability
+  *     ≈ containment and defer to the periodic batch containment
+  *     engine — the same single-band trade the streaming twin
+  *     (EventStreams video admission) documents. Frame hashes are
+  *     bit-identical to [[Multimodal.frameSignatures]]' declarative
+  *     `xxhash64(substring(blob, ...))` (same XXH64, seed 42), so the
+  *     batch twin pins parity.
+  *
+  * Fingerprints are a pure function of the blob (the same kernels the
+  * batch planes run), so append parity with a rebuild holds by
+  * construction — the [[TextIndex]]/[[AnnIndex]] purity argument.
+  *
+  * [[admit]] mirrors TextIndex three-stage admission with one media
+  * difference: a bucket collision alone does not reject. Image/audio
+  * band buckets over-merge on degenerate bands (flat images zero
+  * whole bands — the reason Multimodal's batch planes Hamming-verify
+  * star edges), so the corpus screen joins colliding candidates
+  * (index side bloom-reduced BEFORE any exchange, the standing index
+  * never shuffles) and rejects only batch blobs within exact Hamming
+  * ≤ maxHamming of a standing fingerprint (video: bucket equality IS
+  * the verification — the bucket is the full 64-bit key). In-batch
+  * collapse then keeps one representative per cluster (Hamming star
+  * edges for image/audio, min-key grouping for video), and [[ingest]]
+  * commits the pure decision by appending the admitted blobs'
+  * signature rows (map-only write).
+  *
+  * Storage protocol = [[IndexFiles]] — identical manifest/tombstone/
+  * compact/vacuum contract as TextIndex; [[delete]] is the takedown
+  * verb (a removed doc's buckets stop screening immediately, so
+  * re-encoded equivalents re-ingest after a takedown). */
+object MediaIndex {
+
+  private val FrameBytes = 64
+
+  private val sigSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("plane", StringType, nullable = false),
+    StructField("h", LongType, nullable = false)))
+
+  /** (doc_id, plane, h) — ONE map-only batched pass over the blobs
+    * (the Multimodal mapPartitions codec shape: javax.imageio / RIFF
+    * parsing is imperative, everything downstream of the 8-byte hash
+    * is declarative). Sniff order matches [[Multimodal.decodeFeatures]]:
+    * WAV first, then image decode, else the frame-container fallback.
+    * Undecodable audio and empty blobs yield no row (a stub hash would
+    * manufacture spurious near-dup clusters). */
+  def signaturesOf(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(sigSchema)
+    blobs.select(col("doc_id").cast(LongType), col("blob"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val blob = r.getAs[Array[Byte]](1)
+            signatureOf(blob).map { case (plane, h) => Row(id, plane, h) }
+          }
+        }
+      }(enc)
+  }
+
+  /** The per-blob kernel behind [[signaturesOf]] — exposed for specs. */
+  def signatureOf(blob: Array[Byte]): Option[(String, Long)] =
+    if (blob == null || blob.isEmpty) None
+    else if (Multimodal.WavDecoder.sniffs(blob))
+      Multimodal.audioFp64(blob).map(("audio", _))
+    else Multimodal.ImageDecoder.decodeImage(blob) match {
+      case Some((_, img)) =>
+        Some(("image", Multimodal.ImageDecoder.aHash64(img)))
+      case None => Some(("video", minFrameHash(blob)))
+    }
+
+  /** Min frame-slice hash — bit-identical to
+    * `min(xxhash64(substring(blob, f*64+1, 64)))` over
+    * [[Multimodal.frameSignatures]]' slicing (XXH64, seed 42; the last
+    * slice is the shorter tail, exactly as substring clips it). */
+  def minFrameHash(blob: Array[Byte]): Long = {
+    var best = Long.MaxValue
+    var from = 0
+    while (from < blob.length) {
+      val len = math.min(FrameBytes, blob.length - from)
+      val h = XXH64.hashUnsafeBytes(blob,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+      if (h < best) best = h
+      from += FrameBytes
+    }
+    best
+  }
+
+  /** Band rows of a signature table: image/audio explode to the
+    * 4 × 16-bit band layout of [[Dedup.hamming64StarEdges]] (bucket =
+    * an unsigned 16-bit slice); video is one band whose bucket is the
+    * full hash. The full fingerprint `h` rides along for the admission
+    * verify. */
+  def bandRows(sig: DataFrame): DataFrame = {
+    val banded = sig.where(col("plane") =!= "video")
+      .select(col("doc_id"), col("plane"), col("h"),
+        explode(array((0 until 4).map { j =>
+          struct(lit(j).as("band"),
+            shiftrightunsigned(col("h"), j * 16)
+              .bitwiseAND(0xFFFFL).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("plane"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("h"))
+    val vid = sig.where(col("plane") === "video")
+      .select(col("doc_id"), col("plane"),
+        lit(0).as("band"), col("h").as("bucket"), col("h"))
+    banded.unionAll(vid)
+  }
+
+  /** (doc_id, plane, band, bucket, h) for a blob batch — map-only. */
+  def bucketsOf(blobs: DataFrame): DataFrame = bandRows(signaturesOf(blobs))
+
+  /** True when `dir` holds a committed index (a manifest exists). */
+  def hasIndex(s: SparkSession, dir: String): Boolean =
+    IndexFiles.hasIndex(s, dir)
+
+  /** Committed-snapshot summary — see [[AnnIndex.Status]]. */
+  def status(s: SparkSession, dir: String): AnnIndex.Status = {
+    val m = IndexFiles.read(s, dir)
+    AnnIndex.Status(m.version, m.built, m.data.size.toLong,
+      m.tombstones.size.toLong)
+  }
+
+  /** Destructive (re)build from a blob batch (doc_id, blob). */
+  def build(s: SparkSession, blobs: DataFrame, dir: String): Unit =
+    IndexFiles.commitRebuild(s, dir, "buckets") {
+      bucketsOf(blobs).write.mode("overwrite").parquet(s"$dir/buckets")
+    }
+
+  def append(s: SparkSession, blobs: DataFrame, dir: String): Unit =
+    IndexFiles.commitDataAppend(s, dir, "buckets") {
+      bucketsOf(blobs).write.mode("append").parquet(s"$dir/buckets")
+    }
+
+  /** Tombstone `ids` — the takedown verb; see [[TextIndex.delete]]. */
+  def delete(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    delete(s, dir, ids.toDF("doc_id").coalesce(1))
+  }
+
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    IndexFiles.appendTombstones(s, dir, ids, "doc_id")
+
+  private def liveBucketRows(s: SparkSession, dir: String): Option[DataFrame] = {
+    val m = IndexFiles.read(s, dir)
+    IndexFiles.dataFrame(s, dir, "buckets", m)
+      .map(IndexFiles.dropTombstoned(s, dir, m, _, "doc_id"))
+  }
+
+  /** Live rows under the snapshot protocol — for specs/tools. */
+  def liveRows(s: SparkSession, dir: String): DataFrame =
+    liveBucketRows(s, dir).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("plane", StringType),
+          StructField("band", IntegerType),
+          StructField("bucket", LongType),
+          StructField("h", LongType)))))
+
+  def vacuum(s: SparkSession, dir: String, graceMs: Long = 0L): Long =
+    IndexFiles.vacuum(s, dir, "buckets", graceMs)
+
+  /** Targeted compaction — same litter-only contract as
+    * [[TextIndex.compact]] (the two indexes share row shape economics:
+    * immutable bucket files, manifest swap, O(litter) cost). */
+  def compact(s: SparkSession, dir: String,
+              smallFileBytes: Long = 16L << 20): (Long, Long) =
+    IndexFiles.withWriterLock(s, dir) {
+      val man = IndexFiles.read(s, dir)
+      compactLocked(s, dir, man, smallFileBytes)
+    }
+
+  private def compactLocked(s: SparkSession, dir: String,
+                            man: IndexFiles.Manifest,
+                            smallFileBytes: Long): (Long, Long) = {
+    val before = man.data.size.toLong
+    val dirty =
+      IndexFiles.filesWithTombstonedRows(s, dir, "buckets", man, "doc_id")
+    val small = man.data.filter(_.size < smallFileBytes).map(_.rel).toSet
+    val rewrite = small ++ dirty
+    if (dirty.isEmpty && rewrite.size <= 1) {
+      if (man.tombstones.nonEmpty) {
+        val observed = man.tombFiles.toSet
+        IndexFiles.commit(s, dir)(cur =>
+          cur.copy(tombstones = cur.tombstones.filterNot(e => observed(e.rel))))
+      }
+      return (before, before)
+    }
+    val root = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+    val fs = IndexFiles.fsFor(s, root)
+    val preExisting = IndexFiles.listParquet(fs, root).map(_.rel).toSet
+    val rows = s.read
+      .parquet(IndexFiles.resolve(dir, "buckets", rewrite.toSeq.sorted): _*)
+    val rewriteBytes = man.data.filter(e => rewrite(e.rel)).map(_.size).sum
+    val targetFiles = math.max(1L, rewriteBytes / (64L << 20)).toInt
+    IndexFiles.dropTombstoned(s, dir, man, rows, "doc_id")
+      .coalesce(targetFiles)
+      .write.mode("append").parquet(root.toString)
+    val added = IndexFiles.listParquet(fs, root)
+      .filterNot(e => preExisting(e.rel))
+    val next = IndexFiles.commitCompactSwap(s, dir, rewrite, added,
+      man.tombFiles.toSet)
+    (before, next.data.size.toLong)
+  }
+
+  /** The pure admission decision over a blob batch (doc_id, blob):
+    * batch blobs that verify near a standing fingerprint are rejected;
+    * survivors that verify near EACH OTHER keep one representative.
+    * Returns the admitted rows of `batch` (all its columns).
+    *
+    * Scale shape: the batch's signature table materializes once
+    * (Lineage.truncate — it feeds the corpus screen, the in-batch
+    * edges, and the survivor join; without truncation every consumer
+    * would re-decode every blob); the index side bloom-reduces to
+    * ~|batch buckets| before any exchange; verification is a per-pair
+    * bit_count over 8-byte fingerprints. */
+  def admit(s: SparkSession, batch: DataFrame, dir: String,
+            maxHamming: Int = 6,
+            expectedBatchBuckets: Long = 1L << 20): DataFrame = {
+    val sig = Lineage.truncate(signaturesOf(batch))
+    val verified = (h1: org.apache.spark.sql.Column,
+                    h2: org.apache.spark.sql.Column,
+                    plane: org.apache.spark.sql.Column) =>
+      when(plane === "video", h1 === h2)
+        .otherwise(bit_count(h1.bitwiseXOR(h2)) <= maxHamming)
+    val fresh = liveBucketRows(s, dir) match {
+      case None => sig
+      case Some(idx) =>
+        val bb = bandRows(sig)
+        val collided = ScaleJoins
+          .bloomReducedJoin(
+            bb, idx.select(col("plane"), col("band"), col("bucket"),
+              col("h").as("_idx_h")),
+            Seq("plane", "band", "bucket"), expectedBatchBuckets)
+          .where(verified(col("h"), col("_idx_h"), col("plane")))
+          .select(col("doc_id")).distinct()
+        sig.join(collided, Seq("doc_id"), "left_anti")
+    }
+    // in-batch collapse: Hamming star edges on the banded planes,
+    // min-key grouping on the video plane — non-roots drop
+    val bandedEdges = Dedup.hamming64StarEdges(
+      fresh.where(col("plane") =!= "video"), "doc_id", "h", maxHamming)
+    val videoEdges = fresh.where(col("plane") === "video")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("root"),
+        collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("id1"), col("root").as("id2"))
+      .where(col("id1") =!= col("id2"))
+    val nonRoots = Components
+      .connectedComponents(bandedEdges.unionAll(videoEdges))
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    batch.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(nonRoots, Seq("doc_id"), "left_anti")
+  }
+
+  /** Admit + commit — see [[TextIndex.ingest]] for the
+    * materialize-once contract. */
+  def ingest(s: SparkSession, batch: DataFrame, dir: String,
+             maxHamming: Int = 6,
+             expectedBatchBuckets: Long = 1L << 20): DataFrame = {
+    val admitted = Lineage.truncate(
+      admit(s, batch, dir, maxHamming, expectedBatchBuckets))
+    append(s, admitted, dir)
+    admitted
+  }
+
+  /** Gate entry: corpus = doc_id % 7 ≠ 0 (all three planes — the %5
+    * blob-kind cycle and the %7 split are coprime), batch ≡ 0 mod 7,
+    * over the synthetic blob corpus. Batch images are near-dups of
+    * standing flat-gray images and are rejected; distinct-text
+    * container blobs are admitted. Probabilistic near-dup semantics →
+    * rows-only (MediaIndexSpec pins planted re-encoded-twin rejection,
+    * append-rebuild parity, and takedown → re-admission).
+    *
+    * With `indexDir` set (REPL: `index build media <dir>`, then
+    * `pipeline dedup_incremental_media indexDir=<dir>`) the batch
+    * screens against THAT standing index — the takedown flow is
+    * observable from SQL, as in [[TextIndex.dedupIncrementalNear]]. */
+  def dedupIncrementalMedia(s: SparkSession, d: String,
+                            indexDir: String = ""): DataFrame = {
+    val all = Multimodal.withBlobs(documents(s, d))
+    val dir =
+      if (indexDir.nonEmpty) {
+        require(IndexFiles.hasIndex(s, indexDir),
+          s"no media index at $indexDir — run `index build media` first")
+        indexDir
+      } else {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft_mediaindex_gate").toString
+        build(s, all.where(col("doc_id") % 7 =!= 0), t)
+        t
+      }
+    val admitted = ingest(s, all.where(col("doc_id") % 7 === 0), dir)
+    signaturesOf(admitted)
+      .select(col("doc_id"), col("plane"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental_media" -> ((s, d) => dedupIncrementalMedia(s, d))
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -101,6 +101,19 @@ object ScaleJoins {
     small.join(bloomReduce(small, big, keys, expectedItems, fpp),
       keys, "left_semi")
 
+  /** `small` INNER `big` on `keys`, big side bloom-reduced — for
+    * consumers that need the BIG side's payload columns on each match
+    * (e.g. a candidate fingerprint to verify Hamming distance against)
+    * rather than mere match existence. Same safety argument: no false
+    * negatives means every true match survives the reduction; false
+    * positives only pass extra rows into the exact inner join, which
+    * drops them on the equi keys. */
+  def bloomReducedJoin(small: DataFrame, big: DataFrame,
+                       keys: Seq[String], expectedItems: Long,
+                       fpp: Double = 0.01): DataFrame =
+    small.join(bloomReduce(small, big, keys, expectedItems, fpp),
+      keys, "inner")
+
   /** The shared reduction: prune `big` map-side with a bloom filter
     * built over `small`'s keys (the native broadcast-handle probe —
     * codegen'd, no per-row ser/de on the corpus-sized scan).

@@ -192,6 +192,40 @@ class ReplSpec extends SparkSpec {
     assert(readmitted == Set(unique),
       s"takedown of $unique must re-admit exactly it, got $readmitted")
 
+    // media twin: the same takedown -> re-admission flow over the blob
+    // planes (a full-corpus media index rejects every batch blob — each
+    // collides with its own standing fingerprint at Hamming 0)
+    val mdir = java.nio.file.Files.createTempDirectory("graft_repl_mddl").toString
+    assert(Repl.eval(spark, s"index build media $mdir $Sf", ".")
+      .contains("built media index"))
+    Repl.eval(spark, s"pipeline dedup_incremental_media $Sf indexDir=$mdir", ".")
+    assert(GraftEngine.sql(spark,
+        "select count(*) as n from graft_dedup_incremental_media")
+      .collect().head.getLong(0) == 0L,
+      "a full-corpus media index must reject every batch blob")
+    // victim = a batch blob sharing no (plane, band, bucket) with any
+    // other doc — uniqueness by the admission join's own key
+    val mb = graft.operators.MediaIndex.bucketsOf(
+      graft.operators.Multimodal.withBlobs(Tables.documents(spark, Sf)))
+    val mcolliding = mb.as("a").join(mb.as("o"),
+        col("a.plane") === col("o.plane") &&
+          col("a.band") === col("o.band") &&
+          col("a.bucket") === col("o.bucket") &&
+          col("a.doc_id") =!= col("o.doc_id"))
+      .select(col("a.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val mvictim = Tables.documents(spark, Sf)
+      .select(col("doc_id")).where(col("doc_id") % 7 === 0)
+      .collect().map(_.getLong(0))
+      .filterNot(mcolliding).min
+    Repl.eval(spark, s"index delete media $mdir ids=$mvictim", ".")
+    Repl.eval(spark, s"pipeline dedup_incremental_media $Sf indexDir=$mdir", ".")
+    val mreadmitted = GraftEngine.sql(spark,
+        "select doc_id from graft_dedup_incremental_media")
+      .collect().map(_.getLong(0)).toSet
+    assert(mreadmitted == Set(mvictim),
+      s"media takedown of $mvictim must re-admit exactly it, got $mreadmitted")
+
     // PQ twin: the IVFPQ encoding builds through the same DDL and
     // shares the takedown/maintenance verbs (same manifest contract)
     val pdir = java.nio.file.Files.createTempDirectory("graft_repl_pddl").toString
