@@ -593,6 +593,26 @@ object Multimodal {
   def dedupBlobExact(s: SparkSession, d: String): DataFrame =
     blobExact(withBlobs(documents(s, d)))
 
+  /** Per-plane PERCEPTUAL dedup rate — the media twin of
+    * quality_dedup_rate: how much of each plane collapses under
+    * identical fingerprints ([[MediaIndex.signaturesOf]] — re-encoded
+    * images, re-mastered audio, re-cut clips hash EQUAL; the
+    * Hamming-tolerant clusters stay the dedup keys' job, this is the
+    * standing rate a crawl dashboard plots per plane). One map-only
+    * fingerprint pass, one partial+final agg to ≤3 rows; the share is
+    * an unrounded exact-integer quotient. Kernel fingerprints →
+    * rows-only (MediaIndexSpec pins planted twins moving the rate). */
+  def qualityMediaDedupRate(s: SparkSession, d: String): DataFrame =
+    MediaIndex.signaturesOf(withBlobs(documents(s, d)))
+      .groupBy(col("plane"))
+      .agg(count(lit(1)).as("n_blobs"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("plane"), col("n_blobs"), col("n_distinct"),
+        (col("n_blobs") - col("n_distinct")).as("n_dups"),
+        ((col("n_blobs") - col("n_distinct")).cast(DoubleType) /
+          col("n_blobs")).as("dup_share"))
+      .orderBy(col("plane"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),
     "dedup_blob_exact" -> (dedupBlobExact _),
@@ -601,7 +621,8 @@ object Multimodal {
     "dedup_audio_fp" -> ((s: SparkSession, d: String) =>
       dedupAudioFp(s, d)),
     "dedup_frame_containment" -> ((s: SparkSession, d: String) =>
-      dedupFrameContainment(s, d))
+      dedupFrameContainment(s, d)),
+    "quality_media_dedup_rate" -> (qualityMediaDedupRate _)
   )
 
   // Decode semantics live in the JVM stub — not SQL-expressible; covered

@@ -61,6 +61,34 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred"))
   }
 
+  /** Per-SOURCE language-label quality: for each paying source, how
+    * many docs the langid heuristic agrees with the declared `lang`
+    * on — the label-audit readout next to [[textLangid]]'s global
+    * confusion matrix (a source whose match share craters is shipping
+    * mislabeled text; its lang-filtered mixtures inherit the damage).
+    * Same single-pass native LangStats kernel, one partial+final agg
+    * to #sources rows; the share is an unrounded exact-integer
+    * quotient. */
+  def textLangidBySource(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.LangStats.langStats
+    val st = langStats(col("text"))
+    val (sEn, sDe, sFr, sEs) = (st.getField("s_en"), st.getField("s_de"),
+      st.getField("s_fr"), st.getField("s_es"))
+    val pred = when(st.getField("cjk"), "zh")
+      .when(sDe > sEn && sDe >= sFr && sDe >= sEs, "de")
+      .when(sFr > sEn && sFr >= sEs, "fr")
+      .when(sEs > sEn, "es")
+      .otherwise("en")
+    documents(s, d)
+      .select(col("source"), (pred === col("lang")).as("ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ok"), 1)).as("n_match"))
+      .select(col("source"), col("n_docs"), col("n_match"),
+        (col("n_match").cast(DoubleType) / col("n_docs")).as("match_share"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document quality features + a weighted score: word count,
     * average word length, stopword ratio, lexical diversity. All four
     * raw counts come from the single-pass native TextStats kernel (one
@@ -805,6 +833,7 @@ object TextAnalysis {
       textVocabCoverage(s, d)),
     "text_length_stats" -> (textLengthStats _),
     "text_langid" -> (textLangid _),
+    "text_langid_by_source" -> (textLangidBySource _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1099,6 +1128,34 @@ object TextAnalysis {
         |  count(*) AS n_docs
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
+    "text_langid_by_source" ->
+      s"""WITH t AS (
+        |  SELECT source, lang,
+        |    regexp_split_to_array(lower(text), '\\s+') AS w, text
+        |  FROM documents
+        |), sc AS (
+        |  SELECT source, lang,
+        |    len(list_filter(w, x -> x IN (${inList(enStops)}))) AS s_en,
+        |    len(list_filter(w, x -> x IN (${inList(deStops)}))) AS s_de,
+        |    len(list_filter(w, x -> x IN (${inList(frStops)}))) AS s_fr,
+        |    len(list_filter(w, x -> x IN (${inList(esStops)}))) AS s_es,
+        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+        |  FROM t
+        |), p AS (
+        |  SELECT source, lang,
+        |    CASE WHEN cjk THEN 'zh'
+        |      WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |      WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+        |      WHEN s_es > s_en THEN 'es'
+        |      ELSE 'en' END AS pred
+        |  FROM sc
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN pred = lang THEN 1 END) AS BIGINT)
+        |    AS n_match,
+        |  CAST(count(CASE WHEN pred = lang THEN 1 END) AS DOUBLE)
+        |    / count(*) AS match_share
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (
         |  SELECT lang, regexp_split_to_array(lower(text), '\\s+') AS w, text

@@ -428,6 +428,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming incremental near-dup ingest for the MEDIA planes — the
+    * [[textIngestStream]] contract over blob rows (doc_id, blob),
+    * riding MediaIndex (the persisted image-aHash / audio-fp /
+    * video-min-frame-hash fingerprint index). Replaces the ephemeral
+    * single-band admission streams as the durable path: each
+    * micro-batch screens against fingerprints AT REST (standing blobs
+    * never re-decoded; the index side bloom-reduces before any
+    * exchange and candidates Hamming-verify), collapses in-batch
+    * near-dups per plane, lands admitted blobs batchId-keyed
+    * (exactly-once by overwrite), and appends their fingerprints so
+    * the next batch screens against them. Same at-least-once append /
+    * exactly-once output split as the text twin. */
+  def mediaIngestStream(blobs: DataFrame, indexDir: String, outDir: String,
+                        checkpointDir: String, maxHamming: Int = 6)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    blobs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.MediaIndex
+            .ingest(batch.sparkSession, batch, indexDir, maxHamming)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming DSIR admission gate — the data-SELECTION twin of
     * [[ingestGate]], riding the persisted DSIR model
     * (graft.operators.Pretrain.fitDsirWeights written to parquet):

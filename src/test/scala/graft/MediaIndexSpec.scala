@@ -200,6 +200,58 @@ class MediaIndexSpec extends SparkSpec {
       "the re-admitted blob must screen subsequent re-encodes")
   }
 
+  test("streaming media ingest admits the same blobs as the batch twin and grows the index") {
+    val corpus = blobs(Seq(
+      1L -> png(imgHalf), 2L -> wav(envFrontBurst), 3L -> clip(1)))
+    val batch = blobs(Seq(
+      200L -> png(imgHalf, bright = 25), // standing-image twin → reject
+      201L -> clip(3),                   // fresh clip → admit
+      202L -> wav(envBackBurst)))        // fresh audio → admit
+
+    // batch twin on its own index copy (ingest mutates the index)
+    val twinDir = freshDir()
+    MediaIndex.build(spark, corpus, twinDir)
+    val expected = MediaIndex.ingest(spark, batch, twinDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val streamDir = freshDir()
+    MediaIndex.build(spark, corpus, streamDir)
+    val base = freshDir()
+    batch.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$base/in")
+    val q = graft.streaming.EventStreams.mediaIngestStream(
+      stream, streamDir, s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"streaming admission diverged from batch twin: $got vs $expected")
+    assert(got == Set(201L, 202L), s"only fresh media admit: $got")
+    // the commit is real: the admitted blobs' rows are in the index
+    val idxDocs = spark.read.parquet(s"$streamDir/buckets")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxDocs.contains(201L) && idxDocs.contains(202L),
+      "admitted blobs must join the index")
+  }
+
+  test("media dedup rate counts planted fingerprint twins per plane") {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    // 3 images (one brightness twin pair → 2 distinct), 2 identical-
+    // envelope wavs at different volume (→ 1 distinct), 2 distinct clips
+    val sig = MediaIndex.signaturesOf(blobs(Seq(
+      1L -> png(imgHalf), 2L -> png(imgHalf, bright = 30),
+      3L -> png(imgChecker),
+      4L -> wav(envFrontBurst), 5L -> wav(envFrontBurst, scale = 0.5),
+      6L -> clip(1), 7L -> clip(2))))
+      .groupBy(col("plane"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(sig("image") == (3L, 2L), s"image: ${sig("image")}")
+    assert(sig("audio") == (2L, 1L), s"audio: ${sig("audio")}")
+    assert(sig("video") == (2L, 2L), s"video: ${sig("video")}")
+  }
+
   test("gate entry runs the corpus split end to end and admits only fresh media") {
     val out = MediaIndex.dedupIncrementalMedia(spark, Sf)
     val rows = out.collect()
