@@ -75,7 +75,15 @@ object Bench {
     "text_pmi_bigrams", "events_cohort_ltv",
     // round 13e: the 4-offset skipgram variant (4x the pair volume of
     // the adjacent miner — the heaviest text shape in the suite)
-    "text_skipgram_pmi")
+    "text_skipgram_pmi",
+    // round 14: the operators whose shape is new this round — the
+    // media-index build+ingest (blob fingerprint pass, bloom-reduced
+    // candidate join, per-plane collapse, manifest append) and the
+    // join advisor (per-key count + byte subtotal in one pass, six
+    // legs); text_skipgram_pmi/text_readability/events_type_affinity
+    // keep their rows but now run the native pair/syllable kernels
+    "dedup_incremental_media", "pipeline_join_advisor",
+    "text_readability", "events_type_affinity")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -368,6 +368,23 @@ object GraftEngine {
             rel, key)
         }
       }),
+      // rel=/key= re-target the advisor at any one (table, column);
+      // broadcastBytes= sets the production build-side bound (default
+      // 10 MiB = Spark's autoBroadcastJoinThreshold), skewMult=/
+      // maxSalt= tune the salt trigger and cap
+      "pipeline_join_advisor" -> ((s, d, p) => {
+        val rel = p.str("rel", "")
+        val bb = p.long("broadcastBytes", 10L << 20)
+        val sm = p.long("skewMult", 4L)
+        val ms = p.long("maxSalt", 64L)
+        if (rel.isEmpty) graft.operators.Sharding.pipelineJoinAdvisor(s, d)
+        else {
+          val key = p.str("key", "")
+          require(key.nonEmpty, "pipeline_join_advisor needs key=<col>")
+          graft.operators.Sharding.joinAdvice(Tables.byName(s, d, rel),
+            rel, key, broadcastBytes = bb, skewMult = sm, maxSalt = ms)
+        }
+      }),
       // rel= re-targets the per-column profile at any one table;
       // without params the standing documents/events/orders report runs
       "pipeline_column_profile" -> ((s, d, p) => {

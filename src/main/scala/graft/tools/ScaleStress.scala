@@ -128,6 +128,9 @@ object ScaleStress {
       graft.operators.TextAnalysis.skipgramPmi(docs))
     time("readability")(
       graft.operators.TextAnalysis.readability(docs))
+    time("media signatures")(
+      graft.operators.MediaIndex.signaturesOf(
+        graft.operators.Multimodal.withBlobs(docs)))
     time("source divergence")(
       graft.operators.TextAnalysis.sourceDivergence(docs))
     time("column profile")(

@@ -370,6 +370,20 @@ class ReplSpec extends SparkSpec {
         Map("rel" -> "orders"))
     }
     assert(e.getMessage.contains("key="))
+
+    // the advisor re-targets the same way, and broadcastBytes= moves
+    // the strategy: the whole orders table fits a 10 MiB build side
+    // but not a 1-byte one
+    GraftEngine.pipelineView(spark, "pipeline_join_advisor", Sf,
+      Map("rel" -> "orders", "key" -> "o_custkey"))
+    assert(GraftEngine.sql(spark,
+        "select strategy from graft_pipeline_join_advisor")
+      .collect().head.getString(0) == "broadcast")
+    GraftEngine.pipelineView(spark, "pipeline_join_advisor", Sf,
+      Map("rel" -> "orders", "key" -> "o_custkey", "broadcastBytes" -> "1"))
+    assert(GraftEngine.sql(spark,
+        "select strategy from graft_pipeline_join_advisor")
+      .collect().head.getString(0) != "broadcast")
   }
 
   test("late-wave view knobs: probes=, k=, experiment= reach the operators") {
