@@ -529,7 +529,41 @@ object Pretrain {
         xxhash64(col("token_ids").cast(StringType)).as("token_digest"))
   }
 
+  /** Per-source tokenizer FERTILITY (BPE tokens per whitespace word) —
+    * the tokenizer-eval readout mixture design reads next to
+    * source_stats: a source whose fertility spikes (no-space scripts,
+    * code, OCR junk) consumes proportionally more of a token budget
+    * than its word counts suggest, and fertility ≈ word length means
+    * the merge table barely compresses it. Fit once on the corpus
+    * (the [[textBpeEncode]] loop), then ONE map-only projection
+    * through the count-only broadcast-codec kernel (BpeTokenCount —
+    * no id arrays materialize) + the TextStats word count, reduced to
+    * ≤#sources rows. Rows-only (the fit's argmax draws are not
+    * SQL-expressible); PretrainSpec pins a planted no-space source's
+    * fertility strictly above a spaced one's. */
+  def pipelineBpeFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val merges = bpeMerges(docs, s).orderBy(col("step"))
+      .select(col("left"), col("right"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val bc = s.sparkContext.broadcast(new graft.functions.BpeCodec(merges))
+    docs
+      .select(col("source"),
+        graft.functions.TextStats.textStats(col("text"))
+          .getField("n_words").cast("long").as("nw"),
+        graft.functions.BpeFunctions.bpeTokenCount(col("text"), bc).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast(DoubleType) / col("n_words"))
+          .as("fertility"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_bpe_fertility" -> (pipelineBpeFertility _),
     "pipeline_dsir_weight" -> (pipelineDsirWeight _),
     "pipeline_dsir_sample" -> (pipelineDsirSample _),
     "pipeline_bpe_merges" -> (pipelineBpeMerges _),

@@ -137,6 +137,47 @@ object ScaleJoins {
     big.where(graft.functions.HashFunctions.bloomMightContain(kh, bc))
   }
 
+  /** The advice, EXECUTED: decide the physical strategy for
+    * `fact ⋈ dim` on `key` from the [[Sharding.joinAdvice]] statistics
+    * and return (strategy, saltN) — broadcast when the dim fits a
+    * build side (skew is irrelevant if nothing shuffles), salt-N when
+    * the fact's hottest key exceeds the trigger, plain otherwise.
+    * Two bounded driver-side reads (1-row advice frames) — the same
+    * inherently two-phase shape as [[bloomReducedAntiJoin]]'s filter
+    * build; the dim probe runs first so a broadcastable dim never
+    * pays the fact scan. */
+  def adviseFor(fact: DataFrame, dim: DataFrame, key: String,
+                broadcastBytes: Long = 10L << 20, skewMult: Long = 4L,
+                maxSalt: Long = 64L): (String, Long) = {
+    val dimRow = Sharding.joinAdvice(dim, "dim", key,
+      broadcastBytes, skewMult, maxSalt).collect()(0)
+    if (dimRow.getAs[String]("strategy") == "broadcast") ("broadcast", 0L)
+    else {
+      val factRow = Sharding.joinAdvice(fact, "fact", key,
+        broadcastBytes, skewMult, maxSalt).collect()(0)
+      if (factRow.getAs[String]("strategy") == "salt")
+        ("salt", factRow.getAs[Long]("salt_n"))
+      else ("plain", 0L)
+    }
+  }
+
+  /** `fact ⋈ dim` on `key` through whichever strategy [[adviseFor]]
+    * picks — the closed diagnose → recommend → execute loop
+    * (pipeline_skew_stats diagnoses, pipeline_join_advisor
+    * recommends, this runs it). Row-identical to the plain inner
+    * join under every branch: broadcast and salting are physical
+    * rewrites with zero semantic footprint (ScaleJoinsSpec proves all
+    * three branches against the plain join), so the oracle is the
+    * plain join. */
+  def advisedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                  broadcastBytes: Long = 10L << 20, skewMult: Long = 4L,
+                  maxSalt: Long = 64L): DataFrame =
+    adviseFor(fact, dim, key, broadcastBytes, skewMult, maxSalt) match {
+      case ("broadcast", _) => fact.join(broadcast(dim), Seq(key))
+      case ("salt", n) => saltedJoin(fact, dim, key, nSalts = n.toInt)
+      case _ => fact.join(dim, Seq(key))
+    }
+
   /** Gate key: [[saltedJoin]] on the lineitem⋈supplier fact-dim join,
     * reduced to per-nation revenue. The oracle is the PLAIN join — the
     * whole point of the key is that salting is a physical rewrite with
@@ -171,11 +212,38 @@ object ScaleJoins {
       .orderBy(col("p_partkey"))
   }
 
+  /** Gate key: [[advisedJoin]] on the same lineitem⋈supplier shape as
+    * [[qSaltedJoin]] — at gate scales the dim probe picks broadcast;
+    * the oracle is the PLAIN join (every branch is row-identical to
+    * it, the same zero-semantic-footprint argument as salting).
+    * ScaleJoinsSpec drives all three branches explicitly. */
+  def qAdvisedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    advisedJoin(li, sup, "l_suppkey")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> (qSaltedJoin _),
-    "q_bloom_semi_join" -> (qBloomSemiJoin _))
+    "q_bloom_semi_join" -> (qBloomSemiJoin _),
+    "q_advised_join" -> (qAdvisedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_advised_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

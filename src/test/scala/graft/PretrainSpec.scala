@@ -293,4 +293,27 @@ class PretrainSpec extends SparkSpec {
     assert(scans <= 2, s"$scans corpus scans — stats lineage duplicated:\n" +
       finalPlan.take(3000))
   }
+
+  test("bpe fertility: a no-space source scores strictly above a spaced one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_fert").toString
+    // spaced source: short common words (the merge table compresses
+    // them to ~1 token/word); no-space source: long fused strings
+    // (1 whitespace word each, many tokens)
+    ((1L to 6L).map(i =>
+        (i, "the cat sat on the mat the cat sat on the mat", "spaced")) ++
+      (11L to 16L).map(i =>
+        (i, "qwzxvkjqwzxvkjqwzxvkj", "fused"))).toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Pretrain.pipelineBpeFertility(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out.keySet == Set("spaced", "fused"), out.toString)
+    assert(out("fused") > out("spaced"),
+      s"no-space fertility ${out("fused")} must exceed spaced ${out("spaced")}")
+    assert(out("fused") > 2.0, s"fused source must cost >2 tokens/word: $out")
+  }
 }

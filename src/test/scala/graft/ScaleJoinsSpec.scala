@@ -20,6 +20,42 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("advised join picks the expected branch and every branch equals the plain join") {
+    import spark.implicits._
+    val pad = "x" * 100
+    // hot fact (91% one key) + a dim too big to broadcast at the test bound
+    val fact = (1L to 10000L).map(i =>
+      (if (i <= 9100) 1L else i, pad)).toDF("k", "payload")
+    val dim = (1L to 10000L).map(i => (i, pad)).toDF("k", "name")
+    val plain = fact.join(dim, "k")
+      .agg(count(lit(1)), count(col("name"))).collect()(0)
+
+    // tiny bound → dim can't broadcast, hot fact → salt, with the
+    // advisor's own N
+    assert(ScaleJoins.adviseFor(fact, dim, "k", broadcastBytes = 1024L)
+      == ("salt", 64L))
+    val salted = ScaleJoins.advisedJoin(fact, dim, "k", broadcastBytes = 1024L)
+      .agg(count(lit(1)), count(col("name"))).collect()(0)
+    assert(salted == plain)
+
+    // uniform fact at the same bound → plain
+    val flat = (1L to 10000L).map(i => (i % 1000, pad)).toDF("k", "payload")
+    assert(ScaleJoins.adviseFor(flat, dim, "k", broadcastBytes = 1024L)
+      == ("plain", 0L))
+    val viaPlain = ScaleJoins.advisedJoin(flat, dim, "k", broadcastBytes = 1024L)
+      .agg(count(lit(1)), count(col("name"))).collect()(0)
+    assert(viaPlain == flat.join(dim, "k")
+      .agg(count(lit(1)), count(col("name"))).collect()(0))
+
+    // default 10 MiB bound → the dim fits a build side: broadcast wins
+    // even over the hot fact (nothing shuffles, skew is irrelevant)
+    assert(ScaleJoins.adviseFor(fact, dim, "k") == ("broadcast", 0L))
+    val bcast = ScaleJoins.advisedJoin(fact, dim, "k")
+    assert(bcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(bcast.agg(count(lit(1)), count(col("name"))).collect()(0) == plain)
+  }
+
   test("salted left join preserves unmatched skewed rows") {
     import spark.implicits._
     val skewed = Seq((1L, "a"), (1L, "b"), (99L, "c")).toDF("k", "v")
