@@ -459,7 +459,49 @@ object GraftEngine {
            |from '$d/lineitem.parquet'
            |where l_quantity < 30 and not l_returnflag = 'X'
            |group by l_returnflag""".stripMargin)
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+    // Recursive CTE (Spark 4 WITH RECURSIVE): a calendar day spine
+    // from min to max order date, zero-filled order counts — the
+    // recursive form of the events_daily_dense densification. SCALE
+    // NOTE: recursion depth = #calendar days (a constant, ~2.4k here),
+    // never corpus rows — each level is one spine row; the corpus
+    // enters only through the final equi-join + agg. The DuckDB
+    // oracle replays the spine with generate_series (same rows, no
+    // recursion needed there).
+    "q_recursive_cte" -> ((s: SparkSession, d: String) =>
+      sql(s,
+        s"""WITH RECURSIVE days(day) MAX RECURSION LEVEL 5000 AS (
+           |  SELECT min(date_trunc('day', o_orderdate))
+           |  FROM '$d/orders.parquet'
+           |  UNION ALL
+           |  SELECT day + INTERVAL 1 DAY FROM days
+           |  WHERE day < (SELECT max(date_trunc('day', o_orderdate))
+           |               FROM '$d/orders.parquet')
+           |)
+           |SELECT day, count(o_orderkey) AS n_orders
+           |FROM days LEFT JOIN '$d/orders.parquet'
+           |  ON date_trunc('day', o_orderdate) = day
+           |GROUP BY day ORDER BY day""".stripMargin)),
+    // LATERAL correlated subquery (Spark 4): top-3 orders per market
+    // segment. Catalyst decorrelates the per-row LIMIT into a ranked
+    // join — the oracle replays it as the uncorrelated window form
+    // (SKILL rule: correlated oracles are DuckDB-build-sensitive;
+    // LATERAL is the Spark-side surface under test, not the oracle's).
+    // Ties on o_totalprice break on o_orderkey so both engines agree.
+    "q_lateral_join" -> ((s: SparkSession, d: String) =>
+      sql(s,
+        s"""SELECT c.c_mktsegment, t.o_orderkey, t.o_totalprice
+           |FROM (SELECT DISTINCT c_mktsegment
+           |      FROM '$d/customer.parquet') c,
+           |LATERAL (
+           |  SELECT o_orderkey, o_totalprice
+           |  FROM '$d/orders.parquet' o JOIN '$d/customer.parquet' cu
+           |    ON cu.c_custkey = o.o_custkey
+           |  WHERE cu.c_mktsegment = c.c_mktsegment
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+           |) t
+           |ORDER BY c.c_mktsegment, t.o_totalprice DESC, t.o_orderkey"""
+          .stripMargin))
   )
 
   val oracles: Map[String, String] = Map(
@@ -468,6 +510,27 @@ object GraftEngine {
         |  count(*) AS n, max(l_extendedprice) AS max_price
         |FROM lineitem
         |WHERE l_quantity < 30 AND NOT l_returnflag = 'X'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH mm AS (
+        |  SELECT date_trunc('day', min(o_orderdate)) AS lo,
+        |         date_trunc('day', max(o_orderdate)) AS hi
+        |  FROM orders
+        |), days AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |  FROM mm
+        |)
+        |SELECT day, count(o_orderkey) AS n_orders
+        |FROM days LEFT JOIN orders
+        |  ON date_trunc('day', o_orderdate) = day
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "q_lateral_join" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT cu.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY cu.c_mktsegment
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+        |  FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+        |) WHERE rk <= 3
+        |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin
   )
 }
