@@ -464,8 +464,10 @@ object GraftEngine {
     // from min to max order date, zero-filled order counts — the
     // recursive form of the events_daily_dense densification. SCALE
     // NOTE: recursion depth = #calendar days (a constant, ~2.4k here),
-    // never corpus rows — each level is one spine row; the corpus
-    // enters only through the final equi-join + agg. The DuckDB
+    // never corpus rows — each level is one spine row; and the corpus
+    // reduces to the per-day count table BEFORE any spine join (a raw
+    // corpus⋈spine join would shuffle 100 TB onto ~2.4k day keys —
+    // guaranteed skew), so the join is #days × #days. The DuckDB
     // oracle replays the spine with generate_series (same rows, no
     // recursion needed there).
     "q_recursive_cte" -> ((s: SparkSession, d: String) =>
@@ -477,11 +479,15 @@ object GraftEngine {
            |  SELECT day + INTERVAL 1 DAY FROM days
            |  WHERE day < (SELECT max(date_trunc('day', o_orderdate))
            |               FROM '$d/orders.parquet')
+           |),
+           |per_day AS (
+           |  SELECT date_trunc('day', o_orderdate) AS day,
+           |         count(*) AS n
+           |  FROM '$d/orders.parquet' GROUP BY 1
            |)
-           |SELECT day, count(o_orderkey) AS n_orders
-           |FROM days LEFT JOIN '$d/orders.parquet'
-           |  ON date_trunc('day', o_orderdate) = day
-           |GROUP BY day ORDER BY day""".stripMargin)),
+           |SELECT days.day AS day, coalesce(n, 0L) AS n_orders
+           |FROM days LEFT JOIN per_day ON per_day.day = days.day
+           |ORDER BY day""".stripMargin)),
     // LATERAL correlated subquery (Spark 4): top-3 orders per market
     // segment. Catalyst decorrelates the per-row LIMIT into a ranked
     // join — the oracle replays it as the uncorrelated window form
@@ -519,11 +525,15 @@ object GraftEngine {
         |), days AS (
         |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
         |  FROM mm
+        |), per_day AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1
         |)
-        |SELECT day, count(o_orderkey) AS n_orders
-        |FROM days LEFT JOIN orders
-        |  ON date_trunc('day', o_orderdate) = day
-        |GROUP BY day ORDER BY day""".stripMargin,
+        |SELECT days.day AS day,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM days LEFT JOIN per_day ON per_day.day = days.day
+        |ORDER BY day""".stripMargin,
     "q_lateral_join" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
         |  SELECT cu.c_mktsegment, o.o_orderkey, o.o_totalprice,
