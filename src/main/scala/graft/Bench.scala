@@ -159,16 +159,26 @@ object Bench {
       s""","build_s":$buildS""" +
       s""","runs":$nRuns,"loadavg_before":"$loadBefore"""" +
       s""","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
-    println(json)
     // the machine-readable artifact must not depend on scraping sbt
     // stdout (three rounds of drivers saw the JSON line truncated out
-    // of the captured tail): ALWAYS write it to a file — default path
-    // unless SPARK_GRAFT_BENCH_OUT overrides — and print where
+    // of the captured tail): ALWAYS write the FULL json to a file —
+    // default path unless SPARK_GRAFT_BENCH_OUT overrides
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
-    println(s"[bench] json written to $outPath")
+    println(s"[bench] full json written to $outPath")
+    // stdout gets a COMPACT line — the driver captures only the last
+    // ~2000 chars of stdout, and rounds 13/14 saw the full line (2.4 kB
+    // with the median/spread maps) truncated mid-key into an unparseable
+    // tail. Per-query seconds round to 4 dp (0.1 ms — far below machine
+    // noise), the median/spread/loadavg diagnostics stay file-only, and
+    // the line prints LAST so nothing pushes it out of the window.
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val compact = s"""{"metric":"total","value":${r4(jtotal(_._2._1))}""" +
+      s""","unit":"sec","queries":${jmap(q => r4(q._2._1))}""" +
+      s""","runs":$nRuns,"sf":"$sfDir"}"""
     spark.stop()
+    println(compact)
   }
 }

@@ -38,6 +38,13 @@ object PairKernels {
     var total = 0L
     var o = 1
     while (o <= window) { total += math.max(0, n - o); o += 1 }
+    // Long-checked sizing: a pathological row must fail with a
+    // diagnosable message, not a negative-allocation crash from a
+    // silently truncated .toInt
+    require(total <= Int.MaxValue,
+      s"skipgram pair emission of one row needs $total pairs " +
+        s"($n tokens, window $window) — exceeds a JVM array; " +
+        "chunk the document upstream (pipeline_chunk)")
     val out = new Array[Any](total.toInt)
     var k = 0
     var i = 0
@@ -64,7 +71,14 @@ object PairKernels {
   def combinations(ts: ArrayData): ArrayData = {
     val n = ts.numElements()
     if (n <= 1) return emptyPairs
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Long-checked sizing: n*(n-1)/2 overflows Int at n >= 46341 and
+    // would throw NegativeArraySizeException with no context
+    val total = n.toLong * (n - 1L) / 2L
+    require(total <= Int.MaxValue,
+      s"pair combinations of one row need $total pairs ($n elements) " +
+        "— exceeds a JVM array; cap the group upstream (the callers' " +
+        "maxDf / MaxBucket blocks are that cap)")
+    val out = new Array[Any](total.toInt)
     var k = 0
     var i = 0
     while (i < n - 1) {

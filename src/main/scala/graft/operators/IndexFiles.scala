@@ -325,8 +325,14 @@ private[operators] object IndexFiles {
     * re-ingest-after-takedown flow), so stale tombstones must not
     * survive into the new one. Readers racing a rebuild fail loudly
     * (no manifest) — production deployments rebuild into a fresh dir;
-    * in-place rebuild is the bootstrap/test path. */
-  def commitRebuild(s: SparkSession, dir: String, sub: String)
+    * in-place rebuild is the bootstrap/test path.
+    *
+    * `gen` labels the new build generation (default: a fresh UUID) —
+    * an index whose on-disk SEMANTICS are versioned (MediaIndex's
+    * signature scheme) prefixes it so readers can refuse a
+    * wrong-scheme index loudly. */
+  def commitRebuild(s: SparkSession, dir: String, sub: String,
+                    gen: String = java.util.UUID.randomUUID().toString)
                    (write: => Unit): Unit =
     withWriterLock(s, dir) {
       val root = new Path(s"$dir/$sub")
@@ -336,8 +342,7 @@ private[operators] object IndexFiles {
       write
       val files = listParquet(fs, root)
       require(files.nonEmpty, s"index build under $dir wrote no data files")
-      val ok = tryCommit(s, dir, Manifest(1L,
-        java.util.UUID.randomUUID().toString, files, Vector.empty))
+      val ok = tryCommit(s, dir, Manifest(1L, gen, files, Vector.empty))
       require(ok, s"rebuild of $dir raced another rebuild's first commit")
     }
 

@@ -598,15 +598,23 @@ object Multimodal {
     * identical fingerprints ([[MediaIndex.signaturesOf]] — re-encoded
     * images, re-mastered audio, re-cut clips hash EQUAL; the
     * Hamming-tolerant clusters stay the dedup keys' job, this is the
-    * standing rate a crawl dashboard plots per plane). One map-only
-    * fingerprint pass, one partial+final agg to ≤3 rows; the share is
-    * an unrounded exact-integer quotient. Kernel fingerprints →
-    * rows-only (MediaIndexSpec pins planted twins moving the rate). */
+    * standing rate a crawl dashboard plots per plane). A blob's
+    * fingerprint is its full signature SET (one hash for image/audio;
+    * the bottom-k frame-hash set for video — ascending by
+    * construction, so the collected list is canonical without a
+    * sort), reduced per (doc, plane) then counted per plane — two
+    * shrinking aggs, the share an unrounded exact-integer quotient.
+    * Kernel fingerprints → rows-only (MediaIndexSpec pins planted
+    * twins moving the rate). */
   def qualityMediaDedupRate(s: SparkSession, d: String): DataFrame =
     MediaIndex.signaturesOf(withBlobs(documents(s, d)))
+      .groupBy(col("doc_id"), col("plane"))
+      .agg(xxhash64(concat_ws(",",
+        transform(array_sort(collect_list(col("h"))),
+          h => h.cast(StringType)))).as("fp"))
       .groupBy(col("plane"))
       .agg(count(lit(1)).as("n_blobs"),
-        countDistinct(col("h")).as("n_distinct"))
+        countDistinct(col("fp")).as("n_distinct"))
       .select(col("plane"), col("n_blobs"), col("n_distinct"),
         (col("n_blobs") - col("n_distinct")).as("n_dups"),
         ((col("n_blobs") - col("n_distinct")).cast(DoubleType) /

@@ -505,16 +505,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!sigs.contains(1L), "empty blob must yield no signature")
     assert(sigs.get(2L).contains("video"),
       "truncated PNG header falls back to the container plane")
-    assert(!sigs.contains(3L) || sigs(3L) != "audio" || true) // no throw is the bar
+    assert(!sigs.contains(3L),
+      "a RIFF/WAVE sniff with no fmt chunk must yield no audio signature")
     assert(sigs.get(4L).contains("video"))
     // media admit against an EMPTY index dir state: everything passes
-    // the corpus screen, in-batch collapse still applies
+    // the corpus screen, in-batch collapse still applies — and the
+    // UN-FINGERPRINTABLE blobs (1: empty, 3: fmt-less RIFF) pass
+    // through ADMITTED by the documented policy (they can collide
+    // with nothing, so screening them is vacuous)
     val dir = java.nio.file.Files.createTempDirectory("graft_mi_edge").toString
     graft.operators.MediaIndex.build(spark,
       Seq.empty[(Long, Array[Byte])].toDF("doc_id", "blob"), dir)
     val admitted = graft.operators.MediaIndex
       .admit(spark, hostileBlobs, dir).collect().map(_.getLong(0)).toSet
-    assert(admitted.contains(2L) && admitted.contains(4L), admitted.toString)
+    assert(admitted == Set(1L, 2L, 3L, 4L), admitted.toString)
     // fertility on a words-free corpus source: n_words >= 1 by the
     // split quirk ("" -> [""]), so the quotient never divides by zero
     val langDir = java.nio.file.Files.createTempDirectory("graft_f_edge").toString

@@ -82,34 +82,43 @@ class MediaIndexSpec extends SparkSpec {
   test("planted fingerprints: planes classify, twins collide, distinct media don't") {
     // guard the plants: the admission assertions below are only
     // meaningful if these hold
-    def sig(b: Array[Byte]) = MediaIndex.signatureOf(b).get
+    def sig1(b: Array[Byte]): (String, Long) = {
+      val s = MediaIndex.signatureOf(b)
+      assert(s.size == 1, s"expected a single-row signature, got $s")
+      s.head
+    }
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    val (pa, ha) = sig(png(imgHalf))
-    val (pc, hc) = sig(png(imgChecker))
-    val (pq, hq) = sig(png(imgQuad))
+    val (pa, ha) = sig1(png(imgHalf))
+    val (pc, hc) = sig1(png(imgChecker))
+    val (pq, hq) = sig1(png(imgQuad))
     assert(Seq(pa, pc, pq).forall(_ == "image"))
-    assert(ham(ha, sig(png(imgHalf, bright = 30))._2) <= 6,
+    assert(ham(ha, sig1(png(imgHalf, bright = 30))._2) <= 6,
       "brightness-shifted re-encode must stay within Hamming tolerance")
     assert(ham(ha, hc) > 6 && ham(ha, hq) > 6 && ham(hc, hq) > 6,
       s"planted images must be distinct: ${ham(ha, hc)}/${ham(ha, hq)}/${ham(hc, hq)}")
-    val (wa, hwa) = sig(wav(envFrontBurst))
-    val (wb, hwb) = sig(wav(envBackBurst))
+    val (wa, hwa) = sig1(wav(envFrontBurst))
+    val (wb, hwb) = sig1(wav(envBackBurst))
     assert(wa == "audio" && wb == "audio")
-    assert(ham(hwa, sig(wav(envFrontBurst, scale = 0.5))._2) <= 6,
+    assert(ham(hwa, sig1(wav(envFrontBurst, scale = 0.5))._2) <= 6,
       "volume-rescaled master must stay within Hamming tolerance")
     assert(ham(hwa, hwb) > 6, s"distinct envelopes: ${ham(hwa, hwb)}")
-    val (va, hva) = sig(clip(1))
-    val (vb, hvb) = sig(clip(2))
-    assert(va == "video" && vb == "video")
-    assert(hva == sig(clip(1, order = Seq(5, 2, 7, 0, 3, 6, 1, 4)))._2,
-      "frame-reordered cut must keep the min-frame-hash key")
-    assert(hva != hvb, "distinct clips must differ")
+    // video: the bottom-k frame-hash sketch (k = 4)
+    val va = MediaIndex.signatureOf(clip(1))
+    val vb = MediaIndex.signatureOf(clip(2))
+    assert(va.forall(_._1 == "video") && va.size == MediaIndex.VideoKMins)
+    assert(vb.forall(_._1 == "video") && vb.size == MediaIndex.VideoKMins)
+    assert(va == MediaIndex.signatureOf(clip(1, order = Seq(5, 2, 7, 0, 3, 6, 1, 4))),
+      "frame-reordered cut must keep the full k-min sketch")
+    assert(va.map(_._2).toSet.intersect(vb.map(_._2).toSet).isEmpty,
+      "distinct clips must share no frame minimum")
     // and the video kernel is bit-identical to the declarative
-    // frameSignatures min — the batch-twin parity pin
-    val declMin = graft.operators.Multimodal
+    // frameSignatures bottom-k — the batch-twin parity pin
+    val declKMin = graft.operators.Multimodal
       .frameSignatures(blobs(Seq((1L, clip(1)))))
-      .agg(min(col("sh"))).collect()(0).getLong(0)
-    assert(hva == declMin, s"kernel $hva != declarative min $declMin")
+      .orderBy(col("sh")).limit(MediaIndex.VideoKMins)
+      .collect().map(_.getLong(1)).toSeq
+    assert(va.map(_._2) == declKMin,
+      s"kernel ${va.map(_._2)} != declarative bottom-k $declKMin")
   }
 
   test("admission rejects per-plane corpus twins, admits fresh media, collapses in-batch dups") {
@@ -120,11 +129,28 @@ class MediaIndexSpec extends SparkSpec {
     val dir = freshDir()
     MediaIndex.build(spark, corpus, dir)
 
+    // the planted TRIM: remove exactly the frame holding clip(1)'s
+    // GLOBAL minimum — the single-min scheme loses its key and would
+    // admit this clip; the bottom-k sketch keeps minima 2..4 (a
+    // surviving j-th minimum has at most j−1 smaller survivors, so it
+    // stays in the trimmed clip's bottom-k) and still collides
+    val km = MediaIndex.kMinFrameHashes(clip(1))
+    val minFrame = (0 until 8).find(f =>
+      MediaIndex.kMinFrameHashes(clip(1, order = Seq(f)))
+        .headOption.contains(km(0))).get
+    val trimmed = clip(1, order = (0 until 8).filterNot(_ == minFrame))
+    val kmTrim = MediaIndex.kMinFrameHashes(trimmed)
+    assert(kmTrim.head != km.head, "plant guard: the global min frame is cut")
+    assert(kmTrim.toSet.intersect(km.toSet).size >= 3,
+      "plant guard: the surviving minima stay in the trimmed bottom-k")
+
     val batch = blobs(Seq(
       // per-plane twins of standing media → rejected
       100L -> png(imgHalf, bright = 30),
       101L -> wav(envFrontBurst, scale = 0.5),
       102L -> clip(1, order = Seq(7, 6, 5, 4, 3, 2, 1, 0)),
+      // trimmed clip (global-min frame removed) → rejected via k-min
+      108L -> trimmed,
       // fresh media → admitted
       103L -> png(imgChecker),
       104L -> wav(envBackBurst),
@@ -138,6 +164,8 @@ class MediaIndexSpec extends SparkSpec {
     assert(!admitted.contains(100L), "image twin of standing corpus must be rejected")
     assert(!admitted.contains(101L), "audio twin must be rejected")
     assert(!admitted.contains(102L), "re-cut clip must be rejected")
+    assert(!admitted.contains(108L),
+      "trimmed clip must be rejected on its surviving frame minima")
     assert(admitted.contains(103L), "fresh image must be admitted")
     assert(admitted.contains(104L), "fresh audio must be admitted")
     assert(admitted.contains(105L), "fresh clip must be admitted")
@@ -149,6 +177,69 @@ class MediaIndexSpec extends SparkSpec {
       .select("doc_id").collect()
     assert(again.isEmpty,
       s"second ingest of the same batch must be fully rejected: ${again.toSeq}")
+  }
+
+  test("degenerate image and audio never link across planes; unsignatured blobs pass through") {
+    // a flat image and a constant-amplitude clip BOTH threshold every
+    // bit against their own mean with >=, so each fingerprints to
+    // all-ones — identical longs in unrelated hash spaces (the
+    // round-14 cross-plane hazard: mixed-plane clustering linked them
+    // at Hamming 0 and silently rejected one valid blob)
+    val flatImg = png((_, _) => 128)
+    val constWav = {
+      // every sample at the same amplitude (no sine carrier): each
+      // segment mean equals the clip mean → all 64 bits set
+      val n = 2048
+      val header = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      header.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(n)
+      header.array() ++ Array.fill(n)((128 + 60).toByte)
+    }
+    assert(MediaIndex.signatureOf(flatImg).head._2 ==
+      MediaIndex.signatureOf(constWav).head._2,
+      "plant guard: both planes degenerate to the same fingerprint")
+    val dir = freshDir()
+    MediaIndex.build(spark, blobs(Seq(1L -> png(imgChecker))), dir)
+    val batch = blobs(Seq(
+      10L -> flatImg, 11L -> constWav,
+      // un-fingerprintable blobs: empty, and a RIFF/WAVE header with
+      // no fmt chunk — no signature, so screening is vacuous and the
+      // documented policy ADMITS them
+      12L -> Array.empty[Byte],
+      13L -> "RIFFxxxxWAVE".getBytes("US-ASCII")))
+    val admitted = MediaIndex.ingest(spark, batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(10L, 11L, 12L, 13L),
+      s"cross-plane Hamming-0 must not reject, unsignatured must admit: $admitted")
+    // the unsignatured blobs contributed no index rows
+    val idxDocs = MediaIndex.liveRows(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!idxDocs.contains(12L) && !idxDocs.contains(13L))
+  }
+
+  test("an index from a different signature scheme is refused loudly") {
+    val dir = freshDir()
+    MediaIndex.build(spark, blobs(Seq(1L -> png(imgHalf))), dir)
+    // simulate a v1-era index: same layout, pre-FormatGen generation —
+    // rewrite the committed manifest's `built` line in place
+    val vf = new java.io.File(s"$dir/manifest").listFiles()
+      .filter(_.getName.matches("v\\d+\\.txt")).head
+    val src = scala.io.Source.fromFile(vf)
+    val txt = try src.mkString finally src.close()
+    java.nio.file.Files.write(vf.toPath,
+      txt.replaceFirst("built \\S+",
+        "built " + java.util.UUID.randomUUID().toString).getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar the in-place rewrite broke
+    new java.io.File(vf.getParentFile, s".${vf.getName}.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      MediaIndex.admit(spark, blobs(Seq(2L -> png(imgChecker))), dir).collect()
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
   test("build-then-append holds the same index a one-shot build over the union would") {
@@ -235,21 +326,29 @@ class MediaIndexSpec extends SparkSpec {
   }
 
   test("media dedup rate counts planted fingerprint twins per plane") {
-    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    import org.apache.spark.sql.functions.{array_sort, collect_list, concat_ws,
+      count, countDistinct, lit, transform, xxhash64}
+    import org.apache.spark.sql.types.StringType
     // 3 images (one brightness twin pair → 2 distinct), 2 identical-
-    // envelope wavs at different volume (→ 1 distinct), 2 distinct clips
+    // envelope wavs at different volume (→ 1 distinct), 2 distinct
+    // clips (whole bottom-k SET is the fingerprint — a re-cut twin
+    // would hash equal, a distinct clip can't)
     val sig = MediaIndex.signaturesOf(blobs(Seq(
       1L -> png(imgHalf), 2L -> png(imgHalf, bright = 30),
       3L -> png(imgChecker),
       4L -> wav(envFrontBurst), 5L -> wav(envFrontBurst, scale = 0.5),
-      6L -> clip(1), 7L -> clip(2))))
+      6L -> clip(1), 7L -> clip(2), 8L -> clip(1, order = Seq(3, 1, 0, 2, 7, 5, 6, 4)))))
+      .groupBy(col("doc_id"), col("plane"))
+      .agg(xxhash64(concat_ws(",",
+        transform(array_sort(collect_list(col("h"))),
+          h => h.cast(StringType)))).as("fp"))
       .groupBy(col("plane"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("h")).as("d"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("d"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(sig("image") == (3L, 2L), s"image: ${sig("image")}")
     assert(sig("audio") == (2L, 1L), s"audio: ${sig("audio")}")
-    assert(sig("video") == (2L, 2L), s"video: ${sig("video")}")
+    assert(sig("video") == (3L, 2L), s"video: ${sig("video")}")
   }
 
   test("gate entry runs the corpus split end to end and admits only fresh media") {
@@ -261,5 +360,11 @@ class MediaIndexSpec extends SparkSpec {
       assert(r.getLong(0) % 7 == 0)
       assert(Set("image", "audio", "video").contains(r.getString(1)))
     }
+    // the per-JVM gate index rolls back its own append between calls:
+    // a second run is byte-identical (and skips the corpus build)
+    val again = MediaIndex.dedupIncrementalMedia(spark, Sf).collect()
+    assert(again.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getString(1))).toSeq,
+      "repeat gate calls must admit the identical set")
   }
 }

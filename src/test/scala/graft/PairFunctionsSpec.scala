@@ -56,6 +56,23 @@ class PairFunctionsSpec extends SparkSpec {
     assert(ker == hof)
   }
 
+  test("pathological row sizes fail loud, not NegativeArraySizeException") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // n*(n-1)/2 overflows Int at n = 46341 — the kernel must require()
+    // with a diagnosable message instead of allocating a negative array
+    val big = new GenericArrayData(
+      Array.fill[Any](70000)(UTF8String.fromString("t")))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.PairKernels.combinations(big)
+    }
+    assert(e.getMessage.contains("pairs"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.functions.PairKernels.skipgramPairs(big, 70000)
+    }
+    assert(e2.getMessage.contains("pairs"), e2.getMessage)
+  }
+
   test("syllable_count == the aggregate-HOF vowel-group sum") {
     import spark.implicits._
     val df = texts.toDF("doc_id", "text")
