@@ -13,7 +13,7 @@ object SparkEntry {
       Multimodal.queries ++ GraftEngine.queries ++ Temporal.queries ++
       Curation.queries ++ Sharding.queries ++ QualityRules.queries ++
       TextIndex.queries ++ MediaIndex.queries ++ Pretrain.queries ++
-      QualityModel.queries ++
+      QualityModel.queries ++ StatsCatalog.queries ++
       ScaleJoins.queries ++ graft.sources.Sources.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,6 +23,6 @@ object SparkEntry {
       Multimodal.oracles ++ GraftEngine.oracles ++ Temporal.oracles ++
       Curation.oracles ++ Sharding.oracles ++ QualityRules.oracles ++
       TextIndex.oracles ++ MediaIndex.oracles ++ Pretrain.oracles ++
-      QualityModel.oracles ++
+      QualityModel.oracles ++ StatsCatalog.oracles ++
       ScaleJoins.oracles ++ graft.sources.Sources.oracles
 }

@@ -145,38 +145,141 @@ object ScaleJoins {
     * Two bounded driver-side reads (1-row advice frames) — the same
     * inherently two-phase shape as [[bloomReducedAntiJoin]]'s filter
     * build; the dim probe runs first so a broadcastable dim never
-    * pays the fact scan. */
+    * pays the fact scan. The three-way form predates the `bucket`
+    * strategy — [[adviseJoin]] is the four-way superset. */
   def adviseFor(fact: DataFrame, dim: DataFrame, key: String,
                 broadcastBytes: Long = 10L << 20, skewMult: Long = 4L,
                 maxSalt: Long = 64L): (String, Long) = {
+    val (s, n, _) = adviseJoin(fact, dim, key, broadcastBytes, skewMult,
+      maxSalt, keyReused = false)
+    (s, n)
+  }
+
+  /** Smallest power of two ≥ x — the driver-side mirror of
+    * [[Sharding.pow2Ceil]] (same factor-of-two rescale discipline;
+    * ScaleJoinsSpec pins the two against each other). */
+  private def pow2CeilLong(x: Long): Long = {
+    val v = math.max(1L, x)
+    val h = java.lang.Long.highestOneBit(v)
+    if (h == v) v else h << 1
+  }
+
+  private def bucketNFor(factBytes: Long, dimBytes: Long,
+                         targetBytes: Long): Long =
+    pow2CeilLong(math.max(1L,
+      (math.max(factBytes, dimBytes) + targetBytes - 1) / targetBytes))
+
+  /** Four-way advice (strategy, saltN, bucketN) — the live-stats
+    * executor form of [[Sharding.joinPairAdvice]], same decision
+    * order and constants: broadcast ≻ bucket (keyReused and both
+    * sides past the bound) ≻ salt ≻ plain. Dim probe first, so a
+    * broadcastable dim never pays a fact scan. */
+  def adviseJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 broadcastBytes: Long = 10L << 20, skewMult: Long = 4L,
+                 maxSalt: Long = 64L, keyReused: Boolean = false,
+                 targetBytes: Long = 128L << 20): (String, Long, Long) = {
     val dimRow = Sharding.joinAdvice(dim, "dim", key,
       broadcastBytes, skewMult, maxSalt).collect()(0)
-    if (dimRow.getAs[String]("strategy") == "broadcast") ("broadcast", 0L)
+    val dimBytes = dimRow.getAs[Long]("est_bytes")
+    if (dimBytes <= broadcastBytes) ("broadcast", 0L, 0L)
     else {
       val factRow = Sharding.joinAdvice(fact, "fact", key,
         broadcastBytes, skewMult, maxSalt).collect()(0)
-      if (factRow.getAs[String]("strategy") == "salt")
-        ("salt", factRow.getAs[Long]("salt_n"))
-      else ("plain", 0L)
+      val factBytes = factRow.getAs[Long]("est_bytes")
+      if (keyReused && factBytes > broadcastBytes)
+        ("bucket", 0L, bucketNFor(factBytes, dimBytes, targetBytes))
+      else if (factRow.getAs[String]("strategy") == "salt")
+        ("salt", factRow.getAs[Long]("salt_n"), 0L)
+      else ("plain", 0L, 0L)
     }
   }
 
-  /** `fact ⋈ dim` on `key` through whichever strategy [[adviseFor]]
+  /** [[adviseJoin]] answered from a persisted [[StatsCatalog]] — NO
+    * scan of either relation (the whole point: live advice for a
+    * 100 TB fact costs one full pass of it PER CALL; cataloged advice
+    * is a read of the ~10³–10⁴×-smaller stats table). None when
+    * either leg is uncataloged — callers fall back to live stats.
+    * Same decision order and constants as [[adviseJoin]]; the
+    * salt arithmetic mirrors [[Sharding.adviceColumns]]
+    * integer-for-integer (StatsCatalogSpec pins catalog == live on
+    * identical data). */
+  def adviseJoinCataloged(s: SparkSession, statsDir: String,
+                          factRel: String, dimRel: String, key: String,
+                          broadcastBytes: Long = 10L << 20,
+                          skewMult: Long = 4L, maxSalt: Long = 64L,
+                          keyReused: Boolean = false,
+                          targetBytes: Long = 128L << 20)
+      : Option[(String, Long, Long)] =
+    for {
+      (_, _, _, dimBytes) <- StatsCatalog.legStats(s, statsDir, dimRel, key)
+      (fRows, fKeys, fMaxN, fBytes) <-
+        StatsCatalog.legStats(s, statsDir, factRel, key)
+    } yield {
+      if (dimBytes <= broadcastBytes) ("broadcast", 0L, 0L)
+      else if (keyReused && fBytes > broadcastBytes)
+        ("bucket", 0L, bucketNFor(fBytes, dimBytes, targetBytes))
+      else {
+        val avg = math.max(1L, fRows / fKeys)
+        if (fMaxN > avg * skewMult) {
+          val ratio = (fMaxN + avg - 1) / avg
+          ("salt", math.min(maxSalt, pow2CeilLong(ratio)), 0L)
+        } else ("plain", 0L, 0L)
+      }
+    }
+
+  /** Co-located bucketed join: both sides land as bucketed tables on
+    * the SAME (key, n) layout, then join with no per-query exchange
+    * on the key (ScaleJoinsSpec pins the shuffle-free plan). The
+    * layout write is the one-time cost `bucket` advice prices against
+    * a reused key's repeated shuffles; at 100 TB the write is the
+    * storage-side layout job a lakehouse runs once per drop. */
+  def bucketedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                   n: Int): DataFrame = {
+    val s = fact.sparkSession
+    val fname = s"graft_bucketed_fact_$key"
+    val dname = s"graft_bucketed_dim_$key"
+    fact.write.mode("overwrite").bucketBy(n, key).sortBy(key)
+      .saveAsTable(fname)
+    dim.write.mode("overwrite").bucketBy(n, key).sortBy(key)
+      .saveAsTable(dname)
+    s.table(fname).join(s.table(dname), Seq(key))
+  }
+
+  /** `fact ⋈ dim` on `key` through whichever strategy the advice
     * picks — the closed diagnose → recommend → execute loop
-    * (pipeline_skew_stats diagnoses, pipeline_join_advisor
-    * recommends, this runs it). Row-identical to the plain inner
-    * join under every branch: broadcast and salting are physical
-    * rewrites with zero semantic footprint (ScaleJoinsSpec proves all
-    * three branches against the plain join), so the oracle is the
-    * plain join. */
+    * (pipeline_skew_stats diagnoses, pipeline_join_advisor /
+    * pipeline_pair_advisor recommend, this runs it). Row-identical to
+    * the plain inner join under every branch: broadcast, salting and
+    * bucketing are physical rewrites with zero semantic footprint
+    * (ScaleJoinsSpec proves all four branches against the plain
+    * join), so the oracle is the plain join.
+    *
+    * With `statsDir` set (and both legs cataloged under `factRel`/
+    * `dimRel`), the advice comes from the persisted [[StatsCatalog]]
+    * and NEITHER relation is scanned before the join itself —
+    * StatsCatalogSpec proves the plan by answering advice after the
+    * source files are deleted. Uncataloged legs fall back to live
+    * stats transparently. */
   def advisedJoin(fact: DataFrame, dim: DataFrame, key: String,
                   broadcastBytes: Long = 10L << 20, skewMult: Long = 4L,
-                  maxSalt: Long = 64L): DataFrame =
-    adviseFor(fact, dim, key, broadcastBytes, skewMult, maxSalt) match {
-      case ("broadcast", _) => fact.join(broadcast(dim), Seq(key))
-      case ("salt", n) => saltedJoin(fact, dim, key, nSalts = n.toInt)
+                  maxSalt: Long = 64L, keyReused: Boolean = false,
+                  targetBytes: Long = 128L << 20,
+                  statsDir: String = "", factRel: String = "",
+                  dimRel: String = ""): DataFrame = {
+    val decision =
+      (if (statsDir.nonEmpty)
+        adviseJoinCataloged(fact.sparkSession, statsDir, factRel, dimRel,
+          key, broadcastBytes, skewMult, maxSalt, keyReused, targetBytes)
+      else None)
+        .getOrElse(adviseJoin(fact, dim, key, broadcastBytes, skewMult,
+          maxSalt, keyReused, targetBytes))
+    decision match {
+      case ("broadcast", _, _) => fact.join(broadcast(dim), Seq(key))
+      case ("salt", n, _) => saltedJoin(fact, dim, key, nSalts = n.toInt)
+      case ("bucket", _, n) => bucketedJoin(fact, dim, key, n.toInt)
       case _ => fact.join(dim, Seq(key))
     }
+  }
 
   /** Gate key: [[saltedJoin]] on the lineitem⋈supplier fact-dim join,
     * reduced to per-nation revenue. The oracle is the PLAIN join — the

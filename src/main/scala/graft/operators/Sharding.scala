@@ -752,7 +752,7 @@ object Sharding {
     * measured lengths (+4 overhead) for strings — shared by
     * [[layoutPlan]] and [[joinAdvice]], mirrored constant-for-constant
     * by both oracles. */
-  private def rowWidth(df: DataFrame): Column = {
+  private[operators] def rowWidth(df: DataFrame): Column = {
     import org.apache.spark.sql.types.{StringType, IntegerType => IntT,
       DoubleType => DblT, LongType => LngT, TimestampType, BooleanType}
     df.schema.fields.map { f =>
@@ -781,9 +781,7 @@ object Sharding {
         greatest(lit(1L), expr(s"(est_bytes + ${targetBytes - 1}) DIV $targetBytes")))
       // bucket count: smallest power of two >= target_files (bucketed
       // tables rescale by factor-of-two splits/merges)
-      .withColumn("bucket_count",
-        when(expr("target_files & (target_files - 1)") === 0L, col("target_files"))
-          .otherwise(expr("shiftleft(1L, length(bin(target_files)))")))
+      .withColumn("bucket_count", pow2Ceil(col("target_files")))
       .orderBy(col("table_name"))
   }
 
@@ -998,12 +996,26 @@ object Sharding {
                  broadcastBytes: Long = 1L << 20,
                  skewMult: Long = 4L,
                  maxSalt: Long = 64L): DataFrame =
-    df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(rowWidth(df).cast(LongType)).as("b"))
-      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
-        max(col("n")).as("max_n"), sum(col("b")).as("est_bytes"))
-      .select(lit(rel).as("rel"), lit(keyCol).as("keycol"),
-        col("n_rows"), col("n_keys"), col("max_n"), col("est_bytes"))
+    adviceColumns(
+      df.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n"), sum(rowWidth(df).cast(LongType)).as("b"))
+        .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_n"), sum(col("b")).as("est_bytes"))
+        .select(lit(rel).as("rel"), lit(keyCol).as("keycol"),
+          col("n_rows"), col("n_keys"), col("max_n"), col("est_bytes")),
+      broadcastBytes, skewMult, maxSalt)
+
+  /** The strategy arithmetic of [[joinAdvice]], applied to an
+    * already-reduced stats frame carrying (n_rows, n_keys, max_n,
+    * est_bytes) — ONE definition shared by the live advisor, the
+    * persisted [[StatsCatalog]]'s advice view, and [[joinPairAdvice]],
+    * so the constants can never drift apart (the oracles mirror them
+    * constant-for-constant). */
+  private[operators] def adviceColumns(stats: DataFrame,
+                                       broadcastBytes: Long,
+                                       skewMult: Long,
+                                       maxSalt: Long): DataFrame =
+    stats
       .withColumn("_avg", greatest(expr("n_rows DIV n_keys"), lit(1L)))
       .withColumn("_ratio", expr("(max_n + _avg - 1) DIV _avg"))
       .withColumn("strategy",
@@ -1012,11 +1024,16 @@ object Sharding {
           .otherwise(lit("plain")))
       .withColumn("salt_n",
         when(col("strategy") === "salt",
-          least(lit(maxSalt),
-            when(expr("_ratio & (_ratio - 1)") === 0L, col("_ratio"))
-              .otherwise(expr("shiftleft(1L, length(bin(_ratio)))"))))
+          least(lit(maxSalt), pow2Ceil(col("_ratio"))))
           .otherwise(lit(0L)))
       .drop("_avg", "_ratio")
+
+  /** Smallest power of two ≥ a positive long column — the
+    * factor-of-two rescale discipline shared by [[layoutPlan]]'s
+    * bucket counts, salt fan-outs, and [[joinPairAdvice]]'s bucket_n. */
+  private[graft] def pow2Ceil(c: Column): Column =
+    when(c.bitwiseAND(c - 1) === 0L, c)
+      .otherwise(call_function("shiftleft", lit(1L), length(bin(c))))
 
   /** Gate key: [[joinAdvice]] over the same six (relation, key) legs
     * [[pipelineSkewStats]] profiles — the advisor a 100 TB operator
@@ -1032,8 +1049,94 @@ object Sharding {
       .reduce(_.unionAll(_))
       .orderBy(col("rel"), col("keycol"))
 
+  /** Join-strategy recommendation for a PAIR of relations — the
+    * two-sided completion of [[joinAdvice]] (which profiles one side
+    * and can only see broadcast/salt/plain): with both sides' stats
+    * in one row, the advisor can recommend `bucket` — co-located
+    * bucketed tables, zero per-query shuffle — for the fact-fact case
+    * where NEITHER side fits a build side and the key is REUSED
+    * across a pipeline (bucketing pays one layout write to delete a
+    * shuffle from every later join on the key; for a one-off join the
+    * shuffle is cheaper, so `keyReused` is the caller's declaration,
+    * not a statistic). Decision order, all-integer arithmetic, every
+    * branch oracle-replayed:
+    *
+    *   1. `broadcast` when the dim fits a build side (skew and reuse
+    *      are irrelevant if nothing shuffles),
+    *   2. `bucket` when keyReused and BOTH sides exceed
+    *      broadcastBytes — `bucket_n` = [[layoutPlan]]'s power-of-two
+    *      file count for the LARGER side at `targetBytes` (both
+    *      sides must bucket by the SAME count to co-locate),
+    *   3. `salt` / `plain` from the fact side's hot-key profile,
+    *      exactly [[joinAdvice]].
+    *
+    * Scale shape: one partial+final agg per side (the fact leg keyed,
+    * the dim leg a single-row reduction), joined by a 1-row×1-row
+    * broadcast attach. [[ScaleJoins.advisedJoin]] executes all four
+    * branches; the `broadcast_bytes`/`key_reused` knob columns ride
+    * along so a report over many legs stays self-describing. */
+  def joinPairAdvice(fact: DataFrame, factRel: String, factKey: String,
+                     dim: DataFrame, dimRel: String, dimKey: String,
+                     broadcastBytes: Long = 1L << 20,
+                     skewMult: Long = 4L, maxSalt: Long = 64L,
+                     keyReused: Boolean = false,
+                     targetBytes: Long = 1L << 20): DataFrame = {
+    val fstats = fact.groupBy(col(factKey))
+      .agg(count(lit(1)).as("n"), sum(rowWidth(fact).cast(LongType)).as("b"))
+      .agg(sum(col("n")).as("fact_rows"), count(lit(1)).as("fact_keys"),
+        max(col("n")).as("max_n"), sum(col("b")).as("fact_bytes"))
+    val dstats = dim
+      .agg(count(lit(1)).as("dim_rows"),
+        sum(rowWidth(dim).cast(LongType)).as("dim_bytes"))
+    fstats.crossJoin(dstats)
+      .select(lit(factRel).as("fact_rel"), lit(dimRel).as("dim_rel"),
+        lit(factKey).as("keycol"),
+        col("fact_rows"), col("fact_keys"), col("max_n"), col("fact_bytes"),
+        col("dim_rows"), col("dim_bytes"),
+        lit(broadcastBytes).as("broadcast_bytes"),
+        lit(keyReused).as("key_reused"))
+      .withColumn("_avg", greatest(expr("fact_rows DIV fact_keys"), lit(1L)))
+      .withColumn("_ratio", expr("(max_n + _avg - 1) DIV _avg"))
+      .withColumn("strategy",
+        when(col("dim_bytes") <= broadcastBytes, lit("broadcast"))
+          .when(lit(keyReused) && col("fact_bytes") > broadcastBytes &&
+            col("dim_bytes") > broadcastBytes, lit("bucket"))
+          .when(col("max_n") > col("_avg") * skewMult, lit("salt"))
+          .otherwise(lit("plain")))
+      .withColumn("salt_n",
+        when(col("strategy") === "salt",
+          least(lit(maxSalt), pow2Ceil(col("_ratio")))).otherwise(lit(0L)))
+      .withColumn("bucket_n",
+        when(col("strategy") === "bucket",
+          pow2Ceil(greatest(lit(1L),
+            expr(s"(greatest(fact_bytes, dim_bytes) + ${targetBytes - 1}) " +
+              s"DIV $targetBytes")))).otherwise(lit(0L)))
+      .drop("_avg", "_ratio")
+  }
+
+  /** Gate key: [[joinPairAdvice]] over four two-sided legs chosen so
+    * the gate-scale data exercises broadcast (small dim), bucket (both
+    * sides past a tightened bound on a reused key), precedence
+    * (broadcast beats bucket when the dim fits), and plain (no
+    * treatment applies) — salt is ScaleJoinsSpec's planted branch. */
+  def pipelinePairAdvisor(s: SparkSession, d: String): DataFrame =
+    Seq(
+      joinPairAdvice(lineitem(s, d), "lineitem", "l_suppkey",
+        supplier(s, d), "supplier", "s_suppkey"),
+      joinPairAdvice(lineitem(s, d), "lineitem", "l_orderkey",
+        orders(s, d), "orders", "o_orderkey",
+        broadcastBytes = 1L << 18, keyReused = true),
+      joinPairAdvice(lineitem(s, d), "lineitem", "l_orderkey",
+        orders(s, d), "orders", "o_orderkey", keyReused = true),
+      joinPairAdvice(events(s, d), "events", "user_id",
+        customer(s, d), "customer", "c_custkey",
+        broadcastBytes = 1L << 10))
+      .reduce(_.unionAll(_))
+      .orderBy(col("fact_rel"), col("keycol"), col("broadcast_bytes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_join_advisor" -> (pipelineJoinAdvisor _),
+    "pipeline_pair_advisor" -> (pipelinePairAdvisor _),
     "pipeline_skew_stats" -> (pipelineSkewStats _),
     "pipeline_column_profile" -> (pipelineColumnProfile _),
     "pipeline_length_percentiles" -> (pipelineLengthPercentiles _),
@@ -1062,6 +1165,69 @@ object Sharding {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pair_advisor" -> {
+      // byte estimators mirrored constant-for-constant from rowWidth
+      val widths = Map(
+        "events" -> "40 + length(coalesce(event_type, '')) + length(coalesce(props, ''))",
+        "lineitem" -> ("76 + length(coalesce(l_returnflag, '')) " +
+          "+ length(coalesce(l_linestatus, ''))"),
+        "orders" -> "40 + length(coalesce(o_orderstatus, '')) + length(coalesce(o_orderpriority, ''))",
+        "supplier" -> "24 + length(coalesce(s_name, ''))",
+        "customer" -> ("28 + length(coalesce(c_name, '')) " +
+          "+ length(coalesce(c_mktsegment, ''))"))
+      def leg(factRel: String, factKey: String, dimRel: String,
+              bb: Long, reused: Boolean): String =
+        s"""SELECT '$factRel' AS fact_rel, '$dimRel' AS dim_rel,
+           |  '$factKey' AS keycol,
+           |  f.fact_rows, f.fact_keys, f.max_n, f.fact_bytes,
+           |  d.dim_rows, d.dim_bytes,
+           |  CAST($bb AS BIGINT) AS broadcast_bytes,
+           |  ${if (reused) "TRUE" else "FALSE"} AS key_reused
+           |FROM (SELECT CAST(sum(n) AS BIGINT) AS fact_rows,
+           |        count(*) AS fact_keys, CAST(max(n) AS BIGINT) AS max_n,
+           |        CAST(sum(b) AS BIGINT) AS fact_bytes
+           |      FROM (SELECT count(*) AS n, sum(${widths(factRel)}) AS b
+           |            FROM $factRel GROUP BY $factKey)) f
+           |CROSS JOIN (SELECT count(*) AS dim_rows,
+           |        CAST(sum(${widths(dimRel)}) AS BIGINT) AS dim_bytes
+           |      FROM $dimRel) d
+           |""".stripMargin
+      val u = Seq(
+        leg("lineitem", "l_suppkey", "supplier", 1L << 20, reused = false),
+        leg("lineitem", "l_orderkey", "orders", 1L << 18, reused = true),
+        leg("lineitem", "l_orderkey", "orders", 1L << 20, reused = true),
+        leg("events", "user_id", "customer", 1L << 10, reused = false))
+        .mkString("UNION ALL\n")
+      s"""WITH u AS (
+         |$u
+         |), v AS (
+         |  SELECT *,
+         |    greatest(fact_rows // fact_keys, CAST(1 AS BIGINT)) AS avg_f
+         |  FROM u
+         |), w AS (
+         |  SELECT *, (max_n + avg_f - 1) // avg_f AS ratio,
+         |    greatest((greatest(fact_bytes, dim_bytes) + 1048575) // 1048576,
+         |      CAST(1 AS BIGINT)) AS tf,
+         |    CASE WHEN dim_bytes <= broadcast_bytes THEN 'broadcast'
+         |         WHEN key_reused AND fact_bytes > broadcast_bytes
+         |              AND dim_bytes > broadcast_bytes THEN 'bucket'
+         |         WHEN max_n > avg_f * 4 THEN 'salt'
+         |         ELSE 'plain' END AS strategy
+         |  FROM v
+         |)
+         |SELECT fact_rel, dim_rel, keycol, fact_rows, fact_keys, max_n,
+         |  fact_bytes, dim_rows, dim_bytes, broadcast_bytes, key_reused,
+         |  strategy,
+         |  CAST(CASE WHEN strategy <> 'salt' THEN 0
+         |    ELSE least(64, CASE WHEN (ratio & (ratio - 1)) = 0 THEN ratio
+         |      ELSE CAST(1 AS BIGINT) << length(bin(ratio)) END)
+         |  END AS BIGINT) AS salt_n,
+         |  CAST(CASE WHEN strategy <> 'bucket' THEN 0
+         |    ELSE CASE WHEN (tf & (tf - 1)) = 0 THEN tf
+         |      ELSE CAST(1 AS BIGINT) << length(bin(tf)) END
+         |  END AS BIGINT) AS bucket_n
+         |FROM w ORDER BY fact_rel, keycol, broadcast_bytes""".stripMargin
+    },
     "pipeline_join_advisor" -> {
       // per-relation byte estimators: constant-for-constant the
       // layoutPlan widths (fixed numerics + length(string)+4)

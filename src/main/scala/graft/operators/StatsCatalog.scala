@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.Tables._
+
+/** Persisted per-(relation, key) statistics — ANALYZE at rest.
+  *
+  * [[Sharding.joinAdvice]] prices a join plan from one scan of the
+  * relation; at 100 TB that means the ADVICE for a fact table costs a
+  * full pass of it PER CALL — the one remaining eager corpus scan in
+  * a hot path (round-14 verdict). This catalog persists the scan's
+  * result in mergeable form, so advice becomes a read of a stats
+  * table ~10³–10⁴× smaller than the data, maintained incrementally by
+  * the same ingest batches that grow the data.
+  *
+  * **Row shape** (`<dir>/stats/`, under the [[IndexFiles]] manifest
+  * contract): `(rel, keycol, key, n, b, phase)` — one row per
+  * distinct key value per write, with `n` = row count, `b` = the
+  * estimated in-memory byte subtotal ([[Sharding.rowWidth]], the
+  * layoutPlan estimator, mirrored constant-for-constant by the
+  * oracle), `phase` = `build` | `append`. Per-key subtotals are the
+  * exactly-mergeable form: counts and byte subtotals SUM, so
+  * build + any sequence of appends ≡ one rebuild over the union
+  * (StatsCatalogSpec pins it) — the reduced (n_keys, max_n) numbers
+  * a one-shot scan emits are NOT mergeable (distinct keys overlap
+  * across batches), which is why the catalog stores the per-key
+  * level and reduces at read time. The key value is stored as its
+  * string cast (injective for the integer/string keys the advisor
+  * profiles; NULL keys stay NULL and reduce as one group, exactly as
+  * the live advisor's groupBy sees them).
+  *
+  * Size: one row per distinct key ≈ tens of bytes — for a 10¹⁰-row
+  * fact with 10⁸ users, a ~4 GB stats table vs a 100 TB relation;
+  * the read side reduces it with one partial+final agg. A write adds
+  * only its OWN batch's distinct keys.
+  *
+  * **Verbs** (the TextIndex/AnnIndex lifecycle discipline):
+  * [[build]] one scan per declared leg → manifest v1; [[append]] per
+  * ingest batch (per-key deltas of the BATCH only — map-side-combine
+  * sized, never re-reads standing data); [[advice]] the
+  * [[Sharding.joinAdvice]] row per leg from the merged stats;
+  * [[staleness]] the appended-fraction drift check (the
+  * AnnIndex.maintain pattern: a catalog whose appends dominate its
+  * build was fitted on a minority of the data — re-build to
+  * re-baseline); [[status]] the committed-snapshot summary. Catalog
+  * corrections ride rebuilds — takedown tombstones are not a stats
+  * concept (deleting corpus rows under-counts the catalog until the
+  * next build; the staleness check prices exactly that drift).
+  *
+  * [[ScaleJoins.advisedJoin]] consults the catalog when given a
+  * `statsDir` and falls back to live stats for uncataloged legs —
+  * closing the loop: the 100 TB fact is scanned once at build, and
+  * every later join decision is a metadata read. */
+object StatsCatalog {
+
+  /** A declared (relation, key) leg for [[build]]. */
+  case class Leg(df: DataFrame, rel: String, keyCol: String)
+
+  /** Per-key subtotals of one relation under one key — the mergeable
+    * unit both [[build]] and [[append]] write. One partial+final agg
+    * over the input; output is distinct-key sized. */
+  def statsOf(df: DataFrame, rel: String, keyCol: String,
+              phase: String): DataFrame =
+    df.groupBy(col(keyCol).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(Sharding.rowWidth(df).cast(LongType)).as("b"))
+      .select(lit(rel).as("rel"), lit(keyCol).as("keycol"),
+        col("key"), col("n"), col("b"), lit(phase).as("phase"))
+
+  /** Destructive (re)build: one scan per leg, committed as manifest
+    * v1 (phase = `build`). */
+  def build(s: SparkSession, dir: String, legs: Seq[Leg]): Unit = {
+    require(legs.nonEmpty, "stats catalog build needs at least one leg")
+    IndexFiles.commitRebuild(s, dir, "stats") {
+      legs.map(l => statsOf(l.df, l.rel, l.keyCol, "build"))
+        .reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+    }
+  }
+
+  /** Append one ingest batch's per-key deltas for one leg (phase =
+    * `append`). The batch is the ONLY input — standing data is never
+    * re-read; merge happens at read time by summing subtotals. */
+  def append(s: SparkSession, dir: String, batch: DataFrame,
+             rel: String, keyCol: String): Unit =
+    IndexFiles.commitDataAppend(s, dir, "stats") {
+      statsOf(batch, rel, keyCol, "append")
+        .write.mode("append").parquet(s"$dir/stats")
+    }
+
+  def hasCatalog(s: SparkSession, dir: String): Boolean =
+    IndexFiles.hasIndex(s, dir)
+
+  /** Committed-snapshot summary — see [[AnnIndex.Status]]. */
+  def status(s: SparkSession, dir: String): AnnIndex.Status = {
+    val m = IndexFiles.read(s, dir)
+    AnnIndex.Status(m.version, m.built, m.data.size.toLong,
+      m.tombstones.size.toLong)
+  }
+
+  /** The live per-key rows under the snapshot protocol. */
+  def liveStats(s: SparkSession, dir: String): DataFrame = {
+    val m = IndexFiles.read(s, dir)
+    IndexFiles.dataFrame(s, dir, "stats", m).getOrElse(
+      throw new IllegalStateException(s"stats catalog at $dir is empty"))
+  }
+
+  /** Merged reduced stats per (rel, keycol): the joinAdvice input
+    * numbers plus the build/append phase split — per-key subtotals
+    * sum FIRST (the mergeable level), then reduce. */
+  def reducedStats(s: SparkSession, dir: String): DataFrame =
+    liveStats(s, dir)
+      .groupBy(col("rel"), col("keycol"), col("key"))
+      .agg(sum(col("n")).as("n"), sum(col("b")).as("b"),
+        sum(when(col("phase") === "build", col("n")).otherwise(0L))
+          .as("n_build"))
+      .groupBy(col("rel"), col("keycol"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"), sum(col("b")).as("est_bytes"),
+        sum(col("n_build")).as("build_rows"))
+      .withColumn("appended_rows", col("n_rows") - col("build_rows"))
+
+  /** The [[Sharding.joinAdvice]] row per cataloged leg, computed from
+    * the catalog alone — NO scan of any profiled relation (the spec
+    * deletes the source files and the advice still answers). Same
+    * strategy arithmetic, same constants ([[Sharding.adviceColumns]]
+    * is the one shared definition). */
+  def advice(s: SparkSession, dir: String,
+             broadcastBytes: Long = 1L << 20,
+             skewMult: Long = 4L, maxSalt: Long = 64L): DataFrame =
+    Sharding.adviceColumns(
+      reducedStats(s, dir)
+        .withColumn("appended_frac",
+          col("appended_rows").cast(DoubleType) / col("n_rows")),
+      broadcastBytes, skewMult, maxSalt)
+      .orderBy(col("rel"), col("keycol"))
+
+  /** Appended-fraction drift per leg (the AnnIndex.maintain pattern):
+    * a leg whose appends exceed `maxAppendedFrac` of its rows was
+    * profiled mostly AFTER its build — corrections (corpus deletes,
+    * re-keyed loads) may have drifted it; re-[[build]] to
+    * re-baseline. */
+  def staleness(s: SparkSession, dir: String,
+                maxAppendedFrac: Double = 0.5): DataFrame =
+    reducedStats(s, dir)
+      .withColumn("appended_frac",
+        col("appended_rows").cast(DoubleType) / col("n_rows"))
+      .select(col("rel"), col("keycol"), col("n_rows"),
+        col("build_rows"), col("appended_rows"), col("appended_frac"),
+        (col("appended_frac") > maxAppendedFrac).as("stale"))
+      .orderBy(col("rel"), col("keycol"))
+
+  /** One cataloged leg's reduced numbers, for the executed-join path:
+    * (n_rows, n_keys, max_n, est_bytes), None when the leg is not
+    * cataloged (callers fall back to live stats). Bounded driver
+    * read — one row. */
+  def legStats(s: SparkSession, dir: String, rel: String,
+               keyCol: String): Option[(Long, Long, Long, Long)] = {
+    if (!hasCatalog(s, dir)) return None
+    reducedStats(s, dir)
+      .where(col("rel") === rel && col("keycol") === keyCol)
+      .collect().headOption
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("max_n"), r.getAs[Long]("est_bytes")))
+  }
+
+  /** Gate entry: catalog the six advisor legs with each relation
+    * SPLIT deterministically — build on rows ≡ 0 (mod 3) of the
+    * relation's row key, append the rest as one "ingest batch" — so
+    * every leg's advice exercises the per-key MERGE (the same user_id
+    * appears in both phases and the subtotals must sum). Output = the
+    * joinAdvice row per leg plus the phase split and the appended
+    * fraction (an exact-integer quotient). The oracle replays the
+    * merge arithmetic from the full tables and the same split
+    * predicates — a catalog that double-counted, dropped a phase, or
+    * mis-merged keys hash-mismatches. */
+  def pipelineStatsCatalog(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_statscat_gate").toString
+    val ev = events(s, d); val or = orders(s, d)
+    val li = lineitem(s, d); val doc = documents(s, d)
+    def split(df: DataFrame, rowKey: String): (DataFrame, DataFrame) =
+      (df.where(col(rowKey) % 3 === 0), df.where(col(rowKey) % 3 =!= 0))
+    val (evB, evA) = split(ev, "event_id")
+    val (orB, orA) = split(or, "o_orderkey")
+    val (liB, liA) = split(li, "l_orderkey")
+    val (docB, docA) = split(doc, "doc_id")
+    build(s, dir, Seq(
+      Leg(evB, "events", "user_id"), Leg(evB, "events", "event_type"),
+      Leg(orB, "orders", "o_custkey"),
+      Leg(liB, "lineitem", "l_suppkey"), Leg(liB, "lineitem", "l_partkey"),
+      Leg(docB, "documents", "source")))
+    append(s, dir, evA, "events", "user_id")
+    append(s, dir, evA, "events", "event_type")
+    append(s, dir, orA, "orders", "o_custkey")
+    append(s, dir, liA, "lineitem", "l_suppkey")
+    append(s, dir, liA, "lineitem", "l_partkey")
+    append(s, dir, docA, "documents", "source")
+    advice(s, dir)
+      .select(col("rel"), col("keycol"), col("n_rows"), col("n_keys"),
+        col("max_n"), col("est_bytes"), col("build_rows"),
+        col("appended_rows"), col("appended_frac"),
+        col("strategy"), col("salt_n"))
+      .orderBy(col("rel"), col("keycol"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_stats_catalog" -> (pipelineStatsCatalog _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_stats_catalog" -> {
+      // byte estimators mirrored constant-for-constant from
+      // Sharding.rowWidth (the layoutPlan widths)
+      val widths = Map(
+        "events" -> "40 + length(coalesce(event_type, '')) + length(coalesce(props, ''))",
+        "orders" -> "40 + length(coalesce(o_orderstatus, '')) + length(coalesce(o_orderpriority, ''))",
+        "lineitem" -> ("76 + length(coalesce(l_returnflag, '')) " +
+          "+ length(coalesce(l_linestatus, ''))"),
+        "documents" -> ("28 + length(coalesce(text, '')) " +
+          "+ length(coalesce(lang, '')) + length(coalesce(source, ''))"))
+      val splitKey = Map("events" -> "event_id", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "documents" -> "doc_id")
+      def leg(rel: String, keyCol: String): String =
+        s"""SELECT '$rel' AS rel, '$keyCol' AS keycol,
+           |  CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           |  CAST(max(n) AS BIGINT) AS max_n,
+           |  CAST(sum(b) AS BIGINT) AS est_bytes,
+           |  CAST(sum(nb) AS BIGINT) AS build_rows
+           |FROM (SELECT count(*) AS n, sum(${widths(rel)}) AS b,
+           |        sum(CASE WHEN ${splitKey(rel)} % 3 = 0 THEN 1 ELSE 0 END)
+           |          AS nb
+           |      FROM $rel GROUP BY $keyCol)
+           |""".stripMargin
+      val u = Seq(("events", "user_id"), ("events", "event_type"),
+        ("orders", "o_custkey"), ("lineitem", "l_suppkey"),
+        ("lineitem", "l_partkey"), ("documents", "source"))
+        .map { case (r, k) => leg(r, k) }
+        .mkString("UNION ALL\n")
+      s"""WITH u AS (
+         |$u
+         |), v AS (
+         |  SELECT *, greatest(n_rows // n_keys, CAST(1 AS BIGINT)) AS avg_f
+         |  FROM u
+         |), w AS (
+         |  SELECT *, (max_n + avg_f - 1) // avg_f AS ratio FROM v
+         |)
+         |SELECT rel, keycol, n_rows, n_keys, max_n, est_bytes, build_rows,
+         |  n_rows - build_rows AS appended_rows,
+         |  CAST(n_rows - build_rows AS DOUBLE) / n_rows AS appended_frac,
+         |  CASE WHEN est_bytes <= 1048576 THEN 'broadcast'
+         |       WHEN max_n > avg_f * 4 THEN 'salt'
+         |       ELSE 'plain' END AS strategy,
+         |  CAST(CASE
+         |    WHEN est_bytes <= 1048576 OR max_n <= avg_f * 4 THEN 0
+         |    ELSE least(64, CASE WHEN (ratio & (ratio - 1)) = 0 THEN ratio
+         |      ELSE CAST(1 AS BIGINT) << length(bin(ratio)) END)
+         |  END AS BIGINT) AS salt_n
+         |FROM w ORDER BY rel, keycol""".stripMargin
+    }
+  )
+}

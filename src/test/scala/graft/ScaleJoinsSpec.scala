@@ -56,6 +56,49 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(bcast.agg(count(lit(1)), count(col("name"))).collect()(0) == plain)
   }
 
+  test("advised bucket branch: two big sides on a reused key, row-identical to plain") {
+    import spark.implicits._
+    val pad = "x" * 200
+    // both sides past the bound, fact NOT skewed, key declared reused
+    val fact = (1L to 8000L).map(i => (i % 400, pad)).toDF("k", "payload")
+    val dim = (1L to 8000L).map(i => (i % 400, pad)).toDF("k", "name")
+    val advice = ScaleJoins.adviseJoin(fact, dim, "k",
+      broadcastBytes = 1024L, keyReused = true, targetBytes = 1L << 20)
+    assert(advice._1 == "bucket" && advice._3 >= 1L, advice.toString)
+    // without the reuse declaration the same stats stay plain — the
+    // layout write only pays off across repeated joins
+    assert(ScaleJoins.adviseJoin(fact, dim, "k",
+      broadcastBytes = 1024L)._1 == "plain")
+    val plain = fact.join(dim, Seq("k"))
+      .agg(count(lit(1)), count(col("name"))).collect()(0)
+    val bucketed = ScaleJoins.advisedJoin(fact, dim, "k",
+      broadcastBytes = 1024L, keyReused = true, targetBytes = 1L << 20)
+    assert(bucketed.agg(count(lit(1)), count(col("name"))).collect()(0)
+      == plain, "bucket branch must be row-identical to the plain join")
+    // co-located: the join itself re-shuffles neither side on the key
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(k#"),
+      s"bucketed advised join still shuffles on the key:\n$plan")
+  }
+
+  test("driver pow2 ceil mirrors the declarative pow2Ceil bit-for-bit") {
+    import spark.implicits._
+    // the executed path (bucketN/saltN on collected stats) and the
+    // declarative advisors share the factor-of-two discipline; pin the
+    // two implementations against each other across the range shapes
+    // that matter (powers, power±1, 1, large)
+    val xs = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L, 63L, 64L, 65L,
+      1023L, 1024L, 1025L, (1L << 40) - 1, 1L << 40)
+    val viaSql = xs.toDF("x")
+      .select(graft.operators.Sharding.pow2Ceil(col("x")).as("p"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaDriver = xs.map { x =>
+      val h = java.lang.Long.highestOneBit(x)
+      if (h == x) x else h << 1
+    }
+    assert(viaSql == viaDriver, s"$viaSql vs $viaDriver")
+  }
+
   test("salted left join preserves unmatched skewed rows") {
     import spark.implicits._
     val skewed = Seq((1L, "a"), (1L, "b"), (99L, "c")).toDF("k", "v")

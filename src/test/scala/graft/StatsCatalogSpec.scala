@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ScaleJoins, Sharding, StatsCatalog}
+
+/** The persisted stats catalog: append ≡ rebuild (per-key subtotals
+  * are the mergeable level), catalog advice == live advice on the
+  * same data, advice answers WITHOUT scanning the profiled relation
+  * (the round-14 per-call-fact-scan fix), staleness flips on
+  * append-dominated legs, and the executed advisedJoin consults the
+  * catalog with a live fallback. */
+class StatsCatalogSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_statscat").toString
+
+  private def adviceRows(dir: String) =
+    StatsCatalog.advice(spark, dir)
+      .select("rel", "keycol", "n_rows", "n_keys", "max_n", "est_bytes",
+        "strategy", "salt_n")
+      .collect().map(_.toSeq).toSeq
+
+  test("build + appends == one rebuild over the union, key-exactly") {
+    val docs = Tables.documents(spark, Sf)
+    val ev = Tables.events(spark, Sf)
+    // incremental: build on a third, append the rest in TWO batches —
+    // the same source key appears in all three phases, so the per-key
+    // merge must SUM subtotals, not overwrite them
+    val inc = freshDir()
+    StatsCatalog.build(spark, inc, Seq(
+      StatsCatalog.Leg(docs.where(col("doc_id") % 3 === 0),
+        "documents", "source"),
+      StatsCatalog.Leg(ev.where(col("event_id") % 3 === 0),
+        "events", "user_id")))
+    StatsCatalog.append(spark, inc, docs.where(col("doc_id") % 3 === 1),
+      "documents", "source")
+    StatsCatalog.append(spark, inc, docs.where(col("doc_id") % 3 === 2),
+      "documents", "source")
+    StatsCatalog.append(spark, inc, ev.where(col("event_id") % 3 =!= 0),
+      "events", "user_id")
+    val full = freshDir()
+    StatsCatalog.build(spark, full, Seq(
+      StatsCatalog.Leg(docs, "documents", "source"),
+      StatsCatalog.Leg(ev, "events", "user_id")))
+    assert(adviceRows(inc) == adviceRows(full),
+      "append-maintained advice must equal one-shot rebuild advice")
+    // and the advice equals the LIVE advisor over the same relations
+    val live = Seq(
+      Sharding.joinAdvice(docs, "documents", "source"),
+      Sharding.joinAdvice(ev, "events", "user_id"))
+      .reduce(_.unionAll(_))
+      .select("rel", "keycol", "n_rows", "n_keys", "max_n", "est_bytes",
+        "strategy", "salt_n")
+      .orderBy("rel", "keycol").collect().map(_.toSeq).toSeq
+    assert(adviceRows(inc) == live,
+      "catalog advice must equal the live single-scan advisor")
+  }
+
+  test("cataloged advice answers with the source relation GONE") {
+    import spark.implicits._
+    val base = freshDir()
+    val pad = "x" * 200
+    // planted hot fact (needs salt) + a dim too big to broadcast
+    (1L to 5000L).map(i => (if (i <= 4000) 1L else i, pad))
+      .toDF("k", "payload")
+      .write.mode("overwrite").parquet(s"$base/fact.parquet")
+    (1L to 5000L).map(i => (i, pad)).toDF("k", "name")
+      .write.mode("overwrite").parquet(s"$base/dim.parquet")
+    val fact = spark.read.parquet(s"$base/fact.parquet")
+    val dim = spark.read.parquet(s"$base/dim.parquet")
+    val cat = freshDir()
+    StatsCatalog.build(spark, cat, Seq(
+      StatsCatalog.Leg(fact, "fact", "k"), StatsCatalog.Leg(dim, "dim", "k")))
+    // the catalog decision must equal the live one...
+    val live = ScaleJoins.adviseJoin(fact, dim, "k", broadcastBytes = 1024L)
+    val cataloged = ScaleJoins.adviseJoinCataloged(spark, cat,
+      "fact", "dim", "k", broadcastBytes = 1024L)
+    assert(cataloged.contains(live), s"$cataloged vs $live")
+    assert(live._1 == "salt" && live._2 == 64L, live.toString)
+    // ...and still answer after the profiled relations are DELETED —
+    // the operational proof that cataloged advice never scans them
+    def rmdir(p: String): Unit = {
+      val d = new java.io.File(p)
+      Option(d.listFiles()).foreach(_.foreach(f => f.delete()))
+      d.delete()
+    }
+    rmdir(s"$base/fact.parquet"); rmdir(s"$base/dim.parquet")
+    assert(ScaleJoins.adviseJoinCataloged(spark, cat, "fact", "dim", "k",
+      broadcastBytes = 1024L).contains(("salt", 64L, 0L)))
+    // constructing the cataloged advisedJoin plans WITHOUT reading
+    // either side (the decision phase is catalog-only; the join plan
+    // itself carries no aggregate — scans happen only on execution)
+    val planned = ScaleJoins.advisedJoin(fact, dim, "k",
+      broadcastBytes = 1024L, statsDir = cat, factRel = "fact",
+      dimRel = "dim")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    assert(planned.queryExecution.optimizedPlan
+      .collect { case a: Aggregate => a }.isEmpty,
+      "cataloged advisedJoin must plan a pure join, no stats aggregate")
+  }
+
+  test("uncataloged legs fall back to live stats") {
+    import spark.implicits._
+    val fact = (1L to 100L).map(i => (i % 10, "p")).toDF("k", "v")
+    val dim = (0L to 9L).map(i => (i, "d")).toDF("k", "name")
+    val cat = freshDir()
+    StatsCatalog.build(spark, cat, Seq(StatsCatalog.Leg(fact, "fact", "k")))
+    // dim leg missing → None → advisedJoin falls back to live advice
+    assert(ScaleJoins.adviseJoinCataloged(spark, cat, "fact", "dim", "k")
+      .isEmpty)
+    val viaFallback = ScaleJoins.advisedJoin(fact, dim, "k",
+      statsDir = cat, factRel = "fact", dimRel = "dim")
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(viaFallback == fact.join(dim, Seq("k")).count())
+    // a statsDir with NO catalog at all behaves the same
+    assert(ScaleJoins.adviseJoinCataloged(spark, freshDir(),
+      "fact", "dim", "k").isEmpty)
+  }
+
+  test("staleness flips when appends dominate the build") {
+    val docs = Tables.documents(spark, Sf)
+    val cat = freshDir()
+    StatsCatalog.build(spark, cat, Seq(
+      StatsCatalog.Leg(docs.where(col("doc_id") % 10 === 0),
+        "documents", "source")))
+    def staleOf(): (Double, Boolean) = {
+      val r = StatsCatalog.staleness(spark, cat).collect()(0)
+      (r.getAs[Double]("appended_frac"), r.getAs[Boolean]("stale"))
+    }
+    val (f0, s0) = staleOf()
+    assert(f0 == 0.0 && !s0, s"fresh build must not be stale: $f0")
+    // append 9× the build volume → appended fraction ≈ 0.9 > 0.5
+    StatsCatalog.append(spark, cat, docs.where(col("doc_id") % 10 =!= 0),
+      "documents", "source")
+    val (f1, s1) = staleOf()
+    assert(f1 > 0.5 && s1, s"append-dominated leg must flip stale: $f1")
+    // a rebuild re-baselines
+    StatsCatalog.build(spark, cat, Seq(
+      StatsCatalog.Leg(docs, "documents", "source")))
+    val (f2, s2) = staleOf()
+    assert(f2 == 0.0 && !s2)
+  }
+
+  test("gate entry merges phases to the full-table advice") {
+    val out = StatsCatalog.pipelineStatsCatalog(spark, Sf)
+      .select("rel", "keycol", "n_rows", "n_keys", "max_n", "est_bytes",
+        "strategy", "salt_n")
+      .collect().map(_.toSeq).toSeq
+    val live = Sharding.pipelineJoinAdvisor(spark, Sf)
+      .select("rel", "keycol", "n_rows", "n_keys", "max_n", "est_bytes",
+        "strategy", "salt_n")
+      .collect().map(_.toSeq).toSeq
+    assert(out == live,
+      "split-built catalog must reduce to the full-table advisor rows")
+  }
+}
