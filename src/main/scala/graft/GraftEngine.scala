@@ -306,6 +306,15 @@ object GraftEngine {
       "pipeline_bpe_merges" -> ((s, d, p) =>
         graft.operators.Pretrain.bpeMerges(Tables.documents(s, d), s,
           nMerges = p.int("nMerges", 12))),
+      // production tuning curve: grid=256,512,1024,2048,4096 — one
+      // fit at the max, every prefix scored in one corpus pass
+      "pipeline_bpe_curve" -> ((s, d, p) =>
+        graft.operators.Pretrain.bpeCurve(Tables.documents(s, d), s,
+          p.str("grid", "4,8,16,32").split(",").map(_.trim.toInt).toSeq)),
+      // spine=sequence is the production guard for long calendar
+      // spines (every recursion level is a driver-scheduled step)
+      "q_recursive_cte" -> ((s, d, p) =>
+        ordersDailyDense(s, d, p.str("spine", "recursive"))),
       "dedup_image_phash" -> ((s, d, p) =>
         graft.operators.Multimodal.dedupImagePhash(s, d,
           maxHamming = p.int("maxHamming", 6))),
@@ -449,6 +458,65 @@ object GraftEngine {
     )
   }
 
+  /** Calendar-day spine with zero-filled order counts — the
+    * densification of events_daily_dense over orders, with a
+    * selectable SPINE:
+    *
+    *   - `recursive` (the gate form): Spark 4 `WITH RECURSIVE` — the
+    *     SQL surface under test. **PRODUCTION GUARD**: every
+    *     recursion level is a DRIVER-SCHEDULED step (one UnionLoop
+    *     iteration per row of the spine), so depth must stay a small
+    *     CONSTANT — calendar days (~2.4k here), never corpus rows.
+    *     Beyond ~10⁴ levels the driver round-trips dominate wall
+    *     clock long before `MAX RECURSION LEVEL` trips; steer any
+    *     longer spine to `sequence`.
+    *   - `sequence`: the closed-form spine —
+    *     `explode(sequence(min, max, interval 1 day))` — ONE job, no
+    *     per-level scheduling; row-identical (ExtensionsSpec pins it)
+    *     and the right plan at any depth. Reach it from SQL via
+    *     `pipeline q_recursive_cte spine=sequence`.
+    *
+    * Both forms reduce the corpus to the per-day count table BEFORE
+    * the spine join (a raw corpus⋈spine join would shuffle 100 TB
+    * onto ~2.4k day keys — guaranteed skew), so the join is
+    * #days × #days. The DuckDB oracle replays the spine with
+    * generate_series (same rows, no recursion there). ExtensionsSpec
+    * asserts the gate query's LEVEL COUNT equals the calendar-day
+    * span and stays orders-count-independent — a regression to
+    * corpus-dependent depth fails loud. */
+  def ordersDailyDense(s: SparkSession, d: String,
+                       spine: String = "recursive"): DataFrame = {
+    require(Seq("recursive", "sequence").contains(spine),
+      s"spine must be 'recursive' or 'sequence', got '$spine'")
+    val spineSql =
+      if (spine == "recursive")
+        s"""WITH RECURSIVE days(day) MAX RECURSION LEVEL 5000 AS (
+           |  SELECT min(date_trunc('day', o_orderdate))
+           |  FROM '$d/orders.parquet'
+           |  UNION ALL
+           |  SELECT day + INTERVAL 1 DAY FROM days
+           |  WHERE day < (SELECT max(date_trunc('day', o_orderdate))
+           |               FROM '$d/orders.parquet')
+           |)""".stripMargin
+      else
+        s"""WITH days AS (
+           |  SELECT explode(sequence(lo, hi, INTERVAL 1 DAY)) AS day
+           |  FROM (SELECT min(date_trunc('day', o_orderdate)) AS lo,
+           |               max(date_trunc('day', o_orderdate)) AS hi
+           |        FROM '$d/orders.parquet')
+           |)""".stripMargin
+    sql(s,
+      s"""$spineSql,
+         |per_day AS (
+         |  SELECT date_trunc('day', o_orderdate) AS day,
+         |         count(*) AS n
+         |  FROM '$d/orders.parquet' GROUP BY 1
+         |)
+         |SELECT days.day AS day, coalesce(n, 0L) AS n_orders
+         |FROM days LEFT JOIN per_day ON per_day.day = days.day
+         |ORDER BY day""".stripMargin)
+  }
+
   /** Driver-gate sample: the flagship aggregation written in the
     * reference dialect, run through the front-end. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -460,34 +528,8 @@ object GraftEngine {
            |where l_quantity < 30 and not l_returnflag = 'X'
            |group by l_returnflag""".stripMargin)
         .orderBy("l_returnflag")),
-    // Recursive CTE (Spark 4 WITH RECURSIVE): a calendar day spine
-    // from min to max order date, zero-filled order counts — the
-    // recursive form of the events_daily_dense densification. SCALE
-    // NOTE: recursion depth = #calendar days (a constant, ~2.4k here),
-    // never corpus rows — each level is one spine row; and the corpus
-    // reduces to the per-day count table BEFORE any spine join (a raw
-    // corpus⋈spine join would shuffle 100 TB onto ~2.4k day keys —
-    // guaranteed skew), so the join is #days × #days. The DuckDB
-    // oracle replays the spine with generate_series (same rows, no
-    // recursion needed there).
     "q_recursive_cte" -> ((s: SparkSession, d: String) =>
-      sql(s,
-        s"""WITH RECURSIVE days(day) MAX RECURSION LEVEL 5000 AS (
-           |  SELECT min(date_trunc('day', o_orderdate))
-           |  FROM '$d/orders.parquet'
-           |  UNION ALL
-           |  SELECT day + INTERVAL 1 DAY FROM days
-           |  WHERE day < (SELECT max(date_trunc('day', o_orderdate))
-           |               FROM '$d/orders.parquet')
-           |),
-           |per_day AS (
-           |  SELECT date_trunc('day', o_orderdate) AS day,
-           |         count(*) AS n
-           |  FROM '$d/orders.parquet' GROUP BY 1
-           |)
-           |SELECT days.day AS day, coalesce(n, 0L) AS n_orders
-           |FROM days LEFT JOIN per_day ON per_day.day = days.day
-           |ORDER BY day""".stripMargin)),
+      ordersDailyDense(s, d)),
     // LATERAL correlated subquery (Spark 4): top-3 orders per market
     // segment. Catalyst decorrelates the per-row LIMIT into a ranked
     // join — the oracle replays it as the uncorrelated window form

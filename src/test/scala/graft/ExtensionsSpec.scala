@@ -79,4 +79,30 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder table itself is exercised above
   }
+
+  test("recursive CTE depth is calendar-bounded; sequence spine is row-identical") {
+    import org.apache.spark.sql.functions._
+    // the gate query's recursion LEVEL COUNT == its output rows (each
+    // level emits one spine day). Pin that it equals the calendar-day
+    // span and stays INDEPENDENT of corpus row count — a regression
+    // that made depth corpus-dependent (or a spine past the driver-
+    // scheduling guard) fails here, not in a 100 TB run
+    val rec = GraftEngine.ordersDailyDense(spark, Sf).collect()
+    val span = Tables.orders(spark, Sf)
+      .agg(datediff(max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate")))) + 1)
+      .collect()(0).getInt(0)
+    assert(rec.length == span,
+      s"level count ${rec.length} must equal the day span $span — depth " +
+        "is a property of the DATE RANGE alone, never of corpus rows")
+    assert(rec.length < 3000,
+      s"spine depth ${rec.length} must stay well inside the " +
+        "driver-scheduling guard (~10^4 levels)")
+    // the closed-form sequence() spine — the production path past
+    // ~10^4 days — produces byte-identical rows
+    val seqRows = GraftEngine.ordersDailyDense(spark, Sf, "sequence")
+      .collect()
+    assert(seqRows.map(_.toString).toSeq == rec.map(_.toString).toSeq,
+      "sequence spine must be row-identical to the recursive spine")
+  }
 }

@@ -316,4 +316,36 @@ class PretrainSpec extends SparkSpec {
       s"no-space fertility ${out("fused")} must exceed spaced ${out("spaced")}")
     assert(out("fused") > 2.0, s"fused source must cost >2 tokens/word: $out")
   }
+
+  test("bpe curve: fertility non-increasing in merges; unseen-alphabet source exactly flat") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, length}
+    // spaced source: heavy pair repetition → merges fire and fertility
+    // DROPS along the prefix chain; digits source: no-space docs whose
+    // adjacent digit pairs are all corpus-unique (each pair count 1 <
+    // the fit's c > 1 floor) and whose alphabet never appears in the
+    // spaced source — NO learned merge can apply, so its curve is flat
+    val docs = ((1L to 8L).map(i =>
+        (i, "the cat sat on the mat the cat sat on the mat", "spaced")) ++
+      Seq((11L, "0123", "digits"), (12L, "4567", "digits"),
+        (13L, "89", "digits")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val grid = Seq(2, 4, 8, 16)
+    val curve = graft.operators.Pretrain.bpeCurve(docs, spark, grid)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(5)).toMap
+    assert(curve.keySet ==
+      (for (s <- Seq("spaced", "digits"); k <- grid) yield (s, k)).toSet)
+    for (s <- Seq("spaced", "digits"); (a, b) <- grid.zip(grid.tail))
+      assert(curve((s, a)) >= curve((s, b)),
+        s"fertility must be non-increasing: $s at $a→$b: " +
+          s"${curve((s, a))} < ${curve((s, b))}")
+    assert(curve(("spaced", grid.head)) > curve(("spaced", grid.last)),
+      "the compressible source's curve must actually drop")
+    assert(grid.map(k => curve(("digits", k))).distinct.size == 1,
+      s"the unseen-alphabet source must stay exactly flat: " +
+        grid.map(k => curve(("digits", k))).mkString(","))
+  }
 }
