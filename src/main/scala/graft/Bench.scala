@@ -83,7 +83,17 @@ object Bench {
     // legs); text_skipgram_pmi/text_readability/events_type_affinity
     // keep their rows but now run the native pair/syllable kernels
     "dedup_incremental_media", "pipeline_join_advisor",
-    "text_readability", "events_type_affinity")
+    "text_readability", "events_type_affinity",
+    // round 15: the operators whose shape is new this round — the
+    // stats catalog (manifest build + 6 appends + merged-reduce
+    // advice), the two-sided pair advisor (per-leg keyed fact agg ×
+    // 1-row dim attach), and the BPE tuning curve (one fit at
+    // grid-max + ONE corpus pass scoring 4 prefix codecs at once).
+    // dedup_incremental_media keeps its entry but now builds the gate
+    // index once per JVM — its MIN tracks steady-state admission,
+    // run-1 build shows as spread (the serve_ann_probe discipline)
+    "pipeline_stats_catalog", "pipeline_pair_advisor",
+    "pipeline_bpe_curve")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
