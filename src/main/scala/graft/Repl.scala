@@ -156,6 +156,79 @@ object Repl {
     out
   }
 
+  /** Stats-catalog lifecycle DDL — ANALYZE at rest from SQL:
+    * {{{
+    *   stats build <catalogDir> [dataDir]            // the six advisor legs
+    *   stats append <catalogDir> [dataDir] rel=<r> key=<k>  // one drop
+    *   stats <status|staleness|advice> <catalogDir> [broadcastBytes=N]
+    * }}}
+    * `build` scans each standard advisor leg once; `append` folds a
+    * new drop directory's per-key deltas in (the ingest-batch verb);
+    * `advice` renders the cataloged joinAdvice rows — no profiled
+    * relation is scanned. The executed form is
+    * `ScaleJoins.advisedJoin(..., statsDir=<catalogDir>)`. */
+  def evalStats(spark: org.apache.spark.sql.SparkSession, rest: String,
+                baseDir: String): String = {
+    import graft.operators.StatsCatalog
+    val toks = rest.trim.split("\\s+")
+    require(toks.length >= 2,
+      "syntax: stats <build|append|status|staleness|advice> " +
+        "<catalogDir> [dataDir] [key=value ...]")
+    val (verb, dir) = (toks(0).toLowerCase, toks(1))
+    val (kvs, positional) = toks.drop(2).partition(_.contains("="))
+    require(positional.length <= 1,
+      s"unexpected arguments ${positional.drop(1).mkString(" ")}")
+    val dataDir = positional.headOption.getOrElse(baseDir)
+    val p = new GraftEngine.Params(s"stats $verb",
+      kvs.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+    def reader(rel: String): org.apache.spark.sql.DataFrame = rel match {
+      case "events" => Tables.events(spark, dataDir)
+      case "orders" => Tables.orders(spark, dataDir)
+      case "lineitem" => Tables.lineitem(spark, dataDir)
+      case "documents" => Tables.documents(spark, dataDir)
+      case "customer" => Tables.customer(spark, dataDir)
+      case "supplier" => Tables.supplier(spark, dataDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown relation '$other'")
+    }
+    verb match {
+      case "build" =>
+        p.requireAllRead()
+        StatsCatalog.build(spark, dir, Seq(
+          StatsCatalog.Leg(reader("events"), "events", "user_id"),
+          StatsCatalog.Leg(reader("events"), "events", "event_type"),
+          StatsCatalog.Leg(reader("orders"), "orders", "o_custkey"),
+          StatsCatalog.Leg(reader("lineitem"), "lineitem", "l_suppkey"),
+          StatsCatalog.Leg(reader("lineitem"), "lineitem", "l_partkey"),
+          StatsCatalog.Leg(reader("documents"), "documents", "source")))
+        s"built stats catalog at $dir (6 legs from $dataDir)"
+      case "append" =>
+        val (rel, key) = (p.str("rel", ""), p.str("key", ""))
+        p.requireAllRead()
+        require(rel.nonEmpty && key.nonEmpty,
+          "stats append needs rel=<relation> key=<keycol>")
+        StatsCatalog.append(spark, dir, reader(rel), rel, key)
+        s"appended $rel($key) deltas from $dataDir into $dir"
+      case "status" =>
+        p.requireAllRead()
+        val st = StatsCatalog.status(spark, dir)
+        s"version=${st.version} built=${st.built} " +
+          s"liveDataFiles=${st.liveDataFiles} " +
+          s"liveTombstoneFiles=${st.liveTombstoneFiles}"
+      case "staleness" =>
+        val maxFrac = p.double("maxAppendedFrac", 0.5)
+        p.requireAllRead()
+        render(StatsCatalog.staleness(spark, dir, maxFrac))
+      case "advice" =>
+        val bb = p.long("broadcastBytes", 1L << 20)
+        p.requireAllRead()
+        render(StatsCatalog.advice(spark, dir, bb))
+      case _ => throw new IllegalArgumentException(
+        s"unknown stats verb '$verb' — expected " +
+          "build|append|status|staleness|advice")
+    }
+  }
+
   /** Model lifecycle DDL — the persisted-model twin of the index DDL:
     * {{{
     *   model <fit|status|maintain> quality <modelDir> [dataDir] [k=v ...]
@@ -250,6 +323,8 @@ object Repl {
       evalIndex(spark, t.drop(6), baseDir)
     else if (t.toLowerCase.startsWith("model "))
       evalModel(spark, t.drop(6), baseDir)
+    else if (t.toLowerCase.startsWith("stats "))
+      evalStats(spark, t.drop(6), baseDir)
     else if (t.toLowerCase.startsWith("pipeline ")) {
       val args = t.drop(9).trim.split("\\s+")
       val (kvs, positional) = args.tail.partition(_.contains("="))

@@ -106,6 +106,27 @@ class ReplSpec extends SparkSpec {
     assert(n == 25, s"k=25 must select exactly 25 docs, got $n")
   }
 
+  test("stats DDL: build, append, status, staleness, advice via the REPL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_repl_stats").toString
+    val built = Repl.eval(spark, s"stats build $dir $Sf", ".")
+    assert(built.contains(s"built stats catalog at $dir"), built)
+    val st = Repl.eval(spark, s"stats status $dir", ".")
+    assert(st.contains("version=") && st.contains("liveDataFiles="), st)
+    // advice renders the cataloged joinAdvice rows — six legs
+    val adv = Repl.eval(spark, s"stats advice $dir", ".")
+    assert(adv.contains("strategy") && adv.contains("lineitem"), adv)
+    // a fresh build is not stale; appending the same tables as a
+    // "new drop" pushes one leg's appended fraction to 0.5
+    val fresh = Repl.eval(spark, s"stats staleness $dir", ".")
+    assert(fresh.contains("false") && !fresh.contains("true"), fresh)
+    val app = Repl.eval(spark,
+      s"stats append $dir $Sf rel=documents key=source", ".")
+    assert(app.contains("appended documents(source)"), app)
+    val stale = Repl.eval(spark,
+      s"stats staleness $dir maxAppendedFrac=0.4", ".")
+    assert(stale.contains("true"), stale)
+  }
+
   test("index DDL: build, status, delete-takedown, compact, vacuum via the REPL") {
     val dir = java.nio.file.Files.createTempDirectory("graft_repl_ddl").toString
     // build from the embeddings table, then probe it through the
