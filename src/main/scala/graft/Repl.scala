@@ -160,12 +160,13 @@ object Repl {
     * {{{
     *   stats build <catalogDir> [dataDir]            // the six advisor legs
     *   stats append <catalogDir> [dataDir] rel=<r> key=<k>  // one drop
-    *   stats <status|staleness|advice> <catalogDir> [broadcastBytes=N]
+    *   stats <status|staleness|advice|layout> <catalogDir> [k=v ...]
     * }}}
     * `build` scans each standard advisor leg once; `append` folds a
     * new drop directory's per-key deltas in (the ingest-batch verb);
-    * `advice` renders the cataloged joinAdvice rows — no profiled
-    * relation is scanned. The executed form is
+    * `advice` renders the cataloged joinAdvice rows and `layout` the
+    * cataloged layoutPlan rows — no profiled relation is scanned by
+    * either. The executed form is
     * `ScaleJoins.advisedJoin(..., statsDir=<catalogDir>)`. */
   def evalStats(spark: org.apache.spark.sql.SparkSession, rest: String,
                 baseDir: String): String = {
@@ -223,9 +224,13 @@ object Repl {
         val bb = p.long("broadcastBytes", 1L << 20)
         p.requireAllRead()
         render(StatsCatalog.advice(spark, dir, bb))
+      case "layout" =>
+        val tb = p.long("targetBytes", 1L << 20)
+        p.requireAllRead()
+        render(StatsCatalog.layoutAdvice(spark, dir, tb))
       case _ => throw new IllegalArgumentException(
         s"unknown stats verb '$verb' — expected " +
-          "build|append|status|staleness|advice")
+          "build|append|status|staleness|advice|layout")
     }
   }
 

@@ -138,6 +138,26 @@ object StatsCatalog {
       broadcastBytes, skewMult, maxSalt)
       .orderBy(col("rel"), col("keycol"))
 
+  /** [[Sharding.layoutPlan]]'s physical-layout recommendation served
+    * from the catalog — no relation scanned: a leg's per-key byte
+    * subtotals sum to the WHOLE relation's estimated bytes (every row
+    * belongs to exactly one key group), so any cataloged key of a
+    * relation carries its relation-level (n_rows, est_bytes); legs of
+    * the same relation agree by construction and reduce via max.
+    * Same power-of-two arithmetic as layoutPlan
+    * (StatsCatalogSpec pins row-identity against the live plan). */
+  def layoutAdvice(s: SparkSession, dir: String,
+                   targetBytes: Long = 1L << 20): DataFrame =
+    reducedStats(s, dir)
+      .groupBy(col("rel").as("table_name"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("est_bytes")).as("est_bytes"))
+      .withColumn("target_files",
+        greatest(lit(1L),
+          expr(s"(est_bytes + ${targetBytes - 1}) DIV $targetBytes")))
+      .withColumn("bucket_count", Sharding.pow2Ceil(col("target_files")))
+      .orderBy(col("table_name"))
+
   /** Appended-fraction drift per leg (the AnnIndex.maintain pattern):
     * a leg whose appends exceed `maxAppendedFrac` of its rows was
     * profiled mostly AFTER its build — corrections (corpus deletes,

@@ -112,9 +112,12 @@ class ReplSpec extends SparkSpec {
     assert(built.contains(s"built stats catalog at $dir"), built)
     val st = Repl.eval(spark, s"stats status $dir", ".")
     assert(st.contains("version=") && st.contains("liveDataFiles="), st)
-    // advice renders the cataloged joinAdvice rows — six legs
+    // advice renders the cataloged joinAdvice rows — six legs — and
+    // layout the cataloged layoutPlan rows; neither scans a relation
     val adv = Repl.eval(spark, s"stats advice $dir", ".")
     assert(adv.contains("strategy") && adv.contains("lineitem"), adv)
+    val lay = Repl.eval(spark, s"stats layout $dir", ".")
+    assert(lay.contains("bucket_count") && lay.contains("lineitem"), lay)
     // a fresh build is not stale; appending the same tables as a
     // "new drop" pushes one leg's appended fraction to 0.5
     val fresh = Repl.eval(spark, s"stats staleness $dir", ".")

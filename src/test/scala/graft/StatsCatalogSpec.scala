@@ -142,6 +142,53 @@ class StatsCatalogSpec extends SparkSpec {
     assert(f2 == 0.0 && !s2)
   }
 
+  test("cataloged layout advice is row-identical to the live layoutPlan") {
+    val cat = freshDir()
+    // one leg per relation suffices: per-key byte subtotals sum to the
+    // whole relation's bytes regardless of which key partitions them
+    StatsCatalog.build(spark, cat, Seq(
+      StatsCatalog.Leg(Tables.lineitem(spark, Sf), "lineitem", "l_suppkey"),
+      StatsCatalog.Leg(Tables.orders(spark, Sf), "orders", "o_custkey"),
+      StatsCatalog.Leg(Tables.events(spark, Sf), "events", "user_id"),
+      StatsCatalog.Leg(Tables.documents(spark, Sf), "documents", "source")))
+    val viaCatalog = StatsCatalog.layoutAdvice(spark, cat)
+      .collect().map(_.toSeq).toSeq
+    val live = Sharding.layoutPlan(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCatalog == live,
+      "catalog layout advice must equal the live one-scan layoutPlan")
+    // a second leg of the same relation under a DIFFERENT key agrees
+    // (per-key subtotals sum to the same relation totals) — the
+    // per-relation reduce is stable under extra legs
+    StatsCatalog.append(spark, cat, Tables.lineitem(spark, Sf),
+      "lineitem", "l_partkey")
+    assert(StatsCatalog.layoutAdvice(spark, cat)
+      .collect().map(_.toSeq).toSeq == live)
+  }
+
+  test("merge law holds under every mod-m residue split, m in 2..5") {
+    val docs = Tables.documents(spark, Sf).cache()
+    try {
+      // any residue partition of the rows must reduce to the
+      // full-table advice — the per-key-subtotal merge law, beyond
+      // the gate's fixed mod-3 split (and at m batches, not just 2)
+      val full = freshDir()
+      StatsCatalog.build(spark, full,
+        Seq(StatsCatalog.Leg(docs, "documents", "source")))
+      val expect = adviceRows(full)
+      for (m <- 2 to 5) {
+        val inc = freshDir()
+        StatsCatalog.build(spark, inc, Seq(StatsCatalog.Leg(
+          docs.where(col("doc_id") % m === 0), "documents", "source")))
+        (1 until m).foreach { r =>
+          StatsCatalog.append(spark, inc,
+            docs.where(col("doc_id") % m === r), "documents", "source")
+        }
+        assert(adviceRows(inc) == expect, s"merge law broke at m=$m")
+      }
+    } finally docs.unpersist()
+  }
+
   test("gate entry merges phases to the full-table advice") {
     val out = StatsCatalog.pipelineStatsCatalog(spark, Sf)
       .select("rel", "keycol", "n_rows", "n_keys", "max_n", "est_bytes",
