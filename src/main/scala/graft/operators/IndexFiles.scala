@@ -193,31 +193,59 @@ private[operators] object IndexFiles {
 
   private def lockPath(dir: String) = new Path(s"$dir/writer.lock")
 
-  /** Run `body` holding the advisory writer lock, WAITING (bounded)
-    * for a holder to finish rather than failing fast — a streaming
-    * ingest batch that lands during a compact blocks for the
-    * compact's duration and then proceeds (StreamingSpec). A lock
-    * left by a crashed writer blocks waiters until removed; the
-    * timeout message says so. Crashed writers leave NO inconsistency
-    * (their uncommitted files are invisible), so removing a stale
-    * lock is always safe. */
+  /** Per-directory PROCESS-LOCAL mutexes in front of the FS lock.
+    * Load-bearing, not an optimization: two writers in one JVM (a
+    * streaming ingest batch racing a compact thread, the spec's
+    * concurrent appends) would otherwise BOTH pass
+    * `fs.createNewFile` on a local FileSystem — Hadoop's
+    * RawLocalFileSystem implements it as check-then-create, NOT
+    * atomically — then share the output path's `_temporary/0`
+    * staging dir and double-adopt each other's files in the
+    * listing diff. HDFS gives createNewFile real create-exclusive
+    * semantics, so CROSS-process exclusivity holds there (and on
+    * stores with conditional PUT); in-process exclusivity must come
+    * from here on every FS. Keyed by the dir string — two writers
+    * must name an index by the same path, the same contract the
+    * manifest itself has. */
+  private val jvmWriterLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
+  /** Run `body` holding the writer lock, WAITING (bounded) for a
+    * holder to finish rather than failing fast — a streaming ingest
+    * batch that lands during a compact blocks for the compact's
+    * duration and then proceeds (StreamingSpec). Two layers: the
+    * per-dir JVM mutex (see [[jvmWriterLocks]] — local-FS
+    * createNewFile is not atomic in-process), then the FS lock file
+    * for cross-process writers. A lock file left by a crashed writer
+    * blocks waiters until removed; the timeout message says so.
+    * Crashed writers leave NO inconsistency (their uncommitted files
+    * are invisible), so removing a stale lock is always safe. */
   def withWriterLock[T](s: SparkSession, dir: String,
                         waitMs: Long = DefaultLockWaitMs)(body: => T): T = {
-    val lock = lockPath(dir)
-    val fs = fsFor(s, lock)
-    fs.mkdirs(new Path(dir))
-    val deadline = System.nanoTime() + waitMs * 1000000L
-    var acquired = fs.createNewFile(lock)
-    while (!acquired && System.nanoTime() < deadline) {
-      Thread.sleep(100)
-      acquired = fs.createNewFile(lock)
-    }
-    require(acquired,
-      s"could not acquire $lock after ${waitMs} ms — another writer " +
-        "(append/delete/compact) is running long, or a crashed writer " +
-        "left the lock behind (safe to remove: uncommitted work is " +
-        "invisible to the manifest)")
-    try body finally fs.delete(lock, false)
+    val jl = jvmWriterLocks.computeIfAbsent(dir,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    require(jl.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS),
+      s"could not acquire the in-process writer lock for $dir after " +
+        s"$waitMs ms — another writer (append/delete/compact) in this " +
+        "JVM is running long")
+    try {
+      val lock = lockPath(dir)
+      val fs = fsFor(s, lock)
+      fs.mkdirs(new Path(dir))
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      var acquired = fs.createNewFile(lock)
+      while (!acquired && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        acquired = fs.createNewFile(lock)
+      }
+      require(acquired,
+        s"could not acquire $lock after ${waitMs} ms — another writer " +
+          "(append/delete/compact) is running long, or a crashed writer " +
+          "left the lock behind (safe to remove: uncommitted work is " +
+          "invisible to the manifest)")
+      try body finally fs.delete(lock, false)
+    } finally jl.unlock()
   }
 
   // ---- file listing / resolution ------------------------------------

@@ -189,6 +189,29 @@ class StatsCatalogSpec extends SparkSpec {
     } finally docs.unpersist()
   }
 
+  test("two racing appends both land (writer lock + conditional commit)") {
+    val docs = Tables.documents(spark, Sf)
+    val cat = freshDir()
+    StatsCatalog.build(spark, cat, Seq(
+      StatsCatalog.Leg(docs.where(col("doc_id") % 3 === 0),
+        "documents", "source")))
+    // the ingest-batch verb from two writers at once — the writer
+    // lock serializes the physical-listing diff and the conditional
+    // commit serializes the manifest; neither batch may vanish
+    val batches = Seq(1, 2).map(r => docs.where(col("doc_id") % 3 === r))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(batches.map(b => Future {
+      StatsCatalog.append(spark, cat, b, "documents", "source")
+    })), 120.seconds)
+    val full = freshDir()
+    StatsCatalog.build(spark, full,
+      Seq(StatsCatalog.Leg(docs, "documents", "source")))
+    assert(adviceRows(cat) == adviceRows(full),
+      "a racing append must not be lost or double-committed")
+  }
+
   test("gate entry merges phases to the full-table advice") {
     val out = StatsCatalog.pipelineStatsCatalog(spark, Sf)
       .select("rel", "keycol", "n_rows", "n_keys", "max_n", "est_bytes",
