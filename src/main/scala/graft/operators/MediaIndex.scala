@@ -361,7 +361,10 @@ object MediaIndex {
   }
 
   /** Admit + commit — see [[TextIndex.ingest]] for the
-    * materialize-once contract. */
+    * materialize-once contract AND the concurrent-ingest semantics
+    * (snapshot-based admission: racing batches may co-admit mutual
+    * near-dups — at-least-once admission, never a torn index; a later
+    * batch screens against everything committed). */
   def ingest(s: SparkSession, batch: DataFrame, dir: String,
              maxHamming: Int = 6,
              expectedBatchBuckets: Long = 1L << 20): DataFrame = {

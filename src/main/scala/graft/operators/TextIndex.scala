@@ -208,7 +208,20 @@ object TextIndex {
     * returned frame would run it all AGAIN, doubling the hot streaming
     * path and racing the index the append just grew. Batches are
     * bounded by construction (a crawl window), so holding one
-    * materialized batch is safe. */
+    * materialized batch is safe.
+    *
+    * CONCURRENT ingests are safe but admission is snapshot-based:
+    * each batch screens against the manifest it resolved, and the
+    * appends serialize under the writer lock — the index is never
+    * torn. Two batches admitted concurrently do NOT screen against
+    * EACH OTHER, so mutual near-dups across them can co-admit
+    * (at-least-once admission, the same guarantee level as the
+    * append path itself). The alternative — holding the writer lock
+    * across the whole admit — would serialize blob decode and bloom
+    * probing behind a mutex; over-admission is bounded by one batch
+    * window and the periodic batch dedup sweeps it. A THIRD batch of
+    * the same content fully rejects (TextIndexSpec pins all three
+    * properties). */
   def ingest(s: SparkSession, batch: DataFrame, dir: String,
              expectedBatchBuckets: Long = 1L << 20): DataFrame = {
     val admitted = Lineage.truncate(admit(s, batch, dir, expectedBatchBuckets))

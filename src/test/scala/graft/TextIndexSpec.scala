@@ -230,6 +230,45 @@ class TextIndexSpec extends SparkSpec {
       "the takedown must be physical and everything else intact")
   }
 
+  test("concurrent ingests: index never torn, both commit, a third batch fully rejects") {
+    import spark.implicits._
+    val dir = freshDir()
+    TextIndex.build(spark,
+      (0L until 10L).map(i => doc(i, s"standing$i")).toDF("doc_id", "text"),
+      dir)
+    // two batches racing: distinct fresh content per batch, plus a
+    // mutual near-dup PAIR split across them (200 in A, 300 in B —
+    // snapshot-based admission means they may co-admit; that's the
+    // documented at-least-once guarantee, not corruption)
+    val a = Seq(doc(200L, "sharedtopic"), doc(201L, "atopic"))
+      .toDF("doc_id", "text")
+    val b = Seq((300L, doc(200L, "sharedtopic")._2.toUpperCase),
+      doc(301L, "btopic")).toDF("doc_id", "text")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val Seq(admA, admB) = Await.result(Future.sequence(Seq(a, b).map(df =>
+      Future(TextIndex.ingest(spark, df, dir)
+        .collect().map(_.getLong(0)).toSet))), 180.seconds)
+    // each batch's OWN fresh doc always admits; the index holds every
+    // admitted doc's buckets (both appends landed, nothing torn)
+    assert(admA.contains(201L) && admB.contains(301L), s"$admA / $admB")
+    val idxDocs = TextIndex.liveRows(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert((admA ++ admB).subsetOf(idxDocs),
+      s"every admitted doc must reach the index: ${admA ++ admB} vs $idxDocs")
+    // at-least-once: AT LEAST one of the racing twins admitted (both
+    // may, if neither snapshot saw the other)
+    assert(admA.contains(200L) || admB.contains(300L))
+    // and a third batch of the same content now fully rejects —
+    // whatever co-admission happened, the standing index screens it
+    val third = Seq((400L, doc(200L, "sharedtopic")._2),
+      (401L, doc(201L, "atopic")._2), (402L, doc(301L, "btopic")._2))
+      .toDF("doc_id", "text")
+    assert(TextIndex.ingest(spark, third, dir).collect().isEmpty,
+      "a later batch must screen against every committed admission")
+  }
+
   test("gate entry admits only genuinely new batch docs at sf0.001") {
     val out = TextIndex.dedupIncrementalNear(spark, Sf).collect()
     assert(out.nonEmpty, "some batch docs must be genuinely new")
