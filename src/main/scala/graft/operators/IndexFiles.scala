@@ -25,15 +25,22 @@ import org.apache.spark.sql.functions.col
   *     list — a file on disk but not in the manifest does not exist.
   *   - **Commit = publish one small file.** A writer stages the full
   *     next manifest to a hidden `.tmp-*` name, then renames it onto
-  *     `v{n+1}.txt`. Rename-onto-existing FAILS (Hadoop file-rename
-  *     contract), so two racing committers serialize: the loser re-reads
-  *     the winner's manifest and re-applies its transform
-  *     ([[commit]]'s optimistic retry). The primitive this needs from
-  *     the store is atomic create-if-absent of a SINGLE object — HDFS
-  *     and file:// give it via rename; S3 gives it natively via
-  *     conditional writes (`If-None-Match`), the documented supported
-  *     mode (the transform-retry loop is exactly a conditional PUT
-  *     loop).
+  *     `v{n+1}.txt`. The primitive this needs from the store is
+  *     atomic create-if-absent of a SINGLE object: HDFS gives it
+  *     (rename fails when the destination exists — the FileSystem
+  *     rename contract); S3 gives it natively via conditional writes
+  *     (`If-None-Match`) — two racing committers serialize, the loser
+  *     re-reads the winner's manifest and re-applies its transform
+  *     ([[commit]]'s optimistic retry: exactly a conditional-PUT
+  *     loop). On a RAW LOCAL FileSystem, rename is POSIX rename —
+  *     it REPLACES an existing destination — so [[tryCommit]]'s
+  *     exists-check + rename has a cross-process window there; it is
+  *     closed IN-process because every committing verb (append /
+  *     delete / compact / the gate rollback) runs under the writer
+  *     lock, whose in-JVM layer is a real mutex (below). Local-FS
+  *     multi-PROCESS writers are outside the supported matrix (the
+  *     stores 100 TB corpora live on — HDFS, S3 — both give the
+  *     atomic primitive).
   *
   * Crash table — every verb is "write invisible files, then one
   * atomic publish", so the enumeration is short (and spec-pinned,

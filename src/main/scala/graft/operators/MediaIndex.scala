@@ -419,10 +419,15 @@ object MediaIndex {
         })
         // roll back a previous call's append: restore the build
         // snapshot's live-file sets (the appended parquet stays on
-        // disk as vacuum litter — never referenced by the manifest)
+        // disk as vacuum litter — never referenced by the manifest).
+        // Under the writer lock like every other manifest writer —
+        // gate calls are sequential today, but an unlocked commit
+        // would be the one violation of the protocol's locking rule
         if (IndexFiles.currentVersion(s, t) > snapshot.version)
-          IndexFiles.commit(s, t)(m => m.copy(built = snapshot.built,
-            data = snapshot.data, tombstones = snapshot.tombstones))
+          IndexFiles.withWriterLock(s, t) {
+            IndexFiles.commit(s, t)(m => m.copy(built = snapshot.built,
+              data = snapshot.data, tombstones = snapshot.tombstones))
+          }
         t
       }
     val admitted = ingest(s, all.where(col("doc_id") % 7 === 0), dir)
