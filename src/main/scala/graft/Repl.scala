@@ -228,9 +228,18 @@ object Repl {
         val tb = p.long("targetBytes", 1L << 20)
         p.requireAllRead()
         render(StatsCatalog.layoutAdvice(spark, dir, tb))
+      case "compact" =>
+        p.requireAllRead()
+        val (before, after) = StatsCatalog.compact(spark, dir)
+        s"compacted $dir: live data files $before -> $after"
+      case "vacuum" =>
+        val grace = p.long("graceMs", 0L)
+        p.requireAllRead()
+        s"vacuumed ${StatsCatalog.vacuum(spark, dir, grace)} " +
+          s"orphan file(s) from $dir"
       case _ => throw new IllegalArgumentException(
         s"unknown stats verb '$verb' — expected " +
-          "build|append|status|staleness|advice|layout")
+          "build|append|status|staleness|advice|layout|compact|vacuum")
     }
   }
 

@@ -138,6 +138,47 @@ object StatsCatalog {
       broadcastBytes, skewMult, maxSalt)
       .orderBy(col("rel"), col("keycol"))
 
+  /** Compaction for a long-lived catalog: every [[append]] adds one
+    * small file and re-mentions keys earlier writes already carry, so
+    * after N drops the catalog holds ~N copies of the hot keys'
+    * subtotal rows. Compact rewrites the ENTIRE live set (the catalog
+    * is ~10³–10⁴× under the data — a full rewrite here is metadata
+    * work, unlike the data indexes' litter-targeted compacts) into
+    * one row per (rel, keycol, key, phase) — phases stay separate so
+    * [[staleness]] keeps its meaning — and swap-commits it. Advice,
+    * layout and staleness are unchanged by construction (the reduce
+    * is associative over the rows compact merges; spec-pinned).
+    * Returns (files before, files after). */
+  def compact(s: SparkSession, dir: String): (Long, Long) =
+    IndexFiles.withWriterLock(s, dir) {
+      val man = IndexFiles.read(s, dir)
+      val before = man.data.size.toLong
+      if (before <= 1) return (before, before)
+      val root = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      val fs = IndexFiles.fsFor(s, root)
+      val preExisting = IndexFiles.listParquet(fs, root).map(_.rel).toSet
+      val merged = IndexFiles.dataFrame(s, dir, "stats", man).get
+        .groupBy(col("rel"), col("keycol"), col("key"), col("phase"))
+        .agg(sum(col("n")).as("n"), sum(col("b")).as("b"))
+        .select(col("rel"), col("keycol"), col("key"),
+          col("n"), col("b"), col("phase"))
+      val targetFiles = math.max(1L,
+        man.data.map(_.size).sum / (64L << 20)).toInt
+      merged.coalesce(targetFiles)
+        .write.mode("append").parquet(root.toString)
+      val added = IndexFiles.listParquet(fs, root)
+        .filterNot(e => preExisting(e.rel))
+      val next = IndexFiles.commitCompactSwap(s, dir,
+        man.dataFiles.toSet, added, Set.empty)
+      (before, next.data.size.toLong)
+    }
+
+  /** Delete physical files no manifest references (replaced by a
+    * [[compact]], or orphaned by a crashed writer) — see
+    * [[IndexFiles.vacuum]] for the grace-window contract. */
+  def vacuum(s: SparkSession, dir: String, graceMs: Long = 0L): Long =
+    IndexFiles.vacuum(s, dir, "stats", graceMs)
+
   /** [[Sharding.layoutPlan]]'s physical-layout recommendation served
     * from the catalog — no relation scanned: a leg's per-key byte
     * subtotals sum to the WHOLE relation's estimated bytes (every row

@@ -128,6 +128,12 @@ class ReplSpec extends SparkSpec {
     val stale = Repl.eval(spark,
       s"stats staleness $dir maxAppendedFrac=0.4", ".")
     assert(stale.contains("true"), stale)
+    // maintenance verbs: compact folds the append litter, vacuum
+    // sweeps the replaced files
+    val comp = Repl.eval(spark, s"stats compact $dir", ".")
+    assert(comp.contains("live data files"), comp)
+    val vac = Repl.eval(spark, s"stats vacuum $dir", ".")
+    assert(vac.contains("orphan file(s)"), vac)
   }
 
   test("index DDL: build, status, delete-takedown, compact, vacuum via the REPL") {

@@ -212,6 +212,43 @@ class StatsCatalogSpec extends SparkSpec {
       "a racing append must not be lost or double-committed")
   }
 
+  test("compact collapses append litter; advice, layout and staleness unchanged") {
+    val docs = Tables.documents(spark, Sf)
+    val cat = freshDir()
+    // mod 3: coprime with the corpus' source count, so every batch
+    // re-mentions every source and the per-key duplication is real
+    StatsCatalog.build(spark, cat, Seq(
+      StatsCatalog.Leg(docs.where(col("doc_id") % 3 === 0),
+        "documents", "source")))
+    (1 until 3).foreach { r =>
+      StatsCatalog.append(spark, cat, docs.where(col("doc_id") % 3 === r),
+        "documents", "source")
+    }
+    val adviceBefore = adviceRows(cat)
+    val layoutBefore = StatsCatalog.layoutAdvice(spark, cat)
+      .collect().map(_.toSeq).toSeq
+    val staleBefore = StatsCatalog.staleness(spark, cat)
+      .collect().map(_.toSeq).toSeq
+    val rowsBefore = StatsCatalog.liveStats(spark, cat).count()
+    val (before, after) = StatsCatalog.compact(spark, cat)
+    assert(after < before,
+      s"compact must shrink the live file set: $before -> $after")
+    // hot keys' subtotal rows collapse to one per (key, phase-pair)
+    val rowsAfter = StatsCatalog.liveStats(spark, cat).count()
+    assert(rowsAfter < rowsBefore,
+      s"duplicate per-key rows must merge: $rowsBefore -> $rowsAfter")
+    assert(adviceRows(cat) == adviceBefore, "advice must be unchanged")
+    assert(StatsCatalog.layoutAdvice(spark, cat)
+      .collect().map(_.toSeq).toSeq == layoutBefore)
+    assert(StatsCatalog.staleness(spark, cat)
+      .collect().map(_.toSeq).toSeq == staleBefore,
+      "phases must survive compaction (staleness keeps its meaning)")
+    // replaced litter sweeps; further appends still land
+    assert(StatsCatalog.vacuum(spark, cat) > 0L)
+    StatsCatalog.append(spark, cat, docs.limit(0), "documents", "source")
+    assert(adviceRows(cat) == adviceBefore)
+  }
+
   test("gate entry merges phases to the full-table advice") {
     val out = StatsCatalog.pipelineStatsCatalog(spark, Sf)
       .select("rel", "keycol", "n_rows", "n_keys", "max_n", "est_bytes",
