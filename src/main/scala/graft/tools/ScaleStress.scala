@@ -133,6 +133,18 @@ object ScaleStress {
         graft.operators.Multimodal.withBlobs(docs)))
     time("source divergence")(
       graft.operators.TextAnalysis.sourceDivergence(docs))
+    // round 15: the stats catalog at 10× — build two legs over the
+    // replicated fact, append a drop, read the advice (the whole
+    // point: the advice read touches only the catalog)
+    time("stats catalog cycle") {
+      val cdir = s"$base/statscat"
+      graft.operators.StatsCatalog.build(spark, cdir, Seq(
+        graft.operators.StatsCatalog.Leg(lineitem, "lineitem", "l_suppkey"),
+        graft.operators.StatsCatalog.Leg(docs, "documents", "source")))
+      graft.operators.StatsCatalog.append(spark, cdir,
+        lineitem.where(col("l_orderkey") % 97 === 0), "lineitem", "l_suppkey")
+      graft.operators.StatsCatalog.advice(spark, cdir)
+    }
     time("column profile")(
       graft.operators.Sharding.columnProfile(docs, "documents"))
     time("minhash calibration")(
