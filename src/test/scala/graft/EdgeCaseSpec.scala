@@ -536,4 +536,48 @@ class EdgeCaseSpec extends SparkSpec {
       .collect()
     assert(lid.length == 2 && lid.forall(r => !r.getDouble(3).isNaN))
   }
+
+  test("round-15 operators survive hostile and degenerate input") {
+    import spark.implicits._
+    import graft.operators.{Pretrain, ScaleJoins, Sharding, StatsCatalog}
+    val one = Seq((1L, "x")).toDF("k", "v")
+    val emptyF = Seq.empty[(Long, String)].toDF("k", "v")
+    val emptyD = Seq.empty[(Long, String)].toDF("k", "name")
+    // pair advice on EMPTY sides: one clean row, no throw, no NaN
+    // arithmetic crash — an empty dim reads as trivially broadcastable
+    val pe = Sharding.joinPairAdvice(one, "f", "k", emptyD, "d", "k")
+      .collect()
+    assert(pe.length == 1, pe.mkString)
+    val pf = Sharding.joinPairAdvice(emptyF, "f", "k", one.toDF("k", "name"),
+      "d", "k").collect()
+    assert(pf.length == 1)
+    // executed: empty fact × big dim and one-row fact × empty dim both
+    // produce zero rows through whatever branch fires
+    assert(ScaleJoins.advisedJoin(emptyF, one.toDF("k", "name"), "k",
+      keyReused = true).count() == 0L)
+    assert(ScaleJoins.advisedJoin(one, emptyD, "k",
+      keyReused = true).count() == 0L)
+    // stats catalog over an EMPTY relation: build commits, the leg is
+    // simply absent (no row to reduce), every read verb answers clean
+    val cat = java.nio.file.Files.createTempDirectory("graft_sc_edge").toString
+    StatsCatalog.build(spark, cat, Seq(StatsCatalog.Leg(emptyF, "f", "k")))
+    assert(StatsCatalog.advice(spark, cat).collect().isEmpty)
+    assert(StatsCatalog.staleness(spark, cat).collect().isEmpty)
+    assert(StatsCatalog.layoutAdvice(spark, cat).collect().isEmpty)
+    assert(StatsCatalog.legStats(spark, cat, "f", "k").isEmpty)
+    assert(StatsCatalog.compact(spark, cat)._2 <= 1L)
+    // bpe curve on a corpus where NO pair ever repeats (the fit stops
+    // at zero merges): every grid point emits, fertility exactly flat
+    val flatDocs = Seq((1L, "ab cd", "s1"), (2L, "ef gh", "s1"))
+      .toDF("doc_id", "text", "source")
+    val curve = Pretrain.bpeCurve(flatDocs, spark, Seq(2, 4))
+      .collect().map(r => (r.getInt(1), r.getDouble(5)))
+    assert(curve.length == 2 && curve.map(_._2).distinct.length == 1,
+      s"zero-merge corpus must be flat across the grid: ${curve.toSeq}")
+    // and on an all-whitespace doc (1 empty word, 0-char symbols)
+    val ws = Pretrain.bpeCurve(
+      Seq((1L, "   ", "s")).toDF("doc_id", "text", "source"),
+      spark, Seq(2)).collect()
+    assert(ws.length == 1)
+  }
 }
