@@ -13,6 +13,12 @@ Test / fork := true
 run / fork := true
 // the REPL (graft.Repl) reads queries from stdin
 run / connectInput := true
+// inherit sbt's own stdout/stderr in the forked JVM instead of routing
+// through the logger: logger routing prefixes every line with
+// "[info] ", which breaks machine parsing of graft.Bench's final
+// compact-JSON stdout line (three rounds of drivers recorded
+// parsed:null because the line arrived as "[info] {...}")
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

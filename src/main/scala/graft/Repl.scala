@@ -173,8 +173,8 @@ object Repl {
     import graft.operators.StatsCatalog
     val toks = rest.trim.split("\\s+")
     require(toks.length >= 2,
-      "syntax: stats <build|append|status|staleness|advice> " +
-        "<catalogDir> [dataDir] [key=value ...]")
+      "syntax: stats <build|append|retract|status|staleness|advice" +
+        "|layout|compact|vacuum> <catalogDir> [dataDir] [key=value ...]")
     val (verb, dir) = (toks(0).toLowerCase, toks(1))
     val (kvs, positional) = toks.drop(2).partition(_.contains("="))
     require(positional.length <= 1,

@@ -88,6 +88,23 @@ private[operators] object IndexFiles {
 
   val DefaultLockWaitMs = 120000L
 
+  /** A local temp directory removed (recursively) at JVM exit — for
+    * the once-per-JVM GATE index/catalog builds, whose dirs otherwise
+    * accumulate across bench legs (a 12-run leg left 12 catalog trees
+    * in /tmp — round-15 advice). One shutdown hook per dir; gates
+    * create O(1) of these per JVM. */
+  def tempDirDeletedOnExit(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(); ()
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
   def fsFor(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 

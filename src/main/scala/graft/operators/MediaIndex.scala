@@ -412,8 +412,7 @@ object MediaIndex {
         indexDir
       } else {
         val (t, snapshot) = gateIndex.computeIfAbsent(d, { _ =>
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft_mediaindex_gate").toString
+          val tmp = IndexFiles.tempDirDeletedOnExit("graft_mediaindex_gate")
           build(s, all.where(col("doc_id") % 7 =!= 0), tmp)
           (tmp, IndexFiles.read(s, tmp))
         })

@@ -177,7 +177,7 @@ object ScaleJoins {
   def adviseJoin(fact: DataFrame, dim: DataFrame, key: String,
                  broadcastBytes: Long = 10L << 20, skewMult: Long = 4L,
                  maxSalt: Long = 64L, keyReused: Boolean = false,
-                 targetBytes: Long = 128L << 20): (String, Long, Long) = {
+                 targetBytes: Long = Sharding.DefaultLayoutTargetBytes): (String, Long, Long) = {
     val dimRow = Sharding.joinAdvice(dim, "dim", key,
       broadcastBytes, skewMult, maxSalt).collect()(0)
     val dimBytes = dimRow.getAs[Long]("est_bytes")
@@ -208,7 +208,7 @@ object ScaleJoins {
                           broadcastBytes: Long = 10L << 20,
                           skewMult: Long = 4L, maxSalt: Long = 64L,
                           keyReused: Boolean = false,
-                          targetBytes: Long = 128L << 20)
+                          targetBytes: Long = Sharding.DefaultLayoutTargetBytes)
       : Option[(String, Long, Long)] =
     for {
       (_, _, _, dimBytes) <- StatsCatalog.legStats(s, statsDir, dimRel, key)
@@ -263,7 +263,7 @@ object ScaleJoins {
   def advisedJoin(fact: DataFrame, dim: DataFrame, key: String,
                   broadcastBytes: Long = 10L << 20, skewMult: Long = 4L,
                   maxSalt: Long = 64L, keyReused: Boolean = false,
-                  targetBytes: Long = 128L << 20,
+                  targetBytes: Long = Sharding.DefaultLayoutTargetBytes,
                   statsDir: String = "", factRel: String = "",
                   dimRel: String = ""): DataFrame = {
     val decision =

@@ -766,6 +766,16 @@ object Sharding {
     }.reduce(_ + _)
   }
 
+  /** The ONE production target-bytes default shared by the pair
+    * advisor's bucket_n and the executed join's bucket count
+    * ([[ScaleJoins.adviseJoin]]/[[ScaleJoins.advisedJoin]]) — 128 MiB,
+    * the parquet row-group budget. A report and the execution it
+    * prices must agree on this constant or the advised bucket_n
+    * silently disagrees with the executed one (round-15 advice).
+    * Gate entries pin targetBytes = 1 MiB explicitly so the
+    * recommendation VARIES at test scales. */
+  val DefaultLayoutTargetBytes: Long = 128L << 20
+
   def layoutPlan(s: SparkSession, d: String,
                  targetBytes: Long = 1L << 20): DataFrame = {
     def est(df: DataFrame, name: String): DataFrame =
@@ -1080,7 +1090,7 @@ object Sharding {
                      broadcastBytes: Long = 1L << 20,
                      skewMult: Long = 4L, maxSalt: Long = 64L,
                      keyReused: Boolean = false,
-                     targetBytes: Long = 1L << 20): DataFrame = {
+                     targetBytes: Long = DefaultLayoutTargetBytes): DataFrame = {
     val fstats = fact.groupBy(col(factKey))
       .agg(count(lit(1)).as("n"), sum(rowWidth(fact).cast(LongType)).as("b"))
       .agg(sum(col("n")).as("fact_rows"), count(lit(1)).as("fact_keys"),
@@ -1121,16 +1131,22 @@ object Sharding {
     * treatment applies) — salt is ScaleJoinsSpec's planted branch. */
   def pipelinePairAdvisor(s: SparkSession, d: String): DataFrame =
     Seq(
+      // targetBytes pinned to the 1 MiB GATE budget (so bucket_n
+      // varies at test scales); the library default is the shared
+      // production DefaultLayoutTargetBytes
       joinPairAdvice(lineitem(s, d), "lineitem", "l_suppkey",
-        supplier(s, d), "supplier", "s_suppkey"),
+        supplier(s, d), "supplier", "s_suppkey",
+        targetBytes = 1L << 20),
       joinPairAdvice(lineitem(s, d), "lineitem", "l_orderkey",
         orders(s, d), "orders", "o_orderkey",
-        broadcastBytes = 1L << 18, keyReused = true),
+        broadcastBytes = 1L << 18, keyReused = true,
+        targetBytes = 1L << 20),
       joinPairAdvice(lineitem(s, d), "lineitem", "l_orderkey",
-        orders(s, d), "orders", "o_orderkey", keyReused = true),
+        orders(s, d), "orders", "o_orderkey", keyReused = true,
+        targetBytes = 1L << 20),
       joinPairAdvice(events(s, d), "events", "user_id",
         customer(s, d), "customer", "c_custkey",
-        broadcastBytes = 1L << 10))
+        broadcastBytes = 1L << 10, targetBytes = 1L << 20))
       .reduce(_.unionAll(_))
       .orderBy(col("fact_rel"), col("keycol"), col("broadcast_bytes"))
 
