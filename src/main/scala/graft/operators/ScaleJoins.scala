@@ -228,21 +228,32 @@ object ScaleJoins {
     }
 
   /** Co-located bucketed join: both sides land as bucketed tables on
-    * the SAME (key, n) layout, then join with no per-query exchange
-    * on the key (ScaleJoinsSpec pins the shuffle-free plan). The
-    * layout write is the one-time cost `bucket` advice prices against
-    * a reused key's repeated shuffles; at 100 TB the write is the
-    * storage-side layout job a lakehouse runs once per drop. */
+    * the SAME (key, n) layout (via [[graft.sources.Sources.applyBucketLayout]]
+    * — the advice row's executed form), then join with no per-query
+    * exchange on the key (ScaleJoinsSpec pins the shuffle-free plan).
+    * The layout write is the one-time cost `bucket` advice prices
+    * against a reused key's repeated shuffles; at 100 TB the write is
+    * the storage-side layout job a lakehouse runs once per drop.
+    *
+    * Table names are unique PER CALL unless `layoutName` pins them:
+    * the returned frame lazily re-resolves its tables at each action,
+    * so a fixed key-derived name would let a later call silently
+    * repoint an earlier returned frame at new data, and concurrent
+    * calls would clobber each other mid-join (round-15 advice). The
+    * tables persist in the session catalog for the life of the
+    * returned frame — that persistence IS the layout `bucket` advice
+    * pays for (re-join the same `layoutName` tables shuffle-free);
+    * drop them via `DROP TABLE` when the layout is retired. */
   def bucketedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                   n: Int): DataFrame = {
-    val s = fact.sparkSession
-    val fname = s"graft_bucketed_fact_$key"
-    val dname = s"graft_bucketed_dim_$key"
-    fact.write.mode("overwrite").bucketBy(n, key).sortBy(key)
-      .saveAsTable(fname)
-    dim.write.mode("overwrite").bucketBy(n, key).sortBy(key)
-      .saveAsTable(dname)
-    s.table(fname).join(s.table(dname), Seq(key))
+                   n: Int, layoutName: String = ""): DataFrame = {
+    val tag = if (layoutName.nonEmpty) layoutName
+      else key + "_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+    val f = graft.sources.Sources.applyBucketLayout(
+      fact, n, key, s"graft_bucketed_fact_$tag")
+    val dm = graft.sources.Sources.applyBucketLayout(
+      dim, n, key, s"graft_bucketed_dim_$tag")
+    f.join(dm, Seq(key))
   }
 
   /** `fact ⋈ dim` on `key` through whichever strategy the advice
@@ -315,17 +326,38 @@ object ScaleJoins {
       .orderBy(col("p_partkey"))
   }
 
+  /** Once-per-JVM stats catalog for the gate's advised join — the two
+    * legs [[qAdvisedJoin]] consults, built on first touch into a temp
+    * dir deleted at JVM exit. The catalog is built from the SAME
+    * frames the join runs on (the dim already renamed to the fact's
+    * key — catalog legs are keyed by column name). */
+  private val gateStats =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Gate key: [[advisedJoin]] on the same lineitem⋈supplier shape as
-    * [[qSaltedJoin]] — at gate scales the dim probe picks broadcast;
-    * the oracle is the PLAIN join (every branch is row-identical to
-    * it, the same zero-semantic-footprint argument as salting).
-    * ScaleJoinsSpec drives all three branches explicitly. */
+    * [[qSaltedJoin]], THROUGH a persisted [[StatsCatalog]] (round-16:
+    * the cataloged branch is now correctness-gated, not just
+    * spec-gated) — the advice is answered from the catalog, neither
+    * relation is scanned before the join itself, and at gate scales
+    * the cataloged dim bytes pick broadcast; the oracle is the PLAIN
+    * join (every branch is row-identical to it, the same
+    * zero-semantic-footprint argument as salting). ScaleJoinsSpec
+    * drives all four branches explicitly; StatsCatalogSpec pins
+    * cataloged == live decisions and the scan-free decision path. */
   def qAdvisedJoin(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
     val sup = supplier(s, d)
       .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-    advisedJoin(li, sup, "l_suppkey")
+    val statsDir = gateStats.computeIfAbsent(d, { _ =>
+      val tmp = IndexFiles.tempDirDeletedOnExit("graft_advjoin_gate")
+      StatsCatalog.build(s, tmp, Seq(
+        StatsCatalog.Leg(li, "lineitem", "l_suppkey"),
+        StatsCatalog.Leg(sup, "supplier", "l_suppkey")))
+      tmp
+    })
+    advisedJoin(li, sup, "l_suppkey",
+        statsDir = statsDir, factRel = "lineitem", dimRel = "supplier")
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2)) *

@@ -132,6 +132,117 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("executed layout advice: catalog -> layoutAdvice -> applyLayout -> shuffle-free bucket join") {
+    import spark.implicits._
+    import graft.operators.StatsCatalog
+    import graft.sources.Sources
+    val pad = "x" * 200
+    // equal-size sides so each table's own layout row advises the SAME
+    // power-of-two bucket count — the co-location precondition
+    val fact = (1L to 8000L).map(i => (i % 400, pad)).toDF("k", "payload")
+    val dim = (1L to 8000L).map(i => (i % 400, pad)).toDF("k", "name")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_layout_exec").toString
+    StatsCatalog.build(spark, dir, Seq(
+      StatsCatalog.Leg(fact, "fact", "k"), StatsCatalog.Leg(dim, "dim", "k")))
+    val lay = StatsCatalog.layoutAdvice(spark, dir)
+      .collect().map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(lay.keySet == Set("fact", "dim"))
+    assert(lay("fact").getAs[Long]("bucket_count")
+      == lay("dim").getAs[Long]("bucket_count"))
+    // the pair advisor's executed bucket_n agrees with the layout rows
+    // (the one shared targetBytes constant — round-15 advice)
+    val advice = ScaleJoins.adviseJoinCataloged(spark, dir, "fact", "dim",
+      "k", broadcastBytes = 1024L, keyReused = true,
+      targetBytes = 1L << 20).get
+    assert(advice._1 == "bucket", advice.toString)
+    assert(advice._3 == lay("fact").getAs[Long]("bucket_count"),
+      s"advised bucket_n ${advice._3} != layout row ${lay("fact")}")
+    // EXECUTE the advice rows on disk, then join the written layouts
+    val fb = Sources.applyLayout(fact, lay("fact"), key = "k",
+      name = "graft_spec_layout_fact")
+    val db = Sources.applyLayout(dim, lay("dim"), key = "k",
+      name = "graft_spec_layout_dim")
+    val joined = fb.join(db, Seq("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), count(col("name")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning\\(k#".r.findFirstIn(plan).isDefined,
+      s"advised layout join still shuffles on the key:\n$plan")
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), count(col("name")))
+    assert(joined.orderBy("k").collect().toSeq
+      == plain.orderBy("k").collect().toSeq,
+      "layout-applied join must be row-identical to the plain join")
+    // file layout half: target_files parquet files land on disk
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft_layout_files").toString + "/fact"
+    val flat = Sources.applyLayout(fact.select("k"),
+      lay("fact"), path = outPath)
+    assert(flat.count() == 8000L)
+    assert(flat.inputFiles.length
+      == lay("fact").getAs[Long]("target_files").toInt)
+  }
+
+  test("advisedJoin consults the CATALOG, not live stats, and decides without scanning") {
+    import spark.implicits._
+    import graft.operators.StatsCatalog
+    val pad = "x" * 100
+    // catalog built from a pathologically skewed snapshot...
+    val skewed = (1L to 10000L).map(i =>
+      (if (i <= 9100) 1L else i, pad)).toDF("k", "payload")
+    val dim = (1L to 10000L).map(i => (i, pad)).toDF("k", "name")
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_catjoin_src").toString
+    skewed.write.mode("overwrite").parquet(src)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_catjoin_cat").toString
+    StatsCatalog.build(spark, dir, Seq(
+      StatsCatalog.Leg(spark.read.parquet(src), "fact", "k"),
+      StatsCatalog.Leg(dim, "dim", "k")))
+    val live = ScaleJoins.adviseJoin(skewed, dim, "k",
+      broadcastBytes = 1024L)
+    // ...answers AFTER the profiled source is deleted: the decision
+    // provably never scans the relation (the round-15 verdict pin)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(src)).iterator()
+      .asScala.toSeq.reverse.foreach(p => java.nio.file.Files.delete(p))
+    val cataloged = ScaleJoins.adviseJoinCataloged(spark, dir,
+      "fact", "dim", "k", broadcastBytes = 1024L).get
+    assert(cataloged == live, s"cataloged $cataloged != live $live")
+    assert(cataloged._1 == "salt")
+    // the catalog is AUTHORITATIVE in the executed join: run advisedJoin
+    // with a UNIFORM live fact under the cataloged (skewed) rel names —
+    // live stats would say plain; the cataloged decision salts, which
+    // is visible as the salt scatter in the executed plan
+    val uniform = (1L to 10000L).map(i => (i % 1000, pad))
+      .toDF("k", "payload")
+    val viaCatalog = ScaleJoins.advisedJoin(uniform, dim, "k",
+      broadcastBytes = 1024L, statsDir = dir,
+      factRel = "fact", dimRel = "dim")
+    assert(viaCatalog.queryExecution.optimizedPlan.toString
+      .contains("_salt"),
+      "executed join ignored the cataloged salt decision")
+    assert(viaCatalog.agg(count(lit(1)), count(col("name"))).collect()(0)
+      == uniform.join(dim, Seq("k"))
+        .agg(count(lit(1)), count(col("name"))).collect()(0))
+  }
+
+  test("bucketedJoin table names are unique per call: an earlier frame survives a later call") {
+    import spark.implicits._
+    val fact1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dim1 = Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+    val j1 = ScaleJoins.bucketedJoin(fact1, dim1, "k", 2)
+    assert(j1.count() == 2)
+    // a second call on the SAME key with different data must not
+    // repoint j1 (round-15 advice: fixed key-derived names did)
+    val fact2 = Seq((9L, "z")).toDF("k", "v")
+    val dim2 = Seq((9L, "w")).toDF("k", "name")
+    val j2 = ScaleJoins.bucketedJoin(fact2, dim2, "k", 2)
+    assert(j2.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(j1.orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"), "earlier bucketedJoin frame was repointed")
+  }
+
   test("bloom-reduced anti join is row-identical to the plain anti join") {
     import spark.implicits._
     // batch keys: some in the corpus (dups), some genuinely new
