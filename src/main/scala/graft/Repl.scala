@@ -160,13 +160,15 @@ object Repl {
     * {{{
     *   stats build <catalogDir> [dataDir]            // the six advisor legs
     *   stats append <catalogDir> [dataDir] rel=<r> key=<k>  // one drop
+    *   stats retract <catalogDir> [dataDir] rel=<r> key=<k> // a takedown
     *   stats <status|staleness|advice|layout> <catalogDir> [k=v ...]
     * }}}
     * `build` scans each standard advisor leg once; `append` folds a
     * new drop directory's per-key deltas in (the ingest-batch verb);
-    * `advice` renders the cataloged joinAdvice rows and `layout` the
-    * cataloged layoutPlan rows — no profiled relation is scanned by
-    * either. The executed form is
+    * `retract` folds NEGATED deltas of a removed batch (the
+    * correction verb — no rebuild); `advice` renders the cataloged
+    * joinAdvice rows and `layout` the cataloged layoutPlan rows — no
+    * profiled relation is scanned by either. The executed form is
     * `ScaleJoins.advisedJoin(..., statsDir=<catalogDir>)`. */
   def evalStats(spark: org.apache.spark.sql.SparkSession, rest: String,
                 baseDir: String): String = {
@@ -210,6 +212,13 @@ object Repl {
           "stats append needs rel=<relation> key=<keycol>")
         StatsCatalog.append(spark, dir, reader(rel), rel, key)
         s"appended $rel($key) deltas from $dataDir into $dir"
+      case "retract" =>
+        val (rel, key) = (p.str("rel", ""), p.str("key", ""))
+        p.requireAllRead()
+        require(rel.nonEmpty && key.nonEmpty,
+          "stats retract needs rel=<relation> key=<keycol>")
+        StatsCatalog.retract(spark, dir, reader(rel), rel, key)
+        s"retracted $rel($key) deltas of $dataDir from $dir"
       case "status" =>
         p.requireAllRead()
         val st = StatsCatalog.status(spark, dir)
@@ -239,7 +248,8 @@ object Repl {
           s"orphan file(s) from $dir"
       case _ => throw new IllegalArgumentException(
         s"unknown stats verb '$verb' — expected " +
-          "build|append|status|staleness|advice|layout|compact|vacuum")
+          "build|append|retract|status|staleness|advice|layout" +
+          "|compact|vacuum")
     }
   }
 

@@ -43,12 +43,14 @@ import graft.Tables._
   * sized, never re-reads standing data); [[advice]] the
   * [[Sharding.joinAdvice]] row per leg from the merged stats;
   * [[staleness]] the appended-fraction drift check (the
-  * AnnIndex.maintain pattern: a catalog whose appends dominate its
-  * build was fitted on a minority of the data — re-build to
-  * re-baseline); [[status]] the committed-snapshot summary. Catalog
-  * corrections ride rebuilds — takedown tombstones are not a stats
-  * concept (deleting corpus rows under-counts the catalog until the
-  * next build; the staleness check prices exactly that drift).
+  * AnnIndex.maintain pattern: a catalog whose post-build churn
+  * dominates its build was fitted on a minority of the data —
+  * re-build to re-baseline); [[status]] the committed-snapshot
+  * summary; [[retract]] the correction verb — takedowns append
+  * NEGATED per-key deltas of the removed batch (the merge law
+  * already sums, so build + appends − retracts ≡ a rebuild over the
+  * survivors with no 100 TB re-scan), and retractions count as
+  * [[staleness]] drift.
   *
   * [[ScaleJoins.advisedJoin]] consults the catalog when given a
   * `statsDir` and falls back to live stats for uncataloged legs —
@@ -91,6 +93,26 @@ object StatsCatalog {
         .write.mode("append").parquet(s"$dir/stats")
     }
 
+  /** RETRACT one batch's per-key deltas for one leg (phase =
+    * `retract`, subtotals NEGATED) — the correction path short of a
+    * rebuild: a takedown/recrawl removes rows from the corpus, and
+    * until round 15 the catalog over-counted them until the next
+    * 100 TB re-scan. The merge law already SUMS per-key subtotals, so
+    * appending negated deltas of the removed batch makes
+    * build + appends − retracts ≡ one rebuild over the survivors
+    * (StatsCatalogSpec pins the identity; a key whose net count hits
+    * zero drops from the catalog view entirely, as a rebuild would
+    * drop it). Retract what was actually removed — retracting rows
+    * never ingested over-corrects, exactly as it would any ledger. */
+  def retract(s: SparkSession, dir: String, batch: DataFrame,
+              rel: String, keyCol: String): Unit =
+    IndexFiles.commitDataAppend(s, dir, "stats") {
+      statsOf(batch, rel, keyCol, "retract")
+        .select(col("rel"), col("keycol"), col("key"),
+          (-col("n")).as("n"), (-col("b")).as("b"), col("phase"))
+        .write.mode("append").parquet(s"$dir/stats")
+    }
+
   def hasCatalog(s: SparkSession, dir: String): Boolean =
     IndexFiles.hasIndex(s, dir)
 
@@ -109,19 +131,31 @@ object StatsCatalog {
   }
 
   /** Merged reduced stats per (rel, keycol): the joinAdvice input
-    * numbers plus the build/append phase split — per-key subtotals
-    * sum FIRST (the mergeable level), then reduce. */
+    * numbers plus the build/append/retract phase split — per-key
+    * subtotals sum FIRST (the mergeable level), then reduce. A key
+    * whose NET count is zero (fully retracted) drops before the
+    * reduce, exactly as a rebuild over the survivors would drop it —
+    * so n_keys/max_n/est_bytes describe the surviving catalog, and
+    * the no-retract numbers are byte-identical to round 15's. */
   def reducedStats(s: SparkSession, dir: String): DataFrame =
     liveStats(s, dir)
       .groupBy(col("rel"), col("keycol"), col("key"))
       .agg(sum(col("n")).as("n"), sum(col("b")).as("b"),
         sum(when(col("phase") === "build", col("n")).otherwise(0L))
-          .as("n_build"))
+          .as("n_build"),
+        sum(when(col("phase") === "append", col("n")).otherwise(0L))
+          .as("n_append"),
+        sum(when(col("phase") === "retract", -col("n")).otherwise(0L))
+          .as("n_retract"))
+      .where(col("n") > 0)
       .groupBy(col("rel"), col("keycol"))
       .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
         max(col("n")).as("max_n"), sum(col("b")).as("est_bytes"),
-        sum(col("n_build")).as("build_rows"))
-      .withColumn("appended_rows", col("n_rows") - col("build_rows"))
+        sum(col("n_build")).as("build_rows"),
+        sum(col("n_append")).as("appended_rows"),
+        sum(col("n_retract")).as("retracted_rows"))
+      .withColumn("drift_rows",
+        col("appended_rows") + col("retracted_rows"))
 
   /** The [[Sharding.joinAdvice]] row per cataloged leg, computed from
     * the catalog alone — NO scan of any profiled relation (the spec
@@ -199,19 +233,25 @@ object StatsCatalog {
       .withColumn("bucket_count", Sharding.pow2Ceil(col("target_files")))
       .orderBy(col("table_name"))
 
-  /** Appended-fraction drift per leg (the AnnIndex.maintain pattern):
-    * a leg whose appends exceed `maxAppendedFrac` of its rows was
-    * profiled mostly AFTER its build — corrections (corpus deletes,
-    * re-keyed loads) may have drifted it; re-[[build]] to
-    * re-baseline. */
+  /** Drift per leg (the AnnIndex.maintain pattern): a leg whose
+    * appends PLUS retracts exceed `maxAppendedFrac` of its surviving
+    * rows was profiled mostly under post-build churn — re-[[build]]
+    * to re-baseline. Retractions count as drift (round-15 verdict): a
+    * takedown-heavy leg whose net row count barely moved still had
+    * its distribution rewritten under it. `appended_frac` keeps its
+    * name and meaning (appends alone) next to the deciding
+    * `drift_frac`; the two coincide on a retract-free catalog. */
   def staleness(s: SparkSession, dir: String,
                 maxAppendedFrac: Double = 0.5): DataFrame =
     reducedStats(s, dir)
       .withColumn("appended_frac",
         col("appended_rows").cast(DoubleType) / col("n_rows"))
+      .withColumn("drift_frac",
+        col("drift_rows").cast(DoubleType) / col("n_rows"))
       .select(col("rel"), col("keycol"), col("n_rows"),
-        col("build_rows"), col("appended_rows"), col("appended_frac"),
-        (col("appended_frac") > maxAppendedFrac).as("stale"))
+        col("build_rows"), col("appended_rows"), col("retracted_rows"),
+        col("appended_frac"), col("drift_frac"),
+        (col("drift_frac") > maxAppendedFrac).as("stale"))
       .orderBy(col("rel"), col("keycol"))
 
   /** One cataloged leg's reduced numbers, for the executed-join path:
@@ -281,8 +321,58 @@ object StatsCatalog {
       .orderBy(col("rel"), col("keycol"))
   }
 
+  /** Once-per-JVM gate catalog for the retract key (the
+    * [[gateCatalog]] discipline — repeat calls measure the advice
+    * read, not the build/append/retract construction). */
+  private val gateRetract =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gate entry for the CORRECTION path: build on rows ≡ 0 (mod 3),
+    * append the rest as one ingest batch, then RETRACT the appended
+    * rows ≡ 0 (mod 5) — a takedown of part of one drop, the exact
+    * flow that used to under-count the catalog until the next 100 TB
+    * rebuild. Output = the joinAdvice row per leg plus the full phase
+    * ledger (build/appended/retracted/drift), all integers. The
+    * oracle replays the merge arithmetic over the SURVIVORS (rows not
+    * retracted) with the same split predicates — a catalog that
+    * forgot a retraction, double-applied one, or kept a fully
+    * retracted key hash-mismatches. */
+  def pipelineStatsRetract(s: SparkSession, d: String): DataFrame = {
+    val dir = gateRetract.computeIfAbsent(d, { _ =>
+      val tmp = IndexFiles.tempDirDeletedOnExit("graft_statsret_gate")
+      val ev = events(s, d); val li = lineitem(s, d)
+      val doc = documents(s, d)
+      def phases(df: DataFrame, rowKey: String)
+          : (DataFrame, DataFrame, DataFrame) =
+        (df.where(col(rowKey) % 3 === 0),
+          df.where(col(rowKey) % 3 =!= 0),
+          df.where(col(rowKey) % 3 =!= 0 && col(rowKey) % 5 === 0))
+      val (evB, evA, evR) = phases(ev, "event_id")
+      val (liB, liA, liR) = phases(li, "l_orderkey")
+      val (docB, docA, docR) = phases(doc, "doc_id")
+      build(s, tmp, Seq(
+        Leg(evB, "events", "user_id"),
+        Leg(liB, "lineitem", "l_suppkey"),
+        Leg(docB, "documents", "source")))
+      append(s, tmp, evA, "events", "user_id")
+      append(s, tmp, liA, "lineitem", "l_suppkey")
+      append(s, tmp, docA, "documents", "source")
+      retract(s, tmp, evR, "events", "user_id")
+      retract(s, tmp, liR, "lineitem", "l_suppkey")
+      retract(s, tmp, docR, "documents", "source")
+      tmp
+    })
+    advice(s, dir)
+      .select(col("rel"), col("keycol"), col("n_rows"), col("n_keys"),
+        col("max_n"), col("est_bytes"), col("build_rows"),
+        col("appended_rows"), col("retracted_rows"), col("drift_rows"),
+        col("strategy"), col("salt_n"))
+      .orderBy(col("rel"), col("keycol"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_stats_catalog" -> (pipelineStatsCatalog _)
+    "pipeline_stats_catalog" -> (pipelineStatsCatalog _),
+    "pipeline_stats_retract" -> (pipelineStatsRetract _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,6 +415,67 @@ object StatsCatalog {
          |SELECT rel, keycol, n_rows, n_keys, max_n, est_bytes, build_rows,
          |  n_rows - build_rows AS appended_rows,
          |  CAST(n_rows - build_rows AS DOUBLE) / n_rows AS appended_frac,
+         |  CASE WHEN est_bytes <= 1048576 THEN 'broadcast'
+         |       WHEN max_n > avg_f * 4 THEN 'salt'
+         |       ELSE 'plain' END AS strategy,
+         |  CAST(CASE
+         |    WHEN est_bytes <= 1048576 OR max_n <= avg_f * 4 THEN 0
+         |    ELSE least(64, CASE WHEN (ratio & (ratio - 1)) = 0 THEN ratio
+         |      ELSE CAST(1 AS BIGINT) << length(bin(ratio)) END)
+         |  END AS BIGINT) AS salt_n
+         |FROM w ORDER BY rel, keycol""".stripMargin
+    },
+    "pipeline_stats_retract" -> {
+      // same width/advice mirrors as pipeline_stats_catalog; the
+      // per-key ledger replays over the SURVIVORS (rows not retracted:
+      // NOT (rk % 3 <> 0 AND rk % 5 = 0)), HAVING net n > 0 so a fully
+      // retracted key vanishes exactly as the catalog drops it
+      val widths = Map(
+        "events" -> "40 + length(coalesce(event_type, '')) + length(coalesce(props, ''))",
+        "lineitem" -> ("76 + length(coalesce(l_returnflag, '')) " +
+          "+ length(coalesce(l_linestatus, ''))"),
+        "documents" -> ("28 + length(coalesce(text, '')) " +
+          "+ length(coalesce(lang, '')) + length(coalesce(source, ''))"))
+      val splitKey = Map("events" -> "event_id",
+        "lineitem" -> "l_orderkey", "documents" -> "doc_id")
+      def leg(rel: String, keyCol: String): String = {
+        val rk = splitKey(rel)
+        s"""SELECT '$rel' AS rel, '$keyCol' AS keycol,
+           |  CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           |  CAST(max(n) AS BIGINT) AS max_n,
+           |  CAST(sum(b) AS BIGINT) AS est_bytes,
+           |  CAST(sum(nb) AS BIGINT) AS build_rows,
+           |  CAST(sum(na) AS BIGINT) AS appended_rows,
+           |  CAST(sum(nr) AS BIGINT) AS retracted_rows
+           |FROM (SELECT
+           |    sum(CASE WHEN NOT ($rk % 3 <> 0 AND $rk % 5 = 0)
+           |        THEN 1 ELSE 0 END) AS n,
+           |    sum(CASE WHEN NOT ($rk % 3 <> 0 AND $rk % 5 = 0)
+           |        THEN ${widths(rel)} ELSE 0 END) AS b,
+           |    sum(CASE WHEN $rk % 3 = 0 THEN 1 ELSE 0 END) AS nb,
+           |    sum(CASE WHEN $rk % 3 <> 0 THEN 1 ELSE 0 END) AS na,
+           |    sum(CASE WHEN $rk % 3 <> 0 AND $rk % 5 = 0
+           |        THEN 1 ELSE 0 END) AS nr
+           |  FROM $rel GROUP BY $keyCol
+           |  HAVING sum(CASE WHEN NOT ($rk % 3 <> 0 AND $rk % 5 = 0)
+           |    THEN 1 ELSE 0 END) > 0)
+           |""".stripMargin
+      }
+      val u = Seq(("events", "user_id"), ("lineitem", "l_suppkey"),
+        ("documents", "source"))
+        .map { case (r, k) => leg(r, k) }
+        .mkString("UNION ALL\n")
+      s"""WITH u AS (
+         |$u
+         |), v AS (
+         |  SELECT *, greatest(n_rows // n_keys, CAST(1 AS BIGINT)) AS avg_f
+         |  FROM u
+         |), w AS (
+         |  SELECT *, (max_n + avg_f - 1) // avg_f AS ratio FROM v
+         |)
+         |SELECT rel, keycol, n_rows, n_keys, max_n, est_bytes, build_rows,
+         |  appended_rows, retracted_rows,
+         |  appended_rows + retracted_rows AS drift_rows,
          |  CASE WHEN est_bytes <= 1048576 THEN 'broadcast'
          |       WHEN max_n > avg_f * 4 THEN 'salt'
          |       ELSE 'plain' END AS strategy,

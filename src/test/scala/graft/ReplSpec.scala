@@ -128,6 +128,11 @@ class ReplSpec extends SparkSpec {
     val stale = Repl.eval(spark,
       s"stats staleness $dir maxAppendedFrac=0.4", ".")
     assert(stale.contains("true"), stale)
+    // the correction verb: retracting the very drop just appended
+    // restores every per-key count (REPL surface of the merge law)
+    val ret = Repl.eval(spark,
+      s"stats retract $dir $Sf rel=documents key=source", ".")
+    assert(ret.contains("retracted documents(source)"), ret)
     // maintenance verbs: compact folds the append litter, vacuum
     // sweeps the replaced files
     val comp = Repl.eval(spark, s"stats compact $dir", ".")

@@ -189,6 +189,57 @@ class StatsCatalogSpec extends SparkSpec {
     } finally docs.unpersist()
   }
 
+  test("retract merge law: build + append - retract == rebuild over the survivors") {
+    val docs = Tables.documents(spark, Sf)
+    val retracted = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
+    val inc = freshDir()
+    StatsCatalog.build(spark, inc, Seq(StatsCatalog.Leg(
+      docs.where(col("doc_id") % 3 === 0), "documents", "source")))
+    StatsCatalog.append(spark, inc, docs.where(col("doc_id") % 3 =!= 0),
+      "documents", "source")
+    StatsCatalog.retract(spark, inc, docs.where(retracted),
+      "documents", "source")
+    val full = freshDir()
+    StatsCatalog.build(spark, full, Seq(StatsCatalog.Leg(
+      docs.where(!retracted), "documents", "source")))
+    assert(adviceRows(inc) == adviceRows(full),
+      "retraction-corrected advice must equal a rebuild over survivors")
+  }
+
+  test("retraction counts as drift; a fully retracted key vanishes") {
+    import spark.implicits._
+    val base = ((1 to 60).map(i => ("a", i)) ++ (1 to 40).map(i => ("b", i)))
+      .toDF("k", "v")
+    val drop = (1 to 50).map(i => ("c", i)).toDF("k", "v")
+    val cat = freshDir()
+    StatsCatalog.build(spark, cat, Seq(StatsCatalog.Leg(base, "t", "k")))
+    StatsCatalog.append(spark, cat, drop, "t", "k")
+    // take down HALF the drop: net rows barely move, but the leg's
+    // distribution was rewritten under it — drift must count BOTH
+    // directions while appended_frac alone stays under the bar
+    StatsCatalog.retract(spark, cat, drop.where(col("v") <= 25), "t", "k")
+    val r = StatsCatalog.staleness(spark, cat).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 125L)
+    assert(r.getAs[Long]("appended_rows") == 50L)
+    assert(r.getAs[Long]("retracted_rows") == 25L)
+    assert(r.getAs[Double]("appended_frac") == 0.4)
+    assert(r.getAs[Double]("drift_frac") == 0.6)
+    assert(r.getAs[Boolean]("stale"),
+      "a retract-heavy leg must flip stale even when appends alone wouldn't")
+    // retract the remainder: key c's net count hits zero and it drops
+    // from the catalog view entirely, as a rebuild over the survivors
+    // would drop it (its churn leaves the drift base WITH it)
+    StatsCatalog.retract(spark, cat, drop.where(col("v") > 25), "t", "k")
+    val red = StatsCatalog.reducedStats(spark, cat).collect()(0)
+    assert(red.getAs[Long]("n_keys") == 2L)
+    assert(red.getAs[Long]("n_rows") == 100L)
+    assert(red.getAs[Long]("max_n") == 60L)
+    // and the corrected catalog equals a rebuild on the survivors
+    val full = freshDir()
+    StatsCatalog.build(spark, full, Seq(StatsCatalog.Leg(base, "t", "k")))
+    assert(adviceRows(cat) == adviceRows(full))
+  }
+
   test("two racing appends both land (writer lock + conditional commit)") {
     val docs = Tables.documents(spark, Sf)
     val cat = freshDir()
