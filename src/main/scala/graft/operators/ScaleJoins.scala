@@ -169,15 +169,25 @@ object ScaleJoins {
     pow2CeilLong(math.max(1L,
       (math.max(factBytes, dimBytes) + targetBytes - 1) / targetBytes))
 
-  /** Four-way advice (strategy, saltN, bucketN) — the live-stats
+  private def clusterNFor(factBytes: Long, targetBytes: Long): Long =
+    math.max(1L, (factBytes + targetBytes - 1) / targetBytes)
+
+  /** Five-way advice (strategy, saltN, layoutN) — the live-stats
     * executor form of [[Sharding.joinPairAdvice]], same decision
     * order and constants: broadcast ≻ bucket (keyReused and both
-    * sides past the bound) ≻ salt ≻ plain. Dim probe first, so a
-    * broadcastable dim never pays a fact scan. */
+    * sides past the bound) ≻ cluster (rangeQueried, big fact, an
+    * ordered key) ≻ salt ≻ plain. The third element is bucket_n for
+    * `bucket` and cluster_n (a plain file count) for `cluster`. Dim
+    * probe first, so a broadcastable dim never pays a fact scan. The
+    * live cluster gate checks the key's TYPE (numeric/date/timestamp
+    * — orderable with meaningful parquet min/max); the cataloged
+    * form checks the persisted key span, which agrees for typed keys
+    * and additionally admits numeric-valued string keys. */
   def adviseJoin(fact: DataFrame, dim: DataFrame, key: String,
                  broadcastBytes: Long = 10L << 20, skewMult: Long = 4L,
                  maxSalt: Long = 64L, keyReused: Boolean = false,
-                 targetBytes: Long = Sharding.DefaultLayoutTargetBytes): (String, Long, Long) = {
+                 targetBytes: Long = Sharding.DefaultLayoutTargetBytes,
+                 rangeQueried: Boolean = false): (String, Long, Long) = {
     val dimRow = Sharding.joinAdvice(dim, "dim", key,
       broadcastBytes, skewMult, maxSalt).collect()(0)
     val dimBytes = dimRow.getAs[Long]("est_bytes")
@@ -186,8 +196,16 @@ object ScaleJoins {
       val factRow = Sharding.joinAdvice(fact, "fact", key,
         broadcastBytes, skewMult, maxSalt).collect()(0)
       val factBytes = factRow.getAs[Long]("est_bytes")
+      val orderedKey = fact.schema(key).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
       if (keyReused && factBytes > broadcastBytes)
         ("bucket", 0L, bucketNFor(factBytes, dimBytes, targetBytes))
+      else if (rangeQueried && factBytes > broadcastBytes && orderedKey)
+        ("cluster", 0L, clusterNFor(factBytes, targetBytes))
       else if (factRow.getAs[String]("strategy") == "salt")
         ("salt", factRow.getAs[Long]("salt_n"), 0L)
       else ("plain", 0L, 0L)
@@ -208,20 +226,24 @@ object ScaleJoins {
                           broadcastBytes: Long = 10L << 20,
                           skewMult: Long = 4L, maxSalt: Long = 64L,
                           keyReused: Boolean = false,
-                          targetBytes: Long = Sharding.DefaultLayoutTargetBytes)
+                          targetBytes: Long = Sharding.DefaultLayoutTargetBytes,
+                          rangeQueried: Boolean = false)
       : Option[(String, Long, Long)] =
     for {
-      (_, _, _, dimBytes) <- StatsCatalog.legStats(s, statsDir, dimRel, key)
-      (fRows, fKeys, fMaxN, fBytes) <-
-        StatsCatalog.legStats(s, statsDir, factRel, key)
+      dimStats <- StatsCatalog.legStats(s, statsDir, dimRel, key)
+      f <- StatsCatalog.legStats(s, statsDir, factRel, key)
     } yield {
+      val dimBytes = dimStats.estBytes
       if (dimBytes <= broadcastBytes) ("broadcast", 0L, 0L)
-      else if (keyReused && fBytes > broadcastBytes)
-        ("bucket", 0L, bucketNFor(fBytes, dimBytes, targetBytes))
+      else if (keyReused && f.estBytes > broadcastBytes)
+        ("bucket", 0L, bucketNFor(f.estBytes, dimBytes, targetBytes))
+      else if (rangeQueried && f.estBytes > broadcastBytes &&
+          f.keyMin.isDefined)
+        ("cluster", 0L, clusterNFor(f.estBytes, targetBytes))
       else {
-        val avg = math.max(1L, fRows / fKeys)
-        if (fMaxN > avg * skewMult) {
-          val ratio = (fMaxN + avg - 1) / avg
+        val avg = math.max(1L, f.nRows / f.nKeys)
+        if (f.maxN > avg * skewMult) {
+          val ratio = (f.maxN + avg - 1) / avg
           ("salt", math.min(maxSalt, pow2CeilLong(ratio)), 0L)
         } else ("plain", 0L, 0L)
       }
@@ -256,6 +278,25 @@ object ScaleJoins {
     f.join(dm, Seq(key))
   }
 
+  /** The `cluster` advice, EXECUTED: land the fact as a range-clustered
+    * layout ([[graft.sources.Sources.writeClustered]] — every file owns
+    * a disjoint key range, so parquet min/max stats prune whole files
+    * for the range predicates the caller declared dominant), then join
+    * the written layout. Row-identical to the plain join (the layout is
+    * a physical rewrite); the write is the one-time cost the advice
+    * prices against every later range scan of the key. `layoutPath`
+    * pins the layout for reuse (the bucketedJoin naming rule:
+    * an unpinned path is unique per call). */
+  def clusteredJoin(fact: DataFrame, dim: DataFrame, key: String,
+                    nFiles: Int, layoutPath: String = ""): DataFrame = {
+    val path = if (layoutPath.nonEmpty) layoutPath
+      else java.nio.file.Files.createTempDirectory("graft_clustered")
+        .toString + s"/fact_$key"
+    graft.sources.Sources.writeClustered(fact, path, Seq(key),
+      math.max(1, nFiles))
+    fact.sparkSession.read.parquet(path).join(dim, Seq(key))
+  }
+
   /** `fact ⋈ dim` on `key` through whichever strategy the advice
     * picks — the closed diagnose → recommend → execute loop
     * (pipeline_skew_stats diagnoses, pipeline_join_advisor /
@@ -276,18 +317,21 @@ object ScaleJoins {
                   maxSalt: Long = 64L, keyReused: Boolean = false,
                   targetBytes: Long = Sharding.DefaultLayoutTargetBytes,
                   statsDir: String = "", factRel: String = "",
-                  dimRel: String = ""): DataFrame = {
+                  dimRel: String = "",
+                  rangeQueried: Boolean = false): DataFrame = {
     val decision =
       (if (statsDir.nonEmpty)
         adviseJoinCataloged(fact.sparkSession, statsDir, factRel, dimRel,
-          key, broadcastBytes, skewMult, maxSalt, keyReused, targetBytes)
+          key, broadcastBytes, skewMult, maxSalt, keyReused, targetBytes,
+          rangeQueried)
       else None)
         .getOrElse(adviseJoin(fact, dim, key, broadcastBytes, skewMult,
-          maxSalt, keyReused, targetBytes))
+          maxSalt, keyReused, targetBytes, rangeQueried))
     decision match {
       case ("broadcast", _, _) => fact.join(broadcast(dim), Seq(key))
       case ("salt", n, _) => saltedJoin(fact, dim, key, nSalts = n.toInt)
       case ("bucket", _, n) => bucketedJoin(fact, dim, key, n.toInt)
+      case ("cluster", _, n) => clusteredJoin(fact, dim, key, n.toInt)
       case _ => fact.join(dim, Seq(key))
     }
   }

@@ -1077,24 +1077,42 @@ object Sharding {
     *      broadcastBytes — `bucket_n` = [[layoutPlan]]'s power-of-two
     *      file count for the LARGER side at `targetBytes` (both
     *      sides must bucket by the SAME count to co-locate),
-    *   3. `salt` / `plain` from the fact side's hot-key profile,
+    *   3. `cluster` when rangeQueried, the fact exceeds broadcastBytes
+    *      and the key carries a numeric span (key_min non-null) — the
+    *      range-clustered layout ([[graft.sources.Sources.writeClustered]])
+    *      whose parquet min/max stats prune whole files for the range
+    *      predicates the caller declared dominant (timestamps,
+    *      prices); `cluster_n` = the fact's file count at
+    *      `targetBytes` (plain, not power-of-two — range files
+    *      rescale by splitting anywhere). An equi-reused key prefers
+    *      the hash-co-located `bucket` layout, hence the order.
+    *   4. `salt` / `plain` from the fact side's hot-key profile,
     *      exactly [[joinAdvice]].
+    *
+    * `key_min`/`key_max` (the fact key's numeric span, null for
+    * non-numeric keys) always ride along — they are the zone-map
+    * statistic the `cluster` branch decides on, persisted per key in
+    * the [[StatsCatalog]] rows (min/max merge across batches).
     *
     * Scale shape: one partial+final agg per side (the fact leg keyed,
     * the dim leg a single-row reduction), joined by a 1-row×1-row
-    * broadcast attach. [[ScaleJoins.advisedJoin]] executes all four
-    * branches; the `broadcast_bytes`/`key_reused` knob columns ride
-    * along so a report over many legs stays self-describing. */
+    * broadcast attach. [[ScaleJoins.advisedJoin]] executes all five
+    * branches; the `broadcast_bytes`/`key_reused`/`range_queried`
+    * knob columns ride along so a report over many legs stays
+    * self-describing. */
   def joinPairAdvice(fact: DataFrame, factRel: String, factKey: String,
                      dim: DataFrame, dimRel: String, dimKey: String,
                      broadcastBytes: Long = 1L << 20,
                      skewMult: Long = 4L, maxSalt: Long = 64L,
                      keyReused: Boolean = false,
-                     targetBytes: Long = DefaultLayoutTargetBytes): DataFrame = {
+                     targetBytes: Long = DefaultLayoutTargetBytes,
+                     rangeQueried: Boolean = false): DataFrame = {
     val fstats = fact.groupBy(col(factKey))
       .agg(count(lit(1)).as("n"), sum(rowWidth(fact).cast(LongType)).as("b"))
       .agg(sum(col("n")).as("fact_rows"), count(lit(1)).as("fact_keys"),
-        max(col("n")).as("max_n"), sum(col("b")).as("fact_bytes"))
+        max(col("n")).as("max_n"), sum(col("b")).as("fact_bytes"),
+        min(expr(s"try_cast($factKey AS double)")).as("key_min"),
+        max(expr(s"try_cast($factKey AS double)")).as("key_max"))
     val dstats = dim
       .agg(count(lit(1)).as("dim_rows"),
         sum(rowWidth(dim).cast(LongType)).as("dim_bytes"))
@@ -1104,13 +1122,17 @@ object Sharding {
         col("fact_rows"), col("fact_keys"), col("max_n"), col("fact_bytes"),
         col("dim_rows"), col("dim_bytes"),
         lit(broadcastBytes).as("broadcast_bytes"),
-        lit(keyReused).as("key_reused"))
+        lit(keyReused).as("key_reused"),
+        lit(rangeQueried).as("range_queried"),
+        col("key_min"), col("key_max"))
       .withColumn("_avg", greatest(expr("fact_rows DIV fact_keys"), lit(1L)))
       .withColumn("_ratio", expr("(max_n + _avg - 1) DIV _avg"))
       .withColumn("strategy",
         when(col("dim_bytes") <= broadcastBytes, lit("broadcast"))
           .when(lit(keyReused) && col("fact_bytes") > broadcastBytes &&
             col("dim_bytes") > broadcastBytes, lit("bucket"))
+          .when(lit(rangeQueried) && col("fact_bytes") > broadcastBytes &&
+            col("key_min").isNotNull, lit("cluster"))
           .when(col("max_n") > col("_avg") * skewMult, lit("salt"))
           .otherwise(lit("plain")))
       .withColumn("salt_n",
@@ -1121,6 +1143,11 @@ object Sharding {
           pow2Ceil(greatest(lit(1L),
             expr(s"(greatest(fact_bytes, dim_bytes) + ${targetBytes - 1}) " +
               s"DIV $targetBytes")))).otherwise(lit(0L)))
+      .withColumn("cluster_n",
+        when(col("strategy") === "cluster",
+          greatest(lit(1L),
+            expr(s"(fact_bytes + ${targetBytes - 1}) DIV $targetBytes")))
+          .otherwise(lit(0L)))
       .drop("_avg", "_ratio")
   }
 
@@ -1150,9 +1177,40 @@ object Sharding {
       .reduce(_.unionAll(_))
       .orderBy(col("fact_rel"), col("keycol"), col("broadcast_bytes"))
 
+  /** Gate key: the `cluster` branch of [[joinPairAdvice]] across four
+    * legs chosen to pin its whole decision surface at gate scale —
+    * (a) a range-declared numeric-key fact past the broadcast bound
+    * flips to `cluster` with the advised file count, (b) the SAME leg
+    * without the declaration stays on the hot-key path (rangeQueried
+    * is the caller's workload knowledge, not a statistic), (c) a
+    * range-declared NON-numeric key (no zone-map span) falls through
+    * — min/max file skipping needs an ordered key, (d) `bucket`
+    * precedence: an equi-reused key keeps the hash-co-located layout
+    * even when also range-declared. */
+  def pipelineClusterAdvice(s: SparkSession, d: String): DataFrame =
+    Seq(
+      joinPairAdvice(lineitem(s, d), "lineitem", "l_extendedprice",
+        orders(s, d), "orders", "o_orderkey",
+        broadcastBytes = 1L << 18, targetBytes = 1L << 20,
+        rangeQueried = true),
+      joinPairAdvice(lineitem(s, d), "lineitem", "l_extendedprice",
+        orders(s, d), "orders", "o_orderkey",
+        broadcastBytes = 1L << 18, targetBytes = 1L << 20),
+      joinPairAdvice(documents(s, d), "documents", "source",
+        customer(s, d), "customer", "c_custkey",
+        broadcastBytes = 1L << 10, targetBytes = 1L << 20,
+        rangeQueried = true),
+      joinPairAdvice(lineitem(s, d), "lineitem", "l_orderkey",
+        orders(s, d), "orders", "o_orderkey",
+        broadcastBytes = 1L << 18, keyReused = true,
+        targetBytes = 1L << 20, rangeQueried = true))
+      .reduce(_.unionAll(_))
+      .orderBy(col("fact_rel"), col("keycol"), col("range_queried"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_join_advisor" -> (pipelineJoinAdvisor _),
     "pipeline_pair_advisor" -> (pipelinePairAdvisor _),
+    "pipeline_cluster_advice" -> (pipelineClusterAdvice _),
     "pipeline_skew_stats" -> (pipelineSkewStats _),
     "pipeline_column_profile" -> (pipelineColumnProfile _),
     "pipeline_length_percentiles" -> (pipelineLengthPercentiles _),
@@ -1192,17 +1250,23 @@ object Sharding {
         "customer" -> ("28 + length(coalesce(c_name, '')) " +
           "+ length(coalesce(c_mktsegment, ''))"))
       def leg(factRel: String, factKey: String, dimRel: String,
-              bb: Long, reused: Boolean): String =
+              bb: Long, reused: Boolean,
+              ranged: Boolean = false): String =
         s"""SELECT '$factRel' AS fact_rel, '$dimRel' AS dim_rel,
            |  '$factKey' AS keycol,
            |  f.fact_rows, f.fact_keys, f.max_n, f.fact_bytes,
+           |  f.key_min, f.key_max,
            |  d.dim_rows, d.dim_bytes,
            |  CAST($bb AS BIGINT) AS broadcast_bytes,
-           |  ${if (reused) "TRUE" else "FALSE"} AS key_reused
+           |  ${if (reused) "TRUE" else "FALSE"} AS key_reused,
+           |  ${if (ranged) "TRUE" else "FALSE"} AS range_queried
            |FROM (SELECT CAST(sum(n) AS BIGINT) AS fact_rows,
            |        count(*) AS fact_keys, CAST(max(n) AS BIGINT) AS max_n,
-           |        CAST(sum(b) AS BIGINT) AS fact_bytes
-           |      FROM (SELECT count(*) AS n, sum(${widths(factRel)}) AS b
+           |        CAST(sum(b) AS BIGINT) AS fact_bytes,
+           |        min(TRY_CAST(k AS DOUBLE)) AS key_min,
+           |        max(TRY_CAST(k AS DOUBLE)) AS key_max
+           |      FROM (SELECT $factKey AS k, count(*) AS n,
+           |              sum(${widths(factRel)}) AS b
            |            FROM $factRel GROUP BY $factKey)) f
            |CROSS JOIN (SELECT count(*) AS dim_rows,
            |        CAST(sum(${widths(dimRel)}) AS BIGINT) AS dim_bytes
@@ -1227,12 +1291,15 @@ object Sharding {
          |    CASE WHEN dim_bytes <= broadcast_bytes THEN 'broadcast'
          |         WHEN key_reused AND fact_bytes > broadcast_bytes
          |              AND dim_bytes > broadcast_bytes THEN 'bucket'
+         |         WHEN range_queried AND fact_bytes > broadcast_bytes
+         |              AND key_min IS NOT NULL THEN 'cluster'
          |         WHEN max_n > avg_f * 4 THEN 'salt'
          |         ELSE 'plain' END AS strategy
          |  FROM v
          |)
          |SELECT fact_rel, dim_rel, keycol, fact_rows, fact_keys, max_n,
          |  fact_bytes, dim_rows, dim_bytes, broadcast_bytes, key_reused,
+         |  range_queried, key_min, key_max,
          |  strategy,
          |  CAST(CASE WHEN strategy <> 'salt' THEN 0
          |    ELSE least(64, CASE WHEN (ratio & (ratio - 1)) = 0 THEN ratio
@@ -1241,8 +1308,91 @@ object Sharding {
          |  CAST(CASE WHEN strategy <> 'bucket' THEN 0
          |    ELSE CASE WHEN (tf & (tf - 1)) = 0 THEN tf
          |      ELSE CAST(1 AS BIGINT) << length(bin(tf)) END
-         |  END AS BIGINT) AS bucket_n
+         |  END AS BIGINT) AS bucket_n,
+         |  CAST(CASE WHEN strategy <> 'cluster' THEN 0
+         |    ELSE greatest((fact_bytes + 1048575) // 1048576,
+         |      CAST(1 AS BIGINT)) END AS BIGINT) AS cluster_n
          |FROM w ORDER BY fact_rel, keycol, broadcast_bytes""".stripMargin
+    },
+    "pipeline_cluster_advice" -> {
+      // same advisor arithmetic as pipeline_pair_advisor, replayed
+      // over the cluster-branch legs (range-declared numeric key,
+      // undeclared control, non-numeric key, bucket precedence)
+      val widths = Map(
+        "lineitem" -> ("76 + length(coalesce(l_returnflag, '')) " +
+          "+ length(coalesce(l_linestatus, ''))"),
+        "orders" -> "40 + length(coalesce(o_orderstatus, '')) + length(coalesce(o_orderpriority, ''))",
+        "documents" -> ("28 + length(coalesce(text, '')) " +
+          "+ length(coalesce(lang, '')) + length(coalesce(source, ''))"),
+        "customer" -> ("28 + length(coalesce(c_name, '')) " +
+          "+ length(coalesce(c_mktsegment, ''))"))
+      def leg(factRel: String, factKey: String, dimRel: String,
+              bb: Long, reused: Boolean, ranged: Boolean): String =
+        s"""SELECT '$factRel' AS fact_rel, '$dimRel' AS dim_rel,
+           |  '$factKey' AS keycol,
+           |  f.fact_rows, f.fact_keys, f.max_n, f.fact_bytes,
+           |  f.key_min, f.key_max,
+           |  d.dim_rows, d.dim_bytes,
+           |  CAST($bb AS BIGINT) AS broadcast_bytes,
+           |  ${if (reused) "TRUE" else "FALSE"} AS key_reused,
+           |  ${if (ranged) "TRUE" else "FALSE"} AS range_queried
+           |FROM (SELECT CAST(sum(n) AS BIGINT) AS fact_rows,
+           |        count(*) AS fact_keys, CAST(max(n) AS BIGINT) AS max_n,
+           |        CAST(sum(b) AS BIGINT) AS fact_bytes,
+           |        min(TRY_CAST(k AS DOUBLE)) AS key_min,
+           |        max(TRY_CAST(k AS DOUBLE)) AS key_max
+           |      FROM (SELECT $factKey AS k, count(*) AS n,
+           |              sum(${widths(factRel)}) AS b
+           |            FROM $factRel GROUP BY $factKey)) f
+           |CROSS JOIN (SELECT count(*) AS dim_rows,
+           |        CAST(sum(${widths(dimRel)}) AS BIGINT) AS dim_bytes
+           |      FROM $dimRel) d
+           |""".stripMargin
+      val u = Seq(
+        leg("lineitem", "l_extendedprice", "orders", 1L << 18,
+          reused = false, ranged = true),
+        leg("lineitem", "l_extendedprice", "orders", 1L << 18,
+          reused = false, ranged = false),
+        leg("documents", "source", "customer", 1L << 10,
+          reused = false, ranged = true),
+        leg("lineitem", "l_orderkey", "orders", 1L << 18,
+          reused = true, ranged = true))
+        .mkString("UNION ALL\n")
+      s"""WITH u AS (
+         |$u
+         |), v AS (
+         |  SELECT *,
+         |    greatest(fact_rows // fact_keys, CAST(1 AS BIGINT)) AS avg_f
+         |  FROM u
+         |), w AS (
+         |  SELECT *, (max_n + avg_f - 1) // avg_f AS ratio,
+         |    greatest((greatest(fact_bytes, dim_bytes) + 1048575) // 1048576,
+         |      CAST(1 AS BIGINT)) AS tf,
+         |    CASE WHEN dim_bytes <= broadcast_bytes THEN 'broadcast'
+         |         WHEN key_reused AND fact_bytes > broadcast_bytes
+         |              AND dim_bytes > broadcast_bytes THEN 'bucket'
+         |         WHEN range_queried AND fact_bytes > broadcast_bytes
+         |              AND key_min IS NOT NULL THEN 'cluster'
+         |         WHEN max_n > avg_f * 4 THEN 'salt'
+         |         ELSE 'plain' END AS strategy
+         |  FROM v
+         |)
+         |SELECT fact_rel, dim_rel, keycol, fact_rows, fact_keys, max_n,
+         |  fact_bytes, dim_rows, dim_bytes, broadcast_bytes, key_reused,
+         |  range_queried, key_min, key_max,
+         |  strategy,
+         |  CAST(CASE WHEN strategy <> 'salt' THEN 0
+         |    ELSE least(64, CASE WHEN (ratio & (ratio - 1)) = 0 THEN ratio
+         |      ELSE CAST(1 AS BIGINT) << length(bin(ratio)) END)
+         |  END AS BIGINT) AS salt_n,
+         |  CAST(CASE WHEN strategy <> 'bucket' THEN 0
+         |    ELSE CASE WHEN (tf & (tf - 1)) = 0 THEN tf
+         |      ELSE CAST(1 AS BIGINT) << length(bin(tf)) END
+         |  END AS BIGINT) AS bucket_n,
+         |  CAST(CASE WHEN strategy <> 'cluster' THEN 0
+         |    ELSE greatest((fact_bytes + 1048575) // 1048576,
+         |      CAST(1 AS BIGINT)) END AS BIGINT) AS cluster_n
+         |FROM w ORDER BY fact_rel, keycol, range_queried""".stripMargin
     },
     "pipeline_join_advisor" -> {
       // per-relation byte estimators: constant-for-constant the

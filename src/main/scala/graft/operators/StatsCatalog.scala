@@ -70,7 +70,12 @@ object StatsCatalog {
       .agg(count(lit(1)).as("n"),
         sum(Sharding.rowWidth(df).cast(LongType)).as("b"))
       .select(lit(rel).as("rel"), lit(keyCol).as("keycol"),
-        col("key"), col("n"), col("b"), lit(phase).as("phase"))
+        col("key"), col("n"), col("b"),
+        // the key's numeric value (null for non-numeric keys) — the
+        // zone-map statistic behind the advisor's `cluster` branch;
+        // per-key it is constant, so min/max merge across batches
+        expr("try_cast(key AS double)").as("knum"),
+        lit(phase).as("phase"))
 
   /** Destructive (re)build: one scan per leg, committed as manifest
     * v1 (phase = `build`). */
@@ -109,7 +114,8 @@ object StatsCatalog {
     IndexFiles.commitDataAppend(s, dir, "stats") {
       statsOf(batch, rel, keyCol, "retract")
         .select(col("rel"), col("keycol"), col("key"),
-          (-col("n")).as("n"), (-col("b")).as("b"), col("phase"))
+          (-col("n")).as("n"), (-col("b")).as("b"), col("knum"),
+          col("phase"))
         .write.mode("append").parquet(s"$dir/stats")
     }
 
@@ -141,6 +147,7 @@ object StatsCatalog {
     liveStats(s, dir)
       .groupBy(col("rel"), col("keycol"), col("key"))
       .agg(sum(col("n")).as("n"), sum(col("b")).as("b"),
+        min(col("knum")).as("knum"),
         sum(when(col("phase") === "build", col("n")).otherwise(0L))
           .as("n_build"),
         sum(when(col("phase") === "append", col("n")).otherwise(0L))
@@ -151,6 +158,7 @@ object StatsCatalog {
       .groupBy(col("rel"), col("keycol"))
       .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
         max(col("n")).as("max_n"), sum(col("b")).as("est_bytes"),
+        min(col("knum")).as("key_min"), max(col("knum")).as("key_max"),
         sum(col("n_build")).as("build_rows"),
         sum(col("n_append")).as("appended_rows"),
         sum(col("n_retract")).as("retracted_rows"))
@@ -193,9 +201,10 @@ object StatsCatalog {
       val preExisting = IndexFiles.listParquet(fs, root).map(_.rel).toSet
       val merged = IndexFiles.dataFrame(s, dir, "stats", man).get
         .groupBy(col("rel"), col("keycol"), col("key"), col("phase"))
-        .agg(sum(col("n")).as("n"), sum(col("b")).as("b"))
+        .agg(sum(col("n")).as("n"), sum(col("b")).as("b"),
+          min(col("knum")).as("knum"))
         .select(col("rel"), col("keycol"), col("key"),
-          col("n"), col("b"), col("phase"))
+          col("n"), col("b"), col("knum"), col("phase"))
       val targetFiles = math.max(1L,
         man.data.map(_.size).sum / (64L << 20)).toInt
       merged.coalesce(targetFiles)
@@ -254,18 +263,29 @@ object StatsCatalog {
         (col("drift_frac") > maxAppendedFrac).as("stale"))
       .orderBy(col("rel"), col("keycol"))
 
-  /** One cataloged leg's reduced numbers, for the executed-join path:
-    * (n_rows, n_keys, max_n, est_bytes), None when the leg is not
+  /** One cataloged leg's reduced numbers, for the executed-join
+    * path. `keyMin`/`keyMax` carry the key's numeric span (None for
+    * non-numeric keys) — the zone-map statistic the `cluster` branch
+    * decides on. */
+  case class LegStats(nRows: Long, nKeys: Long, maxN: Long,
+                      estBytes: Long, keyMin: Option[Double],
+                      keyMax: Option[Double])
+
+  /** One cataloged leg's [[LegStats]], None when the leg is not
     * cataloged (callers fall back to live stats). Bounded driver
     * read — one row. */
   def legStats(s: SparkSession, dir: String, rel: String,
-               keyCol: String): Option[(Long, Long, Long, Long)] = {
+               keyCol: String): Option[LegStats] = {
     if (!hasCatalog(s, dir)) return None
     reducedStats(s, dir)
       .where(col("rel") === rel && col("keycol") === keyCol)
       .collect().headOption
-      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
-        r.getAs[Long]("max_n"), r.getAs[Long]("est_bytes")))
+      .map(r => LegStats(r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("max_n"), r.getAs[Long]("est_bytes"),
+        if (r.isNullAt(r.fieldIndex("key_min"))) None
+        else Some(r.getAs[Double]("key_min")),
+        if (r.isNullAt(r.fieldIndex("key_max"))) None
+        else Some(r.getAs[Double]("key_max"))))
   }
 
   /** Gate entry: catalog the six advisor legs with each relation

@@ -227,6 +227,61 @@ class ScaleJoinsSpec extends SparkSpec {
         .agg(count(lit(1)), count(col("name"))).collect()(0))
   }
 
+  test("advised cluster branch: range-declared key lands a file-skipping layout, row-identical") {
+    import spark.implicits._
+    import graft.operators.StatsCatalog
+    val pad = "x" * 200
+    // numeric key spread over a wide span; both sides past the bound
+    val fact = (1L to 8000L).map(i => (i % 2000, pad)).toDF("k", "payload")
+    val dim = (0L to 1999L).map(i => (i, pad)).toDF("k", "name")
+    // the declaration gates the branch: same stats, no declaration ->
+    // the hot-key path (this fact is uniform -> plain)
+    assert(ScaleJoins.adviseJoin(fact, dim, "k",
+      broadcastBytes = 1024L)._1 == "plain")
+    val advice = ScaleJoins.adviseJoin(fact, dim, "k",
+      broadcastBytes = 1024L, targetBytes = 1L << 20, rangeQueried = true)
+    assert(advice._1 == "cluster" && advice._3 >= 1L, advice.toString)
+    // the cataloged decision agrees (span read from the persisted rows)
+    val cat = java.nio.file.Files
+      .createTempDirectory("graft_cluster_cat").toString
+    StatsCatalog.build(spark, cat, Seq(
+      StatsCatalog.Leg(fact, "fact", "k"), StatsCatalog.Leg(dim, "dim", "k")))
+    assert(ScaleJoins.adviseJoinCataloged(spark, cat, "fact", "dim", "k",
+      broadcastBytes = 1024L, targetBytes = 1L << 20,
+      rangeQueried = true).contains(advice))
+    // a NON-numeric key has no zone-map span: the catalog stores a
+    // null span and the branch falls through
+    val sfact = (1L to 8000L).map(i => (s"k${i % 2000}", pad))
+      .toDF("k", "payload")
+    StatsCatalog.append(spark, cat, sfact, "sfact", "k")
+    StatsCatalog.append(spark, cat, dim.select(col("k").cast("string")
+      .as("k"), col("name")), "sdim", "k")
+    assert(ScaleJoins.adviseJoinCataloged(spark, cat, "sfact", "sdim", "k",
+      broadcastBytes = 1024L, rangeQueried = true).get._1 != "cluster")
+    // EXECUTED: row-identical to the plain join, and the written
+    // layout's range scan prunes files via parquet min/max stats
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_cluster_lay").toString + "/fact"
+    val joined = ScaleJoins.clusteredJoin(fact, dim, "k",
+      nFiles = 8, layoutPath = layout)
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy(col("k")).agg(count(lit(1)), count(col("name")))
+    assert(joined.groupBy(col("k")).agg(count(lit(1)), count(col("name")))
+      .orderBy("k").collect().toSeq
+      == plain.orderBy("k").collect().toSeq)
+    val scan = spark.read.parquet(layout).where(col("k").between(0, 100))
+    scan.collect()
+    val scanned = scan.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value
+    assert(scanned < 8000 / 4,
+      s"advised cluster layout not skipping: scanned $scanned of 8000")
+    // advisedJoin executes the branch end-to-end
+    assert(ScaleJoins.advisedJoin(fact, dim, "k", broadcastBytes = 1024L,
+      targetBytes = 1L << 20, rangeQueried = true)
+      .groupBy(col("k")).agg(count(lit(1)), count(col("name")))
+      .orderBy("k").collect().toSeq == plain.orderBy("k").collect().toSeq)
+  }
+
   test("bucketedJoin table names are unique per call: an earlier frame survives a later call") {
     import spark.implicits._
     val fact1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")

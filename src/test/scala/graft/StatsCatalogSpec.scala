@@ -240,6 +240,27 @@ class StatsCatalogSpec extends SparkSpec {
     assert(adviceRows(cat) == adviceRows(full))
   }
 
+  test("key span (key_min/key_max) merges across phases; full retraction shrinks it") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, "p")).toDF("k", "v")
+    val cat = freshDir()
+    StatsCatalog.build(spark, cat, Seq(StatsCatalog.Leg(
+      rows.where(col("k") <= 50), "t", "k")))
+    StatsCatalog.append(spark, cat, rows.where(col("k") > 50), "t", "k")
+    def span(): (Double, Double, Long) = {
+      val r = StatsCatalog.reducedStats(spark, cat).collect()(0)
+      (r.getAs[Double]("key_min"), r.getAs[Double]("key_max"),
+        r.getAs[Long]("n_keys"))
+    }
+    assert(span() == ((1.0, 100.0, 100L)),
+      "span must merge across build and append batches")
+    // retracting every row of the top keys drops them from the view,
+    // and the span SHRINKS with them — tighter than a classical
+    // zone map, which can only ever widen
+    StatsCatalog.retract(spark, cat, rows.where(col("k") > 75), "t", "k")
+    assert(span() == ((1.0, 75.0, 75L)))
+  }
+
   test("two racing appends both land (writer lock + conditional commit)") {
     val docs = Tables.documents(spark, Sf)
     val cat = freshDir()
