@@ -202,6 +202,8 @@ object GraftEngine {
       "serve_ann_probe" -> ((s, d, p) =>
         Similarity.serveAnnProbe(s, d, nProbe = p.int("nProbe", 0),
           topK = p.int("topK", 10), indexDir = p.str("indexDir", ""))),
+      "sim_ann_tuned" -> ((s, d, p) =>
+        Similarity.simAnnTuned(s, d, recallSLO = p.double("slo", 0.9))),
       "dedup_incremental_near" -> ((s, d, p) =>
         graft.operators.TextIndex.dedupIncrementalNear(s, d,
           indexDir = p.str("indexDir", ""))),

@@ -502,6 +502,33 @@ object Similarity {
     AnnIndex.query(s, dirEff, queriesSet(emb), nProbe = nProbe, topK = topK)
   }
 
+  /** SLO-tuned serving probe — [[serveAnnProbe]] with the probe count
+    * picked by [[AnnIndex.tune]] instead of the derived heuristic:
+    * build + tune once per JVM (the recall curve is maintenance work,
+    * priced with the build), then every call probes with the STAMPED
+    * default (nProbe = 0 → the tune stamp), so the bench MIN tracks
+    * SLO-serving cost. Output carries the stamp and its measured
+    * recall so the gate artifact shows WHICH knob the SLO bought.
+    * Rows-only (recall thresholds aren't SQL-expressible);
+    * AnnIndexSpec pins minimal-grid-point selection, stamp honoring
+    * by query/queryPq, and rebuild retirement. */
+  def simAnnTuned(s: SparkSession, d: String,
+                  recallSLO: Double = 0.9): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val kEff = ivfK(n, 64L)
+    val dirEff = ivfIndexDir(d, kEff, "tuned", s"slo=$recallSLO")
+    if (!AnnIndex.hasIndex(s, dirEff)) {
+      AnnIndex.build(s, emb, dirEff, k = kEff)
+      AnnIndex.tune(s, dirEff, queriesSet(emb), recallSLO)
+    }
+    val t = s.read.parquet(s"$dirEff/tuned").collect().head
+    AnnIndex.query(s, dirEff, queriesSet(emb), nProbe = 0, topK = K)
+      .withColumn("tuned_nprobe", lit(t.getAs[Int]("n_probe")))
+      .withColumn("tuned_recall",
+        round(lit(t.getAs[Double]("recall")), 4))
+  }
+
   /** ANN via IVF×PQ — the FAISS IVFPQ serving composition (Jégou et
     * al. 2011 §V): PQ codes live INSIDE the persisted IVF's cell
     * directories, so the ADC scan — flat PQ's one remaining full pass
@@ -1091,6 +1118,7 @@ object Similarity {
     "sim_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
       simAnnIvfPersisted(s, d)),
     "serve_ann_probe" -> ((s: SparkSession, d: String) => serveAnnProbe(s, d)),
+    "sim_ann_tuned" -> ((s: SparkSession, d: String) => simAnnTuned(s, d)),
     "sim_ann_pq" -> ((s: SparkSession, d: String) => simAnnPq(s, d)),
     "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => simAnnIvfPq(s, d)),
     // gate entry runs at the exact twin's threshold so the rows-only

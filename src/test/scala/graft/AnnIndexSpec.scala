@@ -454,4 +454,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(grown.refitNeeded && grown.appendedFrac >= 1.0,
       s"2x growth must trigger a refit: $grown")
   }
+
+  test("tune stamps the minimal SLO-meeting nProbe; query and queryPq honor it; rebuild retires it") {
+    val emb = Tables.embeddings(spark, Sf)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dir = freshDir("tune")
+    AnnIndex.build(spark, emb, dir, k = 32)
+    // probe-all IS the exact twin over the index (same kernel, same
+    // tie-break) — the reference every grid level is measured against
+    def annSet(p: Int): Set[(Long, Long)] =
+      AnnIndex.query(spark, dir, queries, nProbe = p)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = annSet(32)
+    def recallOf(p: Int): Double =
+      annSet(p).intersect(exact).size.toDouble / exact.size
+    val grid = Seq(1, 2, 4, 8, 16, 32)
+    val (nP, rec) = AnnIndex.tune(spark, dir, queries,
+      recallSLO = 0.9, grid = grid)
+    assert(rec >= 0.9, s"tune must meet the SLO on a probe-all-capable grid: $rec")
+    assert(math.abs(recallOf(nP) - rec) < 1e-12,
+      "tune's reported recall must match an independent re-measure")
+    grid.filter(_ < nP).foreach { p =>
+      assert(recallOf(p) < 0.9,
+        s"nProbe=$p already meets the SLO — tune did not pick the minimum")
+    }
+    // the stamp IS the serving default now
+    assert(AnnIndex.query(spark, dir, queries).collect().toSeq
+      == AnnIndex.query(spark, dir, queries, nProbe = nP).collect().toSeq,
+      "query(nProbe=0) must serve the stamped probe count")
+    // a PQ index honors its own stamp through queryPq
+    val pqDir = freshDir("tunepq")
+    AnnIndex.buildPq(spark, emb, pqDir, k = 32)
+    val (nPq, _) = AnnIndex.tune(spark, pqDir, queries, recallSLO = 0.7,
+      grid = grid, rawEmb = Some(emb))
+    assert(AnnIndex.queryPq(spark, pqDir, queries, emb).collect().toSeq
+      == AnnIndex.queryPq(spark, pqDir, queries, emb, nProbe = nPq)
+        .collect().toSeq,
+      "queryPq(nProbe=0) must serve the stamped probe count")
+    // a rebuild changes the generation: the old stamp is retired and
+    // the derived heuristic takes over until the next tune
+    AnnIndex.build(spark, emb, dir, k = 32)
+    val stampGen = spark.read.parquet(s"$dir/tuned")
+      .collect().head.getAs[String]("built")
+    assert(stampGen != AnnIndex.status(spark, dir).built,
+      "rebuild must mint a new generation the old stamp cannot match")
+    assert(AnnIndex.query(spark, dir, queries).collect().toSeq
+      == AnnIndex.query(spark, dir, queries,
+        nProbe = graft.operators.Similarity.ivfNProbe(32)).collect().toSeq,
+      "an untuned generation must fall back to the derived default")
+  }
 }
