@@ -400,6 +400,35 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming stats maintenance — the CATALOG twin of
+    * [[annIngestStream]]: each micro-batch's per-key deltas fold into
+    * the persisted [[graft.operators.StatsCatalog]] via `append` (the
+    * batch is the only input — standing data is never re-read), so
+    * online ingest keeps join/layout advice fresh without an ANALYZE
+    * pass ever running against the grown corpus. Per-key subtotals
+    * SUM, so streaming N micro-batches ≡ appending their union as one
+    * batch (StreamingSpec pins the parity); a batch racing a compact
+    * WAITS out the writer lock and lands (the StatsCatalogSpec race
+    * pin — same lock discipline as every manifest writer). Delivery
+    * is at-least-once: a replayed micro-batch re-appends its
+    * subtotals and over-counts until the next build or a retract of
+    * the replayed drop re-baselines — the staleness drift check
+    * prices exactly that. */
+  def statsIngestStream(rows: DataFrame, catalogDir: String, rel: String,
+                        keyCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.StatsCatalog.append(batch.sparkSession,
+            catalogDir, batch.toDF(), rel, keyCol)
+        ()
+      }
+      .start()
+
   /** Streaming incremental near-dup ingest — the TEXT twin of
     * [[annIngestStream]], riding TextIndex (the persisted MinHash
     * bucket index): each micro-batch of documents screens against the

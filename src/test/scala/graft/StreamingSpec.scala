@@ -460,6 +460,43 @@ class StreamingSpec extends SparkSpec {
       s"lost appends across the compact: missing ${(want -- got).take(5)}")
   }
 
+  test("streaming stats ingest: N micro-batches equal one batch append") {
+    import spark.implicits._
+    import graft.operators.StatsCatalog
+    val rows = (1L to 300L).map(i => (i % 30, s"payload$i"))
+    val standing = rows.filter(_._1 < 10).toDF("k", "v")
+    val arriving = rows.filter(_._1 >= 10)
+    def fresh(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft_statstream_$tag").toString
+    val streamCat = fresh("s"); val oneCat = fresh("o")
+    Seq(streamCat, oneCat).foreach(c => StatsCatalog.build(spark, c,
+      Seq(StatsCatalog.Leg(standing, "t", "k"))))
+    // reference: the whole drop folded as ONE batch append
+    StatsCatalog.append(spark, oneCat, arriving.toDF("k", "v"), "t", "k")
+    // same drop as THREE micro-batches through the stream — per-key
+    // subtotals sum, so the merged catalog must be advice-identical
+    // (keys deliberately straddle batch boundaries: 100-row slices of
+    // a 20-key tail re-mention every key in every slice)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.EventStreams.statsIngestStream(
+      ms.toDF().toDF("k", "v"), streamCat, "t", "k", fresh("ckpt"))
+    try {
+      arriving.grouped(100).foreach { slice =>
+        ms.addData(slice)
+        q.processAllAvailable()
+      }
+      assert(q.exception.isEmpty, s"stats ingest stream failed: ${q.exception}")
+    } finally q.stop()
+    def red(c: String) = StatsCatalog.reducedStats(spark, c)
+      .orderBy("rel", "keycol").collect().map(_.toSeq).toSeq
+    assert(red(streamCat) == red(oneCat),
+      "streamed per-key deltas must merge to the one-batch append")
+    // and the streamed catalog answers the same advice
+    assert(StatsCatalog.advice(spark, streamCat).collect().map(_.toSeq).toSeq
+      == StatsCatalog.advice(spark, oneCat).collect().map(_.toSeq).toSeq)
+  }
+
   test("quality gate stream admits like the batch scorer on the persisted model") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_qgate").toString
