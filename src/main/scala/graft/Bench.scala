@@ -93,7 +93,17 @@ object Bench {
     // index once per JVM — its MIN tracks steady-state admission,
     // run-1 build shows as spread (the serve_ann_probe discipline)
     "pipeline_stats_catalog", "pipeline_pair_advisor",
-    "pipeline_bpe_curve")
+    "pipeline_bpe_curve",
+    // round 16: the shapes new this round — the retract-bearing
+    // catalog's advice read (survivor merge over three phases), the
+    // five-way pair advisor with the cluster branch + key-span
+    // extremes, and the SLO-tuned serving probe (build+tune once per
+    // JVM; MIN tracks the stamped-default probe). pipeline_stats_
+    // catalog and the BPE entries keep their keys but now build/fit
+    // once per JVM — their MINs track the advice read / scoring pass
+    // (the serve_ann_probe discipline), run-1 construction as spread
+    "pipeline_stats_retract", "pipeline_cluster_advice",
+    "sim_ann_tuned")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -580,4 +580,65 @@ class EdgeCaseSpec extends SparkSpec {
       spark, Seq(2)).collect()
     assert(ws.length == 1)
   }
+
+  test("round-16 operators survive hostile and degenerate input") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Pretrain, ScaleJoins, StatsCatalog}
+    val rows = (1L to 20L).map(i => (i % 5, s"p$i")).toDF("k", "v")
+    val emptyF = Seq.empty[(Long, String)].toDF("k", "v")
+    // retract of an EMPTY batch is a committed no-op (advice unchanged)
+    val cat = java.nio.file.Files
+      .createTempDirectory("graft_r16_edge").toString
+    StatsCatalog.build(spark, cat, Seq(StatsCatalog.Leg(rows, "t", "k")))
+    val before = StatsCatalog.advice(spark, cat).collect().map(_.toSeq).toSeq
+    StatsCatalog.retract(spark, cat, emptyF, "t", "k")
+    assert(StatsCatalog.advice(spark, cat).collect().map(_.toSeq).toSeq
+      == before)
+    // OVER-retraction (retracting a batch twice) drives keys net-
+    // negative: they drop from the view rather than crash or go
+    // negative in any reduced number
+    StatsCatalog.retract(spark, cat, rows, "t", "k")
+    StatsCatalog.retract(spark, cat, rows, "t", "k")
+    assert(StatsCatalog.reducedStats(spark, cat).collect().isEmpty,
+      "over-retracted keys must vanish, not go negative")
+    assert(StatsCatalog.legStats(spark, cat, "t", "k").isEmpty)
+    // layout execution on an EMPTY relation: both halves land and read
+    // back as zero rows, the bucketed join answers empty
+    val eb = graft.sources.Sources.applyBucketLayout(emptyF, 2, "k",
+      "graft_edge_empty_bucket")
+    assert(eb.count() == 0L)
+    val ep = java.nio.file.Files
+      .createTempDirectory("graft_r16_edge_files").toString + "/e"
+    assert(graft.sources.Sources.applyFileLayout(emptyF, 3, ep).count() == 0L)
+    assert(ScaleJoins.clusteredJoin(emptyF, rows.toDF("k", "name"), "k",
+      nFiles = 4).count() == 0L)
+    // tune input guards fail loudly: duplicate grid, out-of-range SLO
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r16_edge_ann").toString
+    AnnIndex.build(spark, Tables.embeddings(spark, Sf), dir, k = 8)
+    val qs = Tables.embeddings(spark, Sf).where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.tune(spark, dir, qs, recallSLO = 0.9, grid = Seq(4, 4))
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.tune(spark, dir, qs, recallSLO = 1.5)
+    }
+    // an unreachable SLO stamps the largest grid point and reports the
+    // shortfall instead of looping or throwing
+    val (nP, rec) = AnnIndex.tune(spark, dir, qs, recallSLO = 1.0,
+      grid = Seq(1))
+    assert(nP == 1 && rec <= 1.0)
+    // bpeCurveFitted with an EMPTY merge list is the character model:
+    // rows emit, fertility is the chars-per-word ratio at every size
+    val c = Pretrain.bpeCurveFitted(
+      Seq((1L, "ab ab", "s")).toDF("doc_id", "text", "source"),
+      spark, Seq(2, 4), Seq.empty).collect()
+    assert(c.length == 2 && c.map(_.getDouble(5)).distinct.length == 1)
+    // duplicate grid rejected on the fitted path too
+    intercept[IllegalArgumentException] {
+      Pretrain.bpeCurveFitted(rows.toDF("doc_id", "text")
+        .withColumn("source", lit("s")), spark, Seq(4, 4), Seq.empty)
+    }
+  }
 }
