@@ -58,18 +58,27 @@ import graft.Tables._
   * every later join decision is a metadata read. */
 object StatsCatalog {
 
-  /** A declared (relation, key) leg for [[build]]. */
-  case class Leg(df: DataFrame, rel: String, keyCol: String)
+  /** A declared (relation, key) leg for [[build]]. `keyAs` catalogs
+    * the leg UNDER A DIFFERENT KEY NAME than the physical column —
+    * catalog legs are looked up by (rel, keycol), and the executed
+    * join's dim side usually carries the FACT's key name
+    * (s_suppkey → l_suppkey), so without the alias a dim cataloged
+    * under its native name silently misses and advisedJoin falls back
+    * to a live scan. Default: the physical name. */
+  case class Leg(df: DataFrame, rel: String, keyCol: String,
+                 keyAs: String = "")
 
   /** Per-key subtotals of one relation under one key — the mergeable
     * unit both [[build]] and [[append]] write. One partial+final agg
-    * over the input; output is distinct-key sized. */
+    * over the input; output is distinct-key sized. `keyAs` renames
+    * the cataloged keycol (see [[Leg]]). */
   def statsOf(df: DataFrame, rel: String, keyCol: String,
-              phase: String): DataFrame =
+              phase: String, keyAs: String = ""): DataFrame =
     df.groupBy(col(keyCol).cast(StringType).as("key"))
       .agg(count(lit(1)).as("n"),
         sum(Sharding.rowWidth(df).cast(LongType)).as("b"))
-      .select(lit(rel).as("rel"), lit(keyCol).as("keycol"),
+      .select(lit(rel).as("rel"),
+        lit(if (keyAs.nonEmpty) keyAs else keyCol).as("keycol"),
         col("key"), col("n"), col("b"),
         // the key's numeric value (null for non-numeric keys) — the
         // zone-map statistic behind the advisor's `cluster` branch;
@@ -82,7 +91,7 @@ object StatsCatalog {
   def build(s: SparkSession, dir: String, legs: Seq[Leg]): Unit = {
     require(legs.nonEmpty, "stats catalog build needs at least one leg")
     IndexFiles.commitRebuild(s, dir, "stats") {
-      legs.map(l => statsOf(l.df, l.rel, l.keyCol, "build"))
+      legs.map(l => statsOf(l.df, l.rel, l.keyCol, "build", l.keyAs))
         .reduce(_.unionAll(_))
         .write.mode("overwrite").parquet(s"$dir/stats")
     }
@@ -92,9 +101,9 @@ object StatsCatalog {
     * `append`). The batch is the ONLY input — standing data is never
     * re-read; merge happens at read time by summing subtotals. */
   def append(s: SparkSession, dir: String, batch: DataFrame,
-             rel: String, keyCol: String): Unit =
+             rel: String, keyCol: String, keyAs: String = ""): Unit =
     IndexFiles.commitDataAppend(s, dir, "stats") {
-      statsOf(batch, rel, keyCol, "append")
+      statsOf(batch, rel, keyCol, "append", keyAs)
         .write.mode("append").parquet(s"$dir/stats")
     }
 
@@ -110,9 +119,9 @@ object StatsCatalog {
     * drop it). Retract what was actually removed — retracting rows
     * never ingested over-corrects, exactly as it would any ledger. */
   def retract(s: SparkSession, dir: String, batch: DataFrame,
-              rel: String, keyCol: String): Unit =
+              rel: String, keyCol: String, keyAs: String = ""): Unit =
     IndexFiles.commitDataAppend(s, dir, "stats") {
-      statsOf(batch, rel, keyCol, "retract")
+      statsOf(batch, rel, keyCol, "retract", keyAs)
         .select(col("rel"), col("keycol"), col("key"),
           (-col("n")).as("n"), (-col("b")).as("b"), col("knum"),
           col("phase"))
@@ -136,14 +145,40 @@ object StatsCatalog {
       throw new IllegalStateException(s"stats catalog at $dir is empty"))
   }
 
+  private def reducedPath(dir: String) = s"$dir/reduced"
+
   /** Merged reduced stats per (rel, keycol): the joinAdvice input
     * numbers plus the build/append/retract phase split — per-key
     * subtotals sum FIRST (the mergeable level), then reduce. A key
     * whose NET count is zero (fully retracted) drops before the
     * reduce, exactly as a rebuild over the survivors would drop it —
     * so n_keys/max_n/est_bytes describe the surviving catalog, and
-    * the no-retract numbers are byte-identical to round 15's. */
-  def reducedStats(s: SparkSession, dir: String): DataFrame =
+    * the no-retract numbers are byte-identical to round 15's.
+    *
+    * Read path: [[compact]] persists this reduce as a snapshot
+    * stamped with the manifest version it summarizes; when the stamp
+    * matches the CURRENT version (no write since the compact), the
+    * snapshot serves directly — advice/staleness/layout become
+    * O(legs) reads instead of a per-call scan of every per-key row
+    * (round-15 advisory: ~4 GB per advice call at 10⁸ keys). Any
+    * append/retract/build bumps the version and structurally retires
+    * the snapshot — no freshness heuristics, the same generation
+    * keying as [[AnnIndex.tune]]'s stamp. Identity with the live
+    * reduce is by construction (the snapshot IS the live reduce,
+    * materialized when nothing has changed since); spec-pinned, and
+    * pinned OBSERVABLY: after a compact, advice answers with the
+    * per-key stats files deleted. */
+  def reducedStats(s: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(reducedPath(dir))
+    if (IndexFiles.fsFor(s, p).exists(p)) {
+      val snap = s.read.parquet(p.toString)
+        .where(col("_v") === IndexFiles.currentVersion(s, dir))
+      if (!snap.isEmpty) return snap.drop("_v")
+    }
+    liveReduced(s, dir)
+  }
+
+  private def liveReduced(s: SparkSession, dir: String): DataFrame =
     liveStats(s, dir)
       .groupBy(col("rel"), col("keycol"), col("key"))
       .agg(sum(col("n")).as("n"), sum(col("b")).as("b"),
@@ -213,6 +248,14 @@ object StatsCatalog {
         .filterNot(e => preExisting(e.rel))
       val next = IndexFiles.commitCompactSwap(s, dir,
         man.dataFiles.toSet, added, Set.empty)
+      // persist the reduced level, stamped with the version it
+      // summarizes — advice/staleness/layout serve from it until the
+      // next write bumps the version (see [[reducedStats]]); a crash
+      // between the swap and this write leaves a stale-stamped
+      // snapshot that the version check simply ignores
+      liveReduced(s, dir)
+        .withColumn("_v", lit(next.version))
+        .coalesce(1).write.mode("overwrite").parquet(reducedPath(dir))
       (before, next.data.size.toLong)
     }
 

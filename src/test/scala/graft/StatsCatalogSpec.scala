@@ -261,6 +261,80 @@ class StatsCatalogSpec extends SparkSpec {
     assert(span() == ((1.0, 75.0, 75L)))
   }
 
+  test("keyAs catalogs a dim under the fact's key name — no pre-rename needed") {
+    import spark.implicits._
+    val pad = "x" * 200
+    val fact = (1L to 5000L).map(i => (i % 100, pad)).toDF("jk", "payload")
+    val dim = (0L to 99L).map(i => (i, pad)).toDF("dk", "name")
+    // native-name build misses the lookup (the round-15 documented
+    // aliasing gap): the advisor falls back to live stats
+    val miss = freshDir()
+    StatsCatalog.build(spark, miss, Seq(
+      StatsCatalog.Leg(fact, "fact", "jk"),
+      StatsCatalog.Leg(dim, "dim", "dk")))
+    assert(ScaleJoins.adviseJoinCataloged(spark, miss, "fact", "dim", "jk",
+      broadcastBytes = 1024L).isEmpty)
+    // keyAs catalogs the SAME dim under the join-time name
+    val hit = freshDir()
+    StatsCatalog.build(spark, hit, Seq(
+      StatsCatalog.Leg(fact, "fact", "jk"),
+      StatsCatalog.Leg(dim, "dim", "dk", keyAs = "jk")))
+    val viaAlias = ScaleJoins.adviseJoinCataloged(spark, hit,
+      "fact", "dim", "jk", broadcastBytes = 1024L)
+    assert(viaAlias.isDefined)
+    // ...and answers exactly what a pre-renamed build would
+    val renamed = freshDir()
+    StatsCatalog.build(spark, renamed, Seq(
+      StatsCatalog.Leg(fact, "fact", "jk"),
+      StatsCatalog.Leg(dim.select(col("dk").as("jk"), col("name")),
+        "dim", "jk")))
+    assert(viaAlias == ScaleJoins.adviseJoinCataloged(spark, renamed,
+      "fact", "dim", "jk", broadcastBytes = 1024L))
+  }
+
+  test("compact persists a version-stamped reduced snapshot; writes retire it") {
+    val docs = Tables.documents(spark, Sf)
+    val cat = freshDir()
+    StatsCatalog.build(spark, cat, Seq(StatsCatalog.Leg(
+      docs.where(col("doc_id") % 3 === 0), "documents", "source")))
+    (1 until 3).foreach { r =>
+      StatsCatalog.append(spark, cat, docs.where(col("doc_id") % 3 === r),
+        "documents", "source")
+    }
+    val pre = adviceRows(cat)
+    val staleBefore = StatsCatalog.staleness(spark, cat)
+      .collect().map(_.toSeq).toSeq
+    StatsCatalog.compact(spark, cat)
+    assert(adviceRows(cat) == pre,
+      "snapshot-served advice must equal the live reduce")
+    // OBSERVABLE: the snapshot really serves — delete every per-key
+    // stats file and the read verbs still answer (a live reduce would
+    // throw on the missing manifest-listed files)
+    val statsDir = new java.io.File(s"$cat/stats")
+    statsDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    assert(adviceRows(cat) == pre)
+    assert(StatsCatalog.staleness(spark, cat)
+      .collect().map(_.toSeq).toSeq == staleBefore)
+    assert(StatsCatalog.layoutAdvice(spark, cat).collect().nonEmpty)
+    // retirement: on a parallel catalog, a post-compact append bumps
+    // the version — the stale snapshot is ignored and the live reduce
+    // (now including the new batch) answers, equal to a full rebuild
+    val cat2 = freshDir()
+    StatsCatalog.build(spark, cat2, Seq(StatsCatalog.Leg(
+      docs.where(col("doc_id") % 2 === 0), "documents", "source")))
+    StatsCatalog.append(spark, cat2, docs.where(col("doc_id") % 4 === 1),
+      "documents", "source")
+    StatsCatalog.compact(spark, cat2)
+    StatsCatalog.append(spark, cat2, docs.where(col("doc_id") % 4 === 3),
+      "documents", "source")
+    val full = freshDir()
+    StatsCatalog.build(spark, full,
+      Seq(StatsCatalog.Leg(docs, "documents", "source")))
+    assert(adviceRows(cat2) == adviceRows(full),
+      "a post-compact write must retire the snapshot, not be masked by it")
+  }
+
   test("two racing appends both land (writer lock + conditional commit)") {
     val docs = Tables.documents(spark, Sf)
     val cat = freshDir()
