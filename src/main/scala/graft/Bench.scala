@@ -103,7 +103,13 @@ object Bench {
     // once per JVM — their MINs track the advice read / scoring pass
     // (the serve_ann_probe discipline), run-1 construction as spread
     "pipeline_stats_retract", "pipeline_cluster_advice",
-    "sim_ann_tuned")
+    "sim_ann_tuned",
+    // round 16b: the two new corpus-pass shapes — SQ8 ANN (encode +
+    // decode-once scan + native l2sq ADC + exact rerank: the 4×
+    // compression tier under PQ's 32×) and the temperature mixture
+    // (derived-weight md5-draw filter — a pure map-only scan whose
+    // number tracks scan efficiency)
+    "sim_ann_sq8", "pipeline_temperature_mixture")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

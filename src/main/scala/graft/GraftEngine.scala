@@ -196,6 +196,25 @@ object GraftEngine {
           nProbe = p.int("nProbe", 0), m = p.int("m", 8),
           codebookK = p.int("codebookK", 64), rerank = p.int("rerank", 0),
           targetCellSize = p.long("targetCellSize", 64L))),
+      "sim_ann_sq8" -> ((s, d, p) =>
+        Similarity.simAnnSq8(s, d, rerank = p.int("rerank", 0))),
+      "sim_ann_ivfsq8" -> ((s, d, p) =>
+        Similarity.simAnnIvfSq8(s, d, k = p.int("k", 0),
+          nProbe = p.int("nProbe", 0), rerank = p.int("rerank", 0),
+          targetCellSize = p.long("targetCellSize", 64L))),
+      "sim_ivf_balance" -> ((s, d, p) =>
+        Similarity.ivfBalance(Tables.embeddings(s, d),
+          hotFactor = p.double("hotFactor", 2.0))),
+      "pipeline_temperature_mixture" -> ((s, d, p) =>
+        Sharding.temperatureMix(docsWithTokens(s, d, p),
+          alpha = p.double("alpha", 0.5), seed = p.long("seed", 42L),
+          hashMode = p.str("hash", "md5"))
+          .groupBy(col("lang"), col("sample_frac"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("lang"))),
+      "pipeline_asof_read" -> ((s, d, p) =>
+        Sharding.pipelineAsofRead(s, d, v = p.long("v", 1L))),
       "sim_knn_graph" -> ((s, d, p) =>
         Similarity.simKnnGraph(s, d, k = p.int("k", 3),
           nProbe = p.int("nProbe", 4))),

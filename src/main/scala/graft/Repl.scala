@@ -74,10 +74,11 @@ object Repl {
     val toks = rest.trim.split("\\s+")
     require(toks.length >= 3,
       "syntax: index <build|append|delete|compact|vacuum|status> " +
-        "<ann|text|media> <indexDir> [dataDir] [key=value ...]")
+        "<ann|pq|sq8|text|media> <indexDir> [dataDir] [key=value ...]")
     val (verb, kind, dir) = (toks(0).toLowerCase, toks(1).toLowerCase, toks(2))
-    require(kind == "ann" || kind == "pq" || kind == "text" || kind == "media",
-      s"unknown index kind '$kind' — expected ann, pq, text or media")
+    require(kind == "ann" || kind == "pq" || kind == "sq8" ||
+      kind == "text" || kind == "media",
+      s"unknown index kind '$kind' — expected ann, pq, sq8, text or media")
     def mediaBlobs(dataDir: String) = graft.operators.Multimodal
       .withBlobs(Tables.documents(spark, dataDir))
     val (kvs, positional) = toks.drop(3).partition(_.contains("="))
@@ -99,6 +100,12 @@ object Repl {
           targetCellSize = p.long("targetCellSize", 64L))
         s"built ivfpq index at $dir (k=${qz.centroids.length}, " +
           s"m=${qz.codebooks.length})"
+      case ("build", "sq8") =>
+        val (cents, _) = AnnIndex.buildSq8(spark,
+          Tables.embeddings(spark, dataDir), dir, k = p.int("k", 0),
+          targetCellSize = p.long("targetCellSize", 64L))
+        s"built ivfsq8 index at $dir (k=${cents.length}, " +
+          s"dim=${cents.head.length})"
       case ("build", "text") =>
         TextIndex.build(spark, Tables.documents(spark, dataDir), dir)
         s"built text index at $dir"
@@ -110,6 +117,9 @@ object Repl {
         s"appended embeddings from $dataDir into $dir"
       case ("append", "pq") =>
         AnnIndex.appendPq(spark, Tables.embeddings(spark, dataDir), dir)
+        s"appended embeddings from $dataDir into $dir"
+      case ("append", "sq8") =>
+        AnnIndex.appendSq8(spark, Tables.embeddings(spark, dataDir), dir)
         s"appended embeddings from $dataDir into $dir"
       case ("append", "text") =>
         TextIndex.append(spark, Tables.documents(spark, dataDir), dir)
@@ -124,7 +134,7 @@ object Repl {
         else if (kind == "media") MediaIndex.delete(spark, dir, ids)
         else AnnIndex.delete(spark, dir, ids)
         s"tombstoned ${ids.length} id(s) in $dir"
-      case ("compact", "ann" | "pq") =>
+      case ("compact", "ann" | "pq" | "sq8") =>
         val (before, after) = AnnIndex.compact(spark, dir,
           maxFilesPerCell = p.int("maxFilesPerCell", 4))
         s"compacted $dir: live data files $before -> $after"

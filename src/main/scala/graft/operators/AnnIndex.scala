@@ -641,6 +641,170 @@ object AnnIndex {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---- SQ8 lifecycle --------------------------------------------------
+
+  /** Per-dimension SQ8 quantizer: x ≈ mn + code·step, code ∈ [0,255]. */
+  case class Sq8Ranges(mn: Array[Double], step: Array[Double])
+
+  private val sq8Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Sq8Ranges)]()
+
+  /** Fit (or adopt) the coarse quantizer + per-dim SQ8 ranges and
+    * persist the byte-encoded index as a fresh build generation — the
+    * 4× compression tier between raw IVF (1×, exact) and IVFPQ (32×,
+    * lossy): cells hold one byte per coordinate packed 8-per-long, so
+    * a probe reads ¼ of raw's bytes while the in-cell ranking stays
+    * near-exact (max reconstruction error = step/2 per dimension —
+    * no residual codebooks, no k-means beyond the coarse fit, no PQ
+    * probe-budget headroom). Identical manifest/layout contract to
+    * [[build]]/[[buildPq]]: same cell directories, same tombstone and
+    * compact/vacuum verbs, same partition-filter probe pruning. */
+  def buildSq8(s: SparkSession, emb: DataFrame, dir: String, k: Int = 0,
+               targetCellSize: Long = 64L,
+               pinned: Option[(Array[Array[Double]], Sq8Ranges)] = None)
+      : (Array[Array[Double]], Sq8Ranges) = {
+    import s.implicits._
+    val n = emb.count()
+    val sample = Similarity.fitSample(emb)
+    val (centroids, ranges) = pinned.getOrElse {
+      val kEff = if (k > 0) k else Similarity.ivfK(n, targetCellSize)
+      val cents = Similarity.lloyds(sample, kEff, iters = 10, seed = 42)
+      val (mn, step) = Similarity.sq8FitRanges(emb)
+      (cents, Sq8Ranges(mn.toArray, step.toArray))
+    }
+    IndexFiles.commitRebuild(s, dir, "cells") {
+      writeSq8Encoded(s, emb, dir, centroids, ranges, "overwrite")
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      ranges.mn.indices.map(i => (i, ranges.mn(i), ranges.step(i))).toSeq
+        .toDF("pos", "mn", "step")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/sq8")
+      Seq((centroids.length, centroids.head.length, n,
+          meanD2(sample, centroids)))
+        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    (centroids, ranges)
+  }
+
+  def readSq8Ranges(s: SparkSession, dir: String): Sq8Ranges = {
+    val rows = s.read.parquet(s"$dir/sq8").orderBy(col("pos")).collect()
+    Sq8Ranges(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  private def cachedSq8(s: SparkSession, dir: String,
+                        built: String): Sq8Ranges = {
+    Option(sq8Cache.get(dir)).filter(_._1 == built).map(_._2).getOrElse {
+      val r = readSq8Ranges(s, dir)
+      sq8Cache.put(dir, (built, r))
+      r
+    }
+  }
+
+  /** Encode `newVecs` with the PERSISTED quantizer ranges and append
+    * into the cell directories — map-only; out-of-range coordinates
+    * clamp to the fit-time range edge (the standard SQ trade; a batch
+    * far outside the ranges is what [[maintain]]'s distortion trigger
+    * flags for refit). Waits out a concurrent [[compact]]'s writer
+    * lock, as [[append]]. */
+  def appendSq8(s: SparkSession, newVecs: DataFrame, dir: String): Unit = {
+    val centroids = readCentroids(s, dir)
+    val ranges = readSq8Ranges(s, dir)
+    IndexFiles.commitDataAppend(s, dir, "cells") {
+      writeSq8Encoded(s, newVecs, dir, centroids, ranges, "append")
+    }
+  }
+
+  private def writeSq8Encoded(s: SparkSession, emb: DataFrame, dir: String,
+                              centroids: Array[Array[Double]],
+                              ranges: Sq8Ranges, mode: String): Unit = {
+    val dim = centroids.head.length
+    Similarity.sq8WithPacked(
+        emb.select(col("vec_id"), col("embedding"),
+          guardedCell(dim, centroids).as("cell")),
+        ranges.mn.toSeq, ranges.step.toSeq)
+      .select(col("vec_id"), col("cell"), col("packed"))
+      .repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Decode-and-rescore top-k against the SQ8 index at rest: probe
+    * lists prune cell directories at plan time (as [[query]]), the
+    * probed cells' codes decode ONCE map-only and rank with the
+    * native vec_l2sq kernel against the broadcast queries, and the
+    * approx top-`rerank` short list rescores exactly against
+    * `rawEmb`. Default probe budget is plain IVF's — SQ8's in-cell
+    * ranking is near-exact, so probe misses dominate exactly as in
+    * the raw index and PQ's 3× headroom buys nothing. Cost columns
+    * as [[queryPq]]. */
+  def querySq8(s: SparkSession, dir: String, queries: DataFrame,
+               rawEmb: DataFrame, nProbe: Int = 0, rerank: Int = 0,
+               topK: Int = 10, candFracOver: Long = 0L,
+               excludeSelf: Boolean = true): DataFrame = {
+    import s.implicits._
+    val man = IndexFiles.read(s, dir)
+    val qz = cachedQuantizers(s, dir, man.built, needPq = false)
+    val meta = qz.meta
+    val ranges = cachedSq8(s, dir, man.built)
+    val cellRows = IndexFiles.dataFrame(s, dir, "cells", man)
+      .getOrElse(return emptyResult(s, candFracOver > 0L))
+    val nProbeEff =
+      if (nProbe > 0) nProbe
+      else qz.tunedNProbe.getOrElse(Similarity.ivfNProbe(meta.k))
+    val rerankEff =
+      if (rerank > 0) rerank
+      else Similarity.pqRerank(math.max(meta.nAtFit, candFracOver))
+    val flat = qz.centroids.flatten
+    val probes: Seq[(Long, Seq[Float], Int)] = queries
+      .select(col("q_id"), col("q_emb")).collect().toSeq.flatMap { r =>
+        val qe = r.getSeq[Float](1)
+        require(qe.size == meta.dim,
+          s"query ${r.getLong(0)} has dim ${qe.size}, index expects ${meta.dim}")
+        graft.functions.VectorKernels.nearestCells(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(qe.toArray),
+            true, flat, meta.k, meta.dim, nProbeEff)
+          .toIntArray().toSeq.map(c => (r.getLong(0), qe, c))
+      }
+    val probeCells = probes.map(_._3).distinct
+    val qs = probes.toDF("q_id", "q_emb", "cell")
+    val wq = Window.partitionBy(col("q_id"))
+    val candidates = Similarity.sq8WithRecon(
+        IndexFiles.dropTombstoned(s, dir, man,
+          cellRows.where(col("cell").isin(probeCells: _*)), "vec_id"),
+        ranges.mn.toSeq, ranges.step.toSeq)
+      .join(broadcast(qs), Seq("cell"))
+    val adc = (if (excludeSelf) candidates.where(col("vec_id") =!= col("q_id"))
+               else candidates)
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.l2sq(col("q_emb"), col("recon")).as("approx_d2"))
+    val withCost =
+      if (candFracOver > 0L) adc.withColumn("cand_frac",
+        round(count(lit(1)).over(wq) / lit(candFracOver.toDouble), 4))
+      else adc
+    val shortList = withCost
+      .withColumn("arank", row_number().over(
+        wq.orderBy(col("approx_d2").asc, col("vec_id"))))
+      .where(col("arank") <= rerankEff)
+    val reranked = shortList
+      .join(rawEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), Seq("q_id"))
+      .select((Seq(col("q_id"), col("vec_id"),
+        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("score"))
+        ++ (if (candFracOver > 0L) Seq(col("cand_frac")) else Nil)): _*)
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= topK)
+    val costCols = if (candFracOver > 0L)
+      Seq(col("cand_frac"),
+        round(lit(rerankEff / candFracOver.toDouble), 4).as("rerank_frac"))
+    else Nil
+    reranked
+      .select((Seq(col("q_id"), col("rank"), col("vec_id"), col("score"))
+        ++ costCols): _*)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** TARGETED compaction — fold litter, not the corpus. Every
     * [[append]] leaves one file set per batch in each touched cell;
     * after k ingests a hot cell holds k small files and the probe

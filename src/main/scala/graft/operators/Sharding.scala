@@ -439,6 +439,69 @@ object Sharding {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("lang"))
 
+  /** Temperature-scaled source mixture — [[mixCorpus]] with the weights
+    * DERIVED from the data instead of hand-pinned: w_s ∝ t_s^α over the
+    * per-stratum token totals (the mT5/XLM-R multilingual sampling rule;
+    * Xue et al. 2021 §3.3, Conneau et al. 2020 §3), which flattens a
+    * skewed corpus toward the small strata without the uniform-weight
+    * cliff. Because weight normalization cancels in the keep fraction —
+    * frac_s = w_s·min_k(t_k/w_k)/t_s = (t_min/t_s)^(1−α) — no
+    * cross-stratum float SUM ever happens, and with 1−α a dyadic power
+    * (α ∈ {0, 0.5, 0.75} → r, √r, √√r) every step is an IEEE
+    * correctly-rounded op (exact-long→double casts, one divide, nested
+    * sqrt), so DuckDB replays the fraction BIT-identically. General α
+    * needs pow(), which is not correctly rounded in either engine —
+    * rejected loudly rather than flaking the gate at the 2⁻²⁴ draw
+    * boundary. The smallest stratum keeps everything (frac = 1);
+    * sampling is without replacement, capped at 1 (true α-temperature
+    * UPSAMPLING with replication is [[epochPlan]]'s territory).
+    *
+    * Scale shape: identical to [[mixCorpus]] — one partial+final token
+    * total per stratum (#strata rows collected — bounded metadata), the
+    * per-doc keep decision is the same md5(doc_id:seed) 6-hex-digit
+    * draw against a literal threshold, map-only; the corpus never
+    * shuffles. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.5,
+                     seed: Long = 42L, hashMode: String = "md5",
+                     stratum: String = "lang"): DataFrame = {
+    val sqrtDepth = Map(0.0 -> 0, 0.5 -> 1, 0.75 -> 2)
+    require(sqrtDepth.contains(alpha),
+      s"alpha=$alpha not in {0, 0.5, 0.75} — only dyadic 1-alpha powers " +
+        "replay bit-identically across engines (see scaladoc)")
+    val withTokens = docs.withColumn("n_tokens", tokenCountCol(docs))
+    val totals = withTokens.groupBy(col(stratum))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(totals.nonEmpty, "empty corpus — no stratum totals")
+    val tMin = totals.values.min
+    def frac(t: Long): Double = {
+      var r = tMin.toDouble / t.toDouble
+      var i = 0
+      while (i < sqrtDepth(alpha)) { r = math.sqrt(r); i += 1 }
+      r
+    }
+    val fracs = totals.map { case (k, t) => k -> frac(t) }
+    // same 24-bit hex-threshold form as mixCorpus: fixed-width lowercase
+    // hex orders as its numeric value; frac >= 1 maps to "g" (keep-all)
+    val thrCol = fracs.foldLeft(lit("0")) { case (acc, (k, f)) =>
+      val thr = if (f >= 1.0) "g" else "%06x".format((f * 0x1000000).toLong)
+      when(col(stratum) === k, lit(thr)).otherwise(acc)
+    }
+    val fracCol = fracs.foldLeft(lit(Double.NaN)) { case (acc, (k, f)) =>
+      when(col(stratum) === k, lit(f)).otherwise(acc)
+    }
+    val draw = substring(seededHex(col("doc_id"), seed, hashMode), 1, 6)
+    withTokens.where(draw < thrCol).withColumn("sample_frac", fracCol)
+  }
+
+  def pipelineTemperatureMixture(s: SparkSession, d: String): DataFrame =
+    temperatureMix(documents(s, d))
+      .groupBy(col("lang"), col("sample_frac"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("sample_frac"), col("n_docs"),
+        col("n_tokens"))
+      .orderBy(col("lang"))
+
   /** Per-column dataset profile — the `ANALYZE TABLE` report a
     * pipeline reads before writing partitioning/bucketing config:
     * null count, exact distinct count, and a range stat (value range
@@ -870,6 +933,30 @@ object Sharding {
     scd2Build(base, changes)
   }
 
+  /** As-of read over an SCD2 history — the TIME-TRAVEL consumer of
+    * [[scd2Build]]: reconstruct the table exactly as it stood at
+    * version `v` ("which rows did last month's training run actually
+    * read?"). A key's row at v is the interval containing v —
+    * valid_from ≤ v < valid_to (open-ended intervals are current);
+    * keys first inserted after v and keys already deleted at v are
+    * absent, exactly matching a rebuild over the ≤v change prefix.
+    *
+    * Scale shape: one map-only filter over the history table — no
+    * window, no join, no shuffle beyond what building the history
+    * cost; at rest (history persisted once) time travel is a
+    * predicate-pushed scan, which is the entire point of keeping SCD2
+    * instead of snapshots-per-version. */
+  def asOfRead(scd2: DataFrame, v: Long): DataFrame =
+    scd2
+      .where(col("valid_from") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v))
+      .select(col("doc_id"), col("valid_from").as("version_from"),
+        col("n_chars"), col("digest"))
+      .orderBy(col("doc_id"))
+
+  def pipelineAsofRead(s: SparkSession, d: String, v: Long = 1L): DataFrame =
+    asOfRead(pipelineScd2(s, d), v)
+
   def pipelineMergeUpsert(s: SparkSession, d: String): DataFrame = {
     val snap = documents(s, d)
     val changes =
@@ -1216,6 +1303,9 @@ object Sharding {
     "pipeline_length_percentiles" -> (pipelineLengthPercentiles _),
     "pipeline_merge_upsert" -> (pipelineMergeUpsert _),
     "pipeline_scd2" -> (pipelineScd2 _),
+    "pipeline_asof_read" -> ((s: SparkSession, d: String) =>
+      pipelineAsofRead(s, d)),
+    "pipeline_temperature_mixture" -> (pipelineTemperatureMixture _),
     "pipeline_length_gini" -> (pipelineLengthGini _),
     "pipeline_pack_binned" -> (pipelinePackBinned _),
     "pipeline_layout_plan" -> ((s: SparkSession, d: String) =>
@@ -1237,6 +1327,34 @@ object Sharding {
     "pipeline_interleave" -> ((s: SparkSession, d: String) =>
       pipelineInterleave(s, d))
   )
+
+  /** The pipeline_scd2 change-stack CTE, shared verbatim by the scd2
+    * and as-of-read oracles so the history they reconstruct cannot
+    * drift apart. */
+  private val Scd2StackSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS v, 'U' AS op, text
+      |  FROM documents
+      |), changes AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS v, 'U' AS op,
+      |    'v1: ' || substr(text, 1, 50) AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, CAST(1 AS BIGINT), 'I',
+      |    'fresh: ' || substr(text, 1, 40)
+      |  FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS BIGINT), 'U',
+      |    'v2: ' || substr(text, 1, 30)
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS BIGINT), 'D', NULL
+      |  FROM documents WHERE doc_id % 10 = 7
+      |), stacked AS (
+      |  SELECT *, lead(v) OVER (PARTITION BY doc_id ORDER BY v)
+      |    AS valid_to
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipeline_pair_advisor" -> {
@@ -1496,34 +1614,51 @@ object Sharding {
         |FROM r""".stripMargin,
 
     "pipeline_scd2" ->
-      """WITH base AS (
-        |  SELECT doc_id, CAST(0 AS BIGINT) AS v, 'U' AS op, text
-        |  FROM documents
-        |), changes AS (
-        |  SELECT doc_id, CAST(1 AS BIGINT) AS v, 'U' AS op,
-        |    'v1: ' || substr(text, 1, 50) AS text
-        |  FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 20000000, CAST(1 AS BIGINT), 'I',
-        |    'fresh: ' || substr(text, 1, 40)
-        |  FROM documents WHERE doc_id % 10 = 3
-        |  UNION ALL
-        |  SELECT doc_id, CAST(2 AS BIGINT), 'U',
-        |    'v2: ' || substr(text, 1, 30)
-        |  FROM documents WHERE doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT doc_id, CAST(2 AS BIGINT), 'D', NULL
-        |  FROM documents WHERE doc_id % 10 = 7
-        |), stacked AS (
-        |  SELECT *, lead(v) OVER (PARTITION BY doc_id ORDER BY v)
-        |    AS valid_to
-        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
-        |)
+      s"""$Scd2StackSql
         |SELECT doc_id, v AS valid_from, valid_to,
         |  valid_to IS NULL AS is_current,
         |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS digest
         |FROM stacked WHERE op <> 'D'
         |ORDER BY doc_id, valid_from""".stripMargin,
+
+    // same change-stack CTE as pipeline_scd2 (shared constant — the
+    // as-of read must reconstruct THAT history), interval filter at v=1
+    "pipeline_asof_read" ->
+      s"""$Scd2StackSql
+        |SELECT doc_id, v AS version_from,
+        |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS digest
+        |FROM stacked WHERE op <> 'D' AND v <= 1
+        |  AND (valid_to IS NULL OR valid_to > 1)
+        |ORDER BY doc_id""".stripMargin,
+
+    // mixCorpus' md5-draw replay with the DERIVED fraction: sqrt of the
+    // exact-long ratio is correctly rounded on both engines (scaladoc)
+    "pipeline_temperature_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+        |  FROM t GROUP BY lang
+        |), mn AS (
+        |  SELECT min(t) AS tmin FROM tot
+        |), f AS (
+        |  SELECT lang,
+        |    sqrt(CAST(tmin AS DOUBLE) / CAST(t AS DOUBLE)) AS frac
+        |  FROM tot CROSS JOIN mn
+        |), thr AS (
+        |  SELECT lang, frac, CASE WHEN frac >= 1.0 THEN 'g'
+        |    ELSE printf('%06x', CAST(floor(frac * 16777216) AS BIGINT))
+        |    END AS thr
+        |  FROM f
+        |)
+        |SELECT t.lang, thr.frac AS sample_frac, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM t JOIN thr ON t.lang = thr.lang
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 6) < thr.thr
+        |GROUP BY 1, 2 ORDER BY t.lang""".stripMargin,
 
     "pipeline_merge_upsert" ->
       """WITH c AS (

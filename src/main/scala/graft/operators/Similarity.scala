@@ -588,6 +588,32 @@ object Similarity {
       .transform(annWithRecall(s, d, _, Seq("cand_frac", "rerank_frac")))
   }
 
+  /** ANN via IVF×SQ8 — the middle compression tier of the persisted
+    * family (raw IVF 1× / THIS 4× / IVFPQ 32×): byte codes inside the
+    * IVF's cell directories, so a probe reads nProbe/k of a corpus
+    * that is ¼ the raw bytes, with NONE of PQ's probe-budget headroom
+    * (SQ8's in-cell ranking is near-exact — max recon error step/2 —
+    * so probe misses dominate exactly as in raw IVF and the default
+    * nProbe stays plain IVF's). Rides [[AnnIndex]]'s full lifecycle:
+    * build/append under pinned quantizers, tombstones, targeted
+    * compact, partition-filter probe pruning. Cost columns as the
+    * other ANN paths. */
+  def simAnnIvfSq8(s: SparkSession, d: String,
+                   k: Int = 0, nProbe: Int = 0, rerank: Int = 0,
+                   targetCellSize: Long = 64L): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val kEff = if (k > 0) k else ivfK(n, targetCellSize)
+    val nProbeEff = if (nProbe > 0) nProbe else ivfNProbe(kEff)
+    val rerankEff = if (rerank > 0) rerank else pqRerank(n)
+    val indexDir = ivfIndexDir(d, kEff, "ivfsq8")
+    AnnIndex.buildSq8(s, emb, indexDir, k = kEff)
+    AnnIndex.querySq8(s, indexDir, queriesSet(emb),
+        emb.select(col("vec_id"), col("embedding")),
+        nProbeEff, rerankEff, K, candFracOver = n)
+      .transform(annWithRecall(s, d, _, Seq("cand_frac", "rerank_frac")))
+  }
+
   /** ANN via product quantization (Jégou et al. 2011, IEEE TPAMI
     * 33(1), "Product quantization for nearest neighbor search") — the
     * MEMORY-bound scale path, orthogonal to IVF's I/O pruning: the
@@ -666,6 +692,190 @@ object Similarity {
         col("cand_frac"), col("rerank_frac"))
       .transform(annWithRecall(s, d, _, Seq("cand_frac", "rerank_frac")))
   }
+
+  /** ANN via 8-bit scalar quantization (SQ8 — the faiss
+    * ScalarQuantizer QT_8bit baseline): each dimension maps linearly
+    * onto [0, 255] against per-dimension [min, max] ranges, one byte
+    * per coordinate packed 8-per-long — a TRUE 4× at-rest compression
+    * vs float32 that is NEAR-lossless (max reconstruction error is
+    * half a quantization step per dimension), where PQ's 32× is lossy.
+    * The fit is ONE #dim-row min/max aggregate (a bounded metadata
+    * read) instead of PQ's m k-means runs, so SQ8 is the compression
+    * tier to reach for first: when the corpus still fits the I/O
+    * budget at 4×, it buys the shrink without PQ's recall tax or
+    * codebook maintenance.
+    *
+    * Scale shape: encoding is map-only (two zip_with passes + the
+    * 8-codes-per-long pack); the scan decodes each vector ONCE
+    * (map-only, O(dim)) and scores candidates with the native vec_l2sq
+    * kernel against the broadcast query set — the compression pays at
+    * the SCAN (¼ the bytes off disk), not in arithmetic, which is the
+    * honest SQ8 trade on a JVM engine (faiss buys SIMD-on-codes too;
+    * Spark's win is the I/O). Flat scan like simAnnPq (cand_frac =
+    * 1.0); the approx top-`rerank` short list rescores exactly against
+    * the raw embeddings. Composition with IVF's directory pruning is
+    * the same step as PQ→IVFPQ and rides the identical index layout.
+    *
+    * Rows-only (recall joins aren't SQL-expressible); SimilaritySpec
+    * pins pack/unpack identity, the step/2 reconstruction bound,
+    * recall ≥ 0.9 (vs flat PQ's 0.7 floor — SQ8 keeps 8 bits/dim),
+    * and determinism. */
+  def simAnnSq8(s: SparkSession, d: String, rerank: Int = 0): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val rerankEff = if (rerank > 0) rerank else pqRerank(n)
+    val (mn, step) = sq8FitRanges(emb)
+    val encoded = sq8Encode(emb, mn, step)
+    val decoded = sq8Decode(encoded, mn, step)
+    val qs = queriesSet(emb)
+    val wq = Window.partitionBy(col("q_id"))
+    val shortList = decoded.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        l2sq(col("q_emb"), col("recon")).as("approx_d2"))
+      .withColumn("arank", row_number().over(
+        wq.orderBy(col("approx_d2").asc, col("vec_id"))))
+      .where(col("arank") <= rerankEff)
+    shortList
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .withColumn("cand_frac", lit(1.0))
+      .withColumn("rerank_frac", round(lit(rerankEff / n.toDouble), 4))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"),
+        col("cand_frac"), col("rerank_frac"))
+      .transform(annWithRecall(s, d, _, Seq("cand_frac", "rerank_frac")))
+  }
+
+  /** SQ8 range fit: per-dimension (min, step) from the CORPUS min/max
+    * — ONE #dim-row aggregate (a bounded metadata read; exact beats a
+    * sample here, since a clipped outlier costs rank accuracy on
+    * every later query). Shared by the flat path and
+    * [[AnnIndex.buildSq8]]. */
+  private[graft] def sq8FitRanges(emb: DataFrame): (Seq[Double], Seq[Double]) = {
+    val mmRows = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("pos"))
+      .agg(min(col("e").cast(DoubleType)).as("mn"),
+        max(col("e").cast(DoubleType)).as("mx"))
+      .orderBy(col("pos")).collect()
+    val dim = mmRows.length
+    require(dim % 8 == 0, s"dim $dim must pack 8 codes per long")
+    (mmRows.map(_.getDouble(1)).toSeq,
+      mmRows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq)
+  }
+
+  /** SQ8 encode: (vec_id, packed) with one byte per dimension packed
+    * little-endian 8-per-long. Clamped round-to-nearest; a dead
+    * dimension (step ≤ 0) codes to 0 and decodes to its min. */
+  private[graft] def sq8Encode(emb: DataFrame, mn: Seq[Double],
+                               step: Seq[Double]): DataFrame =
+    sq8WithPacked(emb, mn, step).select(col("vec_id"), col("packed"))
+
+  /** Adds `packed` (SQ8 codes, 8-per-long) to a frame carrying
+    * `embedding`, preserving every other column — the shared encode
+    * core of [[simAnnSq8]] and [[AnnIndex.buildSq8]]'s cell writes.
+    * Out-of-range values (an append batch can exceed the fit-time
+    * ranges) CLAMP to the range edge, the standard SQ trade. */
+  private[graft] def sq8WithPacked(df: DataFrame, mn: Seq[Double],
+                                   step: Seq[Double]): DataFrame = {
+    val dim = mn.length
+    df
+      .withColumn("_sq8ev", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("_sq8mn", typedlit(mn))
+      .withColumn("_sq8st", typedlit(step))
+      .withColumn("_sq8codes", expr(
+        "zip_with(zip_with(_sq8ev, _sq8mn, (x, m) -> x - m), _sq8st, " +
+          "(dv, st) -> IF(st <= 0D, 0L, " +
+          "least(255L, greatest(0L, CAST(round(dv / st) AS LONG)))))"))
+      .withColumn("packed", expr(
+        s"transform(sequence(0, ${dim / 8 - 1}), g -> " +
+          "aggregate(sequence(0, 7), 0L, (acc, j) -> " +
+          "acc + shiftleft(element_at(_sq8codes, g * 8 + j + 1), j * 8)))"))
+      .drop("_sq8ev", "_sq8mn", "_sq8st", "_sq8codes")
+  }
+
+  /** SQ8 decode: reconstruct (vec_id, recon array<double>) from the
+    * packed codes — map-only, once per vector per scan. */
+  private[graft] def sq8Decode(encoded: DataFrame, mn: Seq[Double],
+                               step: Seq[Double]): DataFrame =
+    sq8WithRecon(encoded, mn, step)
+      .select(col("vec_id"), col("packed"), col("recon"))
+
+  /** Adds `recon` (decoded array<double>) to a frame carrying
+    * `packed`, preserving every other column — the decode core shared
+    * with [[AnnIndex.querySq8]]'s probed-cell scan. */
+  private[graft] def sq8WithRecon(df: DataFrame, mn: Seq[Double],
+                                  step: Seq[Double]): DataFrame = {
+    val dim = mn.length
+    df
+      .withColumn("_sq8mn", typedlit(mn))
+      .withColumn("_sq8st", typedlit(step))
+      .withColumn("recon", expr(
+        s"transform(sequence(0, ${dim - 1}), i -> " +
+          "element_at(_sq8mn, i + 1) + element_at(_sq8st, i + 1) * " +
+          "CAST(shiftright(element_at(packed, CAST(i div 8 AS INT) + 1), " +
+          "(i % 8) * 8) & 255L AS DOUBLE))"))
+      .drop("_sq8mn", "_sq8st")
+  }
+
+  /** IVF cell-occupancy balance — the load report over the coarse
+    * quantizer's assignment (here the label centroids, the same
+    * E-step as [[simClusterAssign]]): per cell, its population, corpus
+    * share, and load factor (population ÷ the balanced-cell ideal
+    * n/k). This is the probe-LATENCY skew readout for IVF serving —
+    * a query probing a cell at load factor 8 pays 8× the balanced
+    * scan, so the tail latency of the whole ANN tier is this table's
+    * max — and the rebalance trigger (split hot cells / re-fit
+    * centroids) that [[AnnIndex.maintain]]'s drift check complements:
+    * maintain catches the DISTRIBUTION moving, this catches a
+    * quantizer that was never balanced to begin with. The join-key
+    * twin is [[Sharding.keySkew]]; cells are to probes what keys are
+    * to shuffle partitions.
+    *
+    * Scale shape: centroids reduce to (#cells × dim) and BROADCAST;
+    * assignment is the map-only argmax scan (per-vector window over
+    * #cells rows); the report aggregates #cells groups, and the 1-row
+    * totals attach by broadcast. Quotients are exact-long→double
+    * casts with one correctly-rounded divide each — bit-identical in
+    * DuckDB. */
+  def ivfBalance(emb: DataFrame, hotFactor: Double = 2.0): DataFrame = {
+    val cvec = centroids(emb)
+      .groupBy(col("label")).agg(
+        expr("transform(array_sort(collect_list(struct(dim, centroid)))," +
+          " x -> x.centroid)").as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val assigned = emb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+      .crossJoin(broadcast(cvec))
+      .withColumn("score",
+        dot("ev", "cv") / (sqrt(dot("ev", "ev")) * sqrt(dot("cv", "cv"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("c_label"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val occ = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = cvec.agg(count(lit(1)).as("n_cells"))
+      .crossJoin(assigned.agg(count(lit(1)).as("n_total")))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs").cast(DoubleType) / col("n_total")).as("share"),
+        ((col("n_vecs") * col("n_cells")).cast(DoubleType) /
+          col("n_total")).as("load_factor"))
+      .withColumn("is_hot", col("load_factor") > hotFactor)
+      .orderBy(col("cell"))
+  }
+
+  def simIvfBalance(s: SparkSession, d: String): DataFrame =
+    ivfBalance(embeddings(s, d))
 
   /** Exact k-NN graph — each vector's top-k neighbors over the WHOLE
     * corpus (not a query set): the primitive under SemDeDup-style
@@ -1120,7 +1330,10 @@ object Similarity {
     "serve_ann_probe" -> ((s: SparkSession, d: String) => serveAnnProbe(s, d)),
     "sim_ann_tuned" -> ((s: SparkSession, d: String) => simAnnTuned(s, d)),
     "sim_ann_pq" -> ((s: SparkSession, d: String) => simAnnPq(s, d)),
+    "sim_ann_sq8" -> ((s: SparkSession, d: String) => simAnnSq8(s, d)),
+    "sim_ann_ivfsq8" -> ((s: SparkSession, d: String) => simAnnIvfSq8(s, d)),
     "sim_ann_ivfpq" -> ((s: SparkSession, d: String) => simAnnIvfPq(s, d)),
+    "sim_ivf_balance" -> (simIvfBalance _),
     // gate entry runs at the exact twin's threshold so the rows-only
     // check exercises real output on the synthetic corpus (no 0.9-cosine
     // twins exist there; the 0.9 default is the production near-dup bar,
@@ -1251,6 +1464,50 @@ object Similarity {
         |SELECT label, n_vecs, mean_own_cos, mean_best_other_cos,
         |  mean_own_cos - mean_best_other_cos AS margin
         |FROM a ORDER BY label""".stripMargin,
+
+    // same centroid + argmax CTEs as sim_cluster_assign, then a #cells
+    // occupancy agg; quotients are exact-long→double casts with one
+    // correctly-rounded divide each
+    "sim_ivf_balance" ->
+      """WITH t AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |      AS centroid
+        |  FROM t GROUP BY 1, 2
+        |), cv AS (
+        |  SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
+        |  FROM c GROUP BY label
+        |), s AS (
+        |  SELECT e.vec_id, cv.c_label,
+        |    list_dot_product(ev, cv.cv)
+        |      / (sqrt(list_dot_product(ev, ev))
+        |         * sqrt(list_dot_product(cv.cv, cv.cv))) AS score
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |        FROM embeddings) e
+        |  CROSS JOIN cv
+        |), a AS (
+        |  SELECT vec_id, c_label AS cell FROM (
+        |    SELECT vec_id, c_label,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY score DESC, c_label) AS rk
+        |    FROM s) WHERE rk = 1
+        |), occ AS (
+        |  SELECT cell, count(*) AS n_vecs FROM a GROUP BY cell
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM cv) AS n_cells,
+        |         (SELECT count(*) FROM a) AS n_total
+        |)
+        |SELECT cell, n_vecs,
+        |  CAST(n_vecs AS DOUBLE) / n_total AS share,
+        |  CAST(n_vecs * n_cells AS DOUBLE) / n_total AS load_factor,
+        |  CAST(n_vecs * n_cells AS DOUBLE) / n_total > 2.0 AS is_hot
+        |FROM occ CROSS JOIN tot ORDER BY cell""".stripMargin,
 
     // same DECIMAL(18,6)-summed centroids as sim_centroids, same
     // bit-stable left-to-right cosine as sim_topk_bruteforce

@@ -143,6 +143,58 @@ class AnnIndexSpec extends SparkSpec {
       s"PQ append-then-query diverged: ${inc.take(3)} vs ${full.take(3)}")
   }
 
+  test("SQ8 append-then-query equals rebuild-then-query; full probe recalls the exact top-k") {
+    val emb = Tables.embeddings(spark, Sf)
+    val standing = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val raw = emb.select("vec_id", "embedding")
+
+    // fit once on the standing corpus; pin for both variants —
+    // encoding is a pure function of (vector, centroids, ranges)
+    val qz = AnnIndex.buildSq8(spark, standing, freshDir("sq8fit"), k = 32)
+
+    val incDir = freshDir("sq8inc")
+    AnnIndex.buildSq8(spark, standing, incDir, pinned = Some(qz))
+    AnnIndex.appendSq8(spark, batch, incDir)
+    val fullDir = freshDir("sq8full")
+    AnnIndex.buildSq8(spark, emb, fullDir, pinned = Some(qz))
+
+    def codes(dir: String) = spark.read.parquet(s"$dir/cells")
+      .collect().map(_.toSeq).toSet
+    assert(codes(incDir) == codes(fullDir),
+      "SQ8 append diverged from rebuild under the same quantizers")
+    val inc = AnnIndex.querySq8(spark, incDir, queries, raw,
+      nProbe = 8, rerank = 50).collect().toSeq
+    val full = AnnIndex.querySq8(spark, fullDir, queries, raw,
+      nProbe = 8, rerank = 50).collect().toSeq
+    assert(inc == full && inc.nonEmpty,
+      s"SQ8 append-then-query diverged: ${inc.take(3)} vs ${full.take(3)}")
+
+    // probing EVERY cell makes the candidate set complete, so the
+    // decode+rerank pipeline must recover the exact top-k almost
+    // perfectly (8 bits/dim + exact rerank — the near-lossless claim)
+    val exact = Similarity.simTopkBruteforce(spark, Sf)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val allCells = AnnIndex.querySq8(spark, fullDir, queries, raw,
+        nProbe = 32, rerank = 50)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = allCells.map { case (q, got) =>
+      got.intersect(exact(q)).size.toDouble / exact(q).size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"SQ8 full-probe mean recall $mean < 0.9")
+
+    // the probe list prunes cell DIRECTORIES at plan time, as raw IVF
+    val pruned = AnnIndex.querySq8(spark, fullDir, queries, raw,
+      nProbe = 2, rerank = 50)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+      "SQ8 probe did not prune cell directories")
+  }
+
   test("streaming ingest grows the index to parity with a batch build; compact folds the files") {
     val emb = Tables.embeddings(spark, Sf)
     val standing = emb.where(col("vec_id") % 2 === 0)

@@ -353,4 +353,71 @@ class ShardingSpec extends SparkSpec {
       broadcastBytes = 1024L).collect()(0)
     assert(advMild.getAs[String]("strategy") == "plain", s"$advMild")
   }
+
+  test("as-of read reconstructs exactly the rebuild over the <=v change prefix") {
+    val full = Sharding.pipelineScd2(spark, Sf)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_chars", "digest").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // v=0: exactly the base table (no change applied yet)
+    val base = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("digest"))
+    assert(keyset(Sharding.asOfRead(full, 0L)) == keyset(base))
+    // v=1: equals CURRENT rows of a history rebuilt from only the v<=1
+    // changes — the semantics time travel promises
+    val baseTx = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val v1changes = baseTx.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(1L).as("v"), lit("U").as("op"),
+        concat(lit("v1: "), substring(col("text"), 1, 50)).as("c_text"))
+      .unionAll(baseTx.where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 20000000L).as("doc_id"), lit(1L).as("v"),
+          lit("I").as("op"),
+          concat(lit("fresh: "), substring(col("text"), 1, 40)).as("c_text")))
+    val prefix = Sharding.scd2Build(baseTx, v1changes).where(col("is_current"))
+    assert(keyset(Sharding.asOfRead(full, 1L)) == keyset(prefix))
+    // a key deleted at v=2 is visible at v=1, gone at v=2
+    val delKey = Tables.documents(spark, Sf)
+      .where(col("doc_id") % 10 === 7).select(min(col("doc_id")))
+      .collect()(0).getLong(0)
+    assert(Sharding.asOfRead(full, 1L)
+      .where(col("doc_id") === delKey).count() == 1)
+    assert(Sharding.asOfRead(full, 2L)
+      .where(col("doc_id") === delKey).count() == 0)
+  }
+
+  test("temperature mixture: smallest stratum kept whole, fracs follow (tmin/t)^(1-alpha)") {
+    val docs = Tables.documents(spark, Sf)
+    val totals = docs
+      .withColumn("n_tokens",
+        graft.functions.TextStats.textStats(col("text"))
+          .getField("n_words").cast("long"))
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tMin = totals.values.min
+    val out = Sharding.temperatureMix(docs, alpha = 0.5)
+      .groupBy(col("lang"), col("sample_frac"))
+      .agg(count(lit(1)).as("n_docs")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // fracs are exactly sqrt(tmin/t) per stratum
+    totals.foreach { case (lang, t) =>
+      val expected = math.sqrt(tMin.toDouble / t.toDouble)
+      assert(out.contains(lang), s"stratum $lang vanished from the mix")
+      assert(out(lang)._1 == expected,
+        s"$lang frac ${out(lang)._1} != sqrt(tmin/t) $expected")
+    }
+    // the smallest stratum keeps EVERY doc (frac = 1 → keep-all "g")
+    val minLang = totals.minBy(_._2)._1
+    val minLangDocs = docs.where(col("lang") === minLang).count()
+    assert(out(minLang)._1 == 1.0 && out(minLang)._2 == minLangDocs)
+    // alpha = 0 flattens fully: frac = tmin/t exactly
+    val flat = Sharding.temperatureMix(docs, alpha = 0.0)
+      .groupBy(col("lang"), col("sample_frac")).agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    totals.foreach { case (lang, t) =>
+      assert(flat(lang) == tMin.toDouble / t.toDouble) }
+    // non-dyadic alpha is rejected loudly (pow() is not portable)
+    intercept[IllegalArgumentException] {
+      Sharding.temperatureMix(docs, alpha = 0.3)
+    }
+  }
 }

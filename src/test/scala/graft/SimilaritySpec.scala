@@ -386,4 +386,73 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged < rows.length / 10,
       s"$flagged/${rows.length} flagged — z threshold degenerate")
   }
+
+  test("SQ8: pack roundtrips, reconstruction within half a step, recall >= 0.9") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, Sf)
+    val mmRows = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("pos"))
+      .agg(min(col("e").cast("double")).as("mn"),
+        max(col("e").cast("double")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mn = mmRows.map(_.getDouble(1)).toSeq
+    val step = mmRows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    val decoded = Similarity.sq8Decode(
+      Similarity.sq8Encode(emb, mn, step), mn, step)
+    // every reconstructed coordinate is within step/2 of the original
+    // (clamped round-to-nearest; tiny eps absorbs the double arithmetic)
+    val worst = decoded
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(posexplode(expr(
+        "zip_with(recon, embedding, (r, x) -> abs(r - CAST(x AS DOUBLE)))"))
+        .as(Seq("pos", "err")))
+      .groupBy(col("pos")).agg(max(col("err")).as("err"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    worst.foreach { case (pos, err) =>
+      assert(err <= step(pos) / 2.0 + 1e-12,
+        s"dim ${pos + 1}: err $err > step/2 ${step(pos) / 2.0}")
+    }
+    // codes really are one byte per dim packed 8-per-long
+    val packLen = decoded.select(size(col("packed"))).distinct().collect()
+    assert(packLen.map(_.getInt(0)).toSeq == Seq(mn.length / 8))
+    // ANN over the codes recalls >= 90% of brute force (8 bits/dim is
+    // near-lossless next to PQ's 0.7 floor) and is deterministic
+    val r1 = Similarity.simAnnSq8(spark, Sf).collect()
+    val r2 = Similarity.simAnnSq8(spark, Sf).collect()
+    assert(r1.toSeq == r2.toSeq, "SQ8 ANN is not deterministic")
+    val recalls = r1.groupBy(_.getLong(0))
+      .map { case (_, rs) => rs.head.getDouble(4) }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9, s"SQ8 mean recall $meanRecall < 0.9")
+  }
+
+  test("IVF balance: occupancies match the E-step, a planted hot cell flags") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, Sf)
+    val bal = Similarity.ivfBalance(emb).collect()
+    val n = emb.count()
+    val k = bal.length.toLong // every label occupies >= its own centroid
+    // occupancies match the cluster-assign E-step's counts exactly
+    val assigned = Similarity.simClusterAssign(spark, Sf)
+      .groupBy(col("assigned")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    bal.foreach { r =>
+      val (cell, nv) = (r.getInt(0), r.getLong(1))
+      assert(assigned(cell) == nv, s"cell $cell: $nv != ${assigned(cell)}")
+      assert(r.getDouble(2) == nv.toDouble / n)
+      assert(r.getDouble(3) == (nv * k).toDouble / n)
+    }
+    assert(bal.map(_.getLong(1)).sum == n, "occupancies must cover the corpus")
+    // plant a hot cell: 400 copies of one vector pile into its assigned
+    // cell (>40% of the corpus — load factor > 2 at k=5) and must flag
+    val copies = emb.where(col("vec_id") === 0L)
+      .select(explode(sequence(lit(1), lit(400))).as("i"),
+        col("embedding"), col("label"))
+      .select((col("i").cast("long") + 1000000L).as("vec_id"),
+        col("embedding"), col("label"))
+    val balHot = Similarity.ivfBalance(emb.unionByName(copies))
+      .where(col("is_hot")).collect()
+    assert(balHot.nonEmpty, "planted hot cell did not flag as hot")
+  }
 }
