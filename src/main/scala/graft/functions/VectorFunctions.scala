@@ -51,6 +51,40 @@ object VectorKernels {
     acc
   }
 
+  /** Squared L2 distance between a raw query vector and an SQ8-PACKED
+    * corpus vector (8 byte-codes per long, little-endian), decoding
+    * inline: recon_i = mn_i + step_i·code_i. Arithmetic and order are
+    * IDENTICAL to decode-then-l2sq (per dim: one FMA-shaped recon, one
+    * subtract, one square, left-to-right accumulate), so swapping this
+    * kernel for the HOF decode changes nothing but the plan — which is
+    * the point: CollapseProject inlines a decode PROJECTION into the
+    * per-pair distance call (the decode then runs once per candidate
+    * PAIR instead of once per vector, measured 73 s → ~2 s at 20 k),
+    * while this kernel makes the per-pair cost the 64-iteration tight
+    * loop it should be, inside whole-stage codegen. */
+  def sq8L2sq(q: ArrayData, qFloat: Boolean, packed: ArrayData,
+              mn: Array[Double], step: Array[Double]): Any = {
+    val dim = mn.length
+    if (q.numElements() != dim || packed.numElements() != dim / 8) return null
+    var acc = 0.0
+    var g = 0
+    var i = 0
+    val groups = dim / 8
+    while (g < groups) {
+      var w = packed.getLong(g)
+      var j = 0
+      while (j < 8) {
+        val recon = mn(i) + step(i) * (w & 255L).toDouble
+        val d = get(q, qFloat, i) - recon
+        acc += d * d
+        w >>>= 8
+        i += 1; j += 1
+      }
+      g += 1
+    }
+    acc
+  }
+
   /** L sign-bucket codes for a flat row-major (L·b × dim) hyperplane
     * matrix: bit j of code t = sign(Σᵢ vᵢ·P[t·b+j][i]). Same per-plane
     * left-to-right double MAC as `dot`, so the codes are bit-identical
@@ -295,6 +329,46 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinary {
     copy(left = newLeft, right = newRight)
 }
 
+/** `sq8_l2sq(q, packed)` — squared L2 distance between a raw query
+  * and an SQ8-packed corpus vector, decoding inline against the
+  * (mn, step) ranges riding as codegen reference objects (see
+  * [[VectorKernels.sq8L2sq]] for why this beats decode-then-vec_l2sq). */
+case class Sq8L2Sq(left: Expression, right: Expression,
+                   mn: Array[Double], step: Array[Double])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_l2sq"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<float|double>, array<long>), got ($l, $r)")
+    }
+  private def qFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override protected def nullSafeEval(q: Any, p: Any): Any =
+    VectorKernels.sq8L2sq(q.asInstanceOf[ArrayData], qFloat,
+      p.asInstanceOf[ArrayData], mn, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sq8mn", mn, "double[]")
+    val stRef = ctx.addReferenceObj("sq8step", step, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, p) => {
+      val tmp = ctx.freshName("sq8res")
+      s"""Object $tmp = graft.functions.VectorKernels.sq8L2sq(
+         |  $q, $qFloat, $p, $mnRef, $stRef);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $tmp).doubleValue(); }
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 private[functions] trait VectorMatrixUnary extends UnaryExpression {
   override def nullable: Boolean = child.nullable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -426,6 +500,14 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     GraftInternals.column(
       VecL2Sq(GraftInternals.expression(a), GraftInternals.expression(b)))
+
+  /** Squared L2 distance of a raw query against an SQ8-packed vector,
+    * decoding inline against (mn, step) reference arrays (native,
+    * codegen'd; bit-identical to decode-then-l2sq). */
+  def sq8L2sq(q: Column, packed: Column,
+              mn: Array[Double], step: Array[Double]): Column =
+    GraftInternals.column(Sq8L2Sq(GraftInternals.expression(q),
+      GraftInternals.expression(packed), mn, step))
 
   /** One LSH bucket code per table (array<long>, index = table) for a
     * row-major (L·b × dim) plane matrix (native, codegen'd). */

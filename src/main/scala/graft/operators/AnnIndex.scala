@@ -769,15 +769,17 @@ object AnnIndex {
     val probeCells = probes.map(_._3).distinct
     val qs = probes.toDF("q_id", "q_emb", "cell")
     val wq = Window.partitionBy(col("q_id"))
-    val candidates = Similarity.sq8WithRecon(
-        IndexFiles.dropTombstoned(s, dir, man,
-          cellRows.where(col("cell").isin(probeCells: _*)), "vec_id"),
-        ranges.mn.toSeq, ranges.step.toSeq)
+    val candidates = IndexFiles.dropTombstoned(s, dir, man,
+        cellRows.where(col("cell").isin(probeCells: _*)), "vec_id")
       .join(broadcast(qs), Seq("cell"))
+    // decode happens INSIDE the native per-pair kernel (see
+    // VectorKernels.sq8L2sq — a decode projection would be
+    // CollapseProject-inlined into the distance call and re-run per pair)
     val adc = (if (excludeSelf) candidates.where(col("vec_id") =!= col("q_id"))
                else candidates)
       .select(col("q_id"), col("vec_id"),
-        VectorFunctions.l2sq(col("q_emb"), col("recon")).as("approx_d2"))
+        VectorFunctions.sq8L2sq(col("q_emb"), col("packed"),
+          ranges.mn, ranges.step).as("approx_d2"))
     val withCost =
       if (candFracOver > 0L) adc.withColumn("cand_frac",
         round(count(lit(1)).over(wq) / lit(candFracOver.toDouble), 4))

@@ -726,13 +726,17 @@ object Similarity {
     val rerankEff = if (rerank > 0) rerank else pqRerank(n)
     val (mn, step) = sq8FitRanges(emb)
     val encoded = sq8Encode(emb, mn, step)
-    val decoded = sq8Decode(encoded, mn, step)
     val qs = queriesSet(emb)
     val wq = Window.partitionBy(col("q_id"))
-    val shortList = decoded.crossJoin(broadcast(qs))
+    // per-pair scoring decodes INSIDE the native kernel — the HOF
+    // decode-as-a-projection alternative gets CollapseProject-inlined
+    // into the distance call and re-decodes per PAIR (73 s → ~2 s at
+    // 20 k; see VectorKernels.sq8L2sq)
+    val shortList = encoded.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        l2sq(col("q_emb"), col("recon")).as("approx_d2"))
+        sq8L2sq(col("q_emb"), col("packed"),
+          mn.toArray, step.toArray).as("approx_d2"))
       .withColumn("arank", row_number().over(
         wq.orderBy(col("approx_d2").asc, col("vec_id"))))
       .where(col("arank") <= rerankEff)

@@ -170,6 +170,29 @@ object AnnStress {
     check(f"IVFPQ cand_frac ∝ probed cells ≤ 3×nProbe/k = $ipqBound%.4f " +
       f"(got $ipqCf%.4f)", ipqCf <= ipqBound)
 
+    // SQ8: the 4× tier — codes are near-lossless (step/2 per dim), so
+    // at the SAME derived rerank the approx ordering feeds the rerank a
+    // better short list than PQ's 32× codes: recall must dominate PQ's.
+    val (sq8Min, sq8Avg, _) = annStats("sim_ann_sq8",
+      Similarity.simAnnSq8(spark, base), costCol = "rerank_frac")
+    check(f"SQ8 avg recall ≥ flat PQ's (got $sq8Avg%.3f vs $pqAvg%.3f)",
+      sq8Avg >= pqAvg)
+    check(f"SQ8 min recall ≥ 0.1 — twin found (got $sq8Min%.3f)",
+      sq8Min >= 0.1)
+
+    // IVF×SQ8: identical probe lists to raw IVF (same coarse quantizer,
+    // PLAIN IVF probe budget — no PQ headroom) and near-exact in-cell
+    // ranking: recall must track raw IVF's at the same cell geometry.
+    val (isqMin, isqAvg, isqCf) = annStats("sim_ann_ivfsq8",
+      Similarity.simAnnIvfSq8(spark, base))
+    val isqBound = 3.0 * pIvf / kIvf
+    check(f"IVFSQ8 avg recall within 0.05 of raw IVF (got $isqAvg%.3f vs " +
+      f"$ivfAvg%.3f)", isqAvg >= ivfAvg - 0.05)
+    check(f"IVFSQ8 min recall ≥ 0.1 — twin found (got $isqMin%.3f)",
+      isqMin >= 0.1)
+    check(f"IVFSQ8 cand_frac ≤ 3×nProbe/k = $isqBound%.4f (got $isqCf%.4f)",
+      isqCf <= isqBound)
+
     // kNN graph — the one ANN-family operator with corpus-sized OUTPUT
     // (top-k per EVERY vector): work must stay occupancy-bound, and
     // every copy-0 vector's jittered twin (cos ≈ 1, same buckets in

@@ -416,6 +416,20 @@ class SimilaritySpec extends SparkSpec {
     // codes really are one byte per dim packed 8-per-long
     val packLen = decoded.select(size(col("packed"))).distinct().collect()
     assert(packLen.map(_.getInt(0)).toSeq == Seq(mn.length / 8))
+    // the native code-domain kernel is BIT-identical to decode-then-
+    // vec_l2sq (same per-dim arithmetic, same accumulate order) — the
+    // property that lets the hot path skip the decode projection
+    val q0 = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").as("q_emb"))
+    val parity = decoded.crossJoin(q0)
+      .select(
+        graft.functions.VectorFunctions.sq8L2sq(
+          col("q_emb"), col("packed"), mn.toArray, step.toArray)
+          .as("kern"),
+        graft.functions.VectorFunctions.l2sq(col("q_emb"), col("recon"))
+          .as("hof"))
+      .where(col("kern") =!= col("hof")).count()
+    assert(parity == 0, s"$parity rows diverge between kernel and decode path")
     // ANN over the codes recalls >= 90% of brute force (8 bits/dim is
     // near-lossless next to PQ's 0.7 floor) and is deterministic
     val r1 = Similarity.simAnnSq8(spark, Sf).collect()
