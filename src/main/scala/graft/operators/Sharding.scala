@@ -469,7 +469,12 @@ object Sharding {
       s"alpha=$alpha not in {0, 0.5, 0.75} — only dyadic 1-alpha powers " +
         "replay bit-identically across engines (see scaladoc)")
     val withTokens = docs.withColumn("n_tokens", tokenCountCol(docs))
-    val totals = withTokens.groupBy(col(stratum))
+    // null-safe stratum key: a fold over `col(stratum) === k` would
+    // silently DROP null-stratum docs (null = k is never true) — the
+    // same silent-join-drop class the shard family fixed; null strata
+    // form their own stratum under an uncollidable sentinel instead
+    val keyCol = coalesce(col(stratum).cast("string"), lit("\u0000"))
+    val totals = withTokens.groupBy(keyCol.as("_stratum"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(totals.nonEmpty, "empty corpus — no stratum totals")
@@ -485,10 +490,10 @@ object Sharding {
     // hex orders as its numeric value; frac >= 1 maps to "g" (keep-all)
     val thrCol = fracs.foldLeft(lit("0")) { case (acc, (k, f)) =>
       val thr = if (f >= 1.0) "g" else "%06x".format((f * 0x1000000).toLong)
-      when(col(stratum) === k, lit(thr)).otherwise(acc)
+      when(keyCol === k, lit(thr)).otherwise(acc)
     }
     val fracCol = fracs.foldLeft(lit(Double.NaN)) { case (acc, (k, f)) =>
-      when(col(stratum) === k, lit(f)).otherwise(acc)
+      when(keyCol === k, lit(f)).otherwise(acc)
     }
     val draw = substring(seededHex(col("doc_id"), seed, hashMode), 1, 6)
     withTokens.where(draw < thrCol).withColumn("sample_frac", fracCol)

@@ -641,4 +641,74 @@ class EdgeCaseSpec extends SparkSpec {
         .withColumn("source", lit("s")), spark, Seq(4, 4), Seq.empty)
     }
   }
+
+  test("round-16b operators survive hostile and degenerate input") {
+    import spark.implicits._
+    import graft.operators.{Sharding, Similarity}
+    // temperature mixture: empty corpus fails loudly; a single stratum
+    // keeps everything at frac 1; a NULL-stratum doc forms its own
+    // stratum instead of silently dropping (the shard family's
+    // null-key contract)
+    intercept[IllegalArgumentException] {
+      Sharding.temperatureMix(
+        Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"))
+        .count()
+    }
+    val single = Seq((1L, "a b c", "en"), (2L, "d e", "en"))
+      .toDF("doc_id", "text", "lang")
+    val singleOut = Sharding.temperatureMix(single).collect()
+    assert(singleOut.length == 2 &&
+      singleOut.forall(_.getAs[Double]("sample_frac") == 1.0))
+    val withNull = Seq((1L, "a b c", "en"), (2L, "d e", null),
+        (3L, "f g h i j k l m n o p q r s t u v w x y z a b c d e f", "en"))
+      .toDF("doc_id", "text", "lang")
+    val nullKept = Sharding.temperatureMix(withNull)
+      .where(col("lang").isNull).collect()
+    // the null stratum is the SMALLEST (2 tokens) → frac 1, kept whole
+    assert(nullKept.length == 1 &&
+      nullKept.head.getAs[Double]("sample_frac") == 1.0,
+      s"null-stratum doc dropped or downsampled: ${nullKept.toSeq}")
+    // as-of read: v before every version is empty, v past every
+    // version equals the current rows — no throw at either extreme
+    val hist = Sharding.pipelineScd2(spark, Sf)
+    assert(Sharding.asOfRead(hist, -1L).count() == 0L)
+    val current = hist.where(col("is_current")).count()
+    assert(Sharding.asOfRead(hist, Long.MaxValue).count() == current)
+    // IVF balance: empty corpus answers empty (no throw); a single
+    // label is one cell at load factor exactly 1.0, not hot
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.ivfBalance(emptyEmb).count() == 0L)
+    val oneLabel = Tables.embeddings(spark, Sf)
+      .withColumn("label", lit(0))
+    val ob = Similarity.ivfBalance(oneLabel).collect()
+    assert(ob.length == 1 && ob.head.getAs[Double]("load_factor") == 1.0
+      && !ob.head.getAs[Boolean]("is_hot"))
+    // SQ8 on a corpus with a CONSTANT dimension: the dead dim's step is
+    // 0, codes are 0, decode returns its min — roundtrip exact, kernel
+    // parity holds (the IF(st <= 0D) guard)
+    val deadDim = Seq(
+      (1L, Array(1.0f, 0.5f, 0.25f, 0.5f, 1.0f, 2.0f, 3.0f, 0.125f)),
+      (2L, Array(1.0f, 0.75f, 0.5f, 0.25f, 2.0f, 1.0f, 0.5f, 0.25f)),
+      (3L, Array(1.0f, 0.25f, 1.0f, 0.75f, 3.0f, 0.5f, 2.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val (mn8, st8) = Similarity.sq8FitRanges(deadDim)
+    assert(st8.head == 0.0, "constant dim must fit step 0")
+    val dec = Similarity.sq8Decode(
+      Similarity.sq8Encode(deadDim, mn8, st8), mn8, st8)
+    val firstCoord = dec.select(element_at(col("recon"), 1)).collect()
+    assert(firstCoord.forall(_.getDouble(0) == 1.0),
+      "dead dim must decode to its min")
+    val parity = dec.crossJoin(
+        deadDim.where(col("vec_id") === 1L)
+          .select(col("embedding").as("q_emb")))
+      .select(
+        graft.functions.VectorFunctions.sq8L2sq(
+          col("q_emb"), col("packed"), mn8.toArray, st8.toArray)
+          .as("kern"),
+        graft.functions.VectorFunctions.l2sq(col("q_emb"), col("recon"))
+          .as("hof"))
+      .where(col("kern") =!= col("hof")).count()
+    assert(parity == 0L, "kernel diverges from decode path on dead dims")
+  }
 }
