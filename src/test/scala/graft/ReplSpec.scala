@@ -277,6 +277,21 @@ class ReplSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(served.nonEmpty && !served.contains(7L),
       s"tombstoned id 7 still served by the PQ index")
+
+    // SQ8 twin: the 4× byte encoding builds/appends through the same
+    // DDL and shares the takedown/maintenance verbs
+    val sdir = java.nio.file.Files.createTempDirectory("graft_repl_sddl").toString
+    val sb = Repl.eval(spark, s"index build sq8 $sdir $Sf k=16", ".")
+    assert(sb.contains("built ivfsq8 index") && sb.contains("k=16"), sb)
+    val sd = Repl.eval(spark, s"index delete sq8 $sdir ids=7", ".")
+    assert(sd.contains("tombstoned 1"), sd)
+    val sServed = graft.operators.AnnIndex
+      .querySq8(spark, sdir, queries, emb, nProbe = 16, topK = 50)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(sServed.nonEmpty && !sServed.contains(7L),
+      s"tombstoned id 7 still served by the SQ8 index")
+    assert(Repl.eval(spark, s"index status sq8 $sdir", ".")
+      .contains("liveDataFiles"), "sq8 status must render")
   }
 
   test("model DDL: fit, status, and a scoring view over the persisted model") {
