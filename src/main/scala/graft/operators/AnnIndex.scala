@@ -385,7 +385,7 @@ object AnnIndex {
     * geometry is gone). Returns (nProbe, achieved recall).
     *
     * `rawEmb` supplies the exact twin's vectors — REQUIRED for a PQ
-    * index (cells hold codes, not vectors; it is also queryPq's
+    * or SQ8 index (cells hold codes, not vectors; it is also the
     * rerank input), optional for a raw IVF index (defaults to
     * [[liveRows]]). Cost: one corpus pass for the exact twin + |grid|
     * probe calls over the tiny query set — maintenance-verb priced,
@@ -404,8 +404,10 @@ object AnnIndex {
     val man = IndexFiles.read(s, dir)
     val pqPath = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
     val hasPq = IndexFiles.fsFor(s, pqPath).exists(pqPath)
-    require(!hasPq || rawEmb.isDefined,
-      "tuning a PQ index needs rawEmb (cells hold codes, not vectors)")
+    val sqPath = new org.apache.hadoop.fs.Path(s"$dir/sq8")
+    val hasSq8 = !hasPq && IndexFiles.fsFor(s, sqPath).exists(sqPath)
+    require((!hasPq && !hasSq8) || rawEmb.isDefined,
+      "tuning a PQ/SQ8 index needs rawEmb (cells hold codes, not vectors)")
     val corpus = rawEmb.getOrElse(liveRows(s, dir))
       .select(col("vec_id"), col("embedding"))
     val qs = queries.select(col("q_id"), col("q_emb"))
@@ -424,6 +426,9 @@ object AnnIndex {
     def recallAt(p: Int): Double = {
       val ann = (if (hasPq)
           queryPq(s, dir, queries, rawEmb.get, nProbe = p, topK = topK,
+            excludeSelf = excludeSelf)
+        else if (hasSq8)
+          querySq8(s, dir, queries, rawEmb.get, nProbe = p, topK = topK,
             excludeSelf = excludeSelf)
         else query(s, dir, queries, nProbe = p, topK = topK,
           excludeSelf = excludeSelf))

@@ -193,6 +193,20 @@ class AnnIndexSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
       "SQ8 probe did not prune cell directories")
+
+    // tune dispatches on the SQ8 layout (codes, not vectors — rawEmb
+    // required) and querySq8 at nProbe=0 honors the stamp
+    intercept[IllegalArgumentException] {
+      AnnIndex.tune(spark, fullDir, queries, recallSLO = 0.3)
+    }
+    val (nP, rec) = AnnIndex.tune(spark, fullDir, queries,
+      recallSLO = 0.3, rawEmb = Some(raw))
+    assert(rec >= 0.3, s"tune could not meet a 0.3 SLO (got $rec)")
+    val stamped = AnnIndex.querySq8(spark, fullDir, queries, raw,
+      nProbe = 0, rerank = 50).collect().toSeq
+    val explicit = AnnIndex.querySq8(spark, fullDir, queries, raw,
+      nProbe = nP, rerank = 50).collect().toSeq
+    assert(stamped == explicit, "querySq8 at nProbe=0 must honor the stamp")
   }
 
   test("streaming ingest grows the index to parity with a batch build; compact folds the files") {
