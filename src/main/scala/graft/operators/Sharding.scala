@@ -487,16 +487,22 @@ object Sharding {
     }
     val fracs = totals.map { case (k, t) => k -> frac(t) }
     // same 24-bit hex-threshold form as mixCorpus: fixed-width lowercase
-    // hex orders as its numeric value; frac >= 1 maps to "g" (keep-all)
-    val thrCol = fracs.foldLeft(lit("0")) { case (acc, (k, f)) =>
-      val thr = if (f >= 1.0) "g" else "%06x".format((f * 0x1000000).toLong)
-      when(keyCol === k, lit(thr)).otherwise(acc)
-    }
-    val fracCol = fracs.foldLeft(lit(Double.NaN)) { case (acc, (k, f)) =>
-      when(keyCol === k, lit(f)).otherwise(acc)
-    }
+    // hex orders as its numeric value; frac >= 1 maps to "g" (keep-all).
+    // Thresholds attach by BROADCAST join, not a folded when-chain:
+    // mixCorpus's fold is bounded by its caller-supplied weights map,
+    // but here #strata is DATA-driven (a 10⁶-source corpus would build
+    // a 10⁶-branch literal tree — the janino-limit pathology the
+    // hyperplane kernels were built to kill). The join compares the
+    // identical strings, so the oracle replay is unchanged.
+    import withTokens.sparkSession.implicits._
+    val thrDf = fracs.toSeq.map { case (k, f) =>
+      (k, if (f >= 1.0) "g" else "%06x".format((f * 0x1000000).toLong), f)
+    }.toDF("_stratum", "_thr", "sample_frac")
     val draw = substring(seededHex(col("doc_id"), seed, hashMode), 1, 6)
-    withTokens.where(draw < thrCol).withColumn("sample_frac", fracCol)
+    withTokens.withColumn("_stratum", keyCol)
+      .join(broadcast(thrDf), Seq("_stratum"))
+      .where(draw < col("_thr"))
+      .drop("_stratum", "_thr")
   }
 
   def pipelineTemperatureMixture(s: SparkSession, d: String): DataFrame =
