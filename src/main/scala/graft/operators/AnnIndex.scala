@@ -734,15 +734,17 @@ object AnnIndex {
       .write.mode(mode).partitionBy("cell").parquet(s"$dir/cells")
   }
 
-  /** Decode-and-rescore top-k against the SQ8 index at rest: probe
-    * lists prune cell directories at plan time (as [[query]]), the
-    * probed cells' codes decode ONCE map-only and rank with the
-    * native vec_l2sq kernel against the broadcast queries, and the
-    * approx top-`rerank` short list rescores exactly against
-    * `rawEmb`. Default probe budget is plain IVF's — SQ8's in-cell
-    * ranking is near-exact, so probe misses dominate exactly as in
-    * the raw index and PQ's 3× headroom buys nothing. Cost columns
-    * as [[queryPq]]. */
+  /** Top-k against the SQ8 index at rest: probe lists prune cell
+    * directories at plan time (as [[query]]); the probed cells' codes
+    * score PER PAIR with the inline-decoding native sq8_l2sq kernel
+    * (decode lives INSIDE the distance call — a decode *projection*
+    * would be CollapseProject-inlined into the per-pair expression and
+    * re-run per candidate pair, the measured 20× defect; see
+    * VectorKernels.sq8L2sq); the approx top-`rerank` short list
+    * rescores exactly against `rawEmb`. Default probe budget is plain
+    * IVF's — SQ8's in-cell ranking is near-exact, so probe misses
+    * dominate exactly as in the raw index and PQ's 3× headroom buys
+    * nothing. Cost columns as [[queryPq]]. */
   def querySq8(s: SparkSession, dir: String, queries: DataFrame,
                rawEmb: DataFrame, nProbe: Int = 0, rerank: Int = 0,
                topK: Int = 10, candFracOver: Long = 0L,
@@ -789,9 +791,14 @@ object AnnIndex {
       if (candFracOver > 0L) adc.withColumn("cand_frac",
         round(count(lit(1)).over(wq) / lit(candFracOver.toDouble), 4))
       else adc
+    // nulls LAST: sq8_l2sq yields null on a dim mismatch between the
+    // query and a packed row (a ragged/corrupt stored vector), and
+    // Spark's plain asc sorts nulls FIRST — a corrupt row would
+    // silently occupy the top of the rerank short list (degraded
+    // recall) instead of falling out of it
     val shortList = withCost
       .withColumn("arank", row_number().over(
-        wq.orderBy(col("approx_d2").asc, col("vec_id"))))
+        wq.orderBy(col("approx_d2").asc_nulls_last, col("vec_id"))))
       .where(col("arank") <= rerankEff)
     val reranked = shortList
       .join(rawEmb.select(col("vec_id"), col("embedding")), Seq("vec_id"))

@@ -468,6 +468,16 @@ object Sharding {
     require(sqrtDepth.contains(alpha),
       s"alpha=$alpha not in {0, 0.5, 0.75} — only dyadic 1-alpha powers " +
         "replay bit-identically across engines (see scaladoc)")
+    // the broadcast threshold join below attaches _stratum/_thr/
+    // sample_frac; an input already carrying any of them (e.g. a
+    // chained mixCorpus output, whose sample_frac survives) would
+    // produce ambiguous/duplicate columns at the join — fail loudly
+    // rather than let the join resolve one of the twins arbitrarily
+    val clash = docs.columns.toSet
+      .intersect(Set("_stratum", "_thr", "sample_frac"))
+    require(clash.isEmpty,
+      s"temperatureMix input already has column(s) ${clash.toSeq.sorted
+        .mkString(", ")} — drop or rename them before mixing")
     val withTokens = docs.withColumn("n_tokens", tokenCountCol(docs))
     // null-safe stratum key: a fold over `col(stratum) === k` would
     // silently DROP null-stratum docs (null = k is never true) — the
@@ -1643,7 +1653,12 @@ object Sharding {
         |ORDER BY doc_id""".stripMargin,
 
     // mixCorpus' md5-draw replay with the DERIVED fraction: sqrt of the
-    // exact-long ratio is correctly rounded on both engines (scaladoc)
+    // exact-long ratio is correctly rounded on both engines (scaladoc).
+    // The threshold join mirrors the Spark side's null-stratum sentinel
+    // via coalesce(lang, chr(0)): a plain `t.lang = thr.lang` would
+    // silently DROP null-lang docs that the engine deliberately keeps
+    // as their own stratum (and whose token total already feeds tmin in
+    // both engines — GROUP BY puts nulls in one group)
     "pipeline_temperature_mixture" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -1667,7 +1682,8 @@ object Sharding {
         |)
         |SELECT t.lang, thr.frac AS sample_frac, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        |FROM t JOIN thr ON t.lang = thr.lang
+        |FROM t JOIN thr
+        |  ON coalesce(t.lang, chr(0)) = coalesce(thr.lang, chr(0))
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 6) < thr.thr
         |GROUP BY 1, 2 ORDER BY t.lang""".stripMargin,
 

@@ -706,9 +706,12 @@ object Similarity {
     * codebook maintenance.
     *
     * Scale shape: encoding is map-only (two zip_with passes + the
-    * 8-codes-per-long pack); the scan decodes each vector ONCE
-    * (map-only, O(dim)) and scores candidates with the native vec_l2sq
-    * kernel against the broadcast query set — the compression pays at
+    * 8-codes-per-long pack); candidates score PER PAIR with the
+    * inline-decoding native sq8_l2sq kernel against the broadcast
+    * query set — decode lives INSIDE the distance call, because a
+    * decode *projection* gets CollapseProject-inlined into the
+    * per-pair expression and re-runs per candidate pair (the measured
+    * 20× defect; see VectorKernels.sq8L2sq). The compression pays at
     * the SCAN (¼ the bytes off disk), not in arithmetic, which is the
     * honest SQ8 trade on a JVM engine (faiss buys SIMD-on-codes too;
     * Spark's win is the I/O). Flat scan like simAnnPq (cand_frac =
@@ -732,13 +735,17 @@ object Similarity {
     // decode-as-a-projection alternative gets CollapseProject-inlined
     // into the distance call and re-decodes per PAIR (73 s → ~2 s at
     // 20 k; see VectorKernels.sq8L2sq)
+    // nulls LAST: sq8_l2sq yields null on a q_emb/packed dim mismatch
+    // (a ragged/corrupt embedding), and plain asc sorts nulls FIRST —
+    // a corrupt row would silently crowd the top of the rerank short
+    // list (degraded recall) instead of falling out of it
     val shortList = encoded.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         sq8L2sq(col("q_emb"), col("packed"),
           mn.toArray, step.toArray).as("approx_d2"))
       .withColumn("arank", row_number().over(
-        wq.orderBy(col("approx_d2").asc, col("vec_id"))))
+        wq.orderBy(col("approx_d2").asc_nulls_last, col("vec_id"))))
       .where(col("arank") <= rerankEff)
     shortList
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -804,15 +811,20 @@ object Similarity {
   }
 
   /** SQ8 decode: reconstruct (vec_id, recon array<double>) from the
-    * packed codes — map-only, once per vector per scan. */
+    * packed codes. SPEC-SUPPORT helper (roundtrip / step-2 bound
+    * assertions) — the query paths never decode as a projection; they
+    * score per pair through the inline-decoding sq8_l2sq kernel. */
   private[graft] def sq8Decode(encoded: DataFrame, mn: Seq[Double],
                                step: Seq[Double]): DataFrame =
     sq8WithRecon(encoded, mn, step)
       .select(col("vec_id"), col("packed"), col("recon"))
 
   /** Adds `recon` (decoded array<double>) to a frame carrying
-    * `packed`, preserving every other column — the decode core shared
-    * with [[AnnIndex.querySq8]]'s probed-cell scan. */
+    * `packed`, preserving every other column. SPEC-SUPPORT only (the
+    * reconstruction-bound tests): no query path uses it —
+    * [[AnnIndex.querySq8]] and [[simAnnSq8]] score per pair through
+    * the inline-decoding sq8_l2sq kernel instead (a decode projection
+    * would be CollapseProject-inlined and re-run per pair). */
   private[graft] def sq8WithRecon(df: DataFrame, mn: Seq[Double],
                                   step: Seq[Double]): DataFrame = {
     val dim = mn.length

@@ -420,4 +420,18 @@ class ShardingSpec extends SparkSpec {
       Sharding.temperatureMix(docs, alpha = 0.3)
     }
   }
+
+  test("temperature mixture: input already carrying threshold-join columns fails loudly") {
+    val docs = Tables.documents(spark, Sf)
+    // chained-mix shape: mixCorpus-style output keeps sample_frac; the
+    // broadcast threshold join would otherwise create duplicate columns
+    val chained = Sharding.temperatureMix(docs)
+    val e = intercept[IllegalArgumentException] {
+      Sharding.temperatureMix(chained)
+    }
+    assert(e.getMessage.contains("sample_frac"))
+    intercept[IllegalArgumentException] {
+      Sharding.temperatureMix(docs.withColumn("_thr", lit("g")))
+    }
+  }
 }

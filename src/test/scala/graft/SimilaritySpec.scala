@@ -441,6 +441,37 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.9, s"SQ8 mean recall $meanRecall < 0.9")
   }
 
+  test("SQ8: a ragged packed row scores null and sorts out of the short list") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dim-8 quantizer; vec 2's codes are truncated (ragged storage) —
+    // the kernel must yield NULL for it, and the short-list ordering
+    // must push that null LAST (plain asc sorts nulls first, which
+    // would seat the corrupt row at the top of the rerank list)
+    val mn = Seq.fill(8)(0.0)
+    val step = Seq.fill(8)(1.0 / 255.0)
+    val emb = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.9f)))
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.sq8Encode(emb, mn, step)
+    val corrupt = enc.where($"vec_id" === 2L)
+      .select($"vec_id", slice($"packed", 1, 0).as("packed"))
+    val mixed = enc.where($"vec_id" === 1L).unionByName(corrupt)
+    val q = Seq((0L, Seq.fill(8)(0.5f))).toDF("q_id", "q_emb")
+    val ranked = mixed.crossJoin(broadcast(q))
+      .select($"vec_id",
+        graft.functions.VectorFunctions.sq8L2sq(
+          $"q_emb", $"packed", mn.toArray, step.toArray).as("approx_d2"))
+      .withColumn("arank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+          .orderBy($"approx_d2".asc_nulls_last, $"vec_id")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getInt(2)))
+      .toMap
+    assert(ranked(2L)._1.isEmpty, "ragged packed row must score null")
+    assert(ranked(2L)._2 == 2 && ranked(1L)._2 == 1,
+      "null approx_d2 must sort LAST, never ahead of a real candidate")
+  }
+
   test("IVF balance: occupancies match the E-step, a planted hot cell flags") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, Sf)
