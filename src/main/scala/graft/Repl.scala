@@ -56,8 +56,8 @@ object Repl {
     * build). Syntax:
     *
     * {{{
-    * index <build|append|delete|compact|vacuum|status> <ann|pq|text|media>
-    *       <indexDir> [dataDir] [key=value ...]
+    * index <build|append|delete|compact|vacuum|status|maintain|rebalance>
+    *       <ann|pq|text|media> <indexDir> [dataDir] [key=value ...]
     * }}}
     *
     * `build`/`append` read the corpus tables (embeddings / documents)
@@ -73,7 +73,8 @@ object Repl {
     import graft.operators.{AnnIndex, MediaIndex, TextIndex}
     val toks = rest.trim.split("\\s+")
     require(toks.length >= 3,
-      "syntax: index <build|append|delete|compact|vacuum|status> " +
+      "syntax: index <build|append|delete|compact|vacuum|status" +
+        "|maintain|rebalance> " +
         "<ann|pq|sq8|text|media> <indexDir> [dataDir] [key=value ...]")
     val (verb, kind, dir) = (toks(0).toLowerCase, toks(1).toLowerCase, toks(2))
     require(kind == "ann" || kind == "pq" || kind == "sq8" ||
@@ -158,9 +159,27 @@ object Repl {
         s"version=${st.version} built=${st.built} " +
           s"liveDataFiles=${st.liveDataFiles} " +
           s"liveTombstoneFiles=${st.liveTombstoneFiles}"
+      // the full maintenance verdict — drift (refit) AND occupancy
+      // (rebalance) — against a would-be ingest batch from dataDir
+      case ("maintain", "ann" | "pq" | "sq8") =>
+        val dec = AnnIndex.maintain(spark, dir,
+          Tables.embeddings(spark, dataDir),
+          maxDistortionRatio = p.double("maxDistortionRatio", 1.5),
+          hotFactor = p.double("hotFactor", 4.0))
+        f"appendedFrac=${dec.appendedFrac}%.3f " +
+          f"distortionRatio=${dec.distortionRatio}%.3f " +
+          f"maxLoadFactor=${dec.maxLoadFactor}%.3f " +
+          s"hotCells=${dec.hotCells} refitNeeded=${dec.refitNeeded} " +
+          s"rebalanceNeeded=${dec.rebalanceNeeded}"
+      case ("rebalance", "ann") =>
+        val rep = AnnIndex.rebalance(spark, dir,
+          hotFactor = p.double("hotFactor", 4.0))
+        f"split ${rep.split} hot cell(s): k ${rep.kBefore} -> " +
+          f"${rep.kAfter}, maxLoadFactor ${rep.maxLoadBefore}%.3f -> " +
+          f"${rep.maxLoadAfter}%.3f"
       case _ => throw new IllegalArgumentException(
         s"unknown index verb '$verb' — expected " +
-          "build|append|delete|compact|vacuum|status")
+          "build|append|delete|compact|vacuum|status|maintain|rebalance")
     }
     p.requireAllRead()
     out
@@ -172,6 +191,8 @@ object Repl {
     *   stats append <catalogDir> [dataDir] rel=<r> key=<k>  // one drop
     *   stats retract <catalogDir> [dataDir] rel=<r> key=<k> // a takedown
     *   stats <status|staleness|advice|layout> <catalogDir> [k=v ...]
+    *   stats layout list                             // persisted layouts
+    *   stats layout drop name=<tag>                  // retire one
     * }}}
     * `build` scans each standard advisor leg once; `append` folds a
     * new drop directory's per-key deltas in (the ingest-batch verb);
@@ -243,6 +264,20 @@ object Repl {
         val bb = p.long("broadcastBytes", 1L << 20)
         p.requireAllRead()
         render(StatsCatalog.advice(spark, dir, bb))
+      // `stats layout <catalogDir>` renders the cataloged layout plan;
+      // the LIFECYCLE subverbs take the dir slot: `stats layout list`
+      // enumerates the session's persisted graft_bucketed_* layouts
+      // (tag, bytes, files, mtime), `stats layout drop name=<tag>`
+      // retires one (both managed tables + warehouse data)
+      case "layout" if dir == "list" =>
+        p.requireAllRead()
+        render(graft.operators.ScaleJoins.layouts(spark))
+      case "layout" if dir == "drop" =>
+        val name = p.str("name", "")
+        p.requireAllRead()
+        require(name.nonEmpty, "stats layout drop needs name=<layoutTag>")
+        val n = graft.operators.ScaleJoins.dropLayout(spark, name)
+        s"dropped $n layout table(s) for '$name'"
       case "layout" =>
         val tb = p.long("targetBytes", 1L << 20)
         p.requireAllRead()

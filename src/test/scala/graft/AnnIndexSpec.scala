@@ -571,4 +571,204 @@ class AnnIndexSpec extends SparkSpec {
         nProbe = graft.operators.Similarity.ivfNProbe(32)).collect().toSeq,
       "an untuned generation must fall back to the derived default")
   }
+
+  test("tier advisor: planted byte budgets flip raw -> sq8 -> pq; dispatch honors the stamp; stale stamp rejected") {
+    // 20k vectors (40 id-shifted copies of the gate corpus): at 500
+    // rows the parquet FILE METADATA dominates and PQ at rest is
+    // BIGGER than SQ8 — the compression ordering the advisor ranks on
+    // only emerges once data dominates overhead, so the advisor is
+    // tested at the scale its decision is about
+    val base = Tables.embeddings(spark, Sf)
+    // per-row deterministic jitter so no two float pages are
+    // byte-identical — EXACT copies let snappy fold the raw tier ~7x
+    // and the at-rest ratios stop meaning anything
+    val emb = (0 until 40).map(o =>
+        base.select((col("vec_id") + lit(o * 10000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_.unionByName(_))
+      .select(col("vec_id"), expr(
+        "transform(embedding, (x, j) -> CAST(x + " +
+          "(CAST((vec_id * 7 + j * 13) % 31 AS DOUBLE) - 15.0) / 1000.0 " +
+          "AS FLOAT))").as("embedding"))
+    val dir = freshDir("tiers")
+    AnnIndex.buildTiers(spark, emb, dir, k = 32)
+    val queries = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val rawB = AnnIndex.tierBytes(spark, dir, "raw").toDouble
+    val fS = AnnIndex.tierBytes(spark, dir, "sq8") / rawB
+    val fP = AnnIndex.tierBytes(spark, dir, "pq") / rawB
+    assert(fP < fS && fS < 1.0,
+      s"compression tiers must actually shrink at rest: pq=$fP sq8=$fS")
+
+    // budgets planted BETWEEN the measured fractions, so each one
+    // admits exactly the tiers below it; slo low enough that recall
+    // never vetoes — the budget alone drives the flip
+    val a1 = AnnIndex.adviseTier(spark, dir, queries, emb,
+      byteBudgetFrac = 1.0, recallSLO = 0.5)
+    assert(a1.tier == "raw", s"budget 1.0 must keep the exact tier: $a1")
+    val a2 = AnnIndex.adviseTier(spark, dir, queries, emb,
+      byteBudgetFrac = (fS + 1.0) / 2, recallSLO = 0.5)
+    assert(a2.tier == "sq8", s"a sub-raw budget must pick sq8: $a2")
+    val a3 = AnnIndex.adviseTier(spark, dir, queries, emb,
+      byteBudgetFrac = (fP + fS) / 2, recallSLO = 0.5)
+    assert(a3.tier == "pq", s"a sub-sq8 budget must pick pq: $a3")
+    // every stamped choice carries its measured evidence
+    assert(a3.measures.map(_.tier) == Seq("raw", "sq8", "pq"))
+    assert(a3.measures.forall(_.recall >= 0.5),
+      s"all tiers must clear the floor here: ${a3.measures}")
+
+    // dispatch-by-stamp is EXACTLY the direct query of the chosen tier
+    val advised = AnnIndex.queryAdvised(spark, dir, queries, emb)
+    assert(advised.select("tier").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("pq"))
+    assert(advised.drop("tier").collect().toSeq ==
+      AnnIndex.queryPq(spark, dir + "/pq", queries, emb).collect().toSeq,
+      "advised dispatch must equal the direct pq query")
+
+    // the recall SLO vetoes a budget-fitting tier: demand more recall
+    // than the stamped pq measurement delivers and the advisor must
+    // fall back to the best-recall tier inside the budget (still pq —
+    // it is the only one fitting — with achieved numbers stamped)
+    val pqRec = a3.measures.find(_.tier == "pq").get.recall
+    if (pqRec < 1.0) {
+      val a5 = AnnIndex.adviseTier(spark, dir, queries, emb,
+        byteBudgetFrac = (fP + fS) / 2,
+        recallSLO = math.min(1.0, pqRec + 1e-6))
+      assert(a5.tier == "pq",
+        s"only budget-fitting tier must still be stamped (alarmed): $a5")
+    }
+
+    // a rebuild of the chosen tier mints a new generation: the stamp
+    // is stale and dispatch must fail loudly, never silently re-probe
+    AnnIndex.buildPq(spark, emb, dir + "/pq", k = 32)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.queryAdvised(spark, dir, queries, emb)
+    }
+    assert(err.getMessage.contains("stale"), err.getMessage)
+  }
+
+  test("tier curve: recall monotone per tier, sq8 matches raw at equal probes, bytes fracs ordered") {
+    val curve = Similarity.simAnnTierCurve(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(curve.length == 15, s"3 tiers x 5 probe levels: ${curve.length}")
+    val byTier = curve.groupBy(_._1)
+    byTier.foreach { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          // probe lists nest on the shared quantizer: recall and scan
+          // cost are monotone (PQ gets a small ADC-crowding tolerance:
+          // a larger candidate set can crowd the fixed rerank list)
+          val tol = if (t == "pq") 0.05 else 0.0
+          assert(hi._3 >= lo._3 - tol,
+            s"$t recall fell ${lo._2}->${hi._2}: ${lo._3} -> ${hi._3}")
+          assert(hi._4 >= lo._4,
+            s"$t cand_frac fell ${lo._2}->${hi._2}: ${lo._4} -> ${hi._4}")
+        case _ =>
+      }
+    }
+    // SQ8's in-cell ranking is near-exact: at equal probes it must not
+    // trail raw IVF (the curve form of "4x is free")
+    val rawRec = byTier("raw").map(r => r._2 -> r._3).toMap
+    byTier("sq8").foreach { case (_, p, rec, _, _) =>
+      assert(rec >= rawRec(p) - 1e-9,
+        s"sq8 recall $rec trails raw ${rawRec(p)} at nprobe=$p")
+    }
+    // bytes fractions: constant across probes; sq8 < raw = 1. (At the
+    // 500-row gate corpus parquet metadata dominates and pq is not yet
+    // smaller than sq8 — the full pq < sq8 ordering is asserted in the
+    // advisor test's 20k corpus, where data dominates overhead.)
+    val bf = curve.groupBy(_._1).map { case (t, rs) =>
+      val fs = rs.map(_._5).distinct
+      assert(fs.length == 1, s"$t bytes_frac varies across probes: $fs")
+      t -> fs.head
+    }
+    assert(bf("raw") == 1.0 && bf("sq8") < 1.0 && bf("pq") < 1.0,
+      s"bytes ordering violated: $bf")
+  }
+
+  test("maintain flags a planted hot cell; rebalance splits it, bounds load, preserves rows and recall") {
+    import spark.implicits._
+    // deterministic jitter so the corpus (and therefore the fit, the
+    // split, and the assertions) replays bit-identically
+    def jit(i: Int, j: Int): Float = (((i * 31 + j * 7) % 13) - 6) / 100.0f
+    def blob(ids: Range, center: Int => Float): Seq[(Long, Seq[Float])] =
+      ids.map(i => (i.toLong,
+        (0 until 64).map(j => center(j) + jit(i, j)).toSeq))
+    // 4 balanced background clusters (40 vecs each on distinct axes) +
+    // TWO tight sub-blobs that crowd one region: 8·e1 ± 0.4·e2. The
+    // coarse quantizer is PINNED with one centroid between the blobs —
+    // the never-balanced-fit case the drift triggers cannot see: the
+    // hot cell holds 240 of 400 rows, load factor 3.0 (pinning keeps
+    // the scenario independent of which local minimum Lloyd's finds)
+    val bg = (0 until 4).flatMap(m =>
+      blob(m * 40 until (m + 1) * 40, j => if (j == m + 4) 5f else 0f))
+    val blobA = blob(1000 until 1120,
+      j => if (j == 0) 8f else if (j == 1) 0.4f else 0f)
+    val blobB = blob(2000 until 2120,
+      j => if (j == 0) 8f else if (j == 1) -0.4f else 0f)
+    val emb = (bg ++ blobA ++ blobB).toDF("vec_id", "embedding")
+    val pinned = (0 until 4).map(m =>
+        Array.tabulate(64)(j => if (j == m + 4) 5.0 else 0.0)).toArray :+
+      Array.tabulate(64)(j => if (j == 0) 8.0 else 0.0)
+    val dir = freshDir("rebalance")
+    AnnIndex.build(spark, emb, dir, k = 5,
+      pinnedCentroids = Some(pinned))
+
+    val inDist = emb.limit(50)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val before = AnnIndex.maintain(spark, dir, inDist, hotFactor = 2.0)
+    assert(before.rebalanceNeeded && before.hotCells >= 1L,
+      s"planted hot cell must flag rebalance: $before")
+    assert(before.maxLoadFactor > 2.0, s"expected load > 2: $before")
+    assert(!before.refitNeeded,
+      s"occupancy skew is not distribution drift — refit must stay off: $before")
+
+    val queries = emb.where(col("vec_id") === 1000L || col("vec_id") === 2000L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def topIds(k: Int) = AnnIndex.query(spark, dir, queries, topK = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val hitsBefore = topIds(5).toSet
+    val idsBefore = AnnIndex.liveRows(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+
+    val filesBefore = physicalParquetFiles(dir)
+      .filter(_._1.contains("cell="))
+
+    val rep = AnnIndex.rebalance(spark, dir, hotFactor = 2.0)
+    assert(rep.split >= 1 && rep.kAfter == rep.kBefore + rep.split,
+      s"each hot cell must split into two: $rep")
+    assert(rep.maxLoadAfter < rep.maxLoadBefore && rep.maxLoadAfter <= 2.0,
+      s"post-rebalance max load must be bounded: $rep")
+    // row identity: nothing appears, nothing vanishes
+    val idsAfter = AnnIndex.liveRows(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(idsAfter == idsBefore, "rebalance must preserve the row set")
+    // recall: each blob query still finds its own blob-mates first
+    val hitsAfter = topIds(5).toSet
+    assert(hitsAfter == hitsBefore,
+      s"top-5 neighbors changed across rebalance:\n$hitsBefore\n$hitsAfter")
+    hitsAfter.foreach { case (q, _, v) =>
+      assert(math.abs(v - q) < 1000,
+        s"query $q's neighbor $v is not a blob-mate")
+    }
+    // the verdict flips off at the same threshold, and the new
+    // generation retires quantizer caches (query ran above — it
+    // reloaded against the post-split geometry)
+    val after = AnnIndex.maintain(spark, dir, inDist, hotFactor = 2.0)
+    assert(!after.rebalanceNeeded && after.hotCells == 0L,
+      s"post-rebalance occupancy must clear the trigger: $after")
+    // cold cells' files were not rewritten — byte-identical survivors
+    // for the 4 balanced background cells (the O(hot)-not-O(index)
+    // claim), and a second pass on a balanced index is a no-op
+    val survivors = physicalParquetFiles(dir)
+      .filter(_._1.contains("cell=")).intersect(filesBefore)
+      .map(_._1.split("/").init.last).toSet
+    assert(survivors.size >= 4,
+      s"balanced cells must keep their files untouched, got $survivors")
+    val reb2 = AnnIndex.rebalance(spark, dir, hotFactor = 2.0)
+    assert(reb2.split == 0 && reb2.kAfter == rep.kAfter,
+      s"a balanced index must rebalance as a no-op: $reb2")
+  }
 }

@@ -174,6 +174,14 @@ class ReplSpec extends SparkSpec {
     val vac = Repl.eval(spark, s"index vacuum ann $dir", ".")
     assert(vac.contains("vacuumed"), vac)
 
+    // the maintenance verdict (drift + occupancy) and the occupancy
+    // actuator, SQL-surface only — a balanced corpus reads as a no-op
+    val maint = Repl.eval(spark, s"index maintain ann $dir $Sf", ".")
+    assert(maint.contains("maxLoadFactor=") && maint.contains("hotCells=")
+      && maint.contains("rebalanceNeeded="), maint)
+    val reb = Repl.eval(spark, s"index rebalance ann $dir hotFactor=1000", ".")
+    assert(reb.contains("split 0 hot cell(s)"), reb)
+
     // text twin: build + delete + status round-trip
     val tdir = java.nio.file.Files.createTempDirectory("graft_repl_tddl").toString
     assert(Repl.eval(spark, s"index build text $tdir $Sf", ".")
