@@ -205,6 +205,14 @@ object GraftEngine {
       "sim_ivf_balance" -> ((s, d, p) =>
         Similarity.ivfBalance(Tables.embeddings(s, d),
           hotFactor = p.double("hotFactor", 2.0))),
+      "sim_ann_tier_advised" -> ((s, d, p) =>
+        Similarity.simAnnTierAdvised(s, d,
+          budgetFrac = p.double("budgetFrac", 1.0),
+          slo = p.double("slo", 0.9))),
+      "sim_ann_tier_curve" -> ((s, d, p) =>
+        Similarity.simAnnTierCurve(s, d,
+          probes = p.str("probes", "1,2,4,8,16")
+            .split(",").map(_.trim.toInt).toSeq)),
       "pipeline_temperature_mixture" -> ((s, d, p) =>
         Sharding.temperatureMix(docsWithTokens(s, d, p),
           alpha = p.double("alpha", 0.5), seed = p.long("seed", 42L),

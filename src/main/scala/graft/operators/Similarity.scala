@@ -529,6 +529,96 @@ object Similarity {
         round(lit(t.getAs[Double]("recall")), 4))
   }
 
+  /** The gate's shared three-tier index (raw 1× / SQ8 4× / PQ 32× over
+    * one corpus, one coarse geometry) — built ONCE per JVM, the
+    * serve_ann_probe discipline: [[simAnnTierAdvised]] and
+    * [[simAnnTierCurve]] both read it, so the advice and the curve
+    * are measurements of the SAME artifacts a deployment would hold. */
+  private def tiersDir(s: SparkSession, d: String): String = {
+    val emb = embeddings(s, d)
+    val kEff = ivfK(corpusCount(emb), 64L)
+    val dir = ivfIndexDir(d, kEff, "tiers")
+    if (!AnnIndex.hasIndex(s, s"$dir/raw"))
+      AnnIndex.buildTiers(s, emb, dir, k = kEff)
+    dir
+  }
+
+  /** SURVEY §5's tier decision rule EXECUTED as a serving default
+    * (round-16 verdict ask #1): [[AnnIndex.adviseTier]] measures every
+    * tier's at-rest bytes and recall at its serving probe count, picks
+    * the LEAST-compressed tier fitting the byte budget and recall SLO
+    * (compression is a cost paid only when I/O forces it), stamps it
+    * generation-keyed, and [[AnnIndex.queryAdvised]] dispatches on the
+    * stamp — the caller states budget + SLO once and never names a
+    * tier. Output rows are the dispatched probe results with the
+    * decision's evidence attached (tier, bytes_frac, measured recall).
+    * Rows-only (recall joins and byte measurements aren't
+    * SQL-expressible); AnnIndexSpec pins the budget-flip
+    * (raw→sq8→pq as the budget tightens), dispatch-equals-direct-
+    * query, stale-stamp rejection, and the recall floor. */
+  def simAnnTierAdvised(s: SparkSession, d: String,
+                        budgetFrac: Double = 1.0,
+                        slo: Double = 0.9): DataFrame = {
+    val emb = embeddings(s, d)
+    val dir = tiersDir(s, d)
+    val qs = queriesSet(emb)
+    val advice = AnnIndex.adviseTier(s, dir, qs, emb, budgetFrac, slo)
+    val m = advice.measures.find(_.tier == advice.tier).get
+    AnnIndex.queryAdvised(s, dir, qs, emb, topK = K)
+      .withColumn("budget_frac", lit(budgetFrac))
+      .withColumn("slo", lit(slo))
+      .withColumn("bytes_frac", round(lit(m.bytesFrac), 4))
+      .withColumn("tier_recall", round(lit(m.recall), 4))
+  }
+
+  /** Tier × nProbe tuning surface from ONE shared build (round-16
+    * verdict ask #2): per (tier, probe count) — mean recall vs the
+    * exact twin, mean candidate fraction (probed-cell scan cost), and
+    * the tier's at-rest bytes fraction. Because all three tiers share
+    * the coarse geometry (same sample, k, seed — see
+    * [[AnnIndex.buildTiers]]) and probe lists NEST across grid levels,
+    * the columns separate cleanly: cand_frac moves with nProbe only,
+    * bytes_frac with tier only, and recall shows exactly what each
+    * compression level costs at equal probes — the committed,
+    * re-checkable form of §6's "4× is free" claim. n_queries per row
+    * as in [[annRecallCurve]] (a query whose probed cells are all
+    * empty at nProbe=1 drops from that level). Rows-only;
+    * AnnIndexSpec pins per-tier monotonicity, sq8-matches-raw recall
+    * at equal probes, and the bytes ordering. */
+  def simAnnTierCurve(s: SparkSession, d: String,
+                      probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val n = corpusCount(emb)
+    val dir = tiersDir(s, d)
+    val qs = queriesSet(emb)
+    val exact = AnnIndex.exactTopK(emb, qs, K, excludeSelf = true)
+    val rawBytes = AnnIndex.tierBytes(s, dir, "raw")
+    val rows = for {
+      t <- AnnIndex.Tiers
+      p <- probes
+    } yield {
+      val res = AnnIndex.tierQuery(s, dir, t, qs, emb, nProbe = p,
+          topK = K, candFracOver = n, excludeSelf = true)
+        .select(col("q_id"), col("vec_id"), col("cand_frac"))
+        .collect()
+      val got = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (exact.isEmpty) 1.0
+        else got.intersect(exact).size.toDouble / exact.size
+      val perQ = res.map(r => (r.getLong(0), r.getDouble(2))).distinct
+      val meanCand =
+        if (perQ.isEmpty) 0.0 else perQ.map(_._2).sum / perQ.length
+      (t, p, math.rint(recall * 1e4) / 1e4,
+        math.rint(meanCand * 1e4) / 1e4,
+        math.rint(AnnIndex.tierBytes(s, dir, t).toDouble / rawBytes * 1e4) / 1e4,
+        perQ.length.toLong)
+    }
+    rows.toDF("tier", "nprobe", "mean_recall", "mean_cand_frac",
+        "bytes_frac", "n_queries")
+      .orderBy(col("tier"), col("nprobe"))
+  }
+
   /** ANN via IVF×PQ — the FAISS IVFPQ serving composition (Jégou et
     * al. 2011 §V): PQ codes live INSIDE the persisted IVF's cell
     * directories, so the ADC scan — flat PQ's one remaining full pass
@@ -1361,7 +1451,11 @@ object Similarity {
     "sim_knn_graph_exact" -> ((s: SparkSession, d: String) =>
       simKnnGraphExact(s, d)),
     "sim_knn_graph" -> ((s: SparkSession, d: String) => simKnnGraph(s, d)),
-    "sim_range_search" -> ((s: SparkSession, d: String) => simRangeSearch(s, d))
+    "sim_range_search" -> ((s: SparkSession, d: String) => simRangeSearch(s, d)),
+    "sim_ann_tier_advised" -> ((s: SparkSession, d: String) =>
+      simAnnTierAdvised(s, d)),
+    "sim_ann_tier_curve" -> ((s: SparkSession, d: String) =>
+      simAnnTierCurve(s, d))
   )
 
   val oracles: Map[String, String] = Map(

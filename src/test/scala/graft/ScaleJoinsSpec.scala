@@ -298,6 +298,41 @@ class ScaleJoinsSpec extends SparkSpec {
       == Seq("a", "b"), "earlier bucketedJoin frame was repointed")
   }
 
+  test("layout lifecycle: layouts() enumerates persisted bucketed tables, dropLayout retires catalog + bytes") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+    val before = ScaleJoins.layouts(spark)
+      .where(col("layout") === "lifecycle17").count()
+    assert(before == 0L)
+    assert(ScaleJoins.bucketedJoin(fact, dim, "k", 2,
+      layoutName = "lifecycle17").count() == 2)
+    val listed = ScaleJoins.layouts(spark)
+      .where(col("layout") === "lifecycle17").collect()
+    assert(listed.length == 2, s"fact + dim tables expected: ${listed.toSeq}")
+    assert(listed.map(_.getAs[String]("table_name")).sorted.toSeq ==
+      Seq("graft_bucketed_dim_lifecycle17", "graft_bucketed_fact_lifecycle17"))
+    assert(listed.forall(r => r.getAs[Long]("bytes") > 0L &&
+      r.getAs[Long]("files") > 0L && r.getAs[Long]("modified_ms") > 0L),
+      s"layout rows must carry real at-rest bytes: ${listed.toSeq}")
+    // retirement drops BOTH tables and their warehouse bytes
+    assert(ScaleJoins.dropLayout(spark, "lifecycle17") == 2)
+    assert(ScaleJoins.layouts(spark)
+      .where(col("layout") === "lifecycle17").count() == 0L)
+    assert(!spark.catalog.tableExists("graft_bucketed_fact_lifecycle17"))
+    // a typo'd / already-retired tag is visible (0), not fatal
+    assert(ScaleJoins.dropLayout(spark, "lifecycle17") == 0)
+    // the REPL lifecycle verbs ride the same surface
+    assert(ScaleJoins.bucketedJoin(fact, dim, "k", 2,
+      layoutName = "lifecycle17b").count() == 2)
+    assert(Repl.eval(spark, "stats layout list", ".")
+      .contains("lifecycle17b"))
+    assert(Repl.eval(spark, "stats layout drop name=lifecycle17b", ".")
+      .contains("dropped 2"))
+    assert(!Repl.eval(spark, "stats layout list", ".")
+      .contains("lifecycle17b"))
+  }
+
   test("bloom-reduced anti join is row-identical to the plain anti join") {
     import spark.implicits._
     // batch keys: some in the corpus (dups), some genuinely new

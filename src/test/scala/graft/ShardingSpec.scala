@@ -421,6 +421,46 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("scd2 event-time lookup: attached version flips at the planted cuts; deleted keys drop") {
+    val ev = Tables.events(spark, Sf)
+    val b = ev.agg(unix_seconds(min(col("ts"))).as("lo"),
+      unix_seconds(max(col("ts"))).as("hi")).collect().head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span3 = (hi - lo) / 3
+    val (c1, c2) = (lo + span3, lo + 2 * span3)
+    val evRows = ev.select(col("event_id"), col("user_id"),
+        unix_seconds(col("ts")).as("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the closed-form dim rule, replayed per event
+    def expected(u: Long, sec: Long): Option[String] = {
+      val deleted = u % 10 == 7 && sec >= c2
+      if (deleted) None
+      else if (u % 6 == 0 && sec >= c2) Some("gold")
+      else if (u % 3 == 0 && sec >= c1) Some("silver")
+      else Some("bronze")
+    }
+    val got = Sharding.scd2Lookup(ev).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    evRows.foreach { case (eid, u, sec) =>
+      expected(u, sec) match {
+        case Some(t) => assert(got.get(eid).contains(t),
+          s"event $eid (user $u, sec $sec): got ${got.get(eid)}, want $t")
+        case None => assert(!got.contains(eid),
+          s"event $eid of deleted user $u must drop, got ${got.get(eid)}")
+      }
+    }
+    // the planted changes actually exercise all transitions: some user
+    // flips bronze->silver across c1, some silver/gold exists past c2,
+    // and at least one deleted-tail event dropped
+    val tiers = got.values.toSet
+    assert(tiers.contains("bronze") && tiers.contains("silver"),
+      s"corpus must exercise a mid-stream flip, got $tiers")
+    assert(evRows.exists { case (_, u, sec) => u % 10 == 7 && sec >= c2 },
+      "corpus must contain a deleted-tail event for the drop case")
+    assert(got.size ==
+      evRows.count { case (_, u, sec) => expected(u, sec).isDefined })
+  }
+
   test("temperature mixture: input already carrying threshold-join columns fails loudly") {
     val docs = Tables.documents(spark, Sf)
     // chained-mix shape: mixCorpus-style output keeps sample_frac; the
