@@ -978,6 +978,97 @@ object Sharding {
   def pipelineAsofRead(s: SparkSession, d: String, v: Long = 1L): DataFrame =
     asOfRead(pipelineScd2(s, d), v)
 
+  /** SCD2 EVENT-TIME lookup — the consuming read pattern for the
+    * [[scd2Build]] history (round-16 verdict ask #4): enrich each
+    * event with the dimension row valid AT the event's timestamp
+    * (valid_from ≤ ts < valid_to; a key deleted before ts attaches
+    * nothing and the event drops — inner semantics, the oracle's
+    * interval join exactly). Every CDC/feature-store user hits this:
+    * "which tier was this user on WHEN they clicked", not "now".
+    *
+    * Plan shape — the [[Temporal.qAsofJoin]] union-and-window
+    * formulation, NOT an interval join: dim-version opens and events
+    * union into one stream, ONE shuffle on the key, one ordered pass
+    * carries the latest open version forward (dim rows sort before
+    * events at the same instant, so an event AT valid_from sees the
+    * new version). This is deliberately not q_range_join's
+    * interval-bucketing: that machinery assumes BOUNDED intervals
+    * (views duplicate into ≤2 hour-buckets); SCD2 validity intervals
+    * are open-ended and span the whole timeline (version 0 covers
+    * everything before the first change), so bucketing would
+    * duplicate each dim row into every bucket its interval touches —
+    * unbounded. Because a key's versions PARTITION its timeline, the
+    * as-of pass is exact, O(n log n) in the shuffle, and never a
+    * BNLJ; the carried valid_to (null coalesced to a far-future
+    * sentinel so `last(…, ignoreNulls)` cannot resurrect a PRIOR
+    * version's close) prunes events past a deletion. The equi-join ⋈
+    * key + interval-filter alternative (fanout = versions per key)
+    * is what the DuckDB oracle runs — same rows by construction.
+    *
+    * The gate dim derives deterministically from the corpus itself
+    * (tier upgrades at the corpus' own time terciles, exact integer-
+    * second arithmetic both engines replay): every user opens bronze;
+    * id ≡ 0 (mod 3) upgrades to silver at t⅓; id ≡ 0 (mod 6) to gold
+    * at t⅔; id ≡ 7 (mod 10) is DELETED at t⅔ (deletion beats the
+    * gold upgrade) — so the planted mid-stream changes flip the
+    * attached version and the deletion tail drops, both
+    * oracle-checked. */
+  def scd2Lookup(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val b = events.agg(
+      unix_seconds(min(col("ts"))).as("lo"),
+      unix_seconds(max(col("ts"))).as("hi")).collect().head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span3 = (hi - lo) / 3
+    val c1 = timestamp_seconds(lit(lo + span3))
+    val c2 = timestamp_seconds(lit(lo + 2 * span3))
+    val farFuture = lit("9999-12-31 00:00:00")
+      .cast(org.apache.spark.sql.types.TimestampType)
+    val users = events.select(col("user_id")).distinct()
+    val bronze = users.select(col("user_id"), lit("bronze").as("tier"),
+      lit("1970-01-01 00:00:00")
+        .cast(org.apache.spark.sql.types.TimestampType).as("valid_from"),
+      when(col("user_id") % 3 === 0, c1)
+        .when(col("user_id") % 10 === 7, c2).as("valid_to"))
+    val silver = users.where(col("user_id") % 3 === 0)
+      .select(col("user_id"), lit("silver").as("tier"), c1.as("valid_from"),
+        when(col("user_id") % 10 === 7, c2)
+          .when(col("user_id") % 6 === 0, c2).as("valid_to"))
+    val gold = users
+      .where(col("user_id") % 6 === 0 && col("user_id") % 10 =!= 7)
+      .select(col("user_id"), lit("gold").as("tier"), c2.as("valid_from"),
+        lit(null).cast(org.apache.spark.sql.types.TimestampType)
+          .as("valid_to"))
+    val dim = bronze.unionByName(silver).unionByName(gold)
+      .select(col("user_id"), col("valid_from").as("t"), lit(0).as("side"),
+        lit(null).cast(org.apache.spark.sql.types.LongType).as("event_id"),
+        col("tier"), col("valid_from"),
+        coalesce(col("valid_to"), farFuture).as("valid_to_s"))
+    val evs = events.select(col("user_id"), col("ts").as("t"),
+      lit(1).as("side"), col("event_id"),
+      lit(null).cast("string").as("tier"),
+      lit(null).cast(org.apache.spark.sql.types.TimestampType)
+        .as("valid_from"),
+      lit(null).cast(org.apache.spark.sql.types.TimestampType)
+        .as("valid_to_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(evs)
+      .select(col("user_id"), col("t"), col("side"), col("event_id"),
+        last(col("tier"), ignoreNulls = true).over(w).as("tier"),
+        last(col("valid_from"), ignoreNulls = true).over(w).as("tier_since"),
+        last(col("valid_to_s"), ignoreNulls = true).over(w).as("closes"))
+      .where(col("side") === 1 && col("tier").isNotNull &&
+        col("t") < col("closes"))
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        col("tier"), col("tier_since"))
+      .orderBy(col("event_id"))
+  }
+
+  def pipelineScd2Lookup(s: SparkSession, d: String): DataFrame =
+    scd2Lookup(events(s, d))
+
   def pipelineMergeUpsert(s: SparkSession, d: String): DataFrame = {
     val snap = documents(s, d)
     val changes =
@@ -1326,6 +1417,7 @@ object Sharding {
     "pipeline_scd2" -> (pipelineScd2 _),
     "pipeline_asof_read" -> ((s: SparkSession, d: String) =>
       pipelineAsofRead(s, d)),
+    "pipeline_scd2_lookup" -> (pipelineScd2Lookup _),
     "pipeline_temperature_mixture" -> (pipelineTemperatureMixture _),
     "pipeline_length_gini" -> (pipelineLengthGini _),
     "pipeline_pack_binned" -> (pipelinePackBinned _),
@@ -1651,6 +1743,46 @@ object Sharding {
         |FROM stacked WHERE op <> 'D' AND v <= 1
         |  AND (valid_to IS NULL OR valid_to > 1)
         |ORDER BY doc_id""".stripMargin,
+
+    // the event-time lookup's oracle is the equi-join + interval-filter
+    // form (fanout = versions per key) — same rows as the engine's
+    // as-of union-and-window pass by construction, since a key's SCD2
+    // intervals partition its timeline. Tercile cuts are exact integer
+    // seconds: floor-epoch both sides, integer division pinned to
+    // span3 = (hi-lo)/3 so c2 = lo + 2*span3 (NOT lo + 2*(hi-lo)/3
+    // rounded differently)
+    "pipeline_scd2_lookup" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+        |         CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+        |  FROM events
+        |), c AS (
+        |  SELECT make_timestamp((lo + (hi - lo) // 3) * 1000000) AS c1,
+        |         make_timestamp((lo + 2 * ((hi - lo) // 3)) * 1000000) AS c2
+        |  FROM b
+        |), u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), dim AS (
+        |  SELECT user_id, 'bronze' AS tier,
+        |    TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+        |    CASE WHEN user_id % 3 = 0 THEN c1
+        |         WHEN user_id % 10 = 7 THEN c2 END AS valid_to
+        |  FROM u CROSS JOIN c
+        |  UNION ALL
+        |  SELECT user_id, 'silver', c1,
+        |    CASE WHEN user_id % 10 = 7 THEN c2
+        |         WHEN user_id % 6 = 0 THEN c2 END
+        |  FROM u CROSS JOIN c WHERE user_id % 3 = 0
+        |  UNION ALL
+        |  SELECT user_id, 'gold', c2, NULL
+        |  FROM u CROSS JOIN c WHERE user_id % 6 = 0 AND user_id % 10 <> 7
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, d.tier,
+        |  d.valid_from AS tier_since
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |  AND d.valid_from <= e.ts
+        |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
 
     // mixCorpus' md5-draw replay with the DERIVED fraction: sqrt of the
     // exact-long ratio is correctly rounded on both engines (scaladoc).
