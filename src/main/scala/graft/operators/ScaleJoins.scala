@@ -297,6 +297,56 @@ object ScaleJoins {
     fact.sparkSession.read.parquet(path).join(dim, Seq(key))
   }
 
+  /** The persisted-layout LIFECYCLE readout (round-16 verdict ask #6):
+    * every `graft_bucketed_*` table [[bucketedJoin]] landed in the
+    * session catalog, one row per table with its layout tag, at-rest
+    * bytes, file count, and last-modified time — the litter report a
+    * long-lived session reads before [[dropLayout]] retires what no
+    * job re-joins. Without it the UUID-unique layouts (each one a
+    * deliberate one-time write the `bucket` advice priced) accumulate
+    * invisibly in the warehouse. Bytes/mtime come from the managed
+    * table's warehouse directory — a bounded FS listing per layout
+    * table, no data scan. */
+  def layouts(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val names = s.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_bucketed_")).sorted
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rows = names.map { t =>
+      val side = t.stripPrefix("graft_bucketed_")
+      val layout = side.dropWhile(_ != '_').drop(1)
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      var (bytes, files, newest) = (0L, 0L, 0L)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          bytes += st.getLen; files += 1
+          newest = math.max(newest, st.getModificationTime)
+        }
+      }
+      (layout, t, bytes, files, newest)
+    }
+    rows.toSeq
+      .toDF("layout", "table_name", "bytes", "files", "modified_ms")
+      .orderBy(col("layout"), col("table_name"))
+  }
+
+  /** Retire one layout: DROP both of its managed tables (fact + dim)
+    * — catalog entry AND warehouse data, the whole point of managed
+    * layout tables. Returns how many tables dropped (0 = unknown tag,
+    * loud enough for a typo to be visible without being fatal in a
+    * cleanup loop). */
+  def dropLayout(s: SparkSession, layout: String): Int = {
+    val victims = Seq(s"graft_bucketed_fact_$layout",
+        s"graft_bucketed_dim_$layout")
+      .filter(t => s.catalog.tableExists(t))
+    victims.foreach(t => s.sql(s"DROP TABLE `$t`"))
+    victims.length
+  }
+
   /** `fact ⋈ dim` on `key` through whichever strategy the advice
     * picks — the closed diagnose → recommend → execute loop
     * (pipeline_skew_stats diagnoses, pipeline_join_advisor /
