@@ -109,7 +109,13 @@ object Bench {
     // compression tier under PQ's 32×) and the temperature mixture
     // (derived-weight md5-draw filter — a pure map-only scan whose
     // number tracks scan efficiency)
-    "sim_ann_sq8", "pipeline_temperature_mixture")
+    "sim_ann_sq8", "pipeline_temperature_mixture",
+    // round 17: the two new serving/read shapes — the tier advisor
+    // (three-tier build once per JVM, the serve_ann_probe discipline;
+    // the MIN tracks one advise pass — exact twin + three probes — plus
+    // the stamped dispatch) and the SCD2 event-time lookup (dim-open ∪
+    // events union, ONE shuffle on the key, ordered carry-forward pass)
+    "sim_ann_tier_advised", "pipeline_scd2_lookup")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -198,12 +204,25 @@ object Bench {
     // ~2000 chars of stdout, and rounds 13/14 saw the full line (2.4 kB
     // with the median/spread maps) truncated mid-key into an unparseable
     // tail. Per-query seconds round to 4 dp (0.1 ms — far below machine
-    // noise), the median/spread/loadavg diagnostics stay file-only, and
-    // the line prints LAST so nothing pushes it out of the window.
+    // noise) and the line prints LAST so nothing pushes it out of the
+    // window. Round 17 (verdict ask #7): the DRIVER artifact carries the
+    // variance protocol too — per-query medians (3 dp), total_median and
+    // both loadavg samples — because r16's uniformly-inflated driver leg
+    // was only diagnosable by cross-reading the builder file. A LENGTH
+    // GUARD keeps the capture window honest: if the line would exceed
+    // ~1.9 kB the per-query median map is dropped first (total_median +
+    // loadavg are the minimum diagnosis kit and always fit).
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
-    val compact = s"""{"metric":"total","value":${r4(jtotal(_._2._1))}""" +
-      s""","unit":"sec","queries":${jmap(q => r4(q._2._1))}""" +
+    def r3(x: Double): Double = math.rint(x * 1e3) / 1e3
+    val tail = s""","total_median":${r3(jtotal(_._2._2))}""" +
+      s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
       s""","runs":$nRuns,"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${r4(jtotal(_._2._1))}""" +
+      s""","unit":"sec","queries":${jmap(q => r4(q._2._1))}"""
+    val withMedians = head +
+      s""","queries_median":${jmap(q => r3(q._2._2))}""" + tail
+    val compact =
+      if (withMedians.length <= 1900) withMedians else head + tail
     spark.stop()
     println(compact)
   }
