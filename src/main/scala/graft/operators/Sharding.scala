@@ -1024,22 +1024,32 @@ object Sharding {
     val c2 = timestamp_seconds(lit(lo + 2 * span3))
     val farFuture = lit("9999-12-31 00:00:00")
       .cast(org.apache.spark.sql.types.TimestampType)
-    val users = events.select(col("user_id")).distinct()
-    val bronze = users.select(col("user_id"), lit("bronze").as("tier"),
-      lit("1970-01-01 00:00:00")
-        .cast(org.apache.spark.sql.types.TimestampType).as("valid_from"),
-      when(col("user_id") % 3 === 0, c1)
-        .when(col("user_id") % 10 === 7, c2).as("valid_to"))
-    val silver = users.where(col("user_id") % 3 === 0)
-      .select(col("user_id"), lit("silver").as("tier"), c1.as("valid_from"),
-        when(col("user_id") % 10 === 7, c2)
-          .when(col("user_id") % 6 === 0, c2).as("valid_to"))
-    val gold = users
-      .where(col("user_id") % 6 === 0 && col("user_id") % 10 =!= 7)
-      .select(col("user_id"), lit("gold").as("tier"), c2.as("valid_from"),
-        lit(null).cast(org.apache.spark.sql.types.TimestampType)
-          .as("valid_to"))
-    val dim = bronze.unionByName(silver).unionByName(gold)
+    // the user-version table derives from ONE distinct + one generate:
+    // a union of three filtered selects over `users` looks the same but
+    // re-plans the distinct per branch (three corpus scans, three
+    // shuffles — observed in the plan audit); the explode keeps the
+    // single distinct exchange and everything after it map-only
+    val u = col("user_id")
+    val nullTs = lit(null)
+      .cast(org.apache.spark.sql.types.TimestampType)
+    val dimRows = events.select(u).distinct()
+      .select(u, explode(array(
+        struct(lit("bronze").as("tier"),
+          lit("1970-01-01 00:00:00")
+            .cast(org.apache.spark.sql.types.TimestampType)
+            .as("valid_from"),
+          when(u % 3 === 0, c1).when(u % 10 === 7, c2).as("valid_to"),
+          lit(true).as("keep")),
+        struct(lit("silver").as("tier"), c1.as("valid_from"),
+          when(u % 10 === 7, c2).when(u % 6 === 0, c2).as("valid_to"),
+          (u % 3 === 0).as("keep")),
+        struct(lit("gold").as("tier"), c2.as("valid_from"),
+          nullTs.as("valid_to"),
+          (u % 6 === 0 && u % 10 =!= 7).as("keep")))).as("v"))
+      .where(col("v.keep"))
+      .select(u, col("v.tier").as("tier"),
+        col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"))
+    val dim = dimRows
       .select(col("user_id"), col("valid_from").as("t"), lit(0).as("side"),
         lit(null).cast(org.apache.spark.sql.types.LongType).as("event_id"),
         col("tier"), col("valid_from"),
