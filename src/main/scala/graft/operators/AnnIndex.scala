@@ -423,7 +423,20 @@ object AnnIndex {
            recallSLO: Double, topK: Int = 10,
            grid: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64),
            rawEmb: Option[DataFrame] = None,
-           excludeSelf: Boolean = true): (Int, Double) = {
+           excludeSelf: Boolean = true): (Int, Double) =
+    tuneImpl(s, dir, queries, recallSLO, topK, grid, rawEmb,
+      excludeSelf, exactPre = None)
+
+  /** [[tune]] body with an optionally PRECOMPUTED exact set, so
+    * [[adviseTier]] can tune all three tiers against ONE exact-twin
+    * corpus pass instead of three. */
+  private[graft] def tuneImpl(s: SparkSession, dir: String,
+                              queries: DataFrame, recallSLO: Double,
+                              topK: Int, grid: Seq[Int],
+                              rawEmb: Option[DataFrame],
+                              excludeSelf: Boolean,
+                              exactPre: Option[Set[(Long, Long)]])
+      : (Int, Double) = {
     import s.implicits._
     require(recallSLO > 0.0 && recallSLO <= 1.0,
       s"recall SLO must be in (0, 1], got $recallSLO")
@@ -437,9 +450,11 @@ object AnnIndex {
     val hasSq8 = !hasPq && IndexFiles.fsFor(s, sqPath).exists(sqPath)
     require((!hasPq && !hasSq8) || rawEmb.isDefined,
       "tuning a PQ/SQ8 index needs rawEmb (cells hold codes, not vectors)")
-    val corpus = rawEmb.getOrElse(liveRows(s, dir))
-      .select(col("vec_id"), col("embedding"))
-    val exact = exactTopK(corpus, queries, topK, excludeSelf)
+    val exact = exactPre.getOrElse {
+      val corpus = rawEmb.getOrElse(liveRows(s, dir))
+        .select(col("vec_id"), col("embedding"))
+      exactTopK(corpus, queries, topK, excludeSelf)
+    }
     def recallAt(p: Int): Double = recallOf(
       if (hasPq)
         queryPq(s, dir, queries, rawEmb.get, nProbe = p, topK = topK,
@@ -1130,19 +1145,6 @@ object AnnIndex {
                          recall: Double, nProbe: Int)
   case class TierAdvice(tier: String, measures: Seq[TierMeasure])
 
-  /** The serving-default probe count a tier would use at nProbe = 0 —
-    * its tune stamp when one is live, else the derived heuristic
-    * (PQ's 3× headroom included). Surfaced so the advice table shows
-    * the knob each recall number was measured at. */
-  private def servingNProbe(s: SparkSession, dir: String,
-                            isPq: Boolean): Int = {
-    val man = IndexFiles.read(s, dir)
-    val qz = cachedQuantizers(s, dir, man.built, needPq = false)
-    qz.tunedNProbe.getOrElse(
-      if (isPq) math.min(qz.meta.k, 3 * Similarity.ivfNProbe(qz.meta.k))
-      else Similarity.ivfNProbe(qz.meta.k))
-  }
-
   private[graft] def tierQuery(s: SparkSession, dir: String, tier: String,
                         queries: DataFrame, rawEmb: DataFrame,
                         nProbe: Int, topK: Int, candFracOver: Long,
@@ -1157,26 +1159,40 @@ object AnnIndex {
       s"unknown tier '$other' — expected ${Tiers.mkString("/")}")
   }
 
-  /** Measure every PRESENT tier (raw required — it is the bytes
-    * denominator) at its serving-default probe count, then choose the
-    * FIRST of raw → sq8 → pq whose bytes fraction fits
-    * `byteBudgetFrac` AND whose measured recall meets `recallSLO`,
-    * and stamp the choice (`<dir>/tier`, keyed by the chosen tier's
-    * build generation) as the serving default [[queryAdvised]]
-    * dispatches on. Fallbacks mirror [[tune]]'s none-meets-the-SLO
-    * contract — never silent, always stamped with achieved numbers
-    * for the caller to alarm on: if no tier meets both, the
-    * budget-fitting tier with the best recall is stamped; if none
-    * fits the budget at all, the smallest tier is.
+  /** TUNE every PRESENT tier to the recall SLO (raw required — it is
+    * the bytes denominator), then choose the FIRST of raw → sq8 → pq
+    * whose bytes fraction fits `byteBudgetFrac` AND whose TUNED
+    * recall meets `recallSLO`, and stamp the choice (`<dir>/tier`,
+    * keyed by the chosen tier's build generation) as the serving
+    * default [[queryAdvised]] dispatches on.
     *
-    * Cost: one exact-twin corpus pass + one probe call per tier over
-    * the tiny query set — maintenance-verb priced, run at build/
-    * compact cadence. Run [[tune]] per tier first if the SLO should
-    * also pick each tier's minimal probe count; the advisor honors
-    * live stamps through the nProbe = 0 path it measures. */
+    * Tune-first is load-bearing, not a convenience: the tiers'
+    * DEFAULT probe budgets differ by design (PQ carries a 3× probe
+    * headroom for its quantization noise), so comparing recall at the
+    * defaults compares probe budgets, not compression — measured at
+    * the gate corpus, raw@8 probes scored 0.63 while pq@24 scored
+    * 0.89 and the advisor preferred the LOSSIER tier at an unlimited
+    * byte budget, exactly backwards. Tuning first puts every tier at
+    * its own SLO-minimal operating point ([[tune]]'s nesting
+    * argument), so the decision compares what actually differs —
+    * bytes, and whether the SLO is reachable at all. The per-tier
+    * tune stamps persist (the advisor OWNS them — it is the one
+    * place budget + SLO are stated), so the stamped dispatch serves
+    * each tier at the probes its measurement used.
+    *
+    * Fallbacks mirror [[tune]]'s none-meets-the-SLO contract — never
+    * silent, always stamped with achieved numbers for the caller to
+    * alarm on: if no tier meets both, the budget-fitting tier with
+    * the best tuned recall is stamped; if none fits the budget at
+    * all, the smallest tier is.
+    *
+    * Cost: ONE exact-twin corpus pass (shared across tiers) + the
+    * tune grid's probe calls per tier over the tiny query set —
+    * maintenance-verb priced, run at build/compact cadence. */
   def adviseTier(s: SparkSession, dir: String, queries: DataFrame,
                  rawEmb: DataFrame, byteBudgetFrac: Double,
                  recallSLO: Double, topK: Int = 10,
+                 grid: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64),
                  excludeSelf: Boolean = true): TierAdvice = {
     import s.implicits._
     require(byteBudgetFrac > 0.0,
@@ -1191,10 +1207,8 @@ object AnnIndex {
     val exact = exactTopK(rawEmb, queries, topK, excludeSelf)
     val measures = present.map { t =>
       val bytes = tierBytes(s, dir, t)
-      val nP = servingNProbe(s, s"$dir/$t", isPq = t == "pq")
-      val rec = recallOf(tierQuery(s, dir, t, queries, rawEmb,
-        nProbe = 0, topK = topK, candFracOver = 0L,
-        excludeSelf = excludeSelf), exact)
+      val (nP, rec) = tuneImpl(s, s"$dir/$t", queries, recallSLO, topK,
+        grid, Some(rawEmb), excludeSelf, exactPre = Some(exact))
       TierMeasure(t, bytes, bytes.toDouble / rawBytes, rec, nP)
     }
     val eps = 1e-12
