@@ -1228,19 +1228,43 @@ object AnnIndex {
 
   /** The [[adviseTier]] stamp: (chosen tier, its stamped generation,
     * the full measurement table). None when un-advised. */
-  def readTierStamp(s: SparkSession, dir: String)
-      : Option[(String, String, Seq[TierMeasure])] = {
+  case class TierStamp(tier: String, built: String, budgetFrac: Double,
+                       slo: Double, measures: Seq[TierMeasure])
+
+  def readTierStamp(s: SparkSession, dir: String): Option[TierStamp] = {
     val p = new Path(s"$dir/tier")
     if (!IndexFiles.fsFor(s, p).exists(p)) return None
     val rows = s.read.parquet(p.toString).orderBy(col("measured_tier"))
       .collect()
     rows.headOption.map { h =>
-      (h.getAs[String]("tier"), h.getAs[String]("built"),
+      TierStamp(h.getAs[String]("tier"), h.getAs[String]("built"),
+        h.getAs[Double]("budget_frac"), h.getAs[Double]("slo"),
         rows.toSeq.map(r => TierMeasure(r.getAs[String]("measured_tier"),
           r.getAs[Long]("bytes"), r.getAs[Double]("bytes_frac"),
           r.getAs[Double]("recall"), r.getAs[Int]("n_probe"))))
     }
   }
+
+  /** [[adviseTier]] unless a LIVE stamp already answers the same
+    * (budget, SLO): the steady-state form a serving deployment calls —
+    * the decision is re-measured only when its inputs changed (new
+    * budget/SLO) or the chosen tier was rebuilt (stamp generation no
+    * longer live). This is the once-per-generation discipline every
+    * stamped verb here follows; the bench MIN tracks the stamped
+    * dispatch, not a re-measurement per probe. */
+  def adviseTierIfNeeded(s: SparkSession, dir: String, queries: DataFrame,
+                         rawEmb: DataFrame, byteBudgetFrac: Double,
+                         recallSLO: Double, topK: Int = 10,
+                         grid: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64),
+                         excludeSelf: Boolean = true): TierAdvice =
+    readTierStamp(s, dir) match {
+      case Some(st) if st.budgetFrac == byteBudgetFrac &&
+          st.slo == recallSLO && hasIndex(s, s"$dir/${st.tier}") &&
+          IndexFiles.read(s, s"$dir/${st.tier}").built == st.built =>
+        TierAdvice(st.tier, st.measures)
+      case _ => adviseTier(s, dir, queries, rawEmb, byteBudgetFrac,
+        recallSLO, topK, grid, excludeSelf)
+    }
 
   /** Probe through the ADVISED tier — the dispatching entry point the
     * stamp exists for: a deployment states its byte budget and recall
@@ -1255,15 +1279,15 @@ object AnnIndex {
                    rawEmb: DataFrame, topK: Int = 10,
                    candFracOver: Long = 0L,
                    excludeSelf: Boolean = true): DataFrame = {
-    val (tier, gen, _) = readTierStamp(s, dir).getOrElse(
+    val st = readTierStamp(s, dir).getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no tier stamp — run adviseTier first"))
-    val live = IndexFiles.read(s, s"$dir/$tier").built
-    require(live == gen,
-      s"tier stamp is stale: stamped generation $gen, live $live for " +
-        s"tier '$tier' — re-run adviseTier after a rebuild")
-    tierQuery(s, dir, tier, queries, rawEmb, nProbe = 0, topK = topK,
+    val live = IndexFiles.read(s, s"$dir/${st.tier}").built
+    require(live == st.built,
+      s"tier stamp is stale: stamped generation ${st.built}, live $live " +
+        s"for tier '${st.tier}' — re-run adviseTier after a rebuild")
+    tierQuery(s, dir, st.tier, queries, rawEmb, nProbe = 0, topK = topK,
         candFracOver = candFracOver, excludeSelf = excludeSelf)
-      .withColumn("tier", lit(tier))
+      .withColumn("tier", lit(st.tier))
   }
 }

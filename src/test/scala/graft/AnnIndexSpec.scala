@@ -617,6 +617,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(a3.measures.forall(_.recall >= 0.5),
       s"all tiers must clear the floor here: ${a3.measures}")
 
+    // the steady-state form re-uses a live matching stamp without
+    // re-measuring (stamp file untouched); a different budget re-advises
+    val stampFiles = physicalParquetFiles(dir + "/tier")
+    val cached = AnnIndex.adviseTierIfNeeded(spark, dir, queries, emb,
+      byteBudgetFrac = (fP + fS) / 2, recallSLO = 0.5)
+    assert(cached.tier == "pq" &&
+      cached.measures.toSet == a3.measures.toSet)
+    assert(physicalParquetFiles(dir + "/tier") == stampFiles,
+      "a live matching stamp must not be re-measured")
+
     // dispatch-by-stamp is EXACTLY the direct query of the chosen tier
     val advised = AnnIndex.queryAdvised(spark, dir, queries, emb)
     assert(advised.select("tier").distinct().collect()
