@@ -46,12 +46,25 @@ object MakeScale {
     rep("orders", Seq("o_orderkey", "o_custkey"))()
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
     rep("events", Seq("event_id", "user_id"))()
-    // salt cloned text: otherwise each clone set is mutual exact/near
-    // dups and dedup candidate pairs grow quadratically by construction
+    // salt cloned text THROUGHOUT, not just at the end: an appended
+    // suffix leaves the clone families near-identical in SHINGLE space
+    // (trailing n-grams differ, the rest collide), so at factor 100
+    // every base doc became a 100-member near-dup family and the pair
+    // operators' output grew quadratically BY CONSTRUCTION — measured
+    // as dedup_minhash_lsh 1.4 s → 29 s at the first sf10 leg while
+    // the cluster collapse (whose output is linear) scaled 2.2×. A
+    // copy-keyed token every 3 words caps cross-copy 3-gram Jaccard at
+    // ~0.14, far under every near-dup threshold, so a scaled corpus
+    // has scale-independent near-dup density — "N× more independent
+    // docs", which is what a scale leg is supposed to measure. The
+    // doc_id suffix stays so small (<3-word) docs are not byte-equal.
     rep("documents", Seq("doc_id"))(d =>
       d.withColumn("text",
         when(col("_copy") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" salt"), col("doc_id")))))
+          .otherwise(concat(
+            regexp_replace(col("text"), lit("(\\S+ \\S+ \\S+) "),
+              concat(lit("$1 s"), col("_copy").cast("string"), lit(" "))),
+            lit(" salt"), col("doc_id")))))
     rep("embeddings", Seq("vec_id"))()
     spark.stop()
   }
