@@ -58,12 +58,17 @@ object MakeScale {
     // has scale-independent near-dup density — "N× more independent
     // docs", which is what a scale leg is supposed to measure. The
     // doc_id suffix stays so small (<3-word) docs are not byte-equal.
+    // REPLACE (not insert) every 3rd word: inserting inflated cloned
+    // docs' token counts ~33% and every text-processing query's work
+    // with them (measured: sf1 total 50 s → 61 s) — replacement keeps
+    // word counts and byte volume ≈ the original corpus while every
+    // 3-gram window still crosses a copy-keyed token.
     rep("documents", Seq("doc_id"))(d =>
       d.withColumn("text",
         when(col("_copy") === 0, col("text"))
           .otherwise(concat(
-            regexp_replace(col("text"), lit("(\\S+ \\S+ \\S+) "),
-              concat(lit("$1 s"), col("_copy").cast("string"), lit(" "))),
+            regexp_replace(col("text"), lit("(\\S+ \\S+ )\\S+ "),
+              concat(lit("$1s"), col("_copy").cast("string"), lit(" "))),
             lit(" salt"), col("doc_id")))))
     rep("embeddings", Seq("vec_id"))()
     spark.stop()
