@@ -212,9 +212,17 @@ object Pretrain {
       .transform(truncateLineage)
     val freq = scored.groupBy(col("lang"), col("mean_logprob"))
       .agg(count(lit(1)).as("cnt"))
+    // boundaries round to the SCORES' own 6-dp precision: the two
+    // engines' continuous-quantile interpolations differ by 1 ulp when
+    // the rank position lands ~integer, and a 6-dp score EXACTLY AT
+    // the tercile then flips head/middle across engines (first seen at
+    // the round-17 sf1 sweep, 3 boundary docs). Rounded to the score
+    // grid, both engines compare against the identical threshold.
     val bounds = freq.groupBy(col("lang")).agg(
-      expr("percentile(mean_logprob, 0.3333333333333333D, cnt)").as("q1"),
-      expr("percentile(mean_logprob, 0.6666666666666666D, cnt)").as("q2"))
+      round(expr("percentile(mean_logprob, 0.3333333333333333D, cnt)"), 6)
+        .as("q1"),
+      round(expr("percentile(mean_logprob, 0.6666666666666666D, cnt)"), 6)
+        .as("q2"))
     scored
       .join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("mean_logprob"),
@@ -762,8 +770,8 @@ object Pretrain {
         |  FROM scored s JOIN documents d USING (doc_id)
         |), b AS (
         |  SELECT lang,
-        |    quantile_cont(mean_logprob, 0.3333333333333333) AS q1,
-        |    quantile_cont(mean_logprob, 0.6666666666666666) AS q2
+        |    round(quantile_cont(mean_logprob, 0.3333333333333333), 6) AS q1,
+        |    round(quantile_cont(mean_logprob, 0.6666666666666666), 6) AS q2
         |  FROM sl GROUP BY lang
         |)
         |SELECT sl.doc_id, sl.lang, sl.mean_logprob,
