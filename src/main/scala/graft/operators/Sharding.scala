@@ -1018,6 +1018,17 @@ object Sharding {
     val b = events.agg(
       unix_seconds(min(col("ts"))).as("lo"),
       unix_seconds(max(col("ts"))).as("hi")).collect().head
+    if (b.isNullAt(0)) { // no events → no terciles to derive, no lookups
+      import org.apache.spark.sql.types.{StructType, StructField,
+        TimestampType, StringType}
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(
+          Seq(StructField("event_id", LongType),
+            StructField("user_id", LongType),
+            StructField("ts", TimestampType),
+            StructField("tier", StringType),
+            StructField("tier_since", TimestampType))))
+    }
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span3 = (hi - lo) / 3
     val c1 = timestamp_seconds(lit(lo + span3))
@@ -1032,6 +1043,15 @@ object Sharding {
     val u = col("user_id")
     val nullTs = lit(null)
       .cast(org.apache.spark.sql.types.TimestampType)
+    // `ord` is the VERSION ordinal (bronze 0 < silver 1 < gold 2) —
+    // the final window sort key. With a span under 3 seconds the
+    // terciles coincide (span3 = 0 → c1 == c2) and multiple versions
+    // of one key open at the same (t, side=0); without the ordinal
+    // their order — and therefore which version last() carries past
+    // that instant — is nondeterministic and can diverge from the
+    // oracle's interval join. Later version wins at the same instant,
+    // which is also what the interval semantics demand: a version
+    // whose [from, to) interval is empty attaches nothing.
     val dimRows = events.select(u).distinct()
       .select(u, explode(array(
         struct(lit("bronze").as("tier"),
@@ -1039,30 +1059,33 @@ object Sharding {
             .cast(org.apache.spark.sql.types.TimestampType)
             .as("valid_from"),
           when(u % 3 === 0, c1).when(u % 10 === 7, c2).as("valid_to"),
-          lit(true).as("keep")),
+          lit(true).as("keep"), lit(0).as("ord")),
         struct(lit("silver").as("tier"), c1.as("valid_from"),
           when(u % 10 === 7, c2).when(u % 6 === 0, c2).as("valid_to"),
-          (u % 3 === 0).as("keep")),
+          (u % 3 === 0).as("keep"), lit(1).as("ord")),
         struct(lit("gold").as("tier"), c2.as("valid_from"),
           nullTs.as("valid_to"),
-          (u % 6 === 0 && u % 10 =!= 7).as("keep")))).as("v"))
+          (u % 6 === 0 && u % 10 =!= 7).as("keep"),
+          lit(2).as("ord")))).as("v"))
       .where(col("v.keep"))
       .select(u, col("v.tier").as("tier"),
-        col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"))
+        col("v.valid_from").as("valid_from"),
+        col("v.valid_to").as("valid_to"), col("v.ord").as("ord"))
     val dim = dimRows
       .select(col("user_id"), col("valid_from").as("t"), lit(0).as("side"),
+        col("ord"),
         lit(null).cast(org.apache.spark.sql.types.LongType).as("event_id"),
         col("tier"), col("valid_from"),
         coalesce(col("valid_to"), farFuture).as("valid_to_s"))
     val evs = events.select(col("user_id"), col("ts").as("t"),
-      lit(1).as("side"), col("event_id"),
+      lit(1).as("side"), lit(3).as("ord"), col("event_id"),
       lit(null).cast("string").as("tier"),
       lit(null).cast(org.apache.spark.sql.types.TimestampType)
         .as("valid_from"),
       lit(null).cast(org.apache.spark.sql.types.TimestampType)
         .as("valid_to_s"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("t"), col("side"))
+      .orderBy(col("t"), col("side"), col("ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dim.unionByName(evs)
       .select(col("user_id"), col("t"), col("side"), col("event_id"),

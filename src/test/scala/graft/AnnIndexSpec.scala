@@ -648,13 +648,44 @@ class AnnIndexSpec extends SparkSpec {
         s"only budget-fitting tier must still be stamped (alarmed): $a5")
     }
 
-    // a rebuild of the chosen tier mints a new generation: the stamp
-    // is stale and dispatch must fail loudly, never silently re-probe
+    // the stamp answers ONE question — re-asking with a different
+    // topK (grid, excludeSelf) must re-measure, never hand back the
+    // other question's numbers (round-17 advice)
+    val stampBefore = physicalParquetFiles(dir + "/tier")
+    AnnIndex.adviseTierIfNeeded(spark, dir, queries, emb,
+      byteBudgetFrac = (fP + fS) / 2, recallSLO = 0.5, topK = 5)
+    assert(physicalParquetFiles(dir + "/tier") != stampBefore,
+      "a different topK must re-measure, not reuse the stamp")
+    val st5 = AnnIndex.readTierStamp(spark, dir).get
+    assert(st5.topK == 5 && st5.budgetFrac == (fP + fS) / 2,
+      s"the stamp must persist the question it answered: $st5")
+
+    // a rebuild of the chosen tier mints a new generation: the STRICT
+    // form fails loudly; the default re-measures through the stamp's
+    // own persisted question and serves with no manual step (round-17
+    // verdict ask #4 — maintenance must not strand a stamped
+    // deployment)
     AnnIndex.buildPq(spark, emb, dir + "/pq", k = 32)
-    val err = intercept[IllegalArgumentException] {
-      AnnIndex.queryAdvised(spark, dir, queries, emb)
+    val err = intercept[IllegalStateException] {
+      AnnIndex.queryAdvised(spark, dir, queries, emb, readvise = false)
     }
     assert(err.getMessage.contains("stale"), err.getMessage)
+    val healed = AnnIndex.queryAdvised(spark, dir, queries, emb)
+    assert(healed.count() > 0, "self-healed dispatch must serve")
+    val stH = AnnIndex.readTierStamp(spark, dir).get
+    assert(stH.built == AnnIndex.status(spark, s"$dir/${stH.tier}").built,
+      s"the healed stamp must be live: $stH")
+    assert(stH.topK == 5, "re-advise must replay the stamped question")
+
+    // the chained maintenance verb: rebalance raw + advice refresh —
+    // whether or not a cell split (split ⇒ new raw generation ⇒ the
+    // refresh re-measures; no split ⇒ stamp reused), the deployment
+    // must come out SERVING with a live stamp and no manual step
+    val (rep, adv) = AnnIndex.rebalanceTiers(spark, dir, queries, emb)
+    assert(adv.isDefined, s"an advised dir must refresh advice: $rep")
+    assert(AnnIndex.queryAdvised(spark, dir, queries, emb,
+      readvise = false).count() > 0,
+      "post-maintenance strict dispatch must serve without re-advising")
   }
 
   test("tier curve: recall monotone per tier, sq8 matches raw at equal probes, bytes fracs ordered") {
@@ -780,5 +811,38 @@ class AnnIndexSpec extends SparkSpec {
     val reb2 = AnnIndex.rebalance(spark, dir, hotFactor = 2.0)
     assert(reb2.split == 0 && reb2.kAfter == rep.kAfter,
       s"a balanced index must rebalance as a no-op: $reb2")
+
+    // --- staged-geometry atomicity (round-17 advice, medium) ---
+    // rebalance must NOT have overwritten the build-time geometry in
+    // place: the split generation lives at <kind>@<gen> and the plain
+    // paths still hold the pre-split fit — so a failed commit or a
+    // crash mid-verb leaves the old (manifest, geometry) pair
+    // consistent, and the manifest flip IS the geometry flip
+    val gen = AnnIndex.status(spark, dir).built
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids@$gen")),
+      "split geometry must be staged at its generation path")
+    assert(spark.read.parquet(s"$dir/centroids").count() == 5,
+      "the plain build-time centroids must be untouched by rebalance")
+    assert(AnnIndex.readCentroids(spark, dir).length == rep.kAfter,
+      "readers must resolve the live generation's geometry")
+    // a stray staged generation no manifest points at is invisible
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/centroids@bogus-gen"))
+    assert(AnnIndex.readCentroids(spark, dir).length == rep.kAfter,
+      "an uncommitted staged generation must never be read")
+    // kAtFit pins the load denominator across splits: k grew, the
+    // fit-time cell count did not — so untouched cells' load factors
+    // are unchanged and a skewed-but-split corpus cannot cascade
+    val meta = AnnIndex.readMeta(spark, dir)
+    assert(meta.k == rep.kAfter && meta.kAtFit == 5,
+      s"rebalance must grow k but preserve kAtFit: $meta")
+    // vacuum sweeps superseded geometry generations, keeps the live one
+    AnnIndex.vacuum(spark, dir, graceMs = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids@$gen")),
+      "vacuum must keep the live generation's geometry")
+    assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/centroids@bogus-gen")),
+      "vacuum must sweep geometry no live manifest points at")
   }
 }

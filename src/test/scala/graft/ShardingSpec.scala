@@ -461,6 +461,42 @@ class ShardingSpec extends SparkSpec {
       evRows.count { case (_, u, sec) => expected(u, sec).isDefined })
   }
 
+  test("scd2 event-time lookup: empty and sub-3-second event spans degrade deterministically") {
+    import spark.implicits._
+    val schema = Tables.events(spark, Sf).select(
+      col("event_id"), col("user_id"), col("ts")).schema
+    // empty events: no terciles exist to derive a dim from — must
+    // return an empty frame with the lookup schema, not NPE on the
+    // null min/max (round-17 advice)
+    val empty = Sharding.scd2Lookup(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq ==
+      Seq("event_id", "user_id", "ts", "tier", "tier_since"))
+    // a 2-second span: span3 = 0 so both cuts coincide at lo and a
+    // key's versions open at the SAME instant — the version ordinal
+    // must order them so the LATEST version wins, exactly the
+    // interval-join semantics (empty [c, c) intervals attach nothing).
+    // user 6 (≡0 mod 3 and mod 6): bronze[epoch,lo) silver[lo,lo)
+    // gold[lo,∞) → every event is gold. user 7 (≡7 mod 10): deleted
+    // at c2=lo → every event drops. user 1: bronze forever.
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val tiny = Seq(
+      (1L, 6L, t(0)), (2L, 6L, t(1)), (3L, 6L, t(2)),
+      (4L, 7L, t(0)), (5L, 7L, t(2)),
+      (6L, 1L, t(0)), (7L, 1L, t(2)))
+      .toDF("event_id", "user_id", "ts")
+    val out = Sharding.scd2Lookup(tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "gold", 2L -> "gold", 3L -> "gold",
+      6L -> "bronze", 7L -> "bronze"),
+      s"degenerate-span lookup must be deterministic: $out")
+    // replay: same instant, same answer — no nondeterministic carry
+    val again = Sharding.scd2Lookup(tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == out, "degenerate-span lookup must replay identically")
+  }
+
   test("temperature mixture: input already carrying threshold-join columns fails loudly") {
     val docs = Tables.documents(spark, Sf)
     // chained-mix shape: mixCorpus-style output keeps sample_frac; the
