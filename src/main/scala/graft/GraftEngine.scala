@@ -255,6 +255,10 @@ object GraftEngine {
           terms = p.strings("terms", Seq("vector", "stream", "window")),
           k = p.int("k", 20), k1 = p.double("k1", 1.2),
           bp = p.double("b", 0.75))),
+      "serve_bm25_probe" -> ((s, d, p) =>
+        graft.operators.Bm25Index.serveBm25Probe(s, d,
+          terms = p.strings("terms", Seq("vector", "stream", "window")),
+          k = p.int("k", 20), indexDir = p.str("indexDir", ""))),
       "pipeline_chunk" -> ((s, d, p) =>
         Sharding.chunkDocuments(Tables.documents(s, d),
           window = p.int("window", 128), overlap = p.int("overlap", 32))),

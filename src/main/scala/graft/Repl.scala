@@ -70,16 +70,17 @@ object Repl {
     * `pipeline serve_ann_probe indexDir=<indexDir>`. */
   def evalIndex(spark: org.apache.spark.sql.SparkSession, rest: String,
                 baseDir: String): String = {
-    import graft.operators.{AnnIndex, MediaIndex, TextIndex}
+    import graft.operators.{AnnIndex, Bm25Index, MediaIndex, TextIndex}
     val toks = rest.trim.split("\\s+")
     require(toks.length >= 3,
       "syntax: index <build|append|delete|compact|vacuum|status" +
         "|maintain|rebalance> " +
-        "<ann|pq|sq8|text|media> <indexDir> [dataDir] [key=value ...]")
+        "<ann|pq|sq8|text|media|bm25> <indexDir> [dataDir] [key=value ...]")
     val (verb, kind, dir) = (toks(0).toLowerCase, toks(1).toLowerCase, toks(2))
     require(kind == "ann" || kind == "pq" || kind == "sq8" ||
-      kind == "text" || kind == "media",
-      s"unknown index kind '$kind' — expected ann, pq, sq8, text or media")
+      kind == "text" || kind == "media" || kind == "bm25",
+      s"unknown index kind '$kind' — expected ann, pq, sq8, text, media " +
+        "or bm25")
     def mediaBlobs(dataDir: String) = graft.operators.Multimodal
       .withBlobs(Tables.documents(spark, dataDir))
     val (kvs, positional) = toks.drop(3).partition(_.contains("="))
@@ -113,6 +114,9 @@ object Repl {
       case ("build", "media") =>
         MediaIndex.build(spark, mediaBlobs(dataDir), dir)
         s"built media index at $dir"
+      case ("build", "bm25") =>
+        Bm25Index.build(spark, Tables.documents(spark, dataDir), dir)
+        s"built bm25 index at $dir"
       case ("append", "ann") =>
         AnnIndex.append(spark, Tables.embeddings(spark, dataDir), dir)
         s"appended embeddings from $dataDir into $dir"
@@ -128,11 +132,15 @@ object Repl {
       case ("append", "media") =>
         MediaIndex.append(spark, mediaBlobs(dataDir), dir)
         s"appended media blobs from $dataDir into $dir"
+      case ("append", "bm25") =>
+        Bm25Index.append(spark, Tables.documents(spark, dataDir), dir)
+        s"appended documents from $dataDir into $dir"
       case ("delete", _) =>
         val ids = p.strings("ids", Seq.empty).map(_.toLong)
         require(ids.nonEmpty, "index delete needs ids=<id,id,...>")
         if (kind == "text") TextIndex.delete(spark, dir, ids)
         else if (kind == "media") MediaIndex.delete(spark, dir, ids)
+        else if (kind == "bm25") Bm25Index.delete(spark, dir, ids)
         else AnnIndex.delete(spark, dir, ids)
         s"tombstoned ${ids.length} id(s) in $dir"
       case ("compact", "ann" | "pq" | "sq8") =>
@@ -147,14 +155,20 @@ object Repl {
         val (before, after) = MediaIndex.compact(spark, dir,
           smallFileBytes = p.long("smallFileBytes", 16L << 20))
         s"compacted $dir: live data files $before -> $after"
+      case ("compact", "bm25") =>
+        val (before, after) = Bm25Index.compact(spark, dir,
+          smallFileBytes = p.long("smallFileBytes", 16L << 20))
+        s"compacted $dir: live data files $before -> $after"
       case ("vacuum", _) =>
         val n = if (kind == "text") TextIndex.vacuum(spark, dir, p.long("graceMs", 0L))
                 else if (kind == "media") MediaIndex.vacuum(spark, dir, p.long("graceMs", 0L))
+                else if (kind == "bm25") Bm25Index.vacuum(spark, dir, p.long("graceMs", 0L))
                 else AnnIndex.vacuum(spark, dir, p.long("graceMs", 0L))
         s"vacuumed $n orphan file(s) from $dir"
       case ("status", _) =>
         val st = if (kind == "text") TextIndex.status(spark, dir)
                  else if (kind == "media") MediaIndex.status(spark, dir)
+                 else if (kind == "bm25") Bm25Index.status(spark, dir)
                  else AnnIndex.status(spark, dir)
         s"version=${st.version} built=${st.built} " +
           s"liveDataFiles=${st.liveDataFiles} " +

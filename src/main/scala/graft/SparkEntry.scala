@@ -12,7 +12,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Events.queries ++ Similarity.queries ++
       Multimodal.queries ++ GraftEngine.queries ++ Temporal.queries ++
       Curation.queries ++ Sharding.queries ++ QualityRules.queries ++
-      TextIndex.queries ++ MediaIndex.queries ++ Pretrain.queries ++
+      TextIndex.queries ++ MediaIndex.queries ++ Bm25Index.queries ++
+      Pretrain.queries ++
       QualityModel.queries ++ StatsCatalog.queries ++
       ScaleJoins.queries ++ graft.sources.Sources.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -22,7 +23,8 @@ object SparkEntry {
       TextAnalysis.oracles ++ Events.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ GraftEngine.oracles ++ Temporal.oracles ++
       Curation.oracles ++ Sharding.oracles ++ QualityRules.oracles ++
-      TextIndex.oracles ++ MediaIndex.oracles ++ Pretrain.oracles ++
+      TextIndex.oracles ++ MediaIndex.oracles ++ Bm25Index.oracles ++
+      Pretrain.oracles ++
       QualityModel.oracles ++ StatsCatalog.oracles ++
       ScaleJoins.oracles ++ graft.sources.Sources.oracles
 }

@@ -318,6 +318,23 @@ object MediaIndex {
             maxHamming: Int = 6,
             expectedBatchBuckets: Long = 1L << 20): DataFrame = {
     val sig = Lineage.truncate(signaturesOf(batch))
+    batch.join(rejectedIdsOf(s, sig, dir, maxHamming, expectedBatchBuckets),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The admission decision at the SIGNATURE level: doc_ids of batch
+    * blobs rejected by the corpus screen or the in-batch collapse,
+    * computed from a precomputed (materialized) signature table so
+    * every consumer of the decision — the rejection anti-join, the
+    * admitted-signature append, the gate's (doc_id, plane) report —
+    * shares ONE decode pass over the blobs. Round-17 profile: the
+    * old admit/append/report chain re-ran [[signaturesOf]] three
+    * times over the admitted blobs (decode is ~all of the gate's
+    * steady-state cost), because each verb re-derived signatures
+    * from the blob column instead of reusing the decision's own. */
+  private def rejectedIdsOf(s: SparkSession, sig: DataFrame, dir: String,
+                            maxHamming: Int,
+                            expectedBatchBuckets: Long): DataFrame = {
     val verified = (h1: org.apache.spark.sql.Column,
                     h2: org.apache.spark.sql.Column,
                     plane: org.apache.spark.sql.Column) =>
@@ -326,16 +343,37 @@ object MediaIndex {
     val collided = liveBucketRows(s, dir) match {
       case None => sig.where(lit(false)).select(col("doc_id"))
       case Some(idx) =>
-        val bb = bandRows(sig)
-        ScaleJoins
-          .bloomReducedJoin(
-            bb, idx.select(col("plane"), col("band"), col("bucket"),
-              col("h").as("_idx_h")),
+        // DISTINCT-FINGERPRINT screen: the decision needs only which
+        // batch FINGERPRINTS verify near SOME standing fingerprint —
+        // never which standing doc carried it. Band buckets are a pure
+        // function of h, so both join sides collapse to distinct
+        // (plane, band, bucket, h) before the pair verify and the
+        // colliding fingerprints map back to batch doc_ids with one
+        // linear semi join on (plane, h). A degenerate bucket then
+        // costs |distinct h|² instead of |rows|²: the round-17 sf10
+        // profile measured the uncollapsed join at ~70 s of the gate's
+        // 63 s min — every flat image fingerprints to the same aHash,
+        // so ONE bucket held 14k batch × 85k index rows and the screen
+        // was quadratic in corpus size by construction.
+        val bbD = bandRows(sig)
+          .select(col("plane"), col("band"), col("bucket"), col("h"))
+          .distinct()
+        val idxD = idx.select(col("plane"), col("band"), col("bucket"),
+          col("h").as("_idx_h")).distinct()
+        val collidedH = ScaleJoins
+          .bloomReducedJoin(bbD, idxD,
             Seq("plane", "band", "bucket"), expectedBatchBuckets)
           .where(verified(col("h"), col("_idx_h"), col("plane")))
+          .select(col("plane"), col("h")).distinct()
+        sig.join(collidedH, Seq("plane", "h"), "left_semi")
           .select(col("doc_id")).distinct()
     }
-    val fresh = sig.join(collided, Seq("doc_id"), "left_anti")
+    // the screen decision materializes once (a small id list): the
+    // three in-batch edge branches below and the final rejected union
+    // all anti-join against it — without the truncate each consumer
+    // re-ran the whole corpus screen (4× at the sf10 profile)
+    val collidedT = Lineage.truncate(collided)
+    val fresh = sig.join(collidedT, Seq("doc_id"), "left_anti")
     // in-batch collapse: Hamming star edges PER banded plane (aHash
     // and audio-fp hash spaces are unrelated; a degenerate blob in
     // each fingerprints to all-ones, so mixing the planes would link
@@ -356,8 +394,7 @@ object MediaIndex {
     // rejected = corpus collisions ∪ in-batch non-roots; everything
     // else — including unsignatured blobs, which appear in neither —
     // is admitted
-    batch.join(collided.unionAll(nonRoots).distinct(),
-      Seq("doc_id"), "left_anti")
+    collidedT.unionAll(nonRoots).distinct()
   }
 
   /** Admit + commit — see [[TextIndex.ingest]] for the
@@ -367,11 +404,27 @@ object MediaIndex {
     * batch screens against everything committed). */
   def ingest(s: SparkSession, batch: DataFrame, dir: String,
              maxHamming: Int = 6,
-             expectedBatchBuckets: Long = 1L << 20): DataFrame = {
-    val admitted = Lineage.truncate(
-      admit(s, batch, dir, maxHamming, expectedBatchBuckets))
-    append(s, admitted, dir)
-    admitted
+             expectedBatchBuckets: Long = 1L << 20): DataFrame =
+    ingestSigs(s, batch, dir, maxHamming, expectedBatchBuckets)._1
+
+  /** [[ingest]] that also returns the admitted blobs' signature rows
+    * (doc_id, plane, h) — already computed for the decision and the
+    * append, so a caller that reports on signatures (the gate query)
+    * never re-decodes the admitted blobs. Decode-once shape: one
+    * [[signaturesOf]] pass feeds the decision, the index append, the
+    * returned admitted anti-join, AND the signature report. */
+  def ingestSigs(s: SparkSession, batch: DataFrame, dir: String,
+                 maxHamming: Int = 6,
+                 expectedBatchBuckets: Long = 1L << 20)
+      : (DataFrame, DataFrame) = {
+    val sig = Lineage.truncate(signaturesOf(batch))
+    val rejected = Lineage.truncate(
+      rejectedIdsOf(s, sig, dir, maxHamming, expectedBatchBuckets))
+    val admittedSig = sig.join(rejected, Seq("doc_id"), "left_anti")
+    IndexFiles.commitDataAppend(s, dir, "buckets") {
+      bandRows(admittedSig).write.mode("append").parquet(s"$dir/buckets")
+    }
+    (batch.join(rejected, Seq("doc_id"), "left_anti"), admittedSig)
   }
 
   /** Built-once gate index per (JVM, data dir): the corpus-side
@@ -429,8 +482,8 @@ object MediaIndex {
           }
         t
       }
-    val admitted = ingest(s, all.where(col("doc_id") % 7 === 0), dir)
-    signaturesOf(admitted)
+    val (_, admittedSig) = ingestSigs(s, all.where(col("doc_id") % 7 === 0), dir)
+    admittedSig
       .select(col("doc_id"), col("plane")).distinct()
       .orderBy(col("doc_id"))
   }

@@ -265,6 +265,18 @@ object TextAnalysis {
       .agg(count(lit(1)).cast(DoubleType).as("tf"))
     val dfreq = tf.groupBy(col("w"))
       .agg(count(lit(1)).cast(DoubleType).as("df"))
+    bm25Score(tf, dfreq, stats, k, k1, bp)
+  }
+
+  /** The BM25 scoring stage over prepared inputs — shared by the live
+    * corpus-scan path ([[bm25Search]]) and the index-at-rest serving
+    * path ([[Bm25Index.search]]), so the two produce bit-identical
+    * scores by construction (Bm25IndexSpec asserts row equality).
+    * `tf`: (doc_id, dl, w, tf double); `dfreq`: (w, df double);
+    * `stats`: one row (n_docs double, avgdl double). */
+  private[operators] def bm25Score(tf: DataFrame, dfreq: DataFrame,
+                                   stats: DataFrame, k: Int,
+                                   k1: Double, bp: Double): DataFrame =
     tf.join(broadcast(dfreq), Seq("w"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
@@ -278,7 +290,6 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** Per-source document-length distribution — the report a curation
     * run reads before choosing truncation/packing budgets. Exact p50/p90
