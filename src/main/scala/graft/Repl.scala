@@ -387,6 +387,62 @@ object Repl {
     }
   }
 
+  /** Versioned-table DDL — [[graft.operators.TableStore]] from the
+    * REPL (the CDC/time-travel loop without a Scala build):
+    *
+    * {{{
+    * table <publish|merge|asof|status|vacuum> <tableDir> [dataDir] [k=v ...]
+    * }}}
+    *
+    * `publish` commits dataDir's documents (doc_id, text) as the next
+    * full snapshot; `merge changes=<parquetDir>` applies a
+    * (doc_id, op∈U|I|D, c_text) batch and publishes v+1; `asof v=N`
+    * renders the table exactly as version N published it; `vacuum
+    * retain=K` keeps the trailing K versions readable. */
+  def evalTable(spark: org.apache.spark.sql.SparkSession, rest: String,
+                baseDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TableStore
+    val toks = rest.trim.split("\\s+").toSeq
+    require(toks.length >= 2,
+      "syntax: table <publish|merge|asof|status|vacuum> <tableDir> " +
+        "[dataDir] [key=value ...]")
+    val (verb, dir) = (toks(0).toLowerCase, toks(1))
+    val (kvs, positional) = toks.drop(2).partition(_.contains("="))
+    require(positional.length <= 1,
+      s"unexpected arguments ${positional.drop(1).mkString(" ")}")
+    val dataDir = positional.headOption.getOrElse(baseDir)
+    val p = new GraftEngine.Params(s"table $verb",
+      kvs.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+    verb match {
+      case "publish" =>
+        val v = TableStore.publish(spark,
+          Tables.documents(spark, dataDir)
+            .select(col("doc_id"), col("text")), dir)
+        s"published version $v at $dir"
+      case "merge" =>
+        val changesDir = p.str("changes", "")
+        require(changesDir.nonEmpty,
+          "table merge needs changes=<parquetDir> with (doc_id, op, c_text)")
+        val v = TableStore.merge(spark, dir,
+          spark.read.parquet(changesDir))
+        s"merged $changesDir into $dir as version $v"
+      case "asof" =>
+        render(TableStore.asof(spark, dir,
+          p.long("v", TableStore.currentVersion(spark, dir)))
+          .orderBy(col("doc_id")))
+      case "status" =>
+        s"version=${TableStore.currentVersion(spark, dir)}"
+      case "vacuum" =>
+        val retain = p.int("retain", 2)
+        val n = TableStore.vacuumRetain(spark, dir, retain)
+        s"vacuumed $n file(s); trailing $retain version(s) retained"
+      case other => throw new IllegalArgumentException(
+        s"unknown table verb '$other' — expected publish, merge, asof, " +
+          "status or vacuum")
+    }
+  }
+
   /** One REPL step: `explain <query>` → formatted physical plan (beyond
     * the reference's surface — its optimizer is a no-op; on Spark the
     * plan IS the performance story); `pipeline <name> [dataDir]
@@ -408,6 +464,8 @@ object Repl {
       evalModel(spark, t.drop(6), baseDir)
     else if (t.toLowerCase.startsWith("stats "))
       evalStats(spark, t.drop(6), baseDir)
+    else if (t.toLowerCase.startsWith("table "))
+      evalTable(spark, t.drop(6), baseDir)
     else if (t.toLowerCase.startsWith("pipeline ")) {
       val args = t.drop(9).trim.split("\\s+")
       val (kvs, positional) = args.tail.partition(_.contains("="))

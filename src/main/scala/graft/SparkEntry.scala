@@ -15,7 +15,8 @@ object SparkEntry {
       TextIndex.queries ++ MediaIndex.queries ++ Bm25Index.queries ++
       Pretrain.queries ++
       QualityModel.queries ++ StatsCatalog.queries ++
-      ScaleJoins.queries ++ graft.sources.Sources.queries
+      ScaleJoins.queries ++ TableStore.queries ++
+      graft.sources.Sources.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -26,5 +27,6 @@ object SparkEntry {
       TextIndex.oracles ++ MediaIndex.oracles ++ Bm25Index.oracles ++
       Pretrain.oracles ++
       QualityModel.oracles ++ StatsCatalog.oracles ++
-      ScaleJoins.oracles ++ graft.sources.Sources.oracles
+      ScaleJoins.oracles ++ TableStore.oracles ++
+      graft.sources.Sources.oracles
 }

@@ -173,6 +173,65 @@ private[operators] object IndexFiles {
     try parse(v, in.readAllBytes()) finally in.close()
   }
 
+  /** Read a SPECIFIC committed manifest version — the time-travel
+    * read ([[graft.operators.TableStore.asof]]). Loud when the version
+    * was never committed or has been vacuumed past the retention
+    * window: serving silently-latest data for an as-of query would be
+    * the worst possible failure mode. */
+  def readVersion(s: SparkSession, dir: String, v: Long): Manifest = {
+    val p = versionPath(dir, v)
+    val fs = fsFor(s, p)
+    require(fs.exists(p),
+      s"no manifest version $v under $dir/manifest — never committed, " +
+        "or vacuumed past the retention window (vacuumRetain keeps " +
+        "only the trailing versions)")
+    val in = fs.open(p)
+    try parse(v, in.readAllBytes()) finally in.close()
+  }
+
+  /** Time-travel-aware vacuum: keep the trailing `retain` manifest
+    * versions AND every data file any kept manifest references;
+    * delete older manifests and data files only THEY referenced. The
+    * [[TableStore]] form of [[vacuum]] (which keeps only the latest
+    * version — correct for indexes, fatal for versioned snapshots).
+    * Returns files deleted. */
+  def vacuumRetain(s: SparkSession, dir: String, sub: String,
+                   retain: Int): Long =
+    withWriterLock(s, dir) {
+      require(retain >= 1, s"retain must be >= 1, got $retain")
+      val md = manifestDir(dir)
+      val fs = fsFor(s, md)
+      val versions =
+        if (!fs.exists(md)) Vector.empty[Long]
+        else fs.listStatus(md).iterator.map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+          .map(_.stripPrefix("v").stripSuffix(".txt").toLong)
+          .toVector.sorted
+      if (versions.isEmpty) return 0L
+      val kept = versions.takeRight(retain)
+      val live = kept.flatMap(v => readVersion(s, dir, v).dataFiles).toSet
+      var deleted = 0L
+      val root = new Path(s"$dir/$sub")
+      val dfs = fsFor(s, root)
+      if (dfs.exists(root)) {
+        val rootUri = dfs.makeQualified(root).toUri.getPath
+        val it = dfs.listFiles(root, true)
+        val doomed = Vector.newBuilder[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel =
+            st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          if (st.getPath.getName.endsWith(".parquet") && !live(rel))
+            doomed += st.getPath
+        }
+        doomed.result().foreach { p => dfs.delete(p, false); deleted += 1 }
+      }
+      versions.dropRight(retain).foreach { v =>
+        fs.delete(versionPath(dir, v), false); deleted += 1
+      }
+      deleted
+    }
+
   /** Publish `m` as version `m.version` iff that version does not
     * exist yet — the conditional put. Stage-then-rename: the staged
     * `.tmp-*` write is invisible to [[currentVersion]]; the rename is
