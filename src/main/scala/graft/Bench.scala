@@ -115,7 +115,14 @@ object Bench {
     // the MIN tracks one advise pass — exact twin + three probes — plus
     // the stamped dispatch) and the SCD2 event-time lookup (dim-open ∪
     // events union, ONE shuffle on the key, ordered carry-forward pass)
-    "sim_ann_tier_advised", "pipeline_scd2_lookup")
+    "sim_ann_tier_advised", "pipeline_scd2_lookup",
+    // round 18: the two new serving/read shapes — the BM25 posting
+    // index probe (build once per JVM; the MIN tracks the pruned
+    // bucket read + shared scoring stage — the lexical twin of
+    // serve_ann_probe) and the versioned-table time travel (three
+    // manifest-resolved as-of reads, each one agg; merges priced into
+    // run 1 as spread, the serve discipline)
+    "serve_bm25_probe", "pipeline_table_versions")
 
   private def loadavg: String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -128,9 +135,9 @@ object Bench {
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = GraftSession.build(cpus)
 
-    def run(name: String): Double = {
+    def runIn(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -138,6 +145,7 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def run(name: String): Double = runIn(name, sfDir)
 
     val loadBefore = loadavg
     run(headline.head) // warm-up: JIT + codegen compile, FS caches
@@ -168,6 +176,36 @@ object Bench {
     val samples: Seq[(String, Seq[Double])] = headline.map { name =>
       name -> Seq.fill(nRuns)(run(name))
     }
+
+    // sf1 scale leg (round-17 verdict ask #8): the DRIVER artifact
+    // should show the scale curve, not just the builder's committed
+    // files. Self-provisioning: a 10×-scaled corpus generates into
+    // SPARK_GRAFT_SF1_DIR on first use (MakeScale.ensureScaled — the
+    // format marker regenerates a stale pre-salt-fix dir), then every
+    // headline query runs SPARK_GRAFT_BENCH_SF1_RUNS times (default 2:
+    // run 1 absorbs the per-JVM gate builds at the new dir, the MIN is
+    // steady state). Only fires when the primary leg IS sf0.1 (the
+    // driver harness); builder legs at /tmp/sf1 / sf10 skip it, and
+    // SPARK_GRAFT_SF1=0 opts out.
+    val sf1Leg: Option[(String, Int, Seq[(String, Seq[Double])], Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
+          !sfDir.stripSuffix("/").endsWith("sf0.1")) None
+      else try {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+          "/tmp/graft_bench_sf1")
+        val t0 = System.nanoTime()
+        graft.tools.MakeScale.ensureScaled(spark, 10, sfDir, dir)
+        val genS = (System.nanoTime() - t0) / 1e9
+        val runs1 = math.max(1,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_RUNS", "2").toInt)
+        val ss = headline.map { name =>
+          name -> Seq.fill(runs1)(runIn(name, dir))
+        }
+        Some((dir, runs1, ss, genS))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 leg failed: ${e.getMessage}")
+        None
+      }
     val loadAfter = loadavg
 
     def stats(ts: Seq[Double]): (Double, Double, Double) =
@@ -183,12 +221,36 @@ object Bench {
     def jtotal(f: ((String, (Double, Double, Double))) => Double): Double =
       perQuery.map(q => f(q)).filter(_ >= 0).sum
 
+    // sf1-leg stats (same min/median discipline; full detail goes to
+    // the file artifact, the compact stdout line carries the totals)
+    val sf1Json: String = sf1Leg.map { case (dir, runs1, ss, genS) =>
+      val pq = ss.map { case (n, ts) => n -> stats(ts) }
+      def jm(f: ((String, (Double, Double, Double))) => Double): String =
+        pq.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+          .mkString("{", ",", "}")
+      def jt(f: ((String, (Double, Double, Double))) => Double): Double =
+        pq.map(q => f(q)).filter(_ >= 0).sum
+      s""","sf1":{"dir":"$dir","runs":$runs1,"gen_s":$genS""" +
+        s""","total":${jt(_._2._1)},"total_median":${jt(_._2._2)}""" +
+        s""","queries":${jm(_._2._1)}""" +
+        s""","queries_median":${jm(_._2._2)}}"""
+    }.getOrElse("")
+    val sf1Compact: String = sf1Leg.map { case (_, runs1, ss, _) =>
+      val pq = ss.map { case (n, ts) => n -> stats(ts) }
+      val tot = pq.map(_._2._1).filter(_ >= 0).sum
+      val totMed = pq.map(_._2._2).filter(_ >= 0).sum
+      s""","sf1_total":${math.rint(tot * 1e3) / 1e3}""" +
+        s""","sf1_total_median":${math.rint(totMed * 1e3) / 1e3}""" +
+        s""","sf1_runs":$runs1"""
+    }.getOrElse("")
+
     val json = s"""{"metric":"total","value":${jtotal(_._2._1)},"unit":"sec"""" +
       s""","queries":${jmap(_._2._1)}""" +
       s""","queries_median":${jmap(_._2._2)}""" +
       s""","queries_spread":${jmap(_._2._3)}""" +
       s""","total_median":${jtotal(_._2._2)}""" +
       s""","build_s":$buildS""" +
+      sf1Json +
       s""","runs":$nRuns,"loadavg_before":"$loadBefore"""" +
       s""","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
     // the machine-readable artifact must not depend on scraping sbt
@@ -214,7 +276,7 @@ object Bench {
     // loadavg are the minimum diagnosis kit and always fit).
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
     def r3(x: Double): Double = math.rint(x * 1e3) / 1e3
-    val tail = s""","total_median":${r3(jtotal(_._2._2))}""" +
+    val tail = s""","total_median":${r3(jtotal(_._2._2))}""" + sf1Compact +
       s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
       s""","runs":$nRuns,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${r4(jtotal(_._2._1))}""" +

@@ -10,13 +10,56 @@ import org.apache.spark.sql.functions._
   * Fixed-size dims (region, nation) stay as-is, like TPC-H.
   * `sbt "runMain graft.tools.MakeScale [factor] [srcDir] [outDir]"`. */
 object MakeScale {
+
+  /** Scaled-corpus format tag, bumped whenever the cloning/salting
+    * semantics change — [[ensureScaled]] regenerates a dir whose
+    * marker does not match, so a stale pre-salt-fix corpus (whose
+    * quadratic near-dup families round 17 had to flush out twice)
+    * can never leak into a bench leg. */
+  val FormatTag = "makescale-v3-interleaved-replace"
+
+  private def markerPath(out: String) =
+    java.nio.file.Paths.get(out, "_graft_scale_format.txt")
+
+  /** Generate `out` from `src` at `factor`x unless a complete
+    * generation with the CURRENT format tag is already there. */
+  def ensureScaled(spark: SparkSession, factor: Int, src: String,
+                   out: String): Unit = {
+    val marker = markerPath(out)
+    val want = s"$FormatTag factor=$factor src=$src"
+    val have =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+      else ""
+    if (have == want) return
+    val dir = new java.io.File(out)
+    if (dir.exists()) {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(dir)
+    }
+    scale(spark, factor, src, out)
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, (want + "\n").getBytes("UTF-8"))
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(2).getOrElse("/tmp/sf1")
     val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
+    scale(spark, factor, src, out)
+    java.nio.file.Files.createDirectories(markerPath(out).getParent)
+    java.nio.file.Files.write(markerPath(out),
+      (s"$FormatTag factor=$factor src=$src\n").getBytes("UTF-8"))
+    spark.stop()
+  }
 
+  def scale(spark: SparkSession, factor: Int, src: String,
+            out: String): Unit = {
     val shift = 100000000L
     def rep(name: String, keyCols: Seq[String])(extra: DataFrame => DataFrame = identity): Unit = {
       // go through the schema-aware loaders (events needs the
@@ -71,6 +114,5 @@ object MakeScale {
               concat(lit("$1s"), col("_copy").cast("string"), lit(" "))),
             lit(" salt"), col("doc_id")))))
     rep("embeddings", Seq("vec_id"))()
-    spark.stop()
   }
 }
