@@ -281,8 +281,15 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .join(sizes, Seq("doc_id"))
+    // df ≥ 2 is LOSSLESS for the candidate join: a df = 1 shingle's
+    // only posting is its own doc, so in the self-join it can only
+    // meet itself (killed by id1 < id2) — but rarest-first ordering
+    // puts exactly those shingles at the front of every prefix, so
+    // without the filter the join shuffles mostly dead rows (the
+    // majority of a deduplicated corpus' shingles are unique)
     val prefix = ranked
       .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .where(col("df") >= 2)
       .select(col("doc_id"), col("sh"))
     val cand = prefix.select(col("doc_id").as("id1"), col("sh"))
       .join(prefix.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
@@ -345,8 +352,12 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .join(sizes, Seq("doc_id"))
+    // df ≥ 2: lossless here too — a df = 1 shingle's only posting in g
+    // is the prefix row's own doc (killed by id1 =!= id2); see the
+    // Jaccard path's rationale
     val prefixA = ranked
       .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .where(col("df") >= 2)
       .select(col("doc_id").as("id1"), col("sh"))
     val cand = prefixA
       .join(g.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))

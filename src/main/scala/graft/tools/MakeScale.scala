@@ -16,7 +16,7 @@ object MakeScale {
     * marker does not match, so a stale pre-salt-fix corpus (whose
     * quadratic near-dup families round 17 had to flush out twice)
     * can never leak into a bench leg. */
-  val FormatTag = "makescale-v3-interleaved-replace"
+  val FormatTag = "makescale-v4-prefix-salt"
 
   private def markerPath(out: String) =
     java.nio.file.Paths.get(out, "_graft_scale_format.txt")
@@ -95,23 +95,33 @@ object MakeScale {
     // every base doc became a 100-member near-dup family and the pair
     // operators' output grew quadratically BY CONSTRUCTION — measured
     // as dedup_minhash_lsh 1.4 s → 29 s at the first sf10 leg while
-    // the cluster collapse (whose output is linear) scaled 2.2×. A
-    // copy-keyed token every 3 words caps cross-copy 3-gram Jaccard at
-    // ~0.14, far under every near-dup threshold, so a scaled corpus
-    // has scale-independent near-dup density — "N× more independent
-    // docs", which is what a scale leg is supposed to measure. The
-    // doc_id suffix stays so small (<3-word) docs are not byte-equal.
-    // REPLACE (not insert) every 3rd word: inserting inflated cloned
-    // docs' token counts ~33% and every text-processing query's work
-    // with them (measured: sf1 total 50 s → 61 s) — replacement keeps
-    // word counts and byte volume ≈ the original corpus while every
-    // 3-gram window still crosses a copy-keyed token.
+    // the cluster collapse (whose output is linear) scaled 2.2×.
+    // Tagging every 3rd word with a copy key zeroes cross-copy 3-gram
+    // sharing (every 3-token window crosses a tagged position), so a
+    // scaled corpus has scale-independent near-dup density — "N× more
+    // independent docs", which is what a scale leg is supposed to
+    // measure. The doc_id suffix stays so small (<3-word) docs are not
+    // byte-equal.
+    //
+    // v4: PREFIX the 3rd word with the copy key ($1 s<c>x$2) instead
+    // of replacing it with the per-copy CONSTANT s<c> (v3). The
+    // constant collapsed every trigram "A B *" to "A B s<c>" — i.e.
+    // per-copy trigrams degraded to BIGRAMS, whose document
+    // frequencies are an order of magnitude denser: measured Σ df² in
+    // the SSJoin band [2,256] went 2.8 M (sf0.1) → 224 M at sf1 (80×
+    // for 10× data), and at sf10 the n-gram pair family's candidate
+    // join spilled >70 GB and died on disk. Prefixing preserves each
+    // trigram's full identity (distinct trigrams stay distinct; family
+    // members sharing "A B C" still share "A B s<c>xC"), so every
+    // copy's df distribution equals the base corpus' — candidate mass
+    // scales linearly with copies. v3's REPLACE-not-insert rationale
+    // still holds: token counts stay exactly equal (bytes +~7%).
     rep("documents", Seq("doc_id"))(d =>
       d.withColumn("text",
         when(col("_copy") === 0, col("text"))
           .otherwise(concat(
-            regexp_replace(col("text"), lit("(\\S+ \\S+ )\\S+ "),
-              concat(lit("$1s"), col("_copy").cast("string"), lit(" "))),
+            regexp_replace(col("text"), lit("(\\S+ \\S+ )(\\S+) "),
+              concat(lit("$1s"), col("_copy").cast("string"), lit("x$2 "))),
             lit(" salt"), col("doc_id")))))
     rep("embeddings", Seq("vec_id"))()
   }
