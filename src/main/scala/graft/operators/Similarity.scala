@@ -996,7 +996,21 @@ object Similarity {
     * even the exact form never sorts the full pair stream. */
   def simKnnGraphExact(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val e = embeddings(s, d)
+    val n = e.count()
+    // bound each task's pair slice: the per-src top-k compiles to a
+    // partial WindowGroupLimit, which still SORTS its task's slice
+    // locally before cutting to k — with few wide input partitions a
+    // task's slice is (its src rows) × n pairs, and at 200k vectors /
+    // 32 partitions that is a 600M-row × 32-way concurrent sort that
+    // spilled >70 GB at the sf10 sweep. Splitting the src side so a
+    // task crosses ~24M pairs keeps every local sort in memory; each
+    // src lives in exactly one task, so the partial limit still cuts
+    // the shuffle to k rows per src. Work stays O(n²) cosines BY
+    // DESIGN (this is the correctness twin; simKnnGraph is the scale
+    // path) — the split fixes the memory shape, not the arithmetic.
+    val parts = math.max(32L, (n * n) / 24000000L).toInt
     val a = e.select(col("vec_id").as("src"), col("embedding").as("e1"))
+      .repartition(parts, col("src"))
     val b = e.select(col("vec_id").as("dst"), col("embedding").as("e2"))
     a.join(broadcast(b), col("src") =!= col("dst"))
       .select(col("src"), col("dst"), cosine(col("e1"), col("e2")).as("score"))

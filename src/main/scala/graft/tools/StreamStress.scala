@@ -20,11 +20,26 @@ import graft.streaming.EventStreams
   *     state is f(watermark), NOT f(stream length): a 10× longer
   *     stream holds the same state;
   *   - peak state rows never approach the input row count.
-  * `sbt "runMain graft.tools.StreamStress [factor] [slices]"`. */
+  * `sbt "runMain graft.tools.StreamStress [factor] [slices]"`.
+  *
+  * Extra modes (round-17 verdict ask #7 — the 100× legs):
+  *   `serve [factor]`  — index-serving streams (ANN probe, text ingest)
+  *   `budget [factor]` — per-source token-budget gate state at factor×
+  *   `join [slices]`   — stream-stream join (clickAfterView) over the
+  *                       sf10 events corpus, watermark-bounded state
+  * The default dedup leg at `100 50` is the third 100× leg. */
 object StreamStress {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("serve")) {
       serve(args.lift(1).map(_.toInt).getOrElse(10))
+      return
+    }
+    if (args.headOption.contains("budget")) {
+      budget(args.lift(1).map(_.toInt).getOrElse(100))
+      return
+    }
+    if (args.headOption.contains("join")) {
+      join(args.lift(1).map(_.toInt).getOrElse(100))
       return
     }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -186,5 +201,139 @@ object StreamStress {
     check("no re-sent doc admitted twice — the index grew across micro-batches",
       admitted.size == spark.read.parquet(s"$base/dout").count())
     spark.stop()
+  }
+
+  /** `budget` mode: per-source token-quota gate state at factor× — the
+    * live-crawl cutoff's bounded-state proof. State per source is ONE
+    * long, so the store must hold exactly #sources rows no matter how
+    * long the stream runs: a 100× longer stream leaves the state store
+    * byte-identical in cardinality. Also asserts the admission
+    * semantics survived the scale-up: no source's admitted token total
+    * exceeds the quota, and every source stops admitting once full. */
+  def budget(factor: Int): Unit = {
+    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    def check(name: String, ok: Boolean): Unit = {
+      println(s"${if (ok) "PASS" else "FAIL"}  $name")
+      if (!ok) sys.exit(1)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val copies = spark.range(factor.toLong).select(col("id").as("_copy"))
+    val scaled = docs.crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("_copy") * 100000000L)
+      .drop("_copy")
+    val total = scaled.count()
+    val nSources = scaled.select("source").distinct().count()
+    val slices = 20
+    // slice by doc_id mod — arrival order; the budget gate is
+    // arrival-ordered and needs no event time at all (NoTimeout state)
+    val sliced = scaled.withColumn("_slice",
+      pmod(col("doc_id"), lit(slices.toLong)))
+    (0 until slices).foreach { i =>
+      sliced.where(col("_slice") === i).drop("_slice")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val quota = 50000L // trips mid-stream at every factor ≥ 10
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val t0 = System.nanoTime()
+    val q = EventStreams.sourceBudget(stream, quota)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+    val out = spark.read.parquet(s"$base/out")
+    val perSource = out.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok"), count(lit(1)).as("docs"))
+    val maxTok = perSource.agg(max(col("tok"))).collect()(0).getLong(0)
+    val admitted = out.count()
+    println(f"input $total docs ($factor×, $slices slices), $nSources sources, " +
+      f"quota $quota tokens/source: admitted $admitted docs in $wall%.1f s " +
+      f"(${total / wall}%.0f rows/sec input)")
+    println(s"state rows per batch: ${stateRows.mkString(", ")}")
+    println(s"peak state bytes: ${if (stateBytes.isEmpty) 0L else stateBytes.max}")
+    check(s"state rows == #sources ($nSources) at every batch, " +
+      s"never stream-length-shaped (peak ${stateRows.max} on $total input rows)",
+      stateRows.max <= nSources)
+    check(s"no source exceeds its quota (max admitted $maxTok ≤ $quota)",
+      maxTok <= quota)
+    check(s"the cutoff actually tripped (admitted $admitted < input $total)",
+      admitted < total)
+    spark.stop()
+    ()
+  }
+
+  /** `join` mode: stream-stream inner join (clickAfterView — clicks
+    * attributed to a view by the same user within 30 min, 2 h
+    * watermarks both sides) over the FULL sf10 events corpus streamed
+    * in time-ordered slices. The state stores must hold only rows
+    * younger than watermark + band + one slice of lag — f(watermark ×
+    * arrival rate), never f(stream length): the bound is computed from
+    * the corpus' own tail-window row count, so it scales with rate and
+    * stays put as the stream lengthens. */
+  def join(slices: Int): Unit = {
+    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    def check(name: String, ok: Boolean): Unit = {
+      println(s"${if (ok) "PASS" else "FAIL"}  $name")
+      if (!ok) sys.exit(1)
+    }
+    MakeScale.ensureScaled(spark, 100, "/root/testdata/sf0.1", "/tmp/sf10")
+    val base = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+    val ev = spark.read.parquet("/tmp/sf10/events.parquet")
+      .where(col("event_type").isin("view", "click"))
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val b = ev.agg(unix_seconds(min(col("ts"))).as("lo"),
+      unix_seconds(max(col("ts"))).as("hi")).collect()(0)
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    val sliceSec = (span + slices - 1) / slices
+    // time-range slices written in order: file mod-times make each
+    // micro-batch one contiguous window, so both watermarks advance
+    (0 until slices).foreach { i =>
+      ev.where(unix_seconds(col("ts")) >= lo + i * sliceSec &&
+          unix_seconds(col("ts")) < lo + (i + 1) * sliceSec)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val total = ev.count()
+    println(s"input: $total view/click events over ${span}s in $slices slices " +
+      s"(${sliceSec}s per slice)")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val t0 = System.nanoTime()
+    val q = EventStreams.clickAfterView(stream)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+    val attributed = spark.read.parquet(s"$base/out").count()
+    // bound: rows whose ts sits inside (2 h watermark + 30 min band +
+    // 2 slices of advance lag) of ANY instant — the widest window the
+    // stores may retain. Rate is uniform-ish, so the corpus' densest
+    // such window ≈ window_sec × (total/span) with 1.5× slack.
+    val windowSec = 2 * 3600 + 30 * 60 + 2 * sliceSec
+    val bound = (windowSec * total * 3L) / (span * 2L) // 1.5× uniform-rate mass
+    println(f"wall $wall%.1f s  throughput ${total / wall}%.0f rows/sec; " +
+      f"$attributed attributed pairs")
+    println(s"state rows per batch: ${stateRows.mkString(", ")}")
+    println(s"peak state bytes: ${if (stateBytes.isEmpty) 0L else stateBytes.max}")
+    check(s"attribution produced pairs ($attributed > 0)", attributed > 0)
+    check(s"peak state ${stateRows.max} ≤ watermark-window bound $bound",
+      stateRows.max <= bound)
+    check(s"peak state is a small fraction of input (${stateRows.max} < ${total / 10})",
+      stateRows.max < total / 10)
+    spark.stop()
+    ()
   }
 }
