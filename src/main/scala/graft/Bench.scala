@@ -129,6 +129,38 @@ object Bench {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "n/a" }
 
+  private def load1: Double =
+    try loadavg.split(" ").head.toDouble catch { case _: Throwable => -1.0 }
+
+  /** Quiet-box gate (round-19 verdict ask #4): both r18 legs ran on a
+    * contended box (loadavg 12+) and every round-over-round comparison
+    * needed manual forensics to separate environment inflation from
+    * plan regressions. Before each timed leg, wait (up to `maxWaitS`)
+    * for the 1-min loadavg to decay under SPARK_GRAFT_BENCH_MAX_LOAD
+    * (default 2.0 — on a 32-core box that is near-idle). For the
+    * process-start gate this measures EXTERNAL contention directly;
+    * for mid-run legs (sf1) it also lets our own just-finished leg's
+    * load decay so the next leg starts comparably. If the box never
+    * quiets, the leg RUNS anyway but is flagged dirty in the artifact —
+    * a number with a health bit beats no number. Returns
+    * (cleanAtStart, secondsWaited, loadAtStart). */
+  private def quiesce(leg: String, maxWaitS: Int = 240): (Boolean, Double, Double) = {
+    val maxLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val t0 = System.nanoTime()
+    var l = load1
+    while (l > maxLoad && (System.nanoTime() - t0) / 1e9 < maxWaitS) {
+      System.err.println(f"[bench] $leg: loadavg $l%.2f > $maxLoad%.1f, waiting 15s")
+      Thread.sleep(15000)
+      l = load1
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    val clean = l >= 0 && l <= maxLoad
+    if (!clean)
+      System.err.println(f"[bench] $leg: still loaded ($l%.2f) after $waited%.0fs - running DIRTY")
+    (clean, waited, l)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -147,6 +179,7 @@ object Bench {
     }
     def run(name: String): Double = runIn(name, sfDir)
 
+    val mainGate = quiesce("main leg")
     val loadBefore = loadavg
     run(headline.head) // warm-up: JIT + codegen compile, FS caches
 
@@ -187,6 +220,7 @@ object Bench {
     // steady state). Only fires when the primary leg IS sf0.1 (the
     // driver harness); builder legs at /tmp/sf1 / sf10 skip it, and
     // SPARK_GRAFT_SF1=0 opts out.
+    var sf1Gate: Option[(Boolean, Double, Double)] = None
     val sf1Leg: Option[(String, Int, Seq[(String, Seq[Double])], Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
           !sfDir.stripSuffix("/").endsWith("sf0.1")) None
@@ -196,6 +230,7 @@ object Bench {
         val t0 = System.nanoTime()
         graft.tools.MakeScale.ensureScaled(spark, 10, sfDir, dir)
         val genS = (System.nanoTime() - t0) / 1e9
+        sf1Gate = Some(quiesce("sf1 leg"))
         val runs1 = math.max(1,
           sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_RUNS", "2").toInt)
         val ss = headline.map { name =>
@@ -244,13 +279,26 @@ object Bench {
         s""","sf1_runs":$runs1"""
     }.getOrElse("")
 
+    // per-leg gate record: threshold, whether the leg STARTED clean,
+    // seconds spent waiting for quiet, and the loadavg it started at —
+    // a dirty leg is still recorded (a flagged number beats a hole)
+    // but comparisons should prefer clean legs.
+    def gateJson(g: (Boolean, Double, Double)): String =
+      s"""{"clean":${g._1},"waited_s":${math.rint(g._2)},"load":${g._3}}"""
+    val loadGateJson =
+      s""","load_gate":{"threshold":${
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")},""" +
+        s""""main":${gateJson(mainGate)}""" +
+        sf1Gate.map(g => s""","sf1":${gateJson(g)}""").getOrElse("") + "}"
+    val anyDirty = !mainGate._1 || sf1Gate.exists(!_._1)
+
     val json = s"""{"metric":"total","value":${jtotal(_._2._1)},"unit":"sec"""" +
       s""","queries":${jmap(_._2._1)}""" +
       s""","queries_median":${jmap(_._2._2)}""" +
       s""","queries_spread":${jmap(_._2._3)}""" +
       s""","total_median":${jtotal(_._2._2)}""" +
       s""","build_s":$buildS""" +
-      sf1Json +
+      sf1Json + loadGateJson +
       s""","runs":$nRuns,"loadavg_before":"$loadBefore"""" +
       s""","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
     // the machine-readable artifact must not depend on scraping sbt
@@ -277,6 +325,7 @@ object Bench {
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
     def r3(x: Double): Double = math.rint(x * 1e3) / 1e3
     val tail = s""","total_median":${r3(jtotal(_._2._2))}""" + sf1Compact +
+      (if (anyDirty) s""","dirty":true""" else "") +
       s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
       s""","runs":$nRuns,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${r4(jtotal(_._2._1))}""" +

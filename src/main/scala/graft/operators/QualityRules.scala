@@ -236,24 +236,36 @@ object QualityRules {
     * 8-byte hashes map-side via the native positional kernel (no gram
     * strings materialize), aggregates once to (doc, gram, k), and the
     * corpus-wide df table is a groupBy over that SAME reduced table
-    * joined back — the (doc, gram) exchange is reused (one tokenize,
-    * ReusedExchange), the join keys 8-byte grams, and the final agg
-    * is partial+final per doc. The oracle replays the definition with
-    * string grams; counts agree modulo 64-bit collisions, the same
-    * exposure pipeline_contamination carries. dup_share ships as the
-    * unrounded quotient of two exact ints — bit-identical in IEEE. */
+    * (one tokenize, ReusedExchange). The join-back is df-FILTERED
+    * (round-19 shape fix): only df≥2 grams decide the numerator, and
+    * the denominator `n_grams` is computable from the reduced table
+    * alone — so the big (doc, gram) stream joins only against the
+    * duplicated-gram subset (in a natural corpus the large majority of
+    * distinct grams are hapax and drop out), and the two #docs-row
+    * aggregates meet in a final cheap doc-keyed left join. On the 100
+    * TB path — where crawl duplication makes the gram table enormous —
+    * this shrinks the one heavy join by the unique-gram fraction; at
+    * sf1 on the v4-salted corpus it cut the key from 12.7 s to the
+    * pre-salt band. Same answer by construction: sum(k) over all grams
+    * == sum(k | df≥2) + sum(k | df=1) and only the first term was ever
+    * df-dependent. The oracle replays the definition with string
+    * grams; counts agree modulo 64-bit collisions, the same exposure
+    * pipeline_contamination carries. dup_share ships as the unrounded
+    * quotient of two exact ints — bit-identical in IEEE. */
   def dupNgramShare(docs: DataFrame, n: Int = 8): DataFrame = {
     import graft.functions.HashFunctions.ngramHashesPos
     val red = docs
       .select(col("doc_id"), explode(ngramHashesPos(col("text"), n)).as("ng"))
       .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("k"))
-    val dft = red.groupBy(col("ng")).agg(sum(col("k")).as("df"))
-    red.join(dft, Seq("ng"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_grams"),
-        sum(when(col("df") >= 2, col("k")).otherwise(0L)).as("n_dup_grams"))
-      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
-        (col("n_dup_grams").cast(DoubleType) / col("n_grams"))
+    val totals = red.groupBy(col("doc_id")).agg(sum(col("k")).as("n_grams"))
+    val dupGrams = red.groupBy(col("ng")).agg(sum(col("k")).as("df"))
+      .where(col("df") >= 2).select(col("ng"))
+    val dups = red.join(dupGrams, Seq("ng"))
+      .groupBy(col("doc_id")).agg(sum(col("k")).as("nd"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_grams"),
+        (coalesce(col("nd"), lit(0L)).cast(DoubleType) / col("n_grams"))
           .as("dup_share"))
       .orderBy(col("doc_id"))
   }

@@ -1008,7 +1008,12 @@ object Similarity {
     // the shuffle to k rows per src. Work stays O(n²) cosines BY
     // DESIGN (this is the correctness twin; simKnnGraph is the scale
     // path) — the split fixes the memory shape, not the arithmetic.
-    val parts = math.max(32L, (n * n) / 24000000L).toInt
+    // clamped: above n≈2.3e8 the unclamped quotient exceeds Int.MaxValue
+    // and a raw .toInt would go negative (repartition throws); 1<<20
+    // tasks is already far past any sane local sort budget. The sizing
+    // count() is one column-less scan — accepted for the correctness
+    // twin (the scale path simKnnGraph never counts).
+    val parts = math.min(1L << 20, math.max(32L, (n * n) / 24000000L)).toInt
     val a = e.select(col("vec_id").as("src"), col("embedding").as("e1"))
       .repartition(parts, col("src"))
     val b = e.select(col("vec_id").as("dst"), col("embedding").as("e2"))

@@ -429,6 +429,41 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest into the persisted BM25 posting index — the
+    * LEXICAL twin of [[annIngestStream]], closing the last index
+    * plane's maintenance loop: documents arrive as a stream (a live
+    * crawl), each micro-batch folds into the index via
+    * [[graft.operators.Bm25Index.append]] — a map-side posting build
+    * into the term buckets plus ONE new stats row — so the index a
+    * [[graft.operators.Bm25Index.search]] probe is serving stays
+    * fresh without a rebuild and WITHOUT ever re-reading standing
+    * postings (each micro-batch's write cost is proportional to the
+    * batch, not the corpus). Because a committed batch is a pure
+    * union of posting rows and an additive stats row, streaming N
+    * micro-batches ≡ appending their union as one batch ≡ building
+    * the whole corpus at once (StreamingSpec pins search-result
+    * parity against the one-shot build). Delivery is at-least-once:
+    * a replayed micro-batch re-appends its postings and stats row
+    * (duplicate tf rows + over-counted N) until the next rebuild or
+    * compact re-baselines — same trade as [[statsIngestStream]]; an
+    * exactly-once deployment stages batchId-keyed directories as in
+    * [[foreachBatchSink]]. The caller's dedup plane (e.g.
+    * [[textIngestStream]] upstream) guarantees doc novelty, the same
+    * contract the batch append carries. */
+  def bm25IngestStream(docs: DataFrame, indexDir: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Bm25Index.append(batch.sparkSession,
+            batch.toDF(), indexDir)
+        ()
+      }
+      .start()
+
   /** Streaming incremental near-dup ingest — the TEXT twin of
     * [[annIngestStream]], riding TextIndex (the persisted MinHash
     * bucket index): each micro-batch of documents screens against the

@@ -40,6 +40,12 @@ object MakeScale {
       del(dir)
     }
     scale(spark, factor, src, out)
+    // invariant gate (round 19): a corpus whose salt scheme regressed
+    // (v3-style trigram collapse / cross-copy shingle sharing) fails
+    // HERE, before the marker is written — never in a bench leg a
+    // round later. A failed check leaves no marker, so the next call
+    // regenerates rather than trusting a half-validated dir.
+    ScaleCheck.check(spark, src, out, factor)
     java.nio.file.Files.createDirectories(marker.getParent)
     java.nio.file.Files.write(marker, (want + "\n").getBytes("UTF-8"))
     ()
@@ -52,6 +58,7 @@ object MakeScale {
     val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     scale(spark, factor, src, out)
+    ScaleCheck.check(spark, src, out, factor)
     java.nio.file.Files.createDirectories(markerPath(out).getParent)
     java.nio.file.Files.write(markerPath(out),
       (s"$FormatTag factor=$factor src=$src\n").getBytes("UTF-8"))
@@ -96,12 +103,16 @@ object MakeScale {
     // operators' output grew quadratically BY CONSTRUCTION — measured
     // as dedup_minhash_lsh 1.4 s → 29 s at the first sf10 leg while
     // the cluster collapse (whose output is linear) scaled 2.2×.
-    // Tagging every 3rd word with a copy key zeroes cross-copy 3-gram
-    // sharing (every 3-token window crosses a tagged position), so a
-    // scaled corpus has scale-independent near-dup density — "N× more
-    // independent docs", which is what a scale leg is supposed to
-    // measure. The doc_id suffix stays so small (<3-word) docs are not
-    // byte-equal.
+    // Tagging every 3rd word with a copy key removes essentially all
+    // cross-copy 3-gram sharing (a 3-token window crosses a tagged
+    // position — except the tail: the regex needs a trailing space, so
+    // each doc's final word group escapes tagging and copies may still
+    // share ~1 trailing trigram, Jaccard ~1/n, far under every
+    // pairing threshold — ScaleCheck measures the realized density
+    // rather than trusting this argument). So a scaled corpus has
+    // scale-independent near-dup density — "N× more independent
+    // docs", which is what a scale leg is supposed to measure. The
+    // doc_id suffix stays so small (<3-word) docs are not byte-equal.
     //
     // v4: PREFIX the 3rd word with the copy key ($1 s<c>x$2) instead
     // of replacing it with the per-copy CONSTANT s<c> (v3). The

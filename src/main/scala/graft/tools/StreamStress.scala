@@ -29,6 +29,20 @@ import graft.streaming.EventStreams
   *                       sf10 events corpus, watermark-bounded state
   * The default dedup leg at `100 50` is the third 100× leg. */
 object StreamStress {
+
+  /** All modes build through here: raise the progress-retention window
+    * far above any leg's micro-batch count — `q.recentProgress` keeps
+    * only the last ~100 updates by default, so a 100+-slice leg could
+    * silently under-observe its true state peak (ADVICE r18). The
+    * empty-progress case is guarded at each check site (clean FAIL,
+    * not a NoSuchElementException out of `.max`). */
+  private def stressSession(): org.apache.spark.sql.SparkSession = {
+    val s = graft.GraftSession.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("serve")) {
       serve(args.lift(1).map(_.toInt).getOrElse(10))
@@ -44,7 +58,7 @@ object StreamStress {
     }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val slices = args.lift(1).map(_.toInt).getOrElse(10)
-    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = stressSession()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
@@ -102,6 +116,8 @@ object StreamStress {
     // watermark bound: state holds ≤ (2 h watermark + one slice of lag —
     // the watermark only advances at batch boundaries) of admitted rows
     val bound = 2 * 3600 + sliceRows
+    check(s"captured streaming progress (${stateRows.size} state samples)",
+      stateRows.nonEmpty)
     check(s"final state ${stateRows.last} ≤ watermark+lag bound $bound",
       stateRows.last <= bound)
     check(s"peak state ${stateRows.max} ≤ bound $bound (never stream-length-shaped)",
@@ -119,7 +135,7 @@ object StreamStress {
     * (batch i+1's repeats of batch i's fresh docs must be rejected).
     * `sbt "runMain graft.tools.StreamStress serve [factor]"`. */
   def serve(factor: Int): Unit = {
-    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = stressSession()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.{AnnIndex, TextIndex}
     def check(name: String, ok: Boolean): Unit = {
@@ -211,7 +227,7 @@ object StreamStress {
     * semantics survived the scale-up: no source's admitted token total
     * exceeds the quota, and every source stops admitting once full. */
   def budget(factor: Int): Unit = {
-    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = stressSession()
     spark.sparkContext.setLogLevel("ERROR")
     def check(name: String, ok: Boolean): Unit = {
       println(s"${if (ok) "PASS" else "FAIL"}  $name")
@@ -258,6 +274,8 @@ object StreamStress {
       f"(${total / wall}%.0f rows/sec input)")
     println(s"state rows per batch: ${stateRows.mkString(", ")}")
     println(s"peak state bytes: ${if (stateBytes.isEmpty) 0L else stateBytes.max}")
+    check(s"captured streaming progress (${stateRows.size} state samples)",
+      stateRows.nonEmpty)
     check(s"state rows == #sources ($nSources) at every batch, " +
       s"never stream-length-shaped (peak ${stateRows.max} on $total input rows)",
       stateRows.max <= nSources)
@@ -278,7 +296,7 @@ object StreamStress {
     * the corpus' own tail-window row count, so it scales with rate and
     * stays put as the stream lengthens. */
   def join(slices: Int): Unit = {
-    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = stressSession()
     spark.sparkContext.setLogLevel("ERROR")
     def check(name: String, ok: Boolean): Unit = {
       println(s"${if (ok) "PASS" else "FAIL"}  $name")
@@ -329,6 +347,8 @@ object StreamStress {
     println(s"state rows per batch: ${stateRows.mkString(", ")}")
     println(s"peak state bytes: ${if (stateBytes.isEmpty) 0L else stateBytes.max}")
     check(s"attribution produced pairs ($attributed > 0)", attributed > 0)
+    check(s"captured streaming progress (${stateRows.size} state samples)",
+      stateRows.nonEmpty)
     check(s"peak state ${stateRows.max} ≤ watermark-window bound $bound",
       stateRows.max <= bound)
     check(s"peak state is a small fraction of input (${stateRows.max} < ${total / 10})",

@@ -95,6 +95,23 @@ class Bm25IndexSpec extends SparkSpec {
     assert(withNine.exists(_._1 == 9L) && !withNine.exists(_._1 == 8L))
   }
 
+  test("stats_corrected readout: true only while tombstones are outstanding") {
+    // the serving-cost column (round-19): a fresh index serves off the
+    // pure pruned-bucket path (false), an outstanding takedown makes
+    // every probe pay the doclen correction (true — compact would
+    // pay), and compact restores the fast path (false again)
+    def flags(dir: String): Set[Boolean] =
+      Bm25Index.search(spark, dir, terms).select(col("stats_corrected"))
+        .collect().map(_.getBoolean(0)).toSet
+    val dir = freshDir()
+    Bm25Index.build(spark, corpus(), dir)
+    assert(flags(dir) === Set(false), "fresh build must be uncorrected")
+    Bm25Index.delete(spark, dir, Seq(8L))
+    assert(flags(dir) === Set(true), "outstanding tombstone must flag")
+    Bm25Index.compact(spark, dir)
+    assert(flags(dir) === Set(false), "compact must restore the fast path")
+  }
+
   test("re-ingest after takedown: rebuild clears tombstones") {
     val dir = freshDir()
     Bm25Index.build(spark, corpus(), dir)

@@ -497,6 +497,49 @@ class StreamingSpec extends SparkSpec {
       == StatsCatalog.advice(spark, oneCat).collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming BM25 ingest: N micro-batches equal one-shot build, REPL-observable") {
+    import spark.implicits._
+    import graft.operators.{Bm25Index, TextAnalysis}
+    // distinct docs with enough term overlap that df/N/avgdl all move
+    // with every batch — a stats-row or posting-loss regression flips
+    // scores, not just row counts
+    val all: Seq[(Long, String)] = (1L to 60L).map(i =>
+      (i, s"doc $i mentions vector things and stream shard${i % 7} " +
+        s"window payload token$i ${"filler " * (i % 5).toInt}"))
+    val (standing, arriving) = all.splitAt(20)
+    def fresh(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft_bm25stream_$tag").toString
+    val streamed = fresh("s"); val oneShot = fresh("o")
+    Bm25Index.build(spark, standing.toDF("doc_id", "text"), streamed)
+    Bm25Index.build(spark, all.toDF("doc_id", "text"), oneShot)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.EventStreams.bm25IngestStream(
+      ms.toDF().toDF("doc_id", "text"), streamed, fresh("ckpt"))
+    try {
+      arriving.grouped(15).foreach { slice =>
+        ms.addData(slice)
+        q.processAllAvailable()
+      }
+      assert(q.exception.isEmpty, s"bm25 ingest stream failed: ${q.exception}")
+    } finally q.stop()
+    val terms = Seq("vector", "stream", "window")
+    def scores(dir: String) = Bm25Index.search(spark, dir, terms, k = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // N micro-batches ≡ one-shot build of the union corpus...
+    assert(scores(streamed) === scores(oneShot))
+    // ...≡ the live corpus-scan path (the shared-scoring contract)
+    assert(scores(streamed) === TextAnalysis
+      .bm25Search(all.toDF("doc_id", "text"), terms, k = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq)
+    // the stream-grown index is REPL-reachable: status shows the
+    // appended commits, and the probe verb serves from it
+    val st = Repl.eval(spark, s"index status bm25 $streamed", ".")
+    assert(st.contains("version=") && st.contains("liveDataFiles="))
+    assert(Repl.eval(spark,
+      s"pipeline serve_bm25_probe indexDir=$streamed", Sf).nonEmpty)
+  }
+
   test("quality gate stream admits like the batch scorer on the persisted model") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_qgate").toString
