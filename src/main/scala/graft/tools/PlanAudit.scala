@@ -32,7 +32,24 @@ object PlanAudit {
         .queryExecution.executedPlan.toString
       plan.split("\n")
         .filter { l => val h = l.take(4000); kws.exists(h.contains) }
-        .map(_.take(4000).replaceAll("#\\d+L?", "").take(200))
+        .flatMap { l0 =>
+          val base = l0.take(4000).replaceAll("#\\d+L?", "").take(200)
+          // non-empty PartitionFilters usually sit PAST the 200-char cut
+          // (after a long Location expansion) on index-at-rest scans —
+          // exactly the segment the plan audit exists to witness (the
+          // static `cell INSET`/`tb IN` directory pruning). Extract it
+          // as its own line so truncation can't hide a pruned scan.
+          // indexOf is linear — safe on multi-megabyte lines where an
+          // alternation regex backtracks quadratically (header note).
+          val i = l0.indexOf("PartitionFilters: [")
+          val j = if (i >= 0) l0.indexOf("]", i) else -1
+          val pf =
+            if (i >= 0 && j > i + "PartitionFilters: [".length) // non-empty
+              Seq("        [pf] " + l0.substring(i, j + 1)
+                .replaceAll("#\\d+L?", "").take(200))
+            else Seq.empty
+          Seq(base) ++ pf
+        }
         .foreach(println)
     }
     spark.stop()
