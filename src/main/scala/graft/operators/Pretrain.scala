@@ -64,13 +64,25 @@ object Pretrain {
 
   /** Shared DSIR kernel: per-doc EXACT decimal log-weight `lw` (sum of
     * 9 dp-rounded bucket log-ratios) + bigram count. [[dsirWeight]]
-    * reports it; [[dsirSample]] draws the resampled corpus from it. */
+    * reports it; [[dsirSample]] draws the resampled corpus from it.
+    *
+    * Round 19 (guide §1.2/§2.3): fit and score now share ONE reduced
+    * (doc_id, lang, b, k) table whose exchange Catalyst deduplicates
+    * (ReusedExchange — the fit subtree lives under the score side's
+    * broadcast, same physical exchange), so the corpus is tokenized
+    * and md5-bucketed ONCE where the old fit-then-score pair paid the
+    * bigram kernel twice. Counts are identical: the fit re-aggregates
+    * k by bucket, the score weighs each bucket's w by k (decimal ×
+    * long is exact at scale 9, so sum(w·k) ≡ the old sum over k
+    * identical w rows). */
   def dsirLogweights(docs: DataFrame, buckets: Int = 8192,
                      alpha: Double = 0.5,
                      targetLang: String = "en",
-                     hashMode: String = "md5"): DataFrame =
-    scoreDsir(docs, fitDsirWeights(docs, buckets, alpha, targetLang, hashMode),
-      buckets, hashMode)
+                     hashMode: String = "md5"): DataFrame = {
+    val red = reducedBucketCounts(docs, buckets, hashMode)
+    scoreReduced(red,
+      fitFromReduced(red, docs.sparkSession, buckets, alpha, targetLang))
+  }
 
   /** Score docs against an already-FITTED weight table — the online
     * half of the fit/score split. The weight table is the persisted
@@ -80,10 +92,28 @@ object Pretrain {
     * admit micro-batches against weights fitted offline. */
   def scoreDsir(docs: DataFrame, weights: DataFrame,
                 buckets: Int = 8192, hashMode: String = "md5"): DataFrame =
+    scoreReduced(reducedBucketCounts(docs, buckets, hashMode), weights)
+
+  /** The shared pre-reduction: per-(doc, lang, bucket) bigram counts —
+    * the one table both the fit and the score aggregate from. Partial
+    * agg collapses the bigram stream map-side; the bigram kernel (and
+    * its md5 in gate mode) runs below this exchange, i.e. once. */
+  private def reducedBucketCounts(docs: DataFrame, buckets: Int,
+                                  hashMode: String): DataFrame =
     bucketStream(docs, buckets, hashMode)
-      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("k"))
+
+  private def scoreReduced(red: DataFrame, weights: DataFrame): DataFrame =
+    red.join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("lw"))
+      // k casts to DECIMAL(9,0) so w·k is DECIMAL(38,9) EXACTLY at the
+      // precision cap — a bare long operand is DECIMAL(20,0), pushing
+      // the product past 38 and silently dropping scale 9 → 6 (observed
+      // as 1-ulp oracle drift at the 6 dp rounding boundary). k is a
+      // per-(doc, bucket) bigram count, bounded far under 1e9.
+      .agg(sum(col("k")).as("n_grams"),
+        sum(col("w") * col("k").cast(DecimalType(9, 0))).as("lw"))
 
   /** The hashed-bigram feature stream: (doc_id, lang, bucket). */
   private def bucketStream(docs: DataFrame, buckets: Int,
@@ -112,8 +142,13 @@ object Pretrain {
   def fitDsirWeights(docs: DataFrame, buckets: Int = 8192,
                      alpha: Double = 0.5,
                      targetLang: String = "en",
-                     hashMode: String = "md5"): DataFrame = {
-    val bg = bucketStream(docs, buckets, hashMode)
+                     hashMode: String = "md5"): DataFrame =
+    fitFromReduced(reducedBucketCounts(docs, buckets, hashMode),
+      docs.sparkSession, buckets, alpha, targetLang)
+
+  private def fitFromReduced(red: DataFrame, s: SparkSession,
+                             buckets: Int, alpha: Double,
+                             targetLang: String): DataFrame = {
     // raw + target counts in ONE aggregation pass (count + indicator
     // sum) — three separate aggs would tokenize the corpus three times;
     // the grand totals then reduce the ≤B-row count table, not the
@@ -125,9 +160,10 @@ object Pretrain {
     // instead of silently dropping the evidence. Batch fit+score on
     // the same corpus is unchanged: every scored bigram's bucket has
     // cr ≥ 1 by construction, so the zero rows never join.
-    val seen = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
-    val cnt = docs.sparkSession.range(buckets).toDF("b")
+    val seen = red.groupBy(col("b")).agg(sum(col("k")).as("cr"),
+      sum(when(col("lang") === targetLang, col("k")).otherwise(0L))
+        .as("ct"))
+    val cnt = s.range(buckets).toDF("b")
       .join(seen, Seq("b"), "left")
       .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))

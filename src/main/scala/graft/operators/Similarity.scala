@@ -819,9 +819,10 @@ object Similarity {
     * and determinism. */
   def simAnnSq8(s: SparkSession, d: String, rerank: Int = 0): DataFrame = {
     val emb = embeddings(s, d)
-    val n = corpusCount(emb)
+    // round 19 (guide §1.2): corpus count rides the fit aggregate —
+    // one scan+job where count() + fit used to pay two
+    val (mn, step, n) = sq8FitRangesN(emb)
     val rerankEff = if (rerank > 0) rerank else pqRerank(n)
-    val (mn, step) = sq8FitRanges(emb)
     val encoded = sq8Encode(emb, mn, step)
     val qs = queriesSet(emb)
     val wq = Window.partitionBy(col("q_id"))
@@ -862,16 +863,28 @@ object Similarity {
     * every later query). Shared by the flat path and
     * [[AnnIndex.buildSq8]]. */
   private[graft] def sq8FitRanges(emb: DataFrame): (Seq[Double], Seq[Double]) = {
+    val (mn, step, _) = sq8FitRangesN(emb)
+    (mn, step)
+  }
+
+  /** Fit + corpus count in ONE aggregate (round 19): every embedding
+    * contributes one row per dimension, so count(pos=any)/1 IS the
+    * corpus size — callers that need both (the flat SQ8 path's rerank
+    * sizing) save a full count() scan and its job. */
+  private[graft] def sq8FitRangesN(
+      emb: DataFrame): (Seq[Double], Seq[Double], Long) = {
     val mmRows = emb
       .select(posexplode(col("embedding")).as(Seq("pos", "e")))
       .groupBy(col("pos"))
       .agg(min(col("e").cast(DoubleType)).as("mn"),
-        max(col("e").cast(DoubleType)).as("mx"))
+        max(col("e").cast(DoubleType)).as("mx"),
+        count(lit(1)).as("n"))
       .orderBy(col("pos")).collect()
     val dim = mmRows.length
     require(dim % 8 == 0, s"dim $dim must pack 8 codes per long")
     (mmRows.map(_.getDouble(1)).toSeq,
-      mmRows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq)
+      mmRows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq,
+      mmRows.headOption.map(_.getLong(3)).getOrElse(0L))
   }
 
   /** SQ8 encode: (vec_id, packed) with one byte per dimension packed

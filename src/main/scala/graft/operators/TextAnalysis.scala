@@ -521,34 +521,36 @@ object TextAnalysis {
     * (the marginal-utility diagnostic of Muennighoff et al. 2023,
     * arXiv:2305.16264's repeated-data regime).
     *
-    * Scale shape: grams reduce to 8-byte hashes map-side via the native
-    * distinct-gram kernel (no gram strings materialize); the corpus-wide
-    * first-doc table is a min() agg joined back on the 8-byte key, and
-    * the final agg is partial+final per doc. min(doc_id) is an
-    * ORDER-INSENSITIVE agg, so "first seen" needs no sort and no window
-    * anywhere. Both join sides tokenize from the scan independently — a
-    * deliberate trade vs quality_dup_ngram_share's reused (doc, gram)
-    * exchange: the kernel emits DISTINCT grams, so pre-reducing buys
-    * nothing, and re-tokenizing (map-side CPU over a column-pruned scan)
-    * is cheaper at 100 TB than a third full-gram-stream shuffle; AQE
-    * broadcasts the df-sized first-doc table when it fits and falls back
-    * to a shuffle join keyed on 8-byte grams when it doesn't. novelty
-    * ships as the unrounded quotient of two exact ints. Oracle replays
-    * the definition with string grams (agreement modulo 64-bit
-    * collisions, the contamination exposure). */
+    * Scale shape (round 19, guide §2.3/§2.4): grams reduce to 8-byte
+    * hashes map-side via the native distinct-gram kernel (no gram
+    * strings materialize). The corpus-wide first-doc table is a min()
+    * agg — and because the kernel emits DISTINCT grams per doc, a gram
+    * is "novel" for EXACTLY ONE doc (its min), so per-doc novel counts
+    * come from re-aggregating that table by first_doc (#docs rows) —
+    * the old join-back of every (doc, gram) row against the df-sized
+    * first-doc table (a full gram-stream join + a second full shuffle
+    * into the per-doc agg) is gone. The per-doc denominator never
+    * touches the gram stream at all: it is size(kernel) on a map-only
+    * pass. One full shuffle total (the min agg), then two #docs-row
+    * tables join. min(doc_id) is an ORDER-INSENSITIVE agg, so "first
+    * seen" needs no sort and no window anywhere. novelty ships as the
+    * unrounded quotient of two exact ints. Oracle replays the
+    * definition with string grams (agreement modulo 64-bit collisions,
+    * the contamination exposure). */
   def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
     import graft.functions.HashFunctions.ngramHashes
-    val red = docs
+    val perDoc = docs.select(col("doc_id"),
+      size(ngramHashes(col("text"), n)).cast(LongType)
+        .as("n_distinct_grams"))
+    val novel = docs
       .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("ng"))
-    val first = red.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
-    red.join(first, Seq("ng"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_distinct_grams"), col("n_novel"),
-        (col("n_novel").cast(DoubleType) / col("n_distinct_grams"))
-          .as("novelty"))
+      .groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("nn"))
+    perDoc.join(novel, perDoc("doc_id") === novel("first_doc"), "left")
+      .select(perDoc("doc_id"), col("n_distinct_grams"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"),
+        (coalesce(col("nn"), lit(0L)).cast(DoubleType) /
+          col("n_distinct_grams")).as("novelty"))
       .orderBy(col("doc_id"))
   }
 

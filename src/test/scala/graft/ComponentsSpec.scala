@@ -64,6 +64,32 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("label-ladder graph (chains between bucket stars) converges " +
+      "within maxIter — the round-19 shortcut-star regression") {
+    // the sf1 media batch's shape in miniature: a depth-40 chain whose
+    // every node is also the min of its own 20-leaf star. Min-label
+    // propagation + jump alone moves the global min ~2 hops per round
+    // (O(diameter)) and exited maxIter=30 UNCONVERGED on the real sf1
+    // batch (diameter 57); the shortcut stars restore convergence.
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val leaves = for (i <- 0L until 40L; j <- 0L until 20L)
+      yield (i, 1000L + 20L * i + j)
+    val m = comps(chain ++ leaves)
+    assert(m.values.toSet == Set(0L),
+      s"ladder not fully collapsed: ${m.values.toSet.size} labels")
+    assert(m.size == 41 + 800)
+  }
+
+  test("deep chain converges within the 30-round budget (jump + " +
+      "shortcut stars, not O(diameter))") {
+    // 3000-node path: plain min-propagation needs 3000 rounds; the
+    // jump+shortcut combination must land it inside maxIter=30 with
+    // every node labeled by the path min.
+    val m = comps((0L until 2999L).map(i => (i, i + 1)))
+    assert(m.size == 3000)
+    assert(m.values.toSet == Set(0L), "deep chain not fully collapsed")
+  }
+
   test("Lineage.truncate upgrades to reliable checkpointing when a dir is configured") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -350,17 +350,33 @@ class PlanRegressionSpec extends SparkSpec {
       s"global head must be per-partition heaps + driver merge:\n$p")
   }
 
-  test("dup-gram share: df branch reuses the (doc, gram) exchange — one tokenize") {
+  test("dup-gram share: map-only denominator, df-filtered broadcast " +
+      "probe, no window") {
     val df = SparkEntry.queries("quality_dup_ngram_share")(spark, Sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the df table must come off the SAME (doc, gram) aggregate the
-    // probe side reads — a second scan+explode of the corpus is the
-    // tfidf round-11 regression shape in new clothes
-    assert(p.contains("ReusedExchange"),
-      s"df branch re-tokenizes the corpus (no exchange reuse):\n$p")
+    // round-19 shape: the denominator rides size(kernel) on a map-only
+    // pass (no exchange — A/B-measured faster at sf1 than re-reading
+    // the reduced (doc, gram) exchange, whose AQE stage-cache reuse
+    // across the broadcast boundary is racy anyway), and the numerator
+    // probe joins the reduced gram table only against the df≥2 subset
+    // (broadcast — in a natural corpus most distinct grams are hapax).
+    assert(p.contains("size(ngram_hashes_pos"),
+      s"denominator no longer map-only off the kernel:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df probe join lost its broadcast:\n$p")
     assert(!p.contains("windowspecdefinition"),
       s"no window belongs in this plan:\n$p")
+    // the gram stream must still tokenize at most twice (probe +
+    // broadcast side; a third gram-stream Generate would be the tfidf
+    // round-11 regression shape in new clothes — the size() pass has
+    // no Generate, so it does not count here). Count the FINAL plan
+    // only: AdaptiveSparkPlan's toString appends the initial plan too.
+    val finalPlan = p.split("== Initial Plan ==").head
+    val generates = "Generate explode\\(ngram_hashes_pos".r
+      .findAllIn(finalPlan).length
+    assert(generates <= 2,
+      s"gram stream tokenizes $generates times:\n$p")
   }
 
   test("bpe encode is map-only: no exchange before the output sort, no UDF") {
