@@ -95,14 +95,21 @@ object Components {
       // aliases on both sides: round 1 has prev eq labels, and a raw
       // self-join (or a self-union under a filter) trips Union/Join
       // attribute rewrites.
-      val viaReverse = prev.toDF("pid", "pcomp")
-        .join(labels.toDF("lid", "lcomp"), col("pid") === col("lid"))
-        .select(col("pcomp").as("id"), col("lcomp").as("comp"))
+      // rounds 0-1 skip the stream EXACTLY (not heuristically): at
+      // round 0 prev is the identity and at round 1 prev(x) = x still,
+      // so the reverse candidate is the node's own label — a no-op
+      // that only cost a join. Simulated on every test graph: round
+      // counts identical with activation at round 2.
+      val viaReverse =
+        if (i < 2) None
+        else Some(prev.toDF("pid", "pcomp")
+          .join(labels.toDF("lid", "lcomp"), col("pid") === col("lid"))
+          .select(col("pcomp").as("id"), col("lcomp").as("comp")))
       // candidate labels: every neighbor's current comp, plus own
-      val viaNeighbors = edges
-        .join(labels.select(col("id").as("b"), col("comp")), "b")
-        .select(col("a").as("id"), col("comp"))
-        .unionAll(viaReverse)
+      val viaNeighbors = viaReverse.foldLeft(
+        edges
+          .join(labels.select(col("id").as("b"), col("comp")), "b")
+          .select(col("a").as("id"), col("comp")))(_ unionAll _)
       // not checkpointed: the pointer-jump self-join reuses the
       // aggregate's exchange (ReusedExchange), so materializing here
       // measured slower at the 200k-chain stress

@@ -217,12 +217,18 @@ object MediaIndex {
   def build(s: SparkSession, blobs: DataFrame, dir: String): Unit =
     IndexFiles.commitRebuild(s, dir, "buckets",
       s"$FormatGen-${java.util.UUID.randomUUID().toString}") {
-      bucketsOf(blobs).write.mode("overwrite").parquet(s"$dir/buckets")
+      // REBALANCE before the write (round 19): the decode stage runs at
+      // session parallelism (withBlobs spreads the synthesis), so a bare
+      // write would emit one near-empty file per task; AQE coalesces the
+      // tiny band rows into right-sized files at any batch size
+      bucketsOf(blobs).hint("rebalance")
+        .write.mode("overwrite").parquet(s"$dir/buckets")
     }
 
   def append(s: SparkSession, blobs: DataFrame, dir: String): Unit =
     IndexFiles.commitDataAppend(s, dir, "buckets") {
-      bucketsOf(blobs).write.mode("append").parquet(s"$dir/buckets")
+      bucketsOf(blobs).hint("rebalance")
+        .write.mode("append").parquet(s"$dir/buckets")
     }
 
   /** Tombstone `ids` — the takedown verb; see [[TextIndex.delete]]. */
@@ -422,7 +428,10 @@ object MediaIndex {
       rejectedIdsOf(s, sig, dir, maxHamming, expectedBatchBuckets))
     val admittedSig = sig.join(rejected, Seq("doc_id"), "left_anti")
     IndexFiles.commitDataAppend(s, dir, "buckets") {
-      bandRows(admittedSig).write.mode("append").parquet(s"$dir/buckets")
+      // rebalance: same rationale as append — without it every decode
+      // task emits its own near-empty bucket file per gate call
+      bandRows(admittedSig).hint("rebalance")
+        .write.mode("append").parquet(s"$dir/buckets")
     }
     (batch.join(rejected, Seq("doc_id"), "left_anti"), admittedSig)
   }

@@ -1277,16 +1277,52 @@ object Sharding {
     when(c.bitwiseAND(c - 1) === 0L, c)
       .otherwise(call_function("shiftleft", lit(1L), length(bin(c))))
 
+  /** [[joinAdvice]] for SEVERAL key columns of ONE relation in a
+    * single scan (round 19, guide §1.2): the per-key (count, bytes)
+    * reduction rides GROUPING SETS — one pass over the table, one
+    * Expand-duplicated shuffle — instead of one full scan + keyed agg
+    * per key. grouping_id() tags which key column each group belongs
+    * to; the per-key stats and the advice arithmetic are identical to
+    * N separate joinAdvice calls (adviceColumns is shared). */
+  def joinAdviceMultiKey(df: DataFrame, rel: String, keys: Seq[String],
+                         broadcastBytes: Long = 1L << 20,
+                         skewMult: Long = 4L,
+                         maxSalt: Long = 64L): DataFrame = {
+    val keyCols = keys.map(col)
+    val grouped = df
+      .select(keyCols :+ rowWidth(df).cast(LongType).as("_w"): _*)
+      .groupingSets(keys.map(k => Seq(col(k))), keyCols: _*)
+      .agg(count(lit(1)).as("n"), sum(col("_w")).as("b"),
+        grouping_id().as("_gid"))
+    // grouping_id: bit per grouping column, 0 = grouped-by; the set
+    // {k_i} has every bit set EXCEPT i's
+    val gidOf = keys.indices.map { i =>
+      i -> ((1 << keys.length) - 1 - (1 << (keys.length - 1 - i)))
+    }.toMap
+    val stats = grouped.groupBy(col("_gid"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"), sum(col("b")).as("est_bytes"))
+    val keyName = keys.indices.foldLeft(lit(null: String)) { (acc, i) =>
+      when(col("_gid") === gidOf(i), lit(keys(i))).otherwise(acc)
+    }
+    adviceColumns(
+      stats.select(lit(rel).as("rel"), keyName.as("keycol"),
+        col("n_rows"), col("n_keys"), col("max_n"), col("est_bytes")),
+      broadcastBytes, skewMult, maxSalt)
+  }
+
   /** Gate key: [[joinAdvice]] over the same six (relation, key) legs
     * [[pipelineSkewStats]] profiles — the advisor a 100 TB operator
-    * reads before choosing a join plan. */
+    * reads before choosing a join plan. events and lineitem each carry
+    * two advised keys: their stats ride one grouping-sets scan each
+    * ([[joinAdviceMultiKey]], round 19) instead of two. */
   def pipelineJoinAdvisor(s: SparkSession, d: String): DataFrame =
     Seq(
-      joinAdvice(events(s, d), "events", "user_id"),
-      joinAdvice(events(s, d), "events", "event_type"),
+      joinAdviceMultiKey(events(s, d), "events",
+        Seq("user_id", "event_type")),
       joinAdvice(orders(s, d), "orders", "o_custkey"),
-      joinAdvice(lineitem(s, d), "lineitem", "l_suppkey"),
-      joinAdvice(lineitem(s, d), "lineitem", "l_partkey"),
+      joinAdviceMultiKey(lineitem(s, d), "lineitem",
+        Seq("l_suppkey", "l_partkey")),
       joinAdvice(documents(s, d), "documents", "source"))
       .reduce(_.unionAll(_))
       .orderBy(col("rel"), col("keycol"))
@@ -1338,7 +1374,31 @@ object Sharding {
                      skewMult: Long = 4L, maxSalt: Long = 64L,
                      keyReused: Boolean = false,
                      targetBytes: Long = DefaultLayoutTargetBytes,
-                     rangeQueried: Boolean = false): DataFrame = {
+                     rangeQueried: Boolean = false): DataFrame =
+    joinPairAdviceMulti(fact, factRel, factKey, dim, dimRel, dimKey,
+      Seq(PairAdviceKnobs(broadcastBytes, skewMult, maxSalt, keyReused,
+        targetBytes, rangeQueried)))
+
+  /** One advisory-knob setting for [[joinPairAdviceMulti]] — the
+    * caller-declared inputs the decision depends on, as data. */
+  case class PairAdviceKnobs(broadcastBytes: Long = 1L << 20,
+                             skewMult: Long = 4L, maxSalt: Long = 64L,
+                             keyReused: Boolean = false,
+                             targetBytes: Long = DefaultLayoutTargetBytes,
+                             rangeQueried: Boolean = false)
+
+  /** [[joinPairAdvice]] for SEVERAL knob settings over ONE (fact, key,
+    * dim) triple — round 19 (guide §1.2): the advisor gate keys ask the
+    * same statistics question under different caller declarations
+    * (broadcast bound, reuse, range), and each single-knob call paid a
+    * full fact scan + keyed agg for stats that are knob-independent.
+    * Here the stats compute once and the knob rows ride a tiny
+    * exploded literal array, so N advisory variants cost one pass.
+    * Output rows are byte-identical to N unioned joinPairAdvice calls
+    * (same columns, knob order preserved). */
+  def joinPairAdviceMulti(fact: DataFrame, factRel: String, factKey: String,
+                          dim: DataFrame, dimRel: String, dimKey: String,
+                          knobs: Seq[PairAdviceKnobs]): DataFrame = {
     val fstats = fact.groupBy(col(factKey))
       .agg(count(lit(1)).as("n"), sum(rowWidth(fact).cast(LongType)).as("b"))
       .agg(sum(col("n")).as("fact_rows"), count(lit(1)).as("fact_keys"),
@@ -1349,38 +1409,44 @@ object Sharding {
       .agg(count(lit(1)).as("dim_rows"),
         sum(rowWidth(dim).cast(LongType)).as("dim_bytes"))
     fstats.crossJoin(dstats)
+      .select(col("*"), explode(typedlit(knobs.map(k =>
+        (k.broadcastBytes, k.skewMult, k.maxSalt, k.keyReused,
+          k.targetBytes, k.rangeQueried)))).as("_k"))
       .select(lit(factRel).as("fact_rel"), lit(dimRel).as("dim_rel"),
         lit(factKey).as("keycol"),
         col("fact_rows"), col("fact_keys"), col("max_n"), col("fact_bytes"),
         col("dim_rows"), col("dim_bytes"),
-        lit(broadcastBytes).as("broadcast_bytes"),
-        lit(keyReused).as("key_reused"),
-        lit(rangeQueried).as("range_queried"),
-        col("key_min"), col("key_max"))
+        col("_k._1").as("broadcast_bytes"),
+        col("_k._4").as("key_reused"),
+        col("_k._6").as("range_queried"),
+        col("key_min"), col("key_max"),
+        col("_k._2").as("_sm"), col("_k._3").as("_ms"),
+        col("_k._5").as("_tb"))
       .withColumn("_avg", greatest(expr("fact_rows DIV fact_keys"), lit(1L)))
       .withColumn("_ratio", expr("(max_n + _avg - 1) DIV _avg"))
       .withColumn("strategy",
-        when(col("dim_bytes") <= broadcastBytes, lit("broadcast"))
-          .when(lit(keyReused) && col("fact_bytes") > broadcastBytes &&
-            col("dim_bytes") > broadcastBytes, lit("bucket"))
-          .when(lit(rangeQueried) && col("fact_bytes") > broadcastBytes &&
+        when(col("dim_bytes") <= col("broadcast_bytes"), lit("broadcast"))
+          .when(col("key_reused") &&
+            col("fact_bytes") > col("broadcast_bytes") &&
+            col("dim_bytes") > col("broadcast_bytes"), lit("bucket"))
+          .when(col("range_queried") &&
+            col("fact_bytes") > col("broadcast_bytes") &&
             col("key_min").isNotNull, lit("cluster"))
-          .when(col("max_n") > col("_avg") * skewMult, lit("salt"))
+          .when(col("max_n") > col("_avg") * col("_sm"), lit("salt"))
           .otherwise(lit("plain")))
       .withColumn("salt_n",
         when(col("strategy") === "salt",
-          least(lit(maxSalt), pow2Ceil(col("_ratio")))).otherwise(lit(0L)))
+          least(col("_ms"), pow2Ceil(col("_ratio")))).otherwise(lit(0L)))
       .withColumn("bucket_n",
         when(col("strategy") === "bucket",
           pow2Ceil(greatest(lit(1L),
-            expr(s"(greatest(fact_bytes, dim_bytes) + ${targetBytes - 1}) " +
-              s"DIV $targetBytes")))).otherwise(lit(0L)))
+            expr("(greatest(fact_bytes, dim_bytes) + _tb - 1) DIV _tb"))))
+          .otherwise(lit(0L)))
       .withColumn("cluster_n",
         when(col("strategy") === "cluster",
-          greatest(lit(1L),
-            expr(s"(fact_bytes + ${targetBytes - 1}) DIV $targetBytes")))
+          greatest(lit(1L), expr("(fact_bytes + _tb - 1) DIV _tb")))
           .otherwise(lit(0L)))
-      .drop("_avg", "_ratio")
+      .drop("_avg", "_ratio", "_sm", "_ms", "_tb")
   }
 
   /** Gate key: [[joinPairAdvice]] over four two-sided legs chosen so
@@ -1392,17 +1458,17 @@ object Sharding {
     Seq(
       // targetBytes pinned to the 1 MiB GATE budget (so bucket_n
       // varies at test scales); the library default is the shared
-      // production DefaultLayoutTargetBytes
+      // production DefaultLayoutTargetBytes. The two l_orderkey legs
+      // differ only in the declared broadcast bound — one stats pass,
+      // two knob rows (joinPairAdviceMulti, round 19).
       joinPairAdvice(lineitem(s, d), "lineitem", "l_suppkey",
         supplier(s, d), "supplier", "s_suppkey",
         targetBytes = 1L << 20),
-      joinPairAdvice(lineitem(s, d), "lineitem", "l_orderkey",
-        orders(s, d), "orders", "o_orderkey",
-        broadcastBytes = 1L << 18, keyReused = true,
-        targetBytes = 1L << 20),
-      joinPairAdvice(lineitem(s, d), "lineitem", "l_orderkey",
-        orders(s, d), "orders", "o_orderkey", keyReused = true,
-        targetBytes = 1L << 20),
+      joinPairAdviceMulti(lineitem(s, d), "lineitem", "l_orderkey",
+        orders(s, d), "orders", "o_orderkey", Seq(
+          PairAdviceKnobs(broadcastBytes = 1L << 18, keyReused = true,
+            targetBytes = 1L << 20),
+          PairAdviceKnobs(keyReused = true, targetBytes = 1L << 20))),
       joinPairAdvice(events(s, d), "events", "user_id",
         customer(s, d), "customer", "c_custkey",
         broadcastBytes = 1L << 10, targetBytes = 1L << 20))
@@ -1421,13 +1487,15 @@ object Sharding {
     * even when also range-declared. */
   def pipelineClusterAdvice(s: SparkSession, d: String): DataFrame =
     Seq(
-      joinPairAdvice(lineitem(s, d), "lineitem", "l_extendedprice",
-        orders(s, d), "orders", "o_orderkey",
-        broadcastBytes = 1L << 18, targetBytes = 1L << 20,
-        rangeQueried = true),
-      joinPairAdvice(lineitem(s, d), "lineitem", "l_extendedprice",
-        orders(s, d), "orders", "o_orderkey",
-        broadcastBytes = 1L << 18, targetBytes = 1L << 20),
+      // legs (a)+(b) share the (lineitem, l_extendedprice, orders)
+      // statistics and differ only in the rangeQueried declaration —
+      // one stats pass, two knob rows (joinPairAdviceMulti, round 19)
+      joinPairAdviceMulti(lineitem(s, d), "lineitem", "l_extendedprice",
+        orders(s, d), "orders", "o_orderkey", Seq(
+          PairAdviceKnobs(broadcastBytes = 1L << 18,
+            targetBytes = 1L << 20, rangeQueried = true),
+          PairAdviceKnobs(broadcastBytes = 1L << 18,
+            targetBytes = 1L << 20))),
       joinPairAdvice(documents(s, d), "documents", "source",
         customer(s, d), "customer", "c_custkey",
         broadcastBytes = 1L << 10, targetBytes = 1L << 20,
