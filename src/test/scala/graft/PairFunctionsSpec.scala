@@ -38,6 +38,32 @@ class PairFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("skipgram_grams = unigram markers interleaved with skipgram_pairs") {
+    import spark.implicits._
+    // the combined emission's null-b subsequence must equal ws in
+    // order (unigram counts unchanged), and its non-null subsequence
+    // must equal skipgram_pairs exactly — so every PMI statistic
+    // computed off the single pass matches the split-emission reference
+    val df = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+    for (w <- Seq(1, 2, 4, 7)) {
+      val got = df.select(col("doc_id"), col("ws"),
+          PairFunctions.skipgramGrams(col("ws"), w).as("gs"),
+          PairFunctions.skipgramPairs(col("ws"), w).as("ps"))
+        .select(col("doc_id"),
+          expr("transform(filter(gs, g -> g.b IS NULL), g -> g.a)").as("u"),
+          expr("filter(gs, g -> g.b IS NOT NULL)").as("p"),
+          col("ws"), col("ps"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](3),
+          s"window=$w doc=${r.getLong(0)}: unigram stream != ws")
+        assert(r.getSeq[Any](2) == r.getSeq[Any](4),
+          s"window=$w doc=${r.getLong(0)}: pair stream != skipgram_pairs")
+      }
+    }
+  }
+
   test("pair_combinations == the slice/transform HOF on sorted sets") {
     import spark.implicits._
     val sets = Seq(

@@ -429,22 +429,36 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("skipgram pair emission is a per-row codegen'd kernel, never a positional self-join") {
+    // round 20: the PMI miners run ONE corpus pass — the combined
+    // unigram+pair skipgram_grams kernel reduced to (a, b, n) counts —
+    // checkpointed before the branch fan-out (anything less gets its
+    // tb-null branch filters pushed under the Generate, rebuilding one
+    // corpus pass per branch). Witness the kernel on the gram-counts
+    // stage, then the fan-out plan on the full query.
+    val gramsDf = graft.operators.TextAnalysis
+      .pmiGramCounts(Tables.documents(spark, Sf), window = 4)
+    gramsDf.collect()
+    val gramsPlan = gramsDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val gen = gramsPlan.split("\n").filter(_.contains("skipgram_grams("))
+    assert(gen.nonEmpty, s"native skipgram_grams kernel missing:\n$gramsPlan")
+    assert(gen.exists(_.contains("*(")),
+      s"skipgram_grams runs outside codegen:\n${gen.mkString("\n")}")
+    assert(gramsPlan.split("\n").count(_.contains("Generate ")) == 1,
+      s"gram emission must be ONE Generate:\n$gramsPlan")
+
     val df = SparkEntry.queries("text_skipgram_pmi")(spark, Sf)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     // a pos-keyed self-join would shuffle the exploded token table
-    // twice; the shipped shape explodes window-bounded structs from
-    // each row and reduces BEFORE any join
-    assert(!p.contains("SortMergeJoin"),
-      s"corpus-sized join appeared in the pair path:\n$p")
-    assert("Generate explode".r.findFirstIn(p).isDefined, p)
-    // the pair emission is the native skipgram_pairs kernel and the
-    // Generate that explodes it stays inside a WholeStageCodegen span
-    // (the lambda-HOF form it replaced was CodegenFallback)
-    val gen = p.split("\n").filter(_.contains("skipgram_pairs("))
-    assert(gen.nonEmpty, s"native skipgram_pairs kernel missing:\n$p")
-    assert(gen.exists(_.contains("*(")),
-      s"skipgram_pairs runs outside codegen:\n${gen.mkString("\n")}")
+    // twice; the fan-out joins run over the checkpointed REDUCTION
+    assert(!fin.contains("SortMergeJoin"),
+      s"corpus-sized join appeared in the pair path:\n$fin")
+    // a tokenize-bearing Generate in the FINAL plan means a branch
+    // re-derived the corpus stream instead of reading the checkpoint
+    assert(!fin.contains("skipgram_grams("),
+      s"a branch re-tokenizes the corpus past the checkpoint:\n$fin")
   }
 
   test("salted join splits hot keys; bloom semi probes before the exchange") {
