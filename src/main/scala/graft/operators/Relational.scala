@@ -375,22 +375,40 @@ object Relational {
       .limit(10)
 
   /** TPC-H Q5: local supplier volume — 6-way join; dims broadcast,
-    * facts shuffle once on their shared keys. */
-  def qTpchQ5(s: SparkSession, d: String): DataFrame =
+    * facts shuffle once on their shared keys.
+    *
+    * Round 20 (guide §3.1/§3.2): the selective filter of this query is
+    * `r_name = 'ASIA'`, but the textbook join order applies it LAST —
+    * after customer⋈orders⋈lineitem⋈supplier has already been built at
+    * full 25-nation width (Spark does not reorder joins without CBO
+    * stats, so the query author picks the order). Since
+    * c_nationkey = s_nationkey = n_nationkey holds on every surviving
+    * row, the region restriction prunes identically when applied to the
+    * CUSTOMER side up front: nation⋈region(ASIA) reduces to a ≤5-row
+    * (n_nationkey, n_name) table that broadcasts into the customer scan,
+    * cutting the customer⋈orders⋈lineitem probe stream ~5× before the
+    * big joins instead of after them. Row set and n_name are unchanged
+    * (nationkey is unique; the supplier join still enforces
+    * s_nationkey = c_nationkey), only the order of pruning moves. */
+  def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = nation(s, d)
+      .join(broadcast(region(s, d).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
     customer(s, d)
+      .join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"))
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .where(col("o_orderdate") >= ts("1996-01-01 00:00:00")
         && col("o_orderdate") < ts("1997-01-01 00:00:00"))
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .join(supplier(s, d), col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .where(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
 
   /** TPC-H Q4: order-priority checking — orders in a quarter with at
     * least one late lineitem (EXISTS → left-semi join), counted per

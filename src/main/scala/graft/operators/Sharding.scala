@@ -736,17 +736,36 @@ object Sharding {
     * two-level shape: cumulative bases ACROSS lengths over the
     * #distinct-lengths reduction, cumulative bases across `doc_id DIV
     * bucketWidth` sub-buckets WITHIN a length over the subtotal table
-    * (windows only ever see reduced count rows), and the row-level
-    * rank partitioned by (n_tokens, bkt) — identical global rank,
-    * bounded partitions everywhere. */
+    * (windows only ever see reduced count rows).
+    *
+    * Round 20 (guide §2.4/§1.2): the row-level rank itself is GONE.
+    * Within a (n_tokens, bkt) group every doc has the same n_tokens
+    * and the group's ranks are the contiguous run base+1 … base+n, so
+    * the group's contribution to bin b is closed-form counting of
+    * residues (rank−1) mod nBins over [base, base+n−1]:
+    * off = (b − base) mod nBins, cnt = (n−1−off) DIV nBins + 1 when
+    * off < n else 0 — and its token mass is n_tokens·cnt. The old
+    * shape paid a second corpus scan (branch fan-out re-ran the
+    * tokenize kernel), a corpus-row broadcast join, and a corpus-wide
+    * exchange for the rank window; the new shape reduces the corpus
+    * ONCE to the (n_tokens, bkt) subtotals and never touches a corpus
+    * row again — the only shuffles left carry count rows. Identical
+    * output by construction (AnalyticsOpsSpec balance/total invariants
+    * + ShardingSpec rank-parity pin). */
   def packBinned(docs: DataFrame, nBins: Int = 8,
                  bucketWidth: Long = BucketWidth): DataFrame = {
     val withTok = docs.select(col("doc_id"),
       graft.functions.TextStats.textStats(col("text"))
         .getField("n_words").cast("long").as("n_tokens"))
       .withColumn("bkt", expr(s"doc_id DIV $bucketWidth"))
-    val subtotals = withTok.groupBy(col("n_tokens"), col("bkt"))
-      .agg(count(lit(1)).as("n"))
+    // the reduced table feeds TWO branches (len bases + bucket bases);
+    // truncate so the tokenize kernel runs once — branch fan-out
+    // otherwise rebuilds the corpus scan per branch (AQE exchange reuse
+    // does not unify the rebuilt stages; same discipline as the PMI
+    // gram kernel and ccnet scoring)
+    val subtotals = Lineage.truncate(
+      withTok.groupBy(col("n_tokens"), col("bkt"))
+        .agg(count(lit(1)).as("n")))
     val lenCounts = subtotals.groupBy(col("n_tokens"))
       .agg(sum(col("n")).as("len_n"))
     val wLen = Window.orderBy(col("n_tokens").desc)
@@ -756,19 +775,25 @@ object Sharding {
     val wBkt = Window.partitionBy(col("n_tokens")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = subtotals
-      .select(col("n_tokens"), col("bkt"),
+      .select(col("n_tokens"), col("bkt"), col("n"),
         coalesce(sum(col("n")).over(wBkt), lit(0L)).as("bkt_base"))
       .join(lenBases, Seq("n_tokens"))
-      .select(col("n_tokens"), col("bkt"),
+      .select(col("n_tokens"), col("n"),
         (col("len_base") + col("bkt_base")).as("base"))
-    val wIn = Window.partitionBy(col("n_tokens"), col("bkt"))
-      .orderBy(col("doc_id"))
-    withTok
-      .join(maybeBroadcastBases(bases), Seq("n_tokens", "bkt"))
-      .withColumn("rank", col("base") + row_number().over(wIn))
-      .withColumn("bin", ((col("rank") - 1) % nBins).cast("int"))
+    bases
+      .select(col("n_tokens"), col("n"), col("base"),
+        explode(expr(s"sequence(0, ${nBins - 1})")).as("bin"))
+      .withColumn("off",
+        pmod(col("bin").cast("long") - col("base"), lit(nBins.toLong)))
+      .withColumn("cnt", when(col("off") < col("n"),
+        expr(s"(n - 1 - off) DIV $nBins") + lit(1L)).otherwise(lit(0L)))
+      // cnt=0 rows drop so a bin no doc lands in is ABSENT, exactly as
+      // the old groupBy-over-assigned-rows shape (matters when
+      // #docs < nBins; sums are unaffected)
+      .where(col("cnt") > 0)
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("n_tokens") * col("cnt")).as("n_tokens"))
       .orderBy(col("bin"))
   }
 
@@ -783,20 +808,32 @@ object Sharding {
     * rank-sum identity G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with
     * ranks ascending by (n_tokens, doc_id) — and the global rank is
     * the SAME two-level bucketed prefix sum as [[packBinned]]
-    * (windows only ever see count rows, the row-level rank partitions
-    * by (length, doc_id-range)), proving that machinery generalizes
-    * beyond packing. Σ rank·x accumulates as DECIMAL(38,0) — exact
-    * where BIGINT would overflow at 10¹²-doc scale — and the final
-    * Gini is ONE double expression over exact integers, mirrored
-    * verbatim by the oracle. */
+    * (windows only ever see count rows). Σ rank·x accumulates as
+    * DECIMAL(38,0) — exact where BIGINT would overflow at 10¹²-doc
+    * scale — and the final Gini is ONE double expression over exact
+    * integers, mirrored verbatim by the oracle.
+    *
+    * Round 20 (guide §2.4/§1.2), same collapse as [[packBinned]]: a
+    * (x, bkt) group's ranks are the contiguous run base+1 … base+n and
+    * every row shares the same x, so
+    * Σ rank·x = x·(n·base + n(n+1)/2) in closed form over the subtotal
+    * table — the second corpus scan, the corpus-row join and the
+    * corpus-wide rank-window exchange are gone; no corpus row survives
+    * past the first reduction. The triangular term computes with the
+    * even factor pre-halved ((n DIV 2)·(n+1) or n·((n+1) DIV 2)) so
+    * every product stays in DECIMAL(38,0) with no 63-bit overflow.
+    * ShardingSpec pins value equality incl. bucket-width invariance. */
   def lengthGini(docs: DataFrame,
                  bucketWidth: Long = BucketWidth): DataFrame = {
     val withTok = docs.select(col("doc_id"),
       graft.functions.TextStats.textStats(col("text"))
         .getField("n_words").cast("long").as("x"))
       .withColumn("bkt", expr(s"doc_id DIV $bucketWidth"))
-    val subtotals = withTok.groupBy(col("x"), col("bkt"))
-      .agg(count(lit(1)).as("n"))
+    // truncate before the two-branch fan-out — one tokenize pass
+    // (see packBinned)
+    val subtotals = Lineage.truncate(
+      withTok.groupBy(col("x"), col("bkt"))
+        .agg(count(lit(1)).as("n")))
     val lenCounts = subtotals.groupBy(col("x")).agg(sum(col("n")).as("len_n"))
     val wLen = Window.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -805,18 +842,20 @@ object Sharding {
     val wBkt = Window.partitionBy(col("x")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = subtotals
-      .select(col("x"), col("bkt"),
+      .select(col("x"), col("bkt"), col("n"),
         coalesce(sum(col("n")).over(wBkt), lit(0L)).as("bkt_base"))
       .join(lenBases, Seq("x"))
-      .select(col("x"), col("bkt"),
+      .select(col("x"), col("n"),
         (col("len_base") + col("bkt_base")).as("base"))
-    val wIn = Window.partitionBy(col("x"), col("bkt")).orderBy(col("doc_id"))
-    withTok
-      .join(maybeBroadcastBases(bases), Seq("x", "bkt"))
-      .withColumn("rk", col("base") + row_number().over(wIn))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("x")).as("total_tokens"),
-        sum(col("rk").cast(DecimalType(38, 0)) * col("x")).as("srx"))
+    val dec38 = DecimalType(38, 0)
+    val tri = when(col("n") % 2 === 0,
+      expr("n DIV 2").cast(dec38) * (col("n") + 1))
+      .otherwise(col("n").cast(dec38) * expr("(n + 1) DIV 2"))
+    bases
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"),
+        sum(col("x") * col("n")).as("total_tokens"),
+        sum(col("x").cast(dec38) *
+          (col("n").cast(dec38) * col("base") + tri)).as("srx"))
       .select(col("n_docs"), col("total_tokens"),
         ((lit(2.0) * col("srx").cast(DoubleType) -
           (col("n_docs") + 1).cast(DoubleType) *

@@ -315,20 +315,36 @@ class PlanRegressionSpec extends SparkSpec {
       s"df branch re-tokenizes the corpus (no exchange reuse):\n$p")
   }
 
-  test("binned packing rank is doc_id-sub-bucketed, never one window per length") {
+  test("binned packing: closed-form over the subtotal table, one scan, " +
+      "no row-level rank window") {
     val df = SparkEntry.queries("pipeline_pack_binned")(spark, Sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // round-11 finding: row_number() OVER (PARTITION BY n_tokens ORDER
-    // BY doc_id) funnels a chunk-dominated corpus (every chunked doc
-    // is exactly the chunk length) through one task. Fixed: the rank
-    // partitions by (n_tokens, doc_id DIV width); only count-table
-    // windows partition by the length alone.
-    assert("windowspecdefinition\\(n_tokens#\\d+L?, doc_id#".r
-      .findFirstIn(p).isEmpty,
-      s"per-length corpus-sized rank window resurrected:\n$p")
-    assert("windowspecdefinition\\(n_tokens#\\d+L?, bkt#\\d+L?, doc_id#".r
-      .findFirstIn(p).isDefined, s"sub-bucketed rank window missing:\n$p")
+    // BY doc_id) funnels a chunk-dominated corpus through one task.
+    // Round-20 shape: the row-level rank is GONE entirely — per-bin
+    // counts are closed-form residue arithmetic over the (n_tokens,
+    // bkt) subtotal table, so no window may reference doc_id and the
+    // corpus scans exactly once (the old branch fan-out re-ran the
+    // tokenize kernel for the join-back side).
+    assert("windowspecdefinition\\([^)]*doc_id#".r.findFirstIn(p).isEmpty,
+      s"row-level rank window resurrected:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"corpus must scan once:\n$p")
+  }
+
+  test("length gini: closed-form over the subtotal table, one scan, " +
+      "no row-level rank window") {
+    val df = SparkEntry.queries("pipeline_length_gini")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // same round-20 collapse as pack_binned: Σ rank·x is
+    // x·(n·base + n(n+1)/2) over the (x, bkt) subtotals — windows only
+    // ever see count rows and the corpus scans once.
+    assert("windowspecdefinition\\([^)]*doc_id#".r.findFirstIn(p).isEmpty,
+      s"row-level rank window resurrected:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"corpus must scan once:\n$p")
   }
 
   test("canonical selection: member counts agg + join; only window is the top-1") {

@@ -154,6 +154,41 @@ class ShardingSpec extends SparkSpec {
     rows.groupBy(_._1).values.foreach(g => assert(g.count(_._4) <= 1))
   }
 
+  test("binned packing closed form equals the explicit rank-deal assignment") {
+    import spark.implicits._
+    // many ties per length + a bucketWidth smaller than the corpus so
+    // every closed-form branch (multi-bucket lengths, base offsets that
+    // wrap the bin modulus, cnt=0 bins within a group) is exercised
+    val docs = (1L to 157L).map { i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Sharding.packBinned(docs, nBins = 5, bucketWidth = 16L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force the spec: rank by (n_tokens desc, doc_id asc), deal
+    // rank-1 mod nBins — the assignment the pre-round-20 window shape
+    // materialized row by row
+    val ranked = (1L to 157L).map(i => (i, i % 7 + 1)).sortBy {
+      case (id, len) => (-len, id)
+    }.zipWithIndex
+    val expect = ranked.groupBy { case (_, rk) => (rk % 5).toInt }
+      .map { case (b, xs) => (b, xs.size.toLong, xs.map(_._1._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got == expect, s"got $got want $expect")
+    // and the gini closed form matches the explicit rank-sum identity
+    // on the same corpus
+    val g = Sharding.lengthGini(docs, bucketWidth = 16L).collect()(0)
+    val asc = (1L to 157L).map(i => (i, i % 7 + 1)).sortBy {
+      case (id, len) => (len, id)
+    }.zipWithIndex
+    val n = asc.size.toDouble
+    val sx = asc.map(_._1._2).sum.toDouble
+    val srx = asc.map { case ((_, x), rk) => (rk + 1).toDouble * x }.sum
+    val wantG = (2.0 * srx - (n + 1) * sx) / (n * sx)
+    assert(g.getLong(0) == 157L && g.getLong(1) == sx.toLong)
+    assert(math.abs(g.getDouble(2) - wantG) < 1e-12,
+      s"gini ${g.getDouble(2)} want $wantG")
+  }
+
   test("length gini: 0 for uniform lengths, near 1 for extreme concentration") {
     import spark.implicits._
     val uniform = (1L to 100L).map(i => (i, "a b c d e"))
