@@ -53,21 +53,26 @@ object Components {
       .distinct()
       .transform(Lineage.truncate)
 
-    // iteration checkpoints clean up behind themselves (keep=2: the
-    // done-probe below still reads the PREVIOUS round's labels); the
-    // edges checkpoint above is NOT chained — every round reads it
+    // iteration checkpoints clean up behind themselves (keep=2: round
+    // N+1's candidate stream reads round N's table while the new one
+    // materializes); the edges checkpoint above is NOT chained — every
+    // round reads it
     val chain = new Lineage.Chain(keep = 2)
-    var labels = edges.select(col("a").as("id")).distinct()
+    // the round table carries (id, comp) and, from round 1 on, prevc =
+    // the label one round earlier — the SAME table serves the next
+    // round's reverse-shortcut stream, the done probe, and the label
+    // lookup, so no round ever joins two label generations (round 20:
+    // the old shape paid a prev⋈labels join for the shortcut stream
+    // and a labels join for the convergence flag, every round)
+    var round = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .transform(chain.truncate)
-    // round-19 convergence fix: the last TWO rounds' (id, comp) star
-    // edges ride along with the input edges (see loop body). prev
-    // starts as labels (all self-loops, filtered out as a =!= b).
-    var prev = labels
 
     var done = edges.isEmpty
     var i = 0
+    val nullL = lit(null).cast("long")
     while (!done && i < maxIter) {
+      val labels = round.select(col("id"), col("comp"))
       // SHORTCUT CANDIDATES (round 19): min-propagation plus a single
       // pointer jump is O(diameter) on label-ladder graphs — the sf1
       // media batch (Hamming chains between band-bucket stars,
@@ -77,67 +82,58 @@ object Components {
       // reverse edge densifies the graph around every partial root —
       // the Hash-to-Min idea (Rastogi et al. 2013, "Finding connected
       // components in map-reduce in logarithmic rounds") expressed as
-      // one extra candidate stream instead of edge-table mutation:
-      // the OLD pointer target learns the node's CURRENT label — the
-      // reverse flow that min-only propagation lacks (the forward
-      // flow is the pointer jump below; a forward shortcut stream
-      // adds nothing but a join, and the current-round star's reverse
-      // is a no-op by definition). Measured rounds on the
-      // pathological graphs drop 32 → 9 (sf1 media batch, which
-      // previously burned all of maxIter and exited UNCONVERGED) and
-      // stay ≤18 on ScaleStress's 200k-node chain; near-clique dup
-      // graphs stay at 2-3. Shortcut candidates always name a node
-      // of the same component (comp is a min over a connected
-      // subset), so the fixpoint is unchanged; both label generations
-      // are already alive in the checkpoint chain (keep=2), so this
-      // adds ONE join of label-table-sized, id-co-partitioned inputs
-      // per round and NO extra action or materialization. Fresh toDF
-      // aliases on both sides: round 1 has prev eq labels, and a raw
-      // self-join (or a self-union under a filter) trips Union/Join
-      // attribute rewrites.
+      // one extra candidate stream: the OLD pointer target learns the
+      // node's CURRENT label — the reverse flow that min-only
+      // propagation lacks. Measured rounds on the pathological graphs
+      // drop 32 → 9 (sf1 media batch) and stay ≤18 on ScaleStress's
+      // 200k-node chain; near-clique dup graphs stay at 2-3. Shortcut
+      // candidates always name a node of the same component (comp is
+      // a min over a connected subset), so the fixpoint is unchanged.
+      // Round 20: the stream is a plain projection (prevc, comp) of
+      // the checkpointed round table — the old prev⋈labels join
+      // recomputed exactly this pairing from two label generations.
       // rounds 0-1 skip the stream EXACTLY (not heuristically): at
-      // round 0 prev is the identity and at round 1 prev(x) = x still,
-      // so the reverse candidate is the node's own label — a no-op
-      // that only cost a join. Simulated on every test graph: round
-      // counts identical with activation at round 2.
+      // round 0 prevc does not exist (identity labels) and at round 1
+      // prevc(x) = x still, so the reverse candidate is the node's own
+      // label — a no-op. Simulated on every test graph: round counts
+      // identical with activation at round 2.
       val viaReverse =
         if (i < 2) None
-        else Some(prev.toDF("pid", "pcomp")
-          .join(labels.toDF("lid", "lcomp"), col("pid") === col("lid"))
-          .select(col("pcomp").as("id"), col("lcomp").as("comp")))
-      // candidate labels: every neighbor's current comp, plus own
-      val viaNeighbors = viaReverse.foldLeft(
+        else Some(round.select(col("prevc").as("id"), col("comp"),
+          nullL.as("prev")))
+      // candidate labels: every neighbor's current comp, plus own (the
+      // own-label row doubles as the prevc carrier — max(prev) sees
+      // exactly one non-null per id, so the convergence flag and next
+      // round's shortcut source ride the SAME aggregation instead of a
+      // post-jump join)
+      val stream = viaReverse.foldLeft(
         edges
           .join(labels.select(col("id").as("b"), col("comp")), "b")
-          .select(col("a").as("id"), col("comp")))(_ unionAll _)
+          .select(col("a").as("id"), col("comp"), nullL.as("prev")))(
+        _ unionAll _)
+        .union(labels.select(col("id"), col("comp"),
+          col("comp").as("prev")))
       // not checkpointed: the pointer-jump self-join reuses the
       // aggregate's exchange (ReusedExchange), so materializing here
       // measured slower at the 200k-chain stress
-      val stepped = viaNeighbors.union(labels)
-        .groupBy("id").agg(min("comp").as("comp"))
+      val stepped = stream.groupBy("id")
+        .agg(min("comp").as("comp"), max("prev").as("prevc"))
       // pointer jump: comp := comp(comp) — labels are node ids, so the
-      // label's own label is always defined. The convergence flag
-      // rides the SAME checkpointed table (round 19): joining the
-      // previous labels in-plan replaces the old separate probe job
-      // (a 2-exchange join per round) with a scan of the in-memory
-      // checkpoint.
+      // label's own label is always defined
       val next = stepped
         .join(stepped.select(col("id").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("jump"), col("comp")).as("comp"))
-        .join(labels.toDF("id", "prevc"), "id")
-        .select(col("id"), col("comp"),
-          (col("comp") =!= col("prevc")).as("chg"))
+        .select(col("id"), coalesce(col("jump"), col("comp")).as("comp"),
+          col("prevc"))
         .transform(chain.truncate)
-      done = next.where(col("chg")).isEmpty
-      prev = labels
-      labels = next.select(col("id"), col("comp"))
+      done = next.where(col("comp") =!= col("prevc")).isEmpty
+      round = next
       i += 1
     }
     if (!done && i >= maxIter)
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"connectedComponents: NOT converged after $maxIter rounds" +
           " - labels may be partial (raise maxIter)")
-    labels
+    round.select(col("id"), col("comp"))
   }
 }

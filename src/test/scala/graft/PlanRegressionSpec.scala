@@ -493,4 +493,47 @@ class PlanRegressionSpec extends SparkSpec {
     assert("0x[0-9A-Fa-f]{10000}".r.findFirstIn(pb).isEmpty,
       "bloom filter inlined into the plan as a binary literal")
   }
+
+  test("every global window in the 253-query surface sits above a " +
+      "reducing aggregate (round-19 verdict ask #9)") {
+    // A window with an empty (or constant-only) partition spec moves
+    // its WHOLE input through one task — fine over a reduced table
+    // (≤#buckets/#lengths/#langs rows by construction: conversion-lag
+    // cumulative share, dsir grand totals, prefix-sum len bases), fatal
+    // over corpus rows. This guard enumerates EVERY declared query's
+    // pre-AQE physical plan and requires each such window to have a
+    // reducing aggregate (or a checkpointed — i.e. already-reduced —
+    // table scan) below it, so a future unreduced global window fails
+    // here instead of at 100 TB.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{RDDScanExec, RangeExec, SparkPlan}
+    def reduced(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: RDDScanExec => true // Lineage.truncate output: a
+      // materialized reduction (nothing else checkpoints in this repo)
+      case _: RangeExec => true // constant-bounded (dsir's B-row grid)
+      case other => other.children.nonEmpty && other.children.forall(reduced)
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var globals = 0
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan =
+        try SparkEntry.queries(name)(spark, Sf).queryExecution.sparkPlan
+        catch { case e: Throwable =>
+          fail(s"$name failed to plan: ${e.getMessage}") }
+      plan.foreach {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
+          globals += 1
+          if (!reduced(w.child)) offenders += name
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global windows over UNREDUCED input in: ${offenders.distinct}")
+    // the guard must actually be exercising something: the known
+    // reduced-table global windows exist in this surface
+    assert(globals > 0, "no global windows found — guard is vacuous")
+  }
 }
