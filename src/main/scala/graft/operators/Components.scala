@@ -105,12 +105,18 @@ object Components {
       // own-label row doubles as the prevc carrier — max(prev) sees
       // exactly one non-null per id, so the convergence flag and next
       // round's shortcut source ride the SAME aggregation instead of a
-      // post-jump join)
-      val stream = viaReverse.foldLeft(
-        edges
+      // post-jump join). Round 0 EXACTLY: labels are the identity, so
+      // label(b) = b and the neighbor join is the plain (a, b)
+      // projection — the edge table crosses the network once (into the
+      // groupBy) instead of twice (join by b, then groupBy by id), and
+      // the labels-side exchange disappears.
+      val viaNeighbors =
+        if (i == 0) edges.select(col("a").as("id"), col("b").as("comp"),
+          nullL.as("prev"))
+        else edges
           .join(labels.select(col("id").as("b"), col("comp")), "b")
-          .select(col("a").as("id"), col("comp"), nullL.as("prev")))(
-        _ unionAll _)
+          .select(col("a").as("id"), col("comp"), nullL.as("prev"))
+      val stream = viaReverse.foldLeft(viaNeighbors)(_ unionAll _)
         .union(labels.select(col("id"), col("comp"),
           col("comp").as("prev")))
       // not checkpointed: the pointer-jump self-join reuses the
